@@ -1,0 +1,28 @@
+"""cb — Ray-Data-native inverted-index build + BM25 query engine.
+
+A from-scratch engine with the capabilities of aliostad/ConveyorBelt
+(/root/reference) re-expressed Ray-Data-first: read -> tokenize
+(map_batches over zero-copy Arrow) -> doc stats & df (groupby
+aggregates) -> salted posting-list merge (groupby.map_groups) ->
+delta+varint compressed, block-max-annotated partitioned index with
+per-partition manifests (resume without recompute) -> top-k BM25 via
+block-max WAND on a stateful shard-server actor pool.
+
+Modules:
+  analyze    code-aware tokenizer (Arrow / Python / DuckDB-SQL mirrors)
+  corpus     synthetic source-code corpus + doc ids + sha256
+  compress   delta+varint (FOR-style) postings codec + block maxes
+  build      index build pipeline (the wide shuffle) + manifests
+  stats      document/corpus statistics
+  query      BM25 oracle (brute force) + engine query API
+  wand       block-max WAND top-k
+  shard      ShardServer actors + QueryEngine
+  parsers    reference parser family (IIS/Akamai/Sitecore/JSON/metrics)
+  filters    SimpleFilter expression -> pushed-down Arrow predicate
+  dedup      exact / minhash-LSH / simhash / ngram-jaccard / embedding dedup
+  ann        brute-force + LSH-bucketed cosine top-k similarity search
+  textstats  language-id, quality scores, token counts, fingerprints
+  multimodal binary-column decode/feature stages (stubbed decode)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,191 @@
+"""Posting-list codec: delta + varint (FOR-style) with block-max metadata.
+
+Per BASELINE.json north_star: postings are ``term -> sorted doc_id +
+term-frequency arrays``, doc-id gaps delta-encoded then LEB128-varint
+packed; every ``BLOCK`` entries carry (last doc_id, byte offsets, max
+BM25 u-factor) so the query side can skip blocks (block-max WAND) and
+decode blocks independently.
+
+All encode/decode paths are numpy-vectorized (no per-posting Python
+loop): encoding builds the byte stream with <=10 masked scatter passes
+(one per possible varint byte), decoding recovers values with masked
+gather passes over the continuation-bit structure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import scoring
+
+BLOCK = 128
+_MAXB = 10  # max varint bytes for a 64-bit value
+
+
+def varint_encode(values: np.ndarray) -> np.ndarray:
+    """uint64 ndarray -> LEB128 byte stream (uint8 ndarray)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    out = np.zeros(int(starts[-1] + nbytes[-1]), dtype=np.uint8)
+    for k in range(_MAXB):
+        mask = nbytes > k
+        if not mask.any():
+            break
+        idx = starts[mask] + k
+        byte = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] - 1 > k).astype(np.uint8) << 7
+        out[idx] = byte | cont
+    return out
+
+
+def varint_decode(buf: np.ndarray, count: int | None = None) -> np.ndarray:
+    """LEB128 byte stream -> uint64 ndarray (all values in the buffer)."""
+    buf = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray)) else np.asarray(buf, dtype=np.uint8)
+    if len(buf) == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero((buf & 0x80) == 0)
+    starts = np.empty(len(ends), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    for k in range(int(lengths.max())):
+        mask = lengths > k
+        vals[mask] |= (buf[starts[mask] + k] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * k)
+    if count is not None:
+        assert len(vals) == count, f"decoded {len(vals)} values, expected {count}"
+    return vals
+
+
+def encode_ids(doc_ids: np.ndarray) -> np.ndarray:
+    """Sorted int64 doc ids -> delta varint bytes (first id absolute)."""
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    deltas = np.empty(len(ids), dtype=np.uint64)
+    if len(ids):
+        deltas[0] = np.uint64(ids[0])
+        np.subtract(ids[1:], ids[:-1], out=deltas[1:], casting="unsafe")
+    return varint_encode(deltas)
+
+
+def decode_ids(blob, count: int | None = None) -> np.ndarray:
+    deltas = varint_decode(blob, count)
+    return np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
+
+
+POSTING_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("ids_blob", pa.binary()),
+        ("tfs_blob", pa.binary()),
+        ("block_last_id", pa.list_(pa.int64())),
+        ("block_umax", pa.list_(pa.float64())),
+        ("block_id_off", pa.list_(pa.int32())),
+        ("block_tf_off", pa.list_(pa.int32())),
+    ]
+)
+
+
+def encode_postings(
+    term: str,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    avgdl: float,
+) -> dict:
+    """One term's sorted postings -> compressed row (dict per POSTING_SCHEMA).
+
+    ``doc_lens`` is aligned with ``doc_ids``; the per-block max u-factor
+    is computed with the exact float64 ops the query side uses
+    (:func:`cb.scoring.u_factor`), so block upper bounds are true upper
+    bounds of the exact contributions.
+    """
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    assert len(ids) == len(tfs) == len(doc_lens)
+    n = len(ids)
+    u = scoring.u_factor(tfs, doc_lens, avgdl)
+    block_last, block_umax, id_offs, tf_offs = [], [], [], []
+    id_parts, tf_parts = [], []
+    id_pos = tf_pos = 0
+    for s in range(0, n, BLOCK):
+        e = min(s + BLOCK, n)
+        blk_ids = ids[s:e]
+        deltas = np.empty(e - s, dtype=np.uint64)
+        deltas[0] = np.uint64(blk_ids[0])  # block-absolute first id => independent decode
+        np.subtract(blk_ids[1:], blk_ids[:-1], out=deltas[1:], casting="unsafe")
+        idb = varint_encode(deltas)
+        tfb = varint_encode(tfs[s:e].astype(np.uint64))
+        id_offs.append(id_pos)
+        tf_offs.append(tf_pos)
+        id_parts.append(idb)
+        tf_parts.append(tfb)
+        id_pos += len(idb)
+        tf_pos += len(tfb)
+        block_last.append(int(blk_ids[-1]))
+        block_umax.append(float(np.max(u[s:e])))
+    return {
+        "term": term,
+        "df": n,
+        "cf": int(tfs.sum()),
+        "ids_blob": (np.concatenate(id_parts).tobytes() if id_parts else b""),
+        "tfs_blob": (np.concatenate(tf_parts).tobytes() if tf_parts else b""),
+        "block_last_id": block_last,
+        "block_umax": block_umax,
+        "block_id_off": id_offs,
+        "block_tf_off": tf_offs,
+    }
+
+
+class PostingList:
+    """Decoded-on-demand view over one compressed posting row."""
+
+    __slots__ = ("term", "df", "cf", "_ids_buf", "_tfs_buf", "last_ids", "umax", "id_off", "tf_off")
+
+    def __init__(self, row: dict):
+        self.term = row["term"]
+        self.df = int(row["df"])
+        self.cf = int(row["cf"])
+        self._ids_buf = np.frombuffer(row["ids_blob"], dtype=np.uint8)
+        self._tfs_buf = np.frombuffer(row["tfs_blob"], dtype=np.uint8)
+        self.last_ids = np.asarray(row["block_last_id"], dtype=np.int64)
+        self.umax = np.asarray(row["block_umax"], dtype=np.float64)
+        self.id_off = np.asarray(row["block_id_off"], dtype=np.int64)
+        self.tf_off = np.asarray(row["block_tf_off"], dtype=np.int64)
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.last_ids)
+
+    def block_len(self, b: int) -> int:
+        return min(BLOCK, self.df - b * BLOCK)
+
+    def decode_block(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        """Block b -> (doc_ids int64, tfs int64)."""
+        id_end = self.id_off[b + 1] if b + 1 < self.n_blocks else len(self._ids_buf)
+        tf_end = self.tf_off[b + 1] if b + 1 < self.n_blocks else len(self._tfs_buf)
+        nb = self.block_len(b)
+        deltas = varint_decode(self._ids_buf[self.id_off[b]:id_end], nb)
+        ids = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
+        tfs = varint_decode(self._tfs_buf[self.tf_off[b]:tf_end], nb).astype(np.int64)
+        return ids, tfs
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        if self.n_blocks == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        parts = [self.decode_block(b) for b in range(self.n_blocks)]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
