@@ -1,0 +1,329 @@
+"""Index build pipeline — the wide shuffle of the engine.
+
+Ray-Data-first dataflow (BASELINE.json north_star; lifecycle design in
+SURVEY.md §3.4):
+
+    read corpus -> [identity: doc_id + sha256] (map_batches, stateless)
+      -> pass 1: doc stats (map_batches) -> docstats parquet + N/avgdl
+      -> pass 2: per-batch PARTIAL postings (map_batches; pre-aggregated
+         so the shuffle moves array-valued rows, not one row per
+         (doc, term) pair — the partial/combiner pattern)
+      -> groupby('part').map_groups(encode_partition)  # the shuffle
+      -> per-partition postings parquet + manifest (write-audit-publish)
+
+Skew handling ("salting", reference precedent: the Modulo10 shard-key
+fan-out at /root/reference/src/ConveyorBelt.Tooling/Scheduling/
+Modulo10MinuteTableShardScheduler.cs:13-28): instead of detecting hot
+terms, EVERY term's postings are keyed by ``(term, doc-id range
+bucket)``; a hot term ("import") therefore arrives as up to
+``2**range_bits`` bounded chunks whose doc-id ranges are disjoint and
+ordered, so the global posting list is the ordered concatenation of its
+chunks — the "re-merge" is a zero-cost concatenation at load time, never
+a second shuffle, and no group ever holds a whole hot posting list.
+
+Partition sizing at scale: a term partition (= one output file = one
+resume unit = one serving shard) holds ~``total_tokens * ~10B /
+num_parts`` of pre-compression data in one ``map_groups`` group; pick
+``num_parts`` so that is <~1 GiB (sandbox default 8; a 100 TB corpus
+wants ~64k partitions).
+
+Tokenization runs twice (pass 1 stats, pass 2 postings) by design: Ray
+Data has single-consumer pipelines, and re-running the stateless
+analyzer is cheaper at scale than materializing the tokenized corpus
+(~corpus-sized) in the object store.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from . import analyze, compress, corpus, manifest
+
+DEFAULT_NUM_PARTS = 8
+DEFAULT_RANGE_BITS = 4
+ID_BITS = 63  # doc ids are 63-bit non-negative int64
+
+
+def term_partition(term: str, num_parts: int) -> int:
+    """Stable term -> partition routing (crc32; identical at build and
+    query time, independent of PYTHONHASHSEED)."""
+    return zlib.crc32(term.encode()) % num_parts
+
+
+def _term_partitions(terms: pa.Array, num_parts: int) -> pa.Array:
+    """Vectorized via dictionary-encode: hash each UNIQUE term once."""
+    d = pc.dictionary_encode(terms)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    uniq = d.dictionary.to_pylist()
+    lut = np.array([term_partition(t, num_parts) for t in uniq], dtype=np.int32)
+    idx = d.indices.to_numpy(zero_copy_only=False)
+    return pa.array(lut[idx], type=pa.int32())
+
+
+def _normalize(ds: ray.data.Dataset, text_col: str, id_col: str | None) -> ray.data.Dataset:
+    """Any input shape -> (doc_id:int64, text:string) dataset."""
+    if id_col is None:
+        # corpus shape (repo,path,commit,lang,content): derive identity
+        ds = ds.map_batches(corpus.with_identity, batch_format="pyarrow", zero_copy_batch=True)
+        id_col = "doc_id"
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b[id_col].cast(pa.int64()),
+                "text": b[text_col],
+            }
+        )
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_stats(batch: pa.Table) -> pa.Table:
+    lists = analyze.token_array(batch["text"])
+    doc_len = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "doc_len": pa.array(doc_len, type=pa.int32()),
+        }
+    )
+
+
+def tokenize_partials(
+    batch: pa.Table, *, num_parts: int, range_bits: int
+) -> pa.Table:
+    """One batch of (doc_id, text) -> partial postings rows
+    (part, term, bucket, doc_ids:list, tfs:list, dls:list), sorted."""
+    tf, stats = analyze.term_frequencies(batch["doc_id"], batch["text"])
+    if len(tf) == 0:
+        return pa.table(
+            {
+                "part": pa.array([], type=pa.int32()),
+                "term": pa.array([], type=pa.string()),
+                "bucket": pa.array([], type=pa.int32()),
+                "doc_ids": pa.array([], type=pa.list_(pa.int64())),
+                "tfs": pa.array([], type=pa.list_(pa.int32())),
+                "dls": pa.array([], type=pa.list_(pa.int32())),
+            }
+        )
+    # attach doc_len to each (doc,term) row via sorted lookup
+    s_ids = stats["doc_id"].to_numpy(zero_copy_only=False)
+    s_len = stats["doc_len"].to_numpy(zero_copy_only=False)
+    order = np.argsort(s_ids, kind="stable")
+    t_ids = tf["doc_id"].to_numpy(zero_copy_only=False)
+    dl = s_len[order][np.searchsorted(s_ids[order], t_ids)]
+    shift = ID_BITS - range_bits
+    tfl = pa.table(
+        {
+            "part": _term_partitions(tf["term"].combine_chunks() if isinstance(tf["term"], pa.ChunkedArray) else tf["term"], num_parts),
+            "term": tf["term"],
+            "bucket": pa.array((t_ids >> shift).astype(np.int32), type=pa.int32()),
+            "doc_id": tf["doc_id"],
+            "tf": tf["tf"],
+            "dl": pa.array(dl.astype(np.int32), type=pa.int32()),
+        }
+    ).sort_by([("term", "ascending"), ("bucket", "ascending"), ("doc_id", "ascending")])
+    # run-length group by (term, bucket) -> list arrays
+    terms = np.asarray(tfl["term"].to_pylist(), dtype=object)
+    buckets = tfl["bucket"].to_numpy(zero_copy_only=False)
+    change = np.empty(len(terms), dtype=bool)
+    change[0] = True
+    change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+    starts = np.flatnonzero(change)
+    offsets = np.append(starts, len(terms)).astype(np.int64)
+    def as_list(col, typ):
+        flat = tfl[col].combine_chunks() if isinstance(tfl[col], pa.ChunkedArray) else tfl[col]
+        return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()), flat.cast(typ))
+    return pa.table(
+        {
+            "part": tfl["part"].take(pa.array(starts)),
+            "term": tfl["term"].take(pa.array(starts)),
+            "bucket": tfl["bucket"].take(pa.array(starts)),
+            "doc_ids": as_list("doc_id", pa.int64()),
+            "tfs": as_list("tf", pa.int32()),
+            "dls": as_list("dl", pa.int32()),
+        }
+    )
+
+
+def _explode_partials(group: pa.Table) -> pa.Table:
+    """Partial-postings rows -> flat (term, bucket, doc_id, tf, dl), sorted."""
+    ids_list = group["doc_ids"].combine_chunks() if isinstance(group["doc_ids"], pa.ChunkedArray) else group["doc_ids"]
+    parents = pc.list_parent_indices(ids_list)
+    flat = pa.table(
+        {
+            "term": group["term"].take(parents),
+            "bucket": group["bucket"].take(parents),
+            "doc_id": pc.list_flatten(group["doc_ids"]),
+            "tf": pc.list_flatten(group["tfs"]),
+            "dl": pc.list_flatten(group["dls"]),
+        }
+    )
+    return flat.sort_by(
+        [("term", "ascending"), ("bucket", "ascending"), ("doc_id", "ascending")]
+    )
+
+
+def encode_partition_rows(flat: pa.Table, avgdl: float) -> pa.Table:
+    """Sorted flat postings -> compressed rows (POSTING_SCHEMA + bucket)."""
+    terms = np.asarray(flat["term"].to_pylist(), dtype=object)
+    buckets = flat["bucket"].to_numpy(zero_copy_only=False)
+    ids = flat["doc_id"].to_numpy(zero_copy_only=False)
+    tfs = flat["tf"].to_numpy(zero_copy_only=False)
+    dls = flat["dl"].to_numpy(zero_copy_only=False)
+    change = np.empty(len(terms), dtype=bool)
+    if len(terms) == 0:
+        return pa.Table.from_pylist([], schema=_posting_file_schema())
+    change[0] = True
+    change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(terms))
+    rows = []
+    for s, e in zip(starts, ends):
+        row = compress.encode_postings(terms[s], ids[s:e], tfs[s:e], dls[s:e], avgdl)
+        row["bucket"] = int(buckets[s])
+        rows.append(row)
+    return pa.Table.from_pylist(rows, schema=_posting_file_schema())
+
+
+def _posting_file_schema() -> pa.Schema:
+    return compress.POSTING_SCHEMA.append(pa.field("bucket", pa.int32()))
+
+
+def encode_partition(
+    group: pa.Table, *, index_dir: str, avgdl: float, lineage: str = "fast-path"
+) -> pa.Table:
+    """map_groups body: one term-partition -> postings file + manifest."""
+    part = int(group["part"][0].as_py())
+    flat = _explode_partials(group)
+    tbl = encode_partition_rows(flat, avgdl)
+    return pa.table(write_partition(tbl, index_dir, part, avgdl, lineage))
+
+
+def write_partition(
+    tbl: pa.Table, index_dir: str, part: int, avgdl: float, lineage: str
+) -> dict:
+    """Atomic write of one partition + manifest; idempotent under retry.
+
+    Returns the manifest as a dict of single-element lists (one output
+    row for the manifests dataset).
+    """
+    pdir = os.path.join(index_dir, "parts", f"part={part}")
+    os.makedirs(pdir, exist_ok=True)
+    fpath = os.path.join(pdir, "postings.parquet")
+    tmp = fpath + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, fpath)
+    import hashlib
+
+    with open(fpath, "rb") as f:
+        sha = hashlib.sha256(f.read()).hexdigest()
+    m = {
+        "partition": part,
+        "status": "done",
+        "lineage": lineage,
+        "n_rows": tbl.num_rows,
+        "n_terms": len(set(tbl["term"].to_pylist())),
+        "n_postings": int(pc.sum(tbl["df"]).as_py() or 0),
+        "avgdl": avgdl,
+        "file_sha256": sha,
+    }
+    manifest.write_atomic(os.path.join(pdir, "manifest.json"), m)
+    return {k: [v] for k, v in m.items()}
+
+
+class IndexMeta:
+    """Loaded _global.json + paths."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "_global.json")) as f:
+            g = json.load(f)
+        self.n_docs = g["n_docs"]
+        self.total_tokens = g["total_tokens"]
+        self.avgdl = g["avgdl"]
+        self.num_parts = g["num_parts"]
+        self.range_bits = g["range_bits"]
+
+    def part_file(self, part: int) -> str:
+        return os.path.join(self.index_dir, "parts", f"part={part}", "postings.parquet")
+
+    def docstats_dir(self) -> str:
+        return os.path.join(self.index_dir, "docstats")
+
+
+def write_global(index_dir: str, n_docs: int, total_tokens: int, num_parts: int, range_bits: int) -> dict:
+    g = {
+        "n_docs": int(n_docs),
+        "total_tokens": int(total_tokens),
+        "avgdl": (float(total_tokens) / float(n_docs)) if n_docs else 0.0,
+        "num_parts": num_parts,
+        "range_bits": range_bits,
+        "bm25": {"k1": 1.2, "b": 0.75},
+        "analyzer": {
+            "rules": analyze.SPLIT_RULES,
+            "split": analyze.SPLIT_PATTERN,
+            "stopwords": list(analyze.STOPWORDS),
+            "max_token_len": analyze.MAX_TOKEN_LEN,
+        },
+        "version": 1,
+    }
+    manifest.write_atomic(os.path.join(index_dir, "_global.json"), g)
+    return g
+
+
+def build_index(
+    source: ray.data.Dataset | str,
+    index_dir: str,
+    *,
+    text_col: str = "content",
+    id_col: str | None = None,
+    num_parts: int = DEFAULT_NUM_PARTS,
+    range_bits: int = DEFAULT_RANGE_BITS,
+    batch_size: int = 512,
+) -> IndexMeta:
+    """Fast-path build: full Ray Data pipeline, manifests written per
+    partition (resume-at-write granularity).  For checkpointed resume
+    without shuffle recompute use :mod:`cb.resumable`.
+    """
+    if isinstance(source, str):
+        source = ray.data.read_parquet(source)
+    ds = _normalize(source, text_col, id_col)
+
+    # pass 1: doc stats -> parquet + global stats
+    stats_dir = os.path.join(index_dir, "docstats")
+    os.makedirs(stats_dir, exist_ok=True)
+    stats_ds = ds.map_batches(
+        doc_stats, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    stats_ds.write_parquet(stats_dir)
+    agg = ray.data.read_parquet(stats_dir).aggregate(
+        ray.data.aggregate.Count(), ray.data.aggregate.Sum("doc_len")
+    )
+    n_docs = int(agg["count()"])
+    total_tokens = int(agg["sum(doc_len)"] or 0)
+    write_global(index_dir, n_docs, total_tokens, num_parts, range_bits)
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+
+    # pass 2: partial postings -> groupby(part) -> encode + write
+    partials = ds.map_batches(
+        partial(tokenize_partials, num_parts=num_parts, range_bits=range_bits),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    manifests = partials.groupby("part").map_groups(
+        partial(encode_partition, index_dir=index_dir, avgdl=avgdl),
+        batch_format="pyarrow",
+    )
+    manifests.materialize()  # trigger; result is tiny (one row per partition)
+    return IndexMeta(index_dir)

@@ -1,0 +1,249 @@
+"""Shard servers: stateful actor pool serving top-k BM25 queries.
+
+The from-scratch replacement for what ConveyorBelt outsources to an
+Elasticsearch cluster (README.md:5-8); structurally the analog of the
+reference's long-lived stateful workers — connection+cache state loaded
+once per worker (NestBatchPusher / ElasticsearchClient index cache,
+/root/reference/src/ConveyorBelt.Tooling/NestBatchPusher.cs:16-99 and
+ElasticsearchClient.cs:22-45), here an actor that loads its term
+partitions once in ``__init__`` and serves many queries.
+
+Topology: the index is TERM-partitioned (hash(term) % num_parts); each
+``ShardServer`` owns the partitions ``p % num_servers == server_id``.
+A query tokenizes on the driver, fetches each term's compressed postings
+from its owner (an ObjectRef — zero-copy via the object store), and the
+server owning the most query terms runs block-max WAND over the gathered
+lists.  Document stats (doc_id -> doc_len) are broadcast once via
+``ray.put`` and shared by every server on the node (plasma shared
+memory) — the broadcast-small-side pattern, not a per-query reship.
+
+Scale note (10^12 docs): doc stats would no longer broadcast; the scale
+path is hybrid partitioning — doc-range index GROUPS (each with local
+docstats), term-partitioned inside a group, queries fanned across groups
+and merged by (score, doc_id).  The group dimension is exactly this
+module applied per group, so the sandbox implementation is the building
+block.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+import ray
+
+from . import analyze, scoring, wand
+from .build import IndexMeta, term_partition
+from .compress import PostingList
+
+
+class ChunkedPostings:
+    """One term's global posting list = ordered doc-id-range chunks."""
+
+    __slots__ = ("term", "chunks", "df", "cf")
+
+    def __init__(self, term: str, rows: list[dict]):
+        self.term = term
+        rows = sorted(rows, key=lambda r: r["bucket"])
+        self.chunks = [PostingList(r) for r in rows]
+        self.df = sum(c.df for c in self.chunks)
+        self.cf = sum(c.cf for c in self.chunks)
+
+    def decode_all(self):
+        ids, tfs = [], []
+        for c in self.chunks:
+            i, t = c.decode_all()
+            ids.append(i)
+            tfs.append(t)
+        return np.concatenate(ids), np.concatenate(tfs)
+
+
+class DocStats:
+    """doc_id -> doc_len lookup (sorted arrays + searchsorted)."""
+
+    __slots__ = ("ids", "lens", "n_docs", "avgdl")
+
+    def __init__(self, ids: np.ndarray, lens: np.ndarray, n_docs: int, avgdl: float):
+        order = np.argsort(ids, kind="stable")
+        self.ids = ids[order]
+        self.lens = lens[order]
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+
+    @classmethod
+    def load(cls, index_dir: str) -> "DocStats":
+        meta = IndexMeta(index_dir)
+        ds_dir = meta.docstats_dir()
+        files = sorted(
+            os.path.join(ds_dir, f) for f in os.listdir(ds_dir) if f.endswith(".parquet")
+        )
+        import pyarrow as pa
+
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        return cls(
+            tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            tbl["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64),
+            meta.n_docs,
+            meta.avgdl,
+        )
+
+    def lookup(self, doc_ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self.ids, doc_ids)
+        return self.lens[pos]
+
+
+class ShardPartition:
+    """One term-partition file, loaded once; postings decoded on demand."""
+
+    def __init__(self, path: str):
+        if not os.path.exists(path):
+            self.table = None
+            self.offsets: dict[str, tuple[int, int]] = {}
+            return
+        self.table = pq.read_table(path)
+        terms = self.table["term"].to_pylist()
+        self.offsets = {}
+        i = 0
+        while i < len(terms):
+            j = i
+            while j < len(terms) and terms[j] == terms[i]:
+                j += 1
+            self.offsets[terms[i]] = (i, j - i)  # rows are (term,bucket)-sorted
+            i = j
+
+    def get(self, term: str) -> ChunkedPostings | None:
+        loc = self.offsets.get(term)
+        if loc is None:
+            return None
+        rows = self.table.slice(loc[0], loc[1]).to_pylist()
+        return ChunkedPostings(term, rows)
+
+
+@ray.remote
+class ShardServer:
+    """Owns a set of term partitions; loads once, serves many queries."""
+
+    def __init__(self, index_dir: str, parts: list[int], docstats=None):
+        meta = IndexMeta(index_dir)
+        self.parts = {p: ShardPartition(meta.part_file(p)) for p in parts}
+        # ``docstats`` is passed as a top-level ObjectRef (ray.put once on
+        # the driver); Ray resolves it before __init__ runs, so every
+        # server reads the SAME plasma copy zero-copy (numpy arrays are
+        # mapped read-only from shared memory, not re-shipped per actor).
+        self.docstats: DocStats = docstats if docstats is not None else DocStats.load(index_dir)
+        self.n_docs = meta.n_docs
+        self.num_parts = meta.num_parts
+        self.cache: dict[str, ChunkedPostings | None] = {}
+
+    def _local(self, term: str) -> ChunkedPostings | None:
+        if term not in self.cache:
+            p = term_partition(term, self.num_parts)
+            part = self.parts.get(p)
+            self.cache[term] = part.get(term) if part is not None else None
+        return self.cache[term]
+
+    def get_postings(self, term: str) -> ChunkedPostings | None:
+        return self._local(term)
+
+    def score(self, terms: list[str], k: int, fetched_terms: list[str], *fetched, algo: str = "wand"):
+        """Run top-k over the query terms; ``fetched`` are ChunkedPostings
+        for non-local terms (passed as ObjectRefs, resolved by Ray)."""
+        postings = dict(zip(fetched_terms, fetched))
+        for t in terms:
+            if t not in postings:
+                postings[t] = self._local(t)
+        idfs = {
+            t: float(scoring.idf(p.df, self.n_docs))
+            for t, p in postings.items()
+            if p is not None
+        }
+        fn = wand.topk_wand if algo == "wand" else wand.topk_taat
+        return fn(
+            {t: p for t, p in postings.items() if p is not None},
+            idfs,
+            self.docstats,
+            k,
+        )
+
+
+class LocalSearcher:
+    """In-process searcher over a built index (tests / tiny corpora;
+    production serving is the actor pool below)."""
+
+    def __init__(self, index_dir: str):
+        self.meta = IndexMeta(index_dir)
+        self.parts = {
+            p: ShardPartition(self.meta.part_file(p))
+            for p in range(self.meta.num_parts)
+        }
+        self.docstats = DocStats.load(index_dir)
+
+    def get_postings(self, term: str) -> ChunkedPostings | None:
+        p = term_partition(term, self.meta.num_parts)
+        return self.parts[p].get(term)
+
+    def query(self, text: str, k: int = 10, algo: str = "wand") -> list[tuple[int, float]]:
+        terms = sorted(set(analyze.tokenize(text)))
+        postings = {t: self.get_postings(t) for t in terms}
+        postings = {t: p for t, p in postings.items() if p is not None}
+        if not postings:
+            return []
+        idfs = {t: float(scoring.idf(p.df, self.meta.n_docs)) for t, p in postings.items()}
+        fn = wand.topk_wand if algo == "wand" else wand.topk_taat
+        return fn(postings, idfs, self.docstats, k)
+
+
+class QueryEngine:
+    """Driver-side facade over the ShardServer pool."""
+
+    def __init__(self, index_dir: str, num_servers: int = 2):
+        self.meta = IndexMeta(index_dir)
+        self.num_servers = num_servers
+        docstats = DocStats.load(index_dir)
+        self.docstats_ref = ray.put(docstats)
+        assignments: dict[int, list[int]] = {s: [] for s in range(num_servers)}
+        for p in range(self.meta.num_parts):
+            assignments[p % num_servers].append(p)
+        self.servers = [
+            ShardServer.remote(index_dir, assignments[s], self.docstats_ref)
+            for s in range(num_servers)
+        ]
+
+    def _owner(self, term: str) -> int:
+        return term_partition(term, self.meta.num_parts) % self.num_servers
+
+    def query(self, text: str, k: int = 10, algo: str = "wand") -> list[tuple[int, float]]:
+        terms = sorted(set(analyze.tokenize(text)))
+        if not terms:
+            return []
+        owners = {t: self._owner(t) for t in terms}
+        # scorer = server owning the most query terms
+        counts = np.bincount(list(owners.values()), minlength=self.num_servers)
+        scorer = int(np.argmax(counts))
+        fetched_terms = [t for t in terms if owners[t] != scorer]
+        refs = [
+            self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms
+        ]
+        return ray.get(
+            self.servers[scorer].score.remote(terms, k, fetched_terms, *refs, algo=algo)
+        )
+
+    def query_many(self, texts: list[str], k: int = 10, algo: str = "wand"):
+        """Pipelined fan-out of many queries across the pool."""
+        futs = []
+        for text in texts:
+            terms = sorted(set(analyze.tokenize(text)))
+            if not terms:
+                futs.append(None)
+                continue
+            owners = {t: self._owner(t) for t in terms}
+            counts = np.bincount(list(owners.values()), minlength=self.num_servers)
+            scorer = int(np.argmax(counts))
+            fetched_terms = [t for t in terms if owners[t] != scorer]
+            refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
+            futs.append(
+                self.servers[scorer].score.remote(terms, k, fetched_terms, *refs, algo=algo)
+            )
+        return [([] if f is None else ray.get(f)) for f in futs]

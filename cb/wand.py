@@ -1,0 +1,223 @@
+"""Top-k BM25 scoring over compressed postings: exact TAAT + block-max WAND.
+
+Two scorers with identical results (tests assert equality on thousands
+of queries):
+
+- :func:`topk_taat` — exact term-at-a-time: decode everything, accumulate
+  per-doc scores in sorted-term order (the float-summation spec), rank.
+  Simple, vectorized; the in-engine cross-check and small-query path.
+- :func:`topk_wand` — document-at-a-time WAND with the block-max check
+  (Broder et al. WAND; Ding & Suel block-max refinement, public
+  literature): term-global upper bounds pick the pivot, per-block max
+  u-factor metadata (cb.compress) rejects doc-id ranges without decoding
+  them, and skipped terms advance by whole blocks via the block-last-id
+  skip lists.
+
+Exactness under floats: every upper bound is a float64 computed with the
+same multiply as real contributions (monotone under IEEE rounding), a
+candidate is only skipped when its bound is STRICTLY below the current
+threshold, and at-threshold candidates are still evaluated so the
+(score desc, doc_id asc) tie-break can never differ from the oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from . import scoring
+from .query import rank_topk
+
+# Doc ids are 63-bit non-negative (cb.corpus), so the exhausted sentinel
+# must sit ABOVE the id space; cursors hold python ints, so 2**63 is safe.
+MAX_ID = (1 << 63) - 1
+INF_DOC = 1 << 63
+
+
+class TermCursor:
+    """Iterator over one term's chunked, block-compressed postings."""
+
+    __slots__ = (
+        "term", "idf", "alpha", "chunks", "blk_chunk", "blk_local",
+        "blk_last", "blk_umax", "global_ub", "n_blocks", "cur_blk",
+        "ids", "tfs", "pos", "cur_doc",
+    )
+
+    def __init__(self, term: str, chunked, idf: float, alpha: int):
+        self.term = term
+        self.idf = float(idf)
+        self.alpha = alpha
+        self.chunks = chunked.chunks
+        bc, bl, last, umax = [], [], [], []
+        for ci, ch in enumerate(self.chunks):
+            nb = ch.n_blocks
+            bc.extend([ci] * nb)
+            bl.extend(range(nb))
+            last.append(ch.last_ids)
+            umax.append(ch.umax)
+        self.blk_chunk = np.array(bc, dtype=np.int32)
+        self.blk_local = np.array(bl, dtype=np.int32)
+        self.blk_last = np.concatenate(last) if last else np.empty(0, dtype=np.int64)
+        self.blk_umax = np.concatenate(umax) if umax else np.empty(0, dtype=np.float64)
+        self.n_blocks = len(self.blk_last)
+        # term-global upper bound: idf * max block u (float64 multiply —
+        # monotone, so >= every exact contribution idf * u_i)
+        self.global_ub = self.idf * float(self.blk_umax.max()) if self.n_blocks else 0.0
+        self.cur_blk = -1
+        self.ids = self.tfs = None
+        self.pos = 0
+        self.cur_doc = INF_DOC
+        if self.n_blocks:
+            self._load_block(0)
+
+    def _load_block(self, b: int) -> None:
+        self.cur_blk = b
+        ch = self.chunks[self.blk_chunk[b]]
+        self.ids, self.tfs = ch.decode_block(int(self.blk_local[b]))
+        self.pos = 0
+        self.cur_doc = int(self.ids[0])
+
+    def block_ub(self) -> float:
+        """Upper bound over the rest of the CURRENT block."""
+        return self.idf * float(self.blk_umax[self.cur_blk])
+
+    def block_last(self) -> int:
+        return int(self.blk_last[self.cur_blk])
+
+    def advance_to(self, target: int) -> None:
+        """Move to the first doc >= target (block-skip via last-id list)."""
+        if self.cur_doc >= target:
+            return
+        if target > MAX_ID:  # past the id space entirely
+            self.cur_doc = INF_DOC
+            return
+        if self.blk_last[self.cur_blk] < target:
+            b = int(np.searchsorted(self.blk_last, target))
+            if b >= self.n_blocks:
+                self.cur_doc = INF_DOC
+                return
+            self._load_block(b)
+        self.pos = int(np.searchsorted(self.ids, target, side="left"))
+        if self.pos >= len(self.ids):  # can't happen (blk_last >= target) but guard
+            self.cur_doc = INF_DOC
+        else:
+            self.cur_doc = int(self.ids[self.pos])
+
+    def next_doc(self) -> None:
+        self.pos += 1
+        if self.pos < len(self.ids):
+            self.cur_doc = int(self.ids[self.pos])
+        elif self.cur_blk + 1 < self.n_blocks:
+            self._load_block(self.cur_blk + 1)
+        else:
+            self.cur_doc = INF_DOC
+
+    def cur_tf(self) -> int:
+        return int(self.tfs[self.pos])
+
+
+def _gather_terms(postings: dict, idfs: dict) -> list[TermCursor]:
+    terms = sorted(t for t, p in postings.items() if p is not None and p.df > 0)
+    return [TermCursor(t, postings[t], idfs[t], i) for i, t in enumerate(terms)]
+
+
+def topk_taat(postings: dict, idfs: dict, docstats, k: int) -> list[tuple[int, float]]:
+    """Exact exhaustive scoring (decode-all, term-at-a-time)."""
+    cursors = _gather_terms(postings, idfs)
+    if not cursors:
+        return []
+    per_term = []
+    for c in cursors:
+        ids_parts, tf_parts = [], []
+        for ch in c.chunks:
+            i, t = ch.decode_all()
+            ids_parts.append(i)
+            tf_parts.append(t)
+        ids = np.concatenate(ids_parts)
+        tfs = np.concatenate(tf_parts)
+        per_term.append((c, ids, tfs))
+    universe = np.unique(np.concatenate([ids for _, ids, _ in per_term]))
+    acc = np.zeros(len(universe), dtype=np.float64)
+    for c, ids, tfs in per_term:  # cursors sorted by term -> spec order
+        dl = docstats.lookup(ids)
+        contrib = c.idf * scoring.u_factor(tfs, dl, docstats.avgdl)
+        acc[np.searchsorted(universe, ids)] += contrib
+    return rank_topk(universe, acc, k)
+
+
+def topk_wand(postings: dict, idfs: dict, docstats, k: int) -> list[tuple[int, float]]:
+    """Block-max WAND; rank-identical to :func:`topk_taat`/the oracle."""
+    cursors = _gather_terms(postings, idfs)
+    if not cursors:
+        return []
+    heap: list[tuple[float, int]] = []  # (score, -doc_id), root = weakest
+
+    def threshold() -> float:
+        return heap[0][0] if len(heap) == k else -1.0
+
+    def beats(key: tuple[float, int]) -> bool:
+        return len(heap) < k or key > heap[0]
+
+    while True:
+        live = [c for c in cursors if c.cur_doc < INF_DOC]
+        if not live:
+            break
+        live.sort(key=lambda c: c.cur_doc)
+        # pivot: first prefix whose summed global UBs could reach the heap
+        theta = threshold()
+        ub = 0.0
+        pivot = -1
+        for i, c in enumerate(live):
+            ub += c.global_ub
+            if ub >= theta:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # even all terms together can't beat the threshold
+        d = live[pivot].cur_doc
+        if d >= INF_DOC:
+            break
+        if live[0].cur_doc < d:
+            # outer terms must catch up to the pivot doc first
+            for c in live[: pivot + 1]:
+                c.advance_to(d)
+            continue
+        # all of live[0..pivot] are AT d. Block-max check: refined bound
+        # from the blocks that actually contain/cover d.
+        refined = 0.0
+        for c in live[: pivot + 1]:
+            refined += c.block_ub()
+        # also add global bounds of any further terms already at d
+        j = pivot + 1
+        while j < len(live) and live[j].cur_doc == d:
+            refined += live[j].block_ub()
+            j += 1
+        if refined < theta:
+            # No doc in [d, X] can pass, where X keeps every bound valid:
+            # X <= each participating cursor's current block end, and
+            # X < the next non-participating cursor's doc (a term joining
+            # the range would add its bound).
+            boundary = min(c.block_last() for c in live[:j])
+            if j < len(live):
+                boundary = min(boundary, live[j].cur_doc - 1)
+            target = boundary + 1
+            for c in live[:j]:
+                c.advance_to(target)
+            continue
+        # full evaluation at d, summing in alphabetical-term order
+        at_d = sorted((c for c in live[:j] if c.cur_doc == d), key=lambda c: c.alpha)
+        dl = int(docstats.lookup(np.array([d], dtype=np.int64))[0])
+        s = np.float64(0.0)
+        for c in at_d:
+            s = s + c.idf * scoring.u_factor(c.cur_tf(), dl, docstats.avgdl)
+        key = (float(s), -d)
+        if beats(key):
+            if len(heap) == k:
+                heapq.heapreplace(heap, key)
+            else:
+                heapq.heappush(heap, key)
+        for c in at_d:
+            c.next_doc()
+    out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    return [(-nd, s) for s, nd in out]
