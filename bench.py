@@ -1,0 +1,193 @@
+"""Benchmark driver: index-build throughput + BM25 query latency.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-phase sec...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the same job twice in fresh processes at 8 and 32 CPUs
+(the sandbox proxy for N vs 4N nodes) and prints both times + scaling
+efficiency.
+
+Input prep (synthetic source-code corpus generation, page-cache warm)
+is untimed; timed phases are the engine: index builds and query serving.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_DOCS_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic source files
+QUERY_REPEATS = 5
+
+
+def _sf_value(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_corpus(n_docs: int, seed: int = 42) -> str:
+    """Deterministic corpus parquet under /tmp, generated in parallel
+    once and reused (generation is input prep, not engine work)."""
+    import ray
+
+    out = f"/tmp/cb_bench/corpus_{n_docs}_{seed}"
+    marker = os.path.join(out, "_done")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    from cb import corpus as corpus_mod
+
+    @ray.remote
+    def gen(start: int, count: int, path: str) -> int:
+        import pyarrow.parquet as pq
+
+        tbl = corpus_mod.generate_corpus_slice(start, count, seed)
+        pq.write_table(tbl, path)
+        return count
+
+    n_files = max(8, NCPU)
+    per = (n_docs + n_files - 1) // n_files
+    futs = []
+    for i in range(n_files):
+        start = i * per
+        cnt = min(per, n_docs - start)
+        if cnt <= 0:
+            break
+        futs.append(gen.remote(start, cnt, os.path.join(out, f"part-{i:05d}.parquet")))
+    ray.get(futs)
+    with open(marker, "w") as f:
+        f.write(str(n_docs))
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from cb import analyze, build, shard
+
+    sf = _sf_value(SF_DIR)
+    n_code_docs = max(2000, int(CORPUS_DOCS_PER_SF * sf))
+    corpus_dir = ensure_corpus(n_code_docs)
+    docs_path = os.path.join(SF_DIR, "documents.parquet")
+
+    # warm page cache (untimed)
+    import pyarrow.parquet as pq
+
+    pq.read_table(docs_path)
+    for f in os.listdir(corpus_dir):
+        if f.endswith(".parquet"):
+            pq.read_table(os.path.join(corpus_dir, f))
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # phase 1: index build over the sf documents table
+    docs_idx = "/tmp/cb_bench/idx_docs"
+    shutil.rmtree(docs_idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    meta_docs = build.build_index(ds, docs_idx, text_col="text", id_col="doc_id",
+                                  num_parts=min(32, NCPU), batch_size=1024)
+    timings["build_documents"] = time.perf_counter() - t0
+    extras["documents_docs_per_sec"] = meta_docs.n_docs / timings["build_documents"]
+
+    # phase 2: index build over the synthetic source-code corpus
+    code_idx = "/tmp/cb_bench/idx_code"
+    shutil.rmtree(code_idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(corpus_dir)
+    meta_code = build.build_index(ds, code_idx, text_col="content", id_col=None,
+                                  num_parts=min(32, NCPU), batch_size=512)
+    timings["build_code_corpus"] = time.perf_counter() - t0
+    extras["code_docs_per_sec"] = meta_code.n_docs / timings["build_code_corpus"]
+
+    # phase 3: BM25 top-10 query latency on the code index (actor pool)
+    from cb.pipelines import QUERY_SET
+
+    vocab_queries = list(QUERY_SET) + [
+        "import batch reader",
+        "parse token stream",
+        "getValue setKey",
+        "hash index merge block",
+        "read_file write_file",
+    ]
+    t0 = time.perf_counter()
+    engine = shard.QueryEngine(code_idx, num_servers=min(4, NCPU))
+    timings["engine_load"] = time.perf_counter() - t0
+
+    lat = []
+    t0 = time.perf_counter()
+    for _ in range(QUERY_REPEATS):
+        for q in vocab_queries:
+            tq = time.perf_counter()
+            engine.query(q, k=10)
+            lat.append(time.perf_counter() - tq)
+    timings["bm25_queries"] = time.perf_counter() - t0
+    lat.sort()
+    extras["query_p50_ms"] = 1000 * lat[len(lat) // 2]
+    extras["query_p95_ms"] = 1000 * lat[int(len(lat) * 0.95)]
+    extras["n_queries"] = float(len(lat))
+
+    total = sum(timings.values())
+    out = {
+        "metric": "index_build_plus_bm25_queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "num_cpus": NCPU,
+        "extras": {k: round(v, 3) for k, v in extras.items()},
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "detail_8": r_lo["queries"],
+        "detail_32": r_hi["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,415 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference's dedup is the idempotent deterministic-ID upsert
+(``_id = PartitionKey + RowKey``,
+/root/reference/src/ConveyorBelt.Tooling/NestBatchPusher.cs:70-71) —
+replays overwrite, never duplicate.  Here that becomes a first-class
+operator family over text/embedding columns, each expressed Ray-Data
+first: vectorized signature computation in ``map_batches``, candidate
+generation through a ``groupby`` on the bucket key (the only shuffle),
+verification inside the group or a tiny second stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from . import analyze
+
+SHINGLE_SEP = "\x1f"
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-partition + per-group first (SURVEY.md §2.8 D1)
+# --------------------------------------------------------------------------
+
+def _add_text_sha(batch: pa.Table, *, text_col: str) -> pa.Table:
+    sha = [hashlib.sha256(t.encode()).hexdigest() for t in batch[text_col].to_pylist()]
+    return batch.append_column("content_sha256", pa.array(sha, type=pa.string()))
+
+
+def exact_duplicates(
+    ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """-> (content_sha256, keep_doc_id, n_docs): one row per distinct
+    content; ``keep_doc_id`` = min id (deterministic survivor)."""
+    hashed = ds.map_batches(
+        _add_text_sha, fn_kwargs={"text_col": text_col}, batch_format="pyarrow"
+    ).select_columns(["content_sha256", id_col])
+    agg = hashed.groupby("content_sha256").aggregate(
+        Min(id_col, alias_name="keep_doc_id"), Count(alias_name="n_docs")
+    )
+    return agg
+
+
+def sql_exact_duplicates(table: str = "documents", text_col: str = "text") -> str:
+    return f"""
+SELECT sha256({text_col}) AS content_sha256,
+       min(doc_id)::BIGINT AS keep_doc_id,
+       count(*)::BIGINT AS n_docs
+FROM {table} GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Shingles + MinHash + LSH
+# --------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def shingle_set(tokens: list[str], n: int = 3) -> list[str]:
+    if len(tokens) < n:
+        return []
+    return sorted({SHINGLE_SEP.join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)})
+
+
+def _shingle_hashes(shingles: list[str]) -> np.ndarray:
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+    return out
+
+
+def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(num_hashes,) uint64 signature; empty input -> all-max sentinel."""
+    if len(shingle_hashes) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (H,1)*(1,S) in python-int-free uint64 modular space: use uint128 via
+    # object fallback avoided — (a*x+b) mod p with uint64 wraparound is NOT
+    # the mathematical mod; use float-free split multiply instead.
+    x = shingle_hashes % _MERSENNE
+    sig = np.empty(len(a), dtype=np.uint64)
+    for i in range(len(a)):
+        v = (int(a[i]) * x.astype(object) + int(b[i])) % _MERSENNE  # exact python ints
+        sig[i] = np.uint64(min(v))
+    return sig
+
+
+class MinHashStage:
+    """Actor-pool stage: hash params built once per actor (__init__),
+    signatures per batch (__call__)."""
+
+    def __init__(self, num_hashes: int = 128, shingle_n: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.a, self.b = _hash_params(num_hashes)
+        self.num_hashes = num_hashes
+        self.shingle_n = shingle_n
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, sigs, n_shingles = [], [], []
+        for doc_id, text in zip(
+            batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
+        ):
+            toks = analyze.tokenize(text)
+            sh = shingle_set(toks, self.shingle_n)
+            sig = minhash_signature(_shingle_hashes(sh), self.a, self.b)
+            ids.append(doc_id)
+            sigs.append(sig.astype(np.int64).tolist())  # store as int64 list
+            n_shingles.append(len(sh))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "minhash": pa.array(sigs, type=pa.list_(pa.int64())),
+                "n_shingles": pa.array(n_shingles, type=pa.int64()),
+            }
+        )
+
+
+def _band_rows(batch: pa.Table, *, bands: int, rows_per_band: int) -> pa.Table:
+    """Signatures -> (band, band_hash, doc_id) rows for the LSH groupby."""
+    out_band, out_hash, out_doc = [], [], []
+    for doc_id, sig, nsh in zip(
+        batch["doc_id"].to_pylist(),
+        batch["minhash"].to_pylist(),
+        batch["n_shingles"].to_pylist(),
+    ):
+        if nsh == 0:
+            continue
+        arr = np.asarray(sig, dtype=np.int64)
+        for bnd in range(bands):
+            chunk = arr[bnd * rows_per_band : (bnd + 1) * rows_per_band]
+            h = zlib.crc32(chunk.tobytes()) ^ (bnd << 20)
+            out_band.append(bnd)
+            out_hash.append(h)
+            out_doc.append(doc_id)
+    return pa.table(
+        {
+            "band": pa.array(out_band, type=pa.int32()),
+            "band_hash": pa.array(out_hash, type=pa.int64()),
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+        }
+    )
+
+
+def _emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    docs = sorted(set(group["doc_id"].tolist()))
+    if len(docs) < 2:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+        )
+    a, b = [], []
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a.append(docs[i])
+            b.append(docs[j])
+    return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+
+def minhash_near_duplicates(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """MinHash+LSH near-dup: signature (actor pool) -> band rows ->
+    groupby(band, band_hash) -> candidate pairs -> signature-estimated
+    Jaccard filter.  -> (doc_a, doc_b, est_jaccard)."""
+    rows_per_band = num_hashes // bands
+    sigs = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={
+            "num_hashes": num_hashes,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    sigs_mat = sigs.materialize()  # reused: band rows + verification lookup
+    band_rows = sigs_mat.map_batches(
+        _band_rows,
+        fn_kwargs={"bands": bands, "rows_per_band": rows_per_band},
+        batch_format="pyarrow",
+    )
+    pairs = (
+        band_rows.groupby(["band", "band_hash"])
+        .map_groups(_emit_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+    )
+    # verification: signature-estimated Jaccard (small side: signatures of
+    # candidate docs — broadcast via driver lookup; candidate set << corpus)
+    sig_lookup = {
+        r["doc_id"]: np.asarray(r["minhash"], dtype=np.int64)
+        for r in sigs_mat.take_all()
+    }
+
+    def verify(batch: pa.Table) -> pa.Table:
+        est = []
+        for a_id, b_id in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+            sa, sb = sig_lookup[a_id], sig_lookup[b_id]
+            est.append(float(np.mean(sa == sb)))
+        t = batch.append_column("est_jaccard", pa.array(est, type=pa.float64()))
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["est_jaccard"], threshold))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# SimHash (64-bit) near-dup
+# --------------------------------------------------------------------------
+
+def simhash64(tokens: list[str]) -> int:
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    from collections import Counter
+
+    for tok, w in Counter(tokens).items():
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+        acc += w * (2 * bits - 1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_stage(batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    ids = batch[id_col].to_pylist()
+    hashes = [simhash64(analyze.tokenize(t)) for t in batch[text_col].to_pylist()]
+    signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hashes]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "simhash": pa.array(signed, type=pa.int64()),
+        }
+    )
+
+
+def simhash_near_duplicates(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> ray.data.Dataset:
+    """4-band exact-match blocking (Hamming<=3 guarantees >=1 equal
+    16-bit band) -> candidate pairs -> exact Hamming verify."""
+    sigs = ds.map_batches(
+        simhash_stage,
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+    ).materialize()
+
+    def bands(batch: pa.Table) -> pa.Table:
+        b_out, h_out, d_out = [], [], []
+        for doc_id, sh in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
+            u = sh & ((1 << 64) - 1)
+            for bnd in range(4):
+                b_out.append(bnd)
+                h_out.append((u >> (16 * bnd)) & 0xFFFF)
+                d_out.append(doc_id)
+        return pa.table(
+            {
+                "band": pa.array(b_out, type=pa.int32()),
+                "band_hash": pa.array(h_out, type=pa.int64()),
+                "doc_id": pa.array(d_out, type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        sigs.map_batches(bands, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(_emit_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+    )
+    lut = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1) for r in sigs.take_all()}
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep_a, keep_b, dist = [], [], []
+        for a_id, b_id in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+            d = bin(lut[a_id] ^ lut[b_id]).count("1")
+            if d <= max_hamming:
+                keep_a.append(a_id)
+                keep_b.append(b_id)
+                dist.append(d)
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, type=pa.int64()),
+                "doc_b": pa.array(keep_b, type=pa.int64()),
+                "hamming": pa.array(dist, type=pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (SQL-mirrorable; the oracle-checked dedup)
+# --------------------------------------------------------------------------
+
+def _shingle_rows(batch: pa.Table, *, text_col: str, id_col: str, n: int) -> pa.Table:
+    docs, shingles = [], []
+    for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        for s in shingle_set(analyze.tokenize(text), n):
+            docs.append(doc_id)
+            shingles.append(s)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "shingle": pa.array(shingles, type=pa.string()),
+        }
+    )
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> pa.Table:
+    """Exact Jaccard over DISTINCT n-gram shingle sets.
+    -> (doc_a, doc_b, jaccard) for pairs >= threshold.
+
+    Pair generation happens per shingle group (the groupby is the only
+    shuffle); doc set sizes are joined driver-side (small aggregate).
+    """
+    rows = ds.map_batches(
+        _shingle_rows,
+        fn_kwargs={"text_col": text_col, "id_col": id_col, "n": n},
+        batch_format="pyarrow",
+    )
+    rows_mat = rows.materialize()
+    sizes = {
+        r["doc_id"]: r["count()"]
+        for r in rows_mat.groupby("doc_id").aggregate(Count()).take_all()
+    }
+    co = (
+        rows_mat.groupby("shingle")
+        .map_groups(_emit_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_common"))
+    )
+
+    def jaccard(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        c = batch["n_common"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = np.array([sizes[x] for x in a], dtype=np.float64)
+        nb = np.array([sizes[x] for x in b], dtype=np.float64)
+        j = c / (na + nb - c)
+        t = batch.append_column("jaccard", pa.array(j, type=pa.float64()))
+        return t.filter(pc.greater_equal(t["jaccard"], threshold))
+
+    out = co.map_batches(jaccard, batch_format="pyarrow")
+    return out
+
+
+def sql_ngram_jaccard(
+    table: str = "documents", text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> str:
+    tok = analyze.sql_token_array(text_col)
+    sep = "chr(31)"
+    shingle = f"d.toks[i.r] || {sep} || d.toks[i.r+1] || {sep} || d.toks[i.r+2]"
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM {table}),
+sh AS (
+  SELECT DISTINCT d.doc_id, {shingle} AS shingle
+  FROM docs d, (SELECT unnest(range(1, greatest(len(toks) - 1, 1))) AS r, doc_id
+                FROM docs) i
+  WHERE i.doc_id = d.doc_id
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT co.doc_a, co.doc_b, n_common,
+       n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE AS jaccard
+FROM co JOIN sizes sa ON sa.doc_id = co.doc_a JOIN sizes sb ON sb.doc_id = co.doc_b
+WHERE n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE >= {threshold}
+ORDER BY doc_a, doc_b
+"""

@@ -1,0 +1,436 @@
+"""Named pipelines over the driver's sf-dir tables + their DuckDB oracles.
+
+Each ``queries()`` entry in ``__ray_entry__`` maps here: a callable
+``fn(sf_dir) -> pyarrow.Table / Dataset`` running the Ray-Data engine,
+and (where SQL-expressible) a matching DuckDB SQL string producing the
+same columns/values over the same tables.  Column names and types are
+aligned on both sides; float columns either derive from exact integer
+arithmetic (bitwise-reproducible) or are rounded on both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from . import analyze, ann, build, dedup, filters, scoring, shard, textstats
+
+K = 10
+
+# Fixed query set over the documents-table vocabulary (hot terms, multi-
+# term conjunctions, stopword mixes, absent terms, camelCase forms that
+# must analyze like content).
+QUERY_SET: tuple[str, ...] = (
+    "join",
+    "table",
+    "spark",
+    "window",
+    "customer",
+    "merge sort window",
+    "group order column",
+    "hash join table scan",
+    "the fast query",
+    "stream batch",
+    "vector value row line",
+    "zebra quantum",
+    "spark zebra",
+    "fastScan",
+    "bigJoin smallTable",
+    "agg",
+    "part key hash",
+    "slow big filter",
+    "data stream window sort merge",
+    "column",
+)
+
+
+def docs_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join("/tmp", "cb_index_cache", h)
+
+
+def get_index(sf_dir: str) -> build.IndexMeta:
+    """Build (or reuse) the inverted index over the documents table."""
+    idx = _index_dir_for(sf_dir)
+    if os.path.exists(os.path.join(idx, "_global.json")):
+        return build.IndexMeta(idx)
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    return build.build_index(ds, idx, text_col="text", id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# Index / BM25 pipelines
+# --------------------------------------------------------------------------
+
+def q_doc_stats(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    out = ds.map_batches(build.doc_stats, batch_format="pyarrow", zero_copy_batch=True)
+    t = pa.Table.from_pylist(out.take_all())
+    return t.set_column(
+        t.schema.get_field_index("doc_len"), "doc_len", t["doc_len"].cast(pa.int64())
+    )
+
+
+def sql_doc_stats() -> str:
+    tok = analyze.sql_token_array("text")
+    return f"SELECT doc_id, len({tok})::BIGINT AS doc_len FROM documents ORDER BY doc_id"
+
+
+def q_term_stats(sf_dir: str) -> pa.Table:
+    meta = get_index(sf_dir)
+    files = [
+        meta.part_file(p)
+        for p in range(meta.num_parts)
+        if os.path.exists(meta.part_file(p))
+    ]
+    parts = ray.data.read_parquet(files)
+    agg = parts.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+    )
+    return pa.Table.from_pylist(agg.take_all())
+
+
+def sql_term_stats() -> str:
+    tok = analyze.sql_token_array("text")
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1 ORDER BY term
+"""
+
+
+def q_corpus_stats(sf_dir: str) -> pa.Table:
+    meta = get_index(sf_dir)
+    return pa.table(
+        {
+            "n_docs": pa.array([meta.n_docs], type=pa.int64()),
+            "total_tokens": pa.array([meta.total_tokens], type=pa.int64()),
+            "avgdl": pa.array([meta.avgdl], type=pa.float64()),
+        }
+    )
+
+
+def sql_corpus_stats() -> str:
+    tok = analyze.sql_token_array("text")
+    return f"""
+WITH s AS (SELECT len({tok})::BIGINT AS dl FROM documents)
+SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens,
+       sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM s
+"""
+
+
+def _run_query_set(sf_dir: str, with_scores: bool) -> pa.Table:
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    results = engine.query_many(list(QUERY_SET), k=K)
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+    cols = {
+        "query_id": pa.array(rows["query_id"], type=pa.int64()),
+        "rank": pa.array(rows["rank"], type=pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+    }
+    if with_scores:
+        # rounded for the SQL-oracle value hash: DuckDB's multi-term SUM
+        # accumulates in a different ulp order; bitwise raw-score parity
+        # vs the Python oracle is enforced in tests/test_e2e_index.py.
+        # np.round, not pc.round: pyarrow's kernel disagrees with
+        # DuckDB/libc rounding on values a few ulps under the boundary.
+        cols["score"] = pa.array(
+            np.round(np.array(rows["score"], dtype=np.float64), 6), type=pa.float64()
+        )
+    return pa.table(cols)
+
+
+def q_bm25_topk(sf_dir: str) -> pa.Table:
+    return _run_query_set(sf_dir, with_scores=False)
+
+
+def q_bm25_topk_scores(sf_dir: str) -> pa.Table:
+    return _run_query_set(sf_dir, with_scores=True)
+
+
+def _query_terms_values() -> str:
+    """(query_id, term) VALUES rows: tokenized like the engine."""
+    rows = []
+    for qid, q in enumerate(QUERY_SET):
+        for t in sorted(set(analyze.tokenize(q))):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def sql_bm25(with_scores: bool) -> str:
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    score_col = ", round(score, 6) AS score" if with_scores else ""
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_query_terms_values()}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id{score_col}
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
+def q_content_sha256(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        sha = [hashlib.sha256(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "content_sha256": pa.array(sha, type=pa.string())}
+        )
+
+    return pa.Table.from_pylist(ds.map_batches(f, batch_format="pyarrow").take_all())
+
+
+def sql_content_sha256() -> str:
+    return "SELECT doc_id, sha256(text) AS content_sha256 FROM documents ORDER BY doc_id"
+
+
+# --------------------------------------------------------------------------
+# Dedup / text-analysis / ANN pipelines
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    return pa.Table.from_pylist(dedup.exact_duplicates(ds).take_all())
+
+
+def q_token_stats(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    return pa.Table.from_pylist(
+        ds.map_batches(textstats.token_stats, batch_format="pyarrow").take_all()
+    )
+
+
+def q_lang_id(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    return pa.Table.from_pylist(
+        ds.map_batches(textstats.lang_id, batch_format="pyarrow").take_all()
+    )
+
+
+def q_fingerprint(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    return pa.Table.from_pylist(
+        ds.map_batches(textstats.fingerprint, batch_format="pyarrow").take_all()
+    )
+
+
+def q_ngram_jaccard(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    out = dedup.ngram_jaccard_pairs(ds, threshold=0.3)
+    return pa.Table.from_pylist(out.take_all())
+
+
+def q_minhash_neardup(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    out = dedup.minhash_near_duplicates(ds, threshold=0.7, concurrency=2)
+    return pa.Table.from_pylist(out.take_all())
+
+
+def q_simhash_neardup(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    return pa.Table.from_pylist(dedup.simhash_near_duplicates(ds).take_all())
+
+
+def q_ann_topk(sf_dir: str) -> pa.Table:
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path).sort_by("vec_id").slice(0, 5)
+    qmat = np.array(head["embedding"].to_pylist())
+    qids = head["vec_id"].to_numpy()
+    ds = ray.data.read_parquet(path)
+    out = ann.brute_force_topk(ds, qmat, qids, k=K)
+    return out.select(["query_id", "rank", "vec_id"])
+
+
+def sql_ann_topk() -> str:
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),
+ranked AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC
+         ) AS rank
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
+def q_ann_ivf(sf_dir: str) -> pa.Table:
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path).sort_by("vec_id").slice(0, 5)
+    qmat = np.array(head["embedding"].to_pylist())
+    qids = head["vec_id"].to_numpy()
+    ds = ray.data.read_parquet(path)
+    out = ann.ivf_topk(ds, qmat, qids, k=K)
+    return out.select(["query_id", "rank", "vec_id"])
+
+
+def q_embedding_neardup(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann.embedding_near_duplicates(ds, tau=0.8).select(["vec_a", "vec_b"])
+
+
+def sql_embedding_neardup() -> str:
+    return """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+ORDER BY vec_a, vec_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Reference-parity relational pipelines (filters / windowed aggregates)
+# --------------------------------------------------------------------------
+
+FILTER_EXPR = "l_quantity >= 49 | l_discount <= 0.01"
+
+
+def q_filter_pushdown(sf_dir: str) -> pa.Table:
+    expr = filters.compile_filter(FILTER_EXPR)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"],
+        filter=expr,
+    )
+    return pa.Table.from_pylist(ds.take_all())
+
+
+def sql_filter_pushdown() -> str:
+    return f"""
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem WHERE {filters.to_sql(FILTER_EXPR)}
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_events_minute_agg(sf_dir: str) -> pa.Table:
+    """Minute-window aggregate — the engine analog of the reference's
+    1-minute shard keys (MinuteTableShardScheduler.cs:29-45)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        minute = pc.floor_temporal(batch["ts"], unit="minute")
+        t = pa.table(
+            {
+                "minute": minute,
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+            }
+        )
+        return (
+            t.group_by(["minute", "event_type"])
+            .aggregate([("value", "sum"), ([], "count_all")])
+            .rename_columns(["minute", "event_type", "value_sum", "n"])
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = pre.groupby(["minute", "event_type"]).aggregate(
+        Sum("value_sum", alias_name="sum_value"), Sum("n", alias_name="n_events")
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    rounded = np.round(t["sum_value"].to_numpy(zero_copy_only=False), 6)
+    return t.set_column(
+        t.schema.get_field_index("sum_value"),
+        "sum_value",
+        pa.array(rounded, type=pa.float64()),
+    )
+
+
+def sql_events_minute_agg() -> str:
+    return """
+SELECT date_trunc('minute', ts) AS minute, event_type,
+       round(sum(value), 6) AS sum_value, count(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "doc_stats": q_doc_stats,
+    "term_stats": q_term_stats,
+    "corpus_stats": q_corpus_stats,
+    "bm25_topk": q_bm25_topk,
+    "bm25_topk_scores": q_bm25_topk_scores,
+    "content_sha256": q_content_sha256,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_fingerprint,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "ann_cosine_topk": q_ann_topk,
+    "ann_ivf_topk": q_ann_ivf,
+    "embedding_neardup": q_embedding_neardup,
+    "filter_pushdown": q_filter_pushdown,
+    "events_minute_agg": q_events_minute_agg,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "doc_stats": sql_doc_stats(),
+        "term_stats": sql_term_stats(),
+        "corpus_stats": sql_corpus_stats(),
+        "bm25_topk": sql_bm25(with_scores=False),
+        "bm25_topk_scores": sql_bm25(with_scores=True),
+        "content_sha256": sql_content_sha256(),
+        "dedup_exact": dedup.sql_exact_duplicates(),
+        "token_stats": textstats.sql_token_stats(),
+        "lang_id": textstats.sql_lang_id(),
+        "ngram_jaccard_pairs": dedup.sql_ngram_jaccard(threshold=0.3),
+        "ann_cosine_topk": sql_ann_topk(),
+        "embedding_neardup": sql_embedding_neardup(),
+        "filter_pushdown": sql_filter_pushdown(),
+        "events_minute_agg": sql_events_minute_agg(),
+        # doc_fingerprint / minhash_neardup / simhash_neardup / ann_ivf_topk:
+        # non-SQL-expressible (hash/approximate) -> rows-only checks.
+    }

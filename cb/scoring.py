@@ -24,9 +24,14 @@ B = 0.75
 
 
 def idf(df, n_docs: int):
-    """float64 idf; df may be scalar or ndarray."""
+    """float64 idf; df may be scalar or ndarray.
+
+    Deliberately ``log(1.0 + x)`` (not ``log1p``): the DuckDB oracle
+    evaluates ``ln(1 + x)`` as two IEEE double ops through libm, and
+    bitwise score parity with the SQL oracle is part of the spec.
+    """
     df = np.asarray(df, dtype=np.float64)
-    return np.log1p((n_docs - df + 0.5) / (df + 0.5))
+    return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
 def u_factor(tf, dl, avgdl: float, k1: float = K1, b: float = B):
@@ -43,8 +48,15 @@ def sql_score_terms(n_docs_expr: str, avgdl_expr: str) -> str:
     Mirrors :func:`idf` * :func:`u_factor` exactly (ln/div/mul are IEEE
     double in both engines).
     """
-    idf_sql = f"ln(1 + (({n_docs_expr}) - df + 0.5) / (df + 0.5))"
+    # NB: bare decimal literals are DECIMAL in DuckDB (exact arithmetic),
+    # which diverges from float64 by ulps — cast every constant to DOUBLE.
+    k1 = f"CAST({K1} AS DOUBLE)"
+    b = f"CAST({B} AS DOUBLE)"
+    half = "CAST(0.5 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    idf_sql = f"ln({one} + (({n_docs_expr}) - df + {half}) / (df + {half}))"
     u_sql = (
-        f"tf * ({K1} + 1.0) / (tf + {K1} * (1.0 - {B} + {B} * doc_len / ({avgdl_expr})))"
+        f"tf * ({k1} + {one}) / "
+        f"(tf + {k1} * ({one} - {b} + {b} * doc_len / ({avgdl_expr})))"
     )
     return f"({idf_sql}) * ({u_sql})"

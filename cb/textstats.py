@@ -1,0 +1,182 @@
+"""Text analysis operators for training-data pipelines.
+
+Vectorized ``map_batches`` stages over a text column: token counting,
+quality scoring (stopword ratio, mean token length), n-gram-marker
+language ID, and rolling-hash document fingerprints.  Each has a DuckDB
+SQL mirror (except the fingerprint, which is rows-only checked) so the
+driver's oracle can value-compare results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import analyze
+
+# Raw tokens = post-split non-empty, BEFORE stopword/length filtering
+# (quality metrics need the stopword mass that the analyzer drops).
+
+
+def _raw_token_lists(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    s = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    for pat, rep in analyze.SPLIT_RULES:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
+    s = pc.utf8_lower(s)
+    lists = pc.split_pattern_regex(s, pattern=analyze.SPLIT_PATTERN)
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    flat_kept = flat.filter(keep)
+    parents_kept = parents.filter(keep)
+    counts = np.bincount(parents_kept.to_numpy(zero_copy_only=False), minlength=len(lists))
+    offsets = np.zeros(len(lists) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()), flat_kept)
+
+
+def token_stats(batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, n_tokens_raw, n_tokens, n_chars, stop_ratio, mean_token_len)."""
+    texts = batch[text_col]
+    raw = _raw_token_lists(texts)
+    kept = analyze.token_array(texts)
+    n_raw = np.diff(raw.offsets.to_numpy(zero_copy_only=False))
+    n_kept = np.diff(kept.offsets.to_numpy(zero_copy_only=False))
+    flat_kept = pc.list_flatten(kept)
+    lens = pc.utf8_length(flat_kept).to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(kept).to_numpy(zero_copy_only=False)
+    len_sums = np.bincount(parents, weights=lens, minlength=len(kept)).astype(np.int64)
+    # float64 arithmetic mirrored exactly in SQL (integer casts, one division)
+    stop_ratio = np.where(n_raw > 0, (n_raw - n_kept) / np.maximum(n_raw, 1), 0.0)
+    mean_len = np.where(n_kept > 0, len_sums / np.maximum(n_kept, 1), 0.0)
+    return pa.table(
+        {
+            "doc_id": batch[id_col],
+            "n_tokens_raw": pa.array(n_raw, type=pa.int64()),
+            "n_tokens": pa.array(n_kept, type=pa.int64()),
+            "n_chars": pc.utf8_length(texts).cast(pa.int64()),
+            "stop_ratio": pa.array(stop_ratio, type=pa.float64()),
+            "mean_token_len": pa.array(mean_len, type=pa.float64()),
+        }
+    )
+
+
+def sql_token_stats(table: str = "documents", text_col: str = "text") -> str:
+    tok = analyze.sql_token_array(text_col)
+    raw = (
+        f"list_filter(regexp_split_to_array(lower("
+        + _sql_rules(text_col)
+        + f"), '{analyze.SPLIT_PATTERN}'), t -> len(t) > 0)"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {raw} AS raw, {tok} AS kept, length({text_col})::BIGINT AS n_chars
+  FROM {table}
+)
+SELECT doc_id,
+       len(raw)::BIGINT AS n_tokens_raw,
+       len(kept)::BIGINT AS n_tokens,
+       n_chars,
+       CASE WHEN len(raw) > 0
+            THEN (len(raw) - len(kept))::DOUBLE / greatest(len(raw), 1)::DOUBLE
+            ELSE 0.0 END AS stop_ratio,
+       CASE WHEN len(kept) > 0
+            THEN list_sum(list_transform(kept, x -> len(x)))::DOUBLE / greatest(len(kept), 1)::DOUBLE
+            ELSE 0.0 END AS mean_token_len
+FROM t ORDER BY doc_id
+"""
+
+
+def _sql_rules(col: str) -> str:
+    expr = col
+    for pat, rep in analyze.SPLIT_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return expr
+
+
+# --------------------------------------------------------------------------
+# Language ID: marker-token voting (n-gram heuristic family)
+# --------------------------------------------------------------------------
+
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "and", "of", "is", "to")),
+    ("de", ("der", "die", "das", "und", "ist")),
+    ("fr", ("le", "la", "les", "et", "est")),
+    ("es", ("el", "los", "las", "es", "y")),
+)
+
+
+def lang_id(batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Deterministic marker voting; ties and zero evidence -> 'und'.
+    Tie-break order = LANG_MARKERS declaration order."""
+    raw = _raw_token_lists(batch[text_col])
+    flat = pc.list_flatten(raw)
+    parents = pc.list_parent_indices(raw).to_numpy(zero_copy_only=False)
+    n = len(raw)
+    counts = np.zeros((len(LANG_MARKERS), n), dtype=np.int64)
+    for i, (_, markers) in enumerate(LANG_MARKERS):
+        mask = pc.is_in(flat, value_set=pa.array(markers)).to_numpy(zero_copy_only=False)
+        counts[i] = np.bincount(parents[mask], minlength=n)
+    best = counts.max(axis=0)
+    # first language reaching the max (declaration-order tie-break)
+    pick = np.argmax(counts == best, axis=0)
+    langs = np.array([code for code, _ in LANG_MARKERS], dtype=object)[pick]
+    langs = np.where(best > 0, langs, "und")
+    return pa.table(
+        {
+            "doc_id": batch[id_col],
+            "lang_pred": pa.array(langs.tolist(), type=pa.string()),
+        }
+    )
+
+
+def sql_lang_id(table: str = "documents", text_col: str = "text") -> str:
+    raw = (
+        f"list_filter(regexp_split_to_array(lower("
+        + _sql_rules(text_col)
+        + f"), '{analyze.SPLIT_PATTERN}'), t -> len(t) > 0)"
+    )
+    cols = []
+    for code, markers in LANG_MARKERS:
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        cols.append(f"len(list_filter(raw, t -> t IN ({inlist}))) AS c_{code}")
+    greatest = "greatest(" + ", ".join(f"c_{c}" for c, _ in LANG_MARKERS) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for code, _ in LANG_MARKERS:
+        case += f"WHEN c_{code} = {greatest} THEN '{code}' "
+    case += "END"
+    return f"""
+WITH t AS (SELECT doc_id, {raw} AS raw FROM {table}),
+c AS (SELECT doc_id, {', '.join(cols)} FROM t)
+SELECT doc_id, {case} AS lang_pred FROM c ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Document fingerprint: polynomial rolling hash over the kept-token stream
+# --------------------------------------------------------------------------
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1_000_003
+
+
+def fingerprint(batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """64-bit polynomial hash of the filtered token sequence (order-
+    sensitive, whitespace/formatting-insensitive). Rows-only oracle."""
+    kept = analyze.token_array(batch[text_col])
+    out = np.zeros(len(kept), dtype=np.int64)
+    lists = kept.to_pylist()
+    for i, toks in enumerate(lists):
+        h = 0
+        for t in toks:
+            import zlib
+
+            h = (h * _FP_BASE + zlib.crc32(t.encode())) % _FP_MOD
+        out[i] = h
+    return pa.table(
+        {
+            "doc_id": batch[id_col],
+            "fingerprint": pa.array(out, type=pa.int64()),
+        }
+    )

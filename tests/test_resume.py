@@ -1,0 +1,123 @@
+"""Resumability: fresh build == resumed build byte-for-byte; finished
+partitions are not recomputed (north_rule / BASELINE.md criterion)."""
+
+import hashlib
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from cb import corpus as corpus_mod
+from cb.build import build_index
+from cb.resumable import build_index_resumable
+
+import ray
+
+
+def _sha(path):
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _index_files(index_dir):
+    out = {}
+    for root, _, files in os.walk(index_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            rel = os.path.relpath(p, index_dir)
+            if rel.startswith("_shuffle"):
+                continue
+            out[rel] = p
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus_files(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    corpus_mod.write_corpus(d, 200, seed=42, n_files=4)
+    return d
+
+
+def test_fresh_equals_fresh(corpus_files, tmp_path):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build_index_resumable(corpus_files, a, num_parts=4)
+    build_index_resumable(corpus_files, b, num_parts=4)
+    fa, fb = _index_files(a), _index_files(b)
+    keys_a = {k for k in fa if not k.endswith("manifest.json")}
+    keys_b = {k for k in fb if not k.endswith("manifest.json")}
+    assert keys_a == keys_b
+    for k in sorted(keys_a):
+        if k.endswith(".parquet"):
+            assert _sha(fa[k]) == _sha(fb[k]), k
+
+
+def test_resume_skips_done_partitions(corpus_files, tmp_path):
+    a = str(tmp_path / "a")
+    build_index_resumable(corpus_files, a, num_parts=4)
+    ref = {k: _sha(p) for k, p in _index_files(a).items() if k.endswith(".parquet")}
+
+    b = str(tmp_path / "b")
+    build_index_resumable(corpus_files, b, num_parts=4)
+    # wound the index: drop one partition dir and one docstats shard
+    import shutil
+
+    shutil.rmtree(os.path.join(b, "parts", "part=2"))
+    os.unlink(os.path.join(b, "docstats", "shard=1.parquet"))
+    os.unlink(os.path.join(b, "_shuffle", "shard=1", "manifest.json"))
+
+    before = {
+        k: os.stat(p).st_mtime_ns
+        for k, p in _index_files(b).items()
+        if k.endswith("postings.parquet")
+    }
+    build_index_resumable(corpus_files, b, num_parts=4)
+    after_files = _index_files(b)
+    # untouched partitions not rewritten
+    for k, mt in before.items():
+        assert os.stat(after_files[k]).st_mtime_ns == mt, f"{k} was recomputed"
+    # wounded pieces regenerated identically
+    got = {k: _sha(p) for k, p in after_files.items() if k.endswith(".parquet")}
+    assert got == ref
+
+
+def test_fast_path_value_equivalent(corpus_files, tmp_path):
+    """Fast (in-memory shuffle) and resumable builds agree on every
+    posting, docstat and global stat."""
+    a = str(tmp_path / "fast")
+    b = str(tmp_path / "resum")
+    ds = ray.data.read_parquet(corpus_files)
+    meta_a = build_index(ds, a, num_parts=4)
+    meta_b = build_index_resumable(corpus_files, b, num_parts=4)
+    assert (meta_a.n_docs, meta_a.total_tokens, meta_a.avgdl) == (
+        meta_b.n_docs,
+        meta_b.total_tokens,
+        meta_b.avgdl,
+    )
+
+    def postings_map(index_dir, num_parts):
+        rows = {}
+        for p in range(num_parts):
+            f = os.path.join(index_dir, "parts", f"part={p}", "postings.parquet")
+            if not os.path.exists(f):
+                continue
+            t = pq.read_table(f)
+            for r in t.to_pylist():
+                rows[(r["term"], r["bucket"])] = (
+                    r["df"], r["cf"], r["ids_blob"], r["tfs_blob"],
+                    tuple(r["block_umax"]),
+                )
+        return rows
+
+    assert postings_map(a, 4) == postings_map(b, 4)
+
+    def docstats_map(index_dir):
+        d = os.path.join(index_dir, "docstats")
+        out = {}
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                for r in pq.read_table(os.path.join(d, f)).to_pylist():
+                    out[r["doc_id"]] = r["doc_len"]
+        return out
+
+    assert docstats_map(a) == docstats_map(b)
