@@ -1,0 +1,149 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): ``DecodeStage`` raises ``NotImplementedError`` unless
+constructed with ``fake=True``, in which case a deterministic fake
+decoder (bytes -> seeded pixel tensor) exercises the REAL Ray-side
+plumbing — schema, actor-pool signature, batch sizing, output layout —
+which is what a production decoder would drop into.
+
+Pattern notes for 100 TB media:
+- binary payloads are large: keep ``batch_size`` small (16-64) and
+  ``batch_format='pyarrow'`` (binary arrays don't round-trip pandas
+  cheaply);
+- decode/feature stages are CALLABLE CLASSES (actor pools): codec/model
+  setup happens once per actor in ``__init__``;
+- emit fixed-shape feature tensors as ``list<float>`` columns so
+  downstream ANN (cb.ann) consumes them directly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),        # image | audio | video
+        ("mime", pa.string()),
+        ("payload", pa.binary()),      # opaque encoded bytes
+        ("width", pa.int32()),         # typed metadata (0 when unknown)
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media rows for tests/benches."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8).tobytes()
+        rows.append(
+            {
+                "media_id": i,
+                "kind": kind,
+                "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                "payload": payload,
+                "width": 64 if kind != "audio" else 0,
+                "height": 64 if kind != "audio" else 0,
+                "duration_ms": 0 if kind == "image" else 1000,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
+    """Deterministic bytes -> float vector (stand-in for decode+embed)."""
+    h = hashlib.sha256(payload).digest()
+    rng = np.random.Generator(np.random.PCG64(int.from_bytes(h[:8], "big")))
+    return rng.standard_normal(out_dim).astype(np.float32)
+
+
+class DecodeStage:
+    """Actor-pool stage: decode + feature-extract media payloads.
+
+    Real decoders (PIL / torchaudio / pyav) are not available in this
+    environment; pass ``fake=True`` for the deterministic stand-in.
+    """
+
+    def __init__(self, *, fake: bool = False, out_dim: int = 64):
+        if not fake:
+            raise NotImplementedError(
+                "media decoding requires image/audio libraries not present "
+                "in this container; construct with fake=True for the "
+                "deterministic stand-in decoder"
+            )
+        self.out_dim = out_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [
+            _fake_decode(p, self.out_dim).tolist()
+            for p in batch["payload"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "feature": pa.array(feats, type=pa.list_(pa.float32())),
+            }
+        )
+
+
+class ResizeStage:
+    """Image resize plumbing (stub): validates metadata and rewrites the
+    typed width/height; the pixel op itself is the stubbed part."""
+
+    def __init__(self, *, width: int, height: int, fake: bool = False):
+        if not fake:
+            raise NotImplementedError(
+                "image resize requires an imaging library; use fake=True"
+            )
+        self.width = width
+        self.height = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return (
+            batch.set_column(
+                batch.schema.get_field_index("width"),
+                "width",
+                pa.array([self.width] * n, type=pa.int32()),
+            ).set_column(
+                batch.schema.get_field_index("height"),
+                "height",
+                pa.array([self.height] * n, type=pa.int32()),
+            )
+        )
+
+
+class FrameSampleStage:
+    """Video frame-sampling plumbing (stub): one output row per sampled
+    frame index — demonstrates the 1->N explode layout downstream
+    decoders need."""
+
+    def __init__(self, *, every_ms: int = 500, fake: bool = False):
+        if not fake:
+            raise NotImplementedError("video decoding unavailable; use fake=True")
+        self.every_ms = every_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            if r["kind"] != "video":
+                continue
+            for t in range(0, max(r["duration_ms"], 1), self.every_ms):
+                rows.append(
+                    {"media_id": r["media_id"], "frame_ms": t, "payload": r["payload"]}
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("media_id", pa.int64()), ("frame_ms", pa.int32()), ("payload", pa.binary())]
+            ),
+        )

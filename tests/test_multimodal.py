@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+import ray
+
+from cb import ann, multimodal
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeStage()
+    with pytest.raises(NotImplementedError):
+        multimodal.ResizeStage(width=8, height=8)
+
+
+def test_fake_decode_pipeline_end_to_end():
+    tbl = multimodal.synthesize_media_table(30)
+    ds = ray.data.from_arrow(tbl)
+    feats = ds.map_batches(
+        multimodal.DecodeStage,
+        fn_constructor_kwargs={"fake": True, "out_dim": 16},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    )
+    rows = feats.take_all()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # deterministic: same payload -> same feature
+    again = ds.map_batches(
+        multimodal.DecodeStage,
+        fn_constructor_kwargs={"fake": True, "out_dim": 16},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    ).take_all()
+    a = {r["media_id"]: r["feature"] for r in rows}
+    b = {r["media_id"]: r["feature"] for r in again}
+    assert a == b
+
+
+def test_features_feed_ann():
+    tbl = multimodal.synthesize_media_table(30)
+    ds = ray.data.from_arrow(tbl)
+    feats = ds.map_batches(
+        multimodal.DecodeStage,
+        fn_constructor_kwargs={"fake": True, "out_dim": 16},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).materialize()
+    head = feats.take(3)
+    qmat = np.array([r["feature"] for r in head])
+    qids = np.array([r["media_id"] for r in head])
+    out = ann.brute_force_topk(
+        feats, qmat, qids, k=5, vec_col="feature", id_col="media_id"
+    )
+    got = out.to_pylist()
+    assert len(got) == 15
+    by_q = {r["media_id"]: None for r in head}
+    for r in got:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]  # self is nearest
+
+
+def test_frame_sampling():
+    tbl = multimodal.synthesize_media_table(9)
+    ds = ray.data.from_arrow(tbl)
+    frames = ds.map_batches(
+        multimodal.FrameSampleStage,
+        fn_constructor_kwargs={"fake": True, "every_ms": 250},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).take_all()
+    vids = sum(1 for r in tbl.to_pylist() if r["kind"] == "video")
+    assert len(frames) == vids * 4  # 1000ms / 250ms
