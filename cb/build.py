@@ -132,14 +132,15 @@ def tokenize_partials(
             "dl": pa.array(dl.astype(np.int32), type=pa.int32()),
         }
     ).sort_by([("term", "ascending"), ("bucket", "ascending"), ("doc_id", "ascending")])
-    # run-length group by (term, bucket) -> list arrays
-    terms = np.asarray(tfl["term"].to_pylist(), dtype=object)
+    # run-length group by (term, bucket) -> list arrays; boundaries via
+    # dictionary codes, not python strings
+    codes, _ = _dict_indices(tfl["term"])
     buckets = tfl["bucket"].to_numpy(zero_copy_only=False)
-    change = np.empty(len(terms), dtype=bool)
+    change = np.empty(len(codes), dtype=bool)
     change[0] = True
-    change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+    change[1:] = (codes[1:] != codes[:-1]) | (buckets[1:] != buckets[:-1])
     starts = np.flatnonzero(change)
-    offsets = np.append(starts, len(terms)).astype(np.int64)
+    offsets = np.append(starts, len(codes)).astype(np.int64)
     def as_list(col, typ):
         flat = tfl[col].combine_chunks() if isinstance(tfl[col], pa.ChunkedArray) else tfl[col]
         return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()), flat.cast(typ))
@@ -173,23 +174,36 @@ def _explode_partials(group: pa.Table) -> pa.Table:
     )
 
 
+def _dict_indices(arr) -> tuple[np.ndarray, pa.Array]:
+    """String column -> (int codes per row, dictionary values)."""
+    d = pc.dictionary_encode(arr)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    return d.indices.to_numpy(zero_copy_only=False), d.dictionary
+
+
 def encode_partition_rows(flat: pa.Table, avgdl: float) -> pa.Table:
-    """Sorted flat postings -> compressed rows (POSTING_SCHEMA + bucket)."""
-    terms = np.asarray(flat["term"].to_pylist(), dtype=object)
+    """Sorted flat postings -> compressed rows (POSTING_SCHEMA + bucket).
+
+    Boundary detection runs on dictionary codes (ints), not python
+    strings; term strings are materialized only once per output row.
+    """
+    if flat.num_rows == 0:
+        return pa.Table.from_pylist([], schema=_posting_file_schema())
+    codes, dictionary = _dict_indices(flat["term"])
     buckets = flat["bucket"].to_numpy(zero_copy_only=False)
     ids = flat["doc_id"].to_numpy(zero_copy_only=False)
     tfs = flat["tf"].to_numpy(zero_copy_only=False)
     dls = flat["dl"].to_numpy(zero_copy_only=False)
-    change = np.empty(len(terms), dtype=bool)
-    if len(terms) == 0:
-        return pa.Table.from_pylist([], schema=_posting_file_schema())
+    change = np.empty(len(codes), dtype=bool)
     change[0] = True
-    change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+    change[1:] = (codes[1:] != codes[:-1]) | (buckets[1:] != buckets[:-1])
     starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], len(terms))
+    ends = np.append(starts[1:], len(codes))
+    term_at = dictionary.take(pa.array(codes[starts])).to_pylist()
     rows = []
-    for s, e in zip(starts, ends):
-        row = compress.encode_postings(terms[s], ids[s:e], tfs[s:e], dls[s:e], avgdl)
+    for t, s, e in zip(term_at, starts, ends):
+        row = compress.encode_postings(t, ids[s:e], tfs[s:e], dls[s:e], avgdl)
         row["bucket"] = int(buckets[s])
         rows.append(row)
     return pa.Table.from_pylist(rows, schema=_posting_file_schema())
@@ -207,6 +221,36 @@ def encode_partition(
     flat = _explode_partials(group)
     tbl = encode_partition_rows(flat, avgdl)
     return pa.table(write_partition(tbl, index_dir, part, avgdl, lineage))
+
+
+def encode_partitions_block(
+    block: pa.Table, *, index_dir: str, avgdl: float, lineage: str = "fast-path"
+) -> pa.Table:
+    """map_batches body after a hash repartition on ``part``: one block
+    holds one or more WHOLE partitions (hash(part) % num_blocks routing
+    keeps a partition's rows together)."""
+    outs = []
+    for p in sorted(set(block["part"].to_pylist())):
+        sub = block.filter(pc.equal(block["part"], p))
+        outs.append(encode_partition(sub, index_dir=index_dir, avgdl=avgdl, lineage=lineage))
+    if not outs:
+        return pa.Table.from_pylist([], schema=_manifest_schema())
+    return pa.concat_tables(outs)
+
+
+def _manifest_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("partition", pa.int64()),
+            ("status", pa.string()),
+            ("lineage", pa.string()),
+            ("n_rows", pa.int64()),
+            ("n_terms", pa.int64()),
+            ("n_postings", pa.int64()),
+            ("avgdl", pa.float64()),
+            ("file_sha256", pa.string()),
+        ]
+    )
 
 
 def write_partition(
@@ -287,16 +331,32 @@ def build_index(
     *,
     text_col: str = "content",
     id_col: str | None = None,
+    columns: list[str] | None = None,
     num_parts: int = DEFAULT_NUM_PARTS,
     range_bits: int = DEFAULT_RANGE_BITS,
-    batch_size: int = 512,
+    batch_size: int = 2048,
 ) -> IndexMeta:
     """Fast-path build: full Ray Data pipeline, manifests written per
     partition (resume-at-write granularity).  For checkpointed resume
     without shuffle recompute use :mod:`cb.resumable`.
+
     """
     if isinstance(source, str):
-        source = ray.data.read_parquet(source)
+        source = ray.data.read_parquet(source, columns=columns)
+    return _build_index_inner(
+        source, index_dir, text_col, id_col, num_parts, range_bits, batch_size
+    )
+
+
+def _build_index_inner(
+    source: ray.data.Dataset,
+    index_dir: str,
+    text_col: str,
+    id_col: str | None,
+    num_parts: int,
+    range_bits: int,
+    batch_size: int,
+) -> IndexMeta:
     ds = _normalize(source, text_col, id_col)
 
     # pass 1: doc stats -> parquet + global stats
@@ -304,9 +364,12 @@ def build_index(
     os.makedirs(stats_dir, exist_ok=True)
     stats_ds = ds.map_batches(
         doc_stats, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
-    )
-    stats_ds.write_parquet(stats_dir)
-    agg = ray.data.read_parquet(stats_dir).aggregate(
+    ).materialize()  # tiny (16B/doc); reused for the write AND the aggregate
+    try:
+        stats_ds.write_parquet(stats_dir, min_rows_per_file=500_000)
+    except TypeError:  # older Ray: num_rows_per_file
+        stats_ds.write_parquet(stats_dir)
+    agg = stats_ds.aggregate(
         ray.data.aggregate.Count(), ray.data.aggregate.Sum("doc_len")
     )
     n_docs = int(agg["count()"])
@@ -314,7 +377,11 @@ def build_index(
     write_global(index_dir, n_docs, total_tokens, num_parts, range_bits)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
-    # pass 2: partial postings -> groupby(part) -> encode + write
+    # pass 2: partial postings -> groupby(part) -> encode + write.
+    # Measured: the sort-based groupby merge with LARGE tokenize batches
+    # (fewer, wider partial rows = stronger pre-aggregation) beats both
+    # the hash-shuffle groupby and a key-based repartition here; the
+    # shuffle payload is what matters, not the exchange flavor.
     partials = ds.map_batches(
         partial(tokenize_partials, num_parts=num_parts, range_bits=range_bits),
         batch_format="pyarrow",
@@ -325,5 +392,5 @@ def build_index(
         partial(encode_partition, index_dir=index_dir, avgdl=avgdl),
         batch_format="pyarrow",
     )
-    manifests.materialize()  # trigger; result is tiny (one row per partition)
+    manifests.materialize()  # trigger; output is one tiny row per partition
     return IndexMeta(index_dir)

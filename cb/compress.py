@@ -23,12 +23,12 @@ BLOCK = 128
 _MAXB = 10  # max varint bytes for a 64-bit value
 
 
-def varint_encode(values: np.ndarray) -> np.ndarray:
-    """uint64 ndarray -> LEB128 byte stream (uint8 ndarray)."""
+def varint_encode_with_sizes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 ndarray -> (LEB128 byte stream, per-value byte counts)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return np.empty(0, dtype=np.uint8)
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     nbytes = np.ones(n, dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
@@ -45,7 +45,12 @@ def varint_encode(values: np.ndarray) -> np.ndarray:
         byte = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] - 1 > k).astype(np.uint8) << 7
         out[idx] = byte | cont
-    return out
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> np.ndarray:
+    """uint64 ndarray -> LEB128 byte stream (uint8 ndarray)."""
+    return varint_encode_with_sizes(values)[0]
 
 
 def varint_decode(buf: np.ndarray, count: int | None = None) -> np.ndarray:
@@ -115,36 +120,38 @@ def encode_postings(
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     assert len(ids) == len(tfs) == len(doc_lens)
     n = len(ids)
+    if n == 0:
+        return {
+            "term": term, "df": 0, "cf": 0, "ids_blob": b"", "tfs_blob": b"",
+            "block_last_id": [], "block_umax": [], "block_id_off": [], "block_tf_off": [],
+        }
     u = scoring.u_factor(tfs, doc_lens, avgdl)
-    block_last, block_umax, id_offs, tf_offs = [], [], [], []
-    id_parts, tf_parts = [], []
-    id_pos = tf_pos = 0
-    for s in range(0, n, BLOCK):
-        e = min(s + BLOCK, n)
-        blk_ids = ids[s:e]
-        deltas = np.empty(e - s, dtype=np.uint64)
-        deltas[0] = np.uint64(blk_ids[0])  # block-absolute first id => independent decode
-        np.subtract(blk_ids[1:], blk_ids[:-1], out=deltas[1:], casting="unsafe")
-        idb = varint_encode(deltas)
-        tfb = varint_encode(tfs[s:e].astype(np.uint64))
-        id_offs.append(id_pos)
-        tf_offs.append(tf_pos)
-        id_parts.append(idb)
-        tf_parts.append(tfb)
-        id_pos += len(idb)
-        tf_pos += len(tfb)
-        block_last.append(int(blk_ids[-1]))
-        block_umax.append(float(np.max(u[s:e])))
+    block_starts = np.arange(0, n, BLOCK, dtype=np.int64)
+    block_ends = np.minimum(block_starts + BLOCK, n)
+    # one vectorized pass over ALL blocks: deltas with a reset to the
+    # absolute id at each block start (so blocks decode independently);
+    # the concatenation of per-block LEB128 streams is byte-identical to
+    # one stream over these reset deltas.
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = np.uint64(ids[0])
+    np.subtract(ids[1:], ids[:-1], out=deltas[1:], casting="unsafe")
+    deltas[block_starts] = ids[block_starts].astype(np.uint64)
+    id_bytes, id_sizes = varint_encode_with_sizes(deltas)
+    tf_bytes, tf_sizes = varint_encode_with_sizes(tfs.astype(np.uint64))
+    id_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(id_sizes, out=id_cum[1:])
+    tf_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tf_sizes, out=tf_cum[1:])
     return {
         "term": term,
         "df": n,
         "cf": int(tfs.sum()),
-        "ids_blob": (np.concatenate(id_parts).tobytes() if id_parts else b""),
-        "tfs_blob": (np.concatenate(tf_parts).tobytes() if tf_parts else b""),
-        "block_last_id": block_last,
-        "block_umax": block_umax,
-        "block_id_off": id_offs,
-        "block_tf_off": tf_offs,
+        "ids_blob": id_bytes.tobytes(),
+        "tfs_blob": tf_bytes.tobytes(),
+        "block_last_id": ids[block_ends - 1].tolist(),
+        "block_umax": np.maximum.reduceat(u, block_starts).tolist(),
+        "block_id_off": id_cum[block_starts].tolist(),
+        "block_tf_off": tf_cum[block_starts].tolist(),
     }
 
 

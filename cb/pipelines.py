@@ -66,8 +66,10 @@ def get_index(sf_dir: str) -> build.IndexMeta:
     idx = _index_dir_for(sf_dir)
     if os.path.exists(os.path.join(idx, "_global.json")):
         return build.IndexMeta(idx)
-    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
-    return build.build_index(ds, idx, text_col="text", id_col="doc_id")
+    return build.build_index(
+        docs_path(sf_dir), idx, text_col="text", id_col="doc_id",
+        columns=["doc_id", "text"],
+    )
 
 
 # --------------------------------------------------------------------------

@@ -136,6 +136,7 @@ class ShardServer:
         self.n_docs = meta.n_docs
         self.num_parts = meta.num_parts
         self.cache: dict[str, ChunkedPostings | None] = {}
+        self.decoded: dict[str, tuple] = {}  # term -> (ids, tfs) numpy
 
     def _local(self, term: str) -> ChunkedPostings | None:
         if term not in self.cache:
@@ -147,25 +148,25 @@ class ShardServer:
     def get_postings(self, term: str) -> ChunkedPostings | None:
         return self._local(term)
 
-    def score(self, terms: list[str], k: int, fetched_terms: list[str], *fetched, algo: str = "wand"):
+    def score(self, terms: list[str], k: int, fetched_terms: list[str], *fetched, algo: str = "taat"):
         """Run top-k over the query terms; ``fetched`` are ChunkedPostings
-        for non-local terms (passed as ObjectRefs, resolved by Ray)."""
+        for non-local terms (passed as ObjectRefs, resolved by Ray).
+
+        Default scorer is the vectorized exact TAAT (fastest for
+        in-memory postings); ``algo="wand"`` selects block-max WAND —
+        rank-identical by construction and by test.
+        """
         postings = dict(zip(fetched_terms, fetched))
+        for t, p in postings.items():
+            self.cache[t] = p  # keep remote-fetched postings for repeat queries
         for t in terms:
             if t not in postings:
                 postings[t] = self._local(t)
-        idfs = {
-            t: float(scoring.idf(p.df, self.n_docs))
-            for t, p in postings.items()
-            if p is not None
-        }
-        fn = wand.topk_wand if algo == "wand" else wand.topk_taat
-        return fn(
-            {t: p for t, p in postings.items() if p is not None},
-            idfs,
-            self.docstats,
-            k,
-        )
+        live = {t: p for t, p in postings.items() if p is not None}
+        idfs = {t: float(scoring.idf(p.df, self.n_docs)) for t, p in live.items()}
+        if algo == "wand":
+            return wand.topk_wand(live, idfs, self.docstats, k)
+        return wand.topk_taat(live, idfs, self.docstats, k, decoded_cache=self.decoded)
 
 
 class LocalSearcher:
@@ -210,40 +211,36 @@ class QueryEngine:
             ShardServer.remote(index_dir, assignments[s], self.docstats_ref)
             for s in range(num_servers)
         ]
+        # terms each server is known to hold decoded/fetched (cache map)
+        self.seen: list[set[str]] = [set() for _ in range(num_servers)]
 
     def _owner(self, term: str) -> int:
         return term_partition(term, self.meta.num_parts) % self.num_servers
 
-    def query(self, text: str, k: int = 10, algo: str = "wand") -> list[tuple[int, float]]:
+    def _dispatch(self, text: str, k: int, algo: str):
         terms = sorted(set(analyze.tokenize(text)))
         if not terms:
-            return []
+            return None
         owners = {t: self._owner(t) for t in terms}
-        # scorer = server owning the most query terms
-        counts = np.bincount(list(owners.values()), minlength=self.num_servers)
+        # scorer = server OWNING the most query terms — a pure function of
+        # the term set, so repeats of a query always land on the same
+        # server and hit its decoded-postings cache (the seen-set below
+        # only skips re-fetches, it must not influence routing or repeat
+        # queries thrash between scorers)
+        counts = np.bincount([owners[t] for t in terms], minlength=self.num_servers)
         scorer = int(np.argmax(counts))
-        fetched_terms = [t for t in terms if owners[t] != scorer]
-        refs = [
-            self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms
+        fetched_terms = [
+            t for t in terms if owners[t] != scorer and t not in self.seen[scorer]
         ]
-        return ray.get(
-            self.servers[scorer].score.remote(terms, k, fetched_terms, *refs, algo=algo)
-        )
+        refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
+        self.seen[scorer].update(terms)
+        return self.servers[scorer].score.remote(terms, k, fetched_terms, *refs, algo=algo)
 
-    def query_many(self, texts: list[str], k: int = 10, algo: str = "wand"):
+    def query(self, text: str, k: int = 10, algo: str = "taat") -> list[tuple[int, float]]:
+        fut = self._dispatch(text, k, algo)
+        return [] if fut is None else ray.get(fut)
+
+    def query_many(self, texts: list[str], k: int = 10, algo: str = "taat"):
         """Pipelined fan-out of many queries across the pool."""
-        futs = []
-        for text in texts:
-            terms = sorted(set(analyze.tokenize(text)))
-            if not terms:
-                futs.append(None)
-                continue
-            owners = {t: self._owner(t) for t in terms}
-            counts = np.bincount(list(owners.values()), minlength=self.num_servers)
-            scorer = int(np.argmax(counts))
-            fetched_terms = [t for t in terms if owners[t] != scorer]
-            refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
-            futs.append(
-                self.servers[scorer].score.remote(terms, k, fetched_terms, *refs, algo=algo)
-            )
+        futs = [self._dispatch(t, k, algo) for t in texts]
         return [([] if f is None else ray.get(f)) for f in futs]

@@ -122,20 +122,35 @@ def _gather_terms(postings: dict, idfs: dict) -> list[TermCursor]:
     return [TermCursor(t, postings[t], idfs[t], i) for i, t in enumerate(terms)]
 
 
-def topk_taat(postings: dict, idfs: dict, docstats, k: int) -> list[tuple[int, float]]:
-    """Exact exhaustive scoring (decode-all, term-at-a-time)."""
+def topk_taat(
+    postings: dict, idfs: dict, docstats, k: int, decoded_cache: dict | None = None
+) -> list[tuple[int, float]]:
+    """Exact exhaustive scoring (decode-all, term-at-a-time, vectorized).
+
+    In-memory serving default: numpy decode+accumulate beats the
+    pointer-chasing WAND loop until posting lists far exceed memory;
+    block-max WAND (below) is the IO-bound/disk-resident path and the
+    rank-equality of the two is test-enforced.  ``decoded_cache``
+    (term -> (ids, tfs)) amortizes varint decoding across queries.
+    """
     cursors = _gather_terms(postings, idfs)
     if not cursors:
         return []
     per_term = []
     for c in cursors:
-        ids_parts, tf_parts = [], []
-        for ch in c.chunks:
-            i, t = ch.decode_all()
-            ids_parts.append(i)
-            tf_parts.append(t)
-        ids = np.concatenate(ids_parts)
-        tfs = np.concatenate(tf_parts)
+        hit = decoded_cache.get(c.term) if decoded_cache is not None else None
+        if hit is not None:
+            ids, tfs = hit
+        else:
+            ids_parts, tf_parts = [], []
+            for ch in c.chunks:
+                i, t = ch.decode_all()
+                ids_parts.append(i)
+                tf_parts.append(t)
+            ids = np.concatenate(ids_parts)
+            tfs = np.concatenate(tf_parts)
+            if decoded_cache is not None:
+                decoded_cache[c.term] = (ids, tfs)
         per_term.append((c, ids, tfs))
     universe = np.unique(np.concatenate([ids for _, ids, _ in per_term]))
     acc = np.zeros(len(universe), dtype=np.float64)

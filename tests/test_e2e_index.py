@@ -35,10 +35,13 @@ def _queries(oracle):
 @pytest.fixture(scope="module")
 def built(tmp_path_factory):
     idx_dir = str(tmp_path_factory.mktemp("index"))
+    corpus_dir = str(tmp_path_factory.mktemp("corpus"))
     tbl = corpus_mod.generate_corpus(N_DOCS, seed=42)
     with_id = corpus_mod.with_identity(tbl)
-    ds = ray.data.from_arrow(tbl)
-    meta = build_index(ds, idx_dir, text_col="content", id_col=None, num_parts=4, range_bits=3)
+    import pyarrow.parquet as pq, os
+    pq.write_table(tbl, os.path.join(corpus_dir, "c.parquet"))
+    # path source -> exercises the hash-exchange merge (the production path)
+    meta = build_index(corpus_dir + "/c.parquet", idx_dir, text_col="content", id_col=None, num_parts=4, range_bits=3)
     oracle = query_mod.Oracle(
         with_id["doc_id"].to_pylist(), with_id["content"].to_pylist()
     )
