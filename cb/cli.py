@@ -1,0 +1,107 @@
+"""Job entry points for ``ray job submit`` (north_rule requirement).
+
+    ray job submit -- python -m cb.cli build --input DIR --index DIR [--resumable]
+    ray job submit -- python -m cb.cli query --index DIR --query "hash join" -k 10
+    ray job submit -- python -m cb.cli query-file --index DIR --queries FILE -k 10
+
+Owns its Ray session (guarded init — under ``ray job submit`` the
+cluster is already up and ``ray.init()`` attaches to it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def cmd_build(args) -> int:
+    ray = _init_ray()
+    if args.resumable:
+        from .resumable import build_index_resumable
+
+        meta = build_index_resumable(
+            args.input, args.index,
+            text_col=args.text_col, id_col=args.id_col,
+            num_parts=args.num_parts,
+        )
+    else:
+        from .build import build_index
+
+        meta = build_index(
+            args.input, args.index,
+            text_col=args.text_col, id_col=args.id_col,
+            num_parts=args.num_parts,
+        )
+    print(json.dumps({
+        "index": args.index, "n_docs": meta.n_docs,
+        "total_tokens": meta.total_tokens, "avgdl": meta.avgdl,
+        "num_parts": meta.num_parts,
+    }))
+    ray.shutdown()
+    return 0
+
+
+def cmd_query(args) -> int:
+    ray = _init_ray()
+    from .shard import QueryEngine
+
+    engine = QueryEngine(args.index, num_servers=args.servers)
+    if args.query:
+        queries = [args.query]
+    else:
+        with open(args.queries) as f:
+            queries = [line.strip() for line in f if line.strip()]
+    results = engine.query_many(queries, k=args.k, algo=args.algo)
+    for q, res in zip(queries, results):
+        print(json.dumps({
+            "query": q,
+            "results": [{"doc_id": d, "score": s} for d, s in res],
+        }))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cb")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True, help="corpus parquet file/dir")
+    b.add_argument("--index", required=True, help="output index dir")
+    b.add_argument("--text-col", default="content")
+    b.add_argument("--id-col", default=None)
+    b.add_argument("--num-parts", type=int, default=32)
+    b.add_argument("--resumable", action="store_true",
+                   help="checkpointed build (skips finished shards/partitions)")
+    b.set_defaults(fn=cmd_build)
+
+    for name in ("query", "query-file"):
+        q = sub.add_parser(name, help="top-k BM25 query")
+        q.add_argument("--index", required=True)
+        q.add_argument("--query", default=None)
+        q.add_argument("--queries", default=None, help="file of queries, one per line")
+        q.add_argument("-k", type=int, default=10)
+        q.add_argument("--servers", type=int, default=2)
+        q.add_argument("--algo", default="taat", choices=["taat", "wand"])
+        q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    if args.cmd in ("query", "query-file") and not (args.query or args.queries):
+        p.error("provide --query or --queries")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

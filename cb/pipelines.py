@@ -383,6 +383,31 @@ def q_events_minute_agg(sf_dir: str) -> pa.Table:
     )
 
 
+def q_sessionize(sf_dir: str) -> pa.Table:
+    """Gap-based session windows over the events stream (W1/W2 analog:
+    event-time windows as groupby.map_groups over sorted groups)."""
+    from . import windows
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+    out = windows.sessionize(ds, gap_seconds=1800)
+    t = pa.Table.from_pylist(out.take_all())
+    rounded = np.round(t["sum_value"].to_numpy(zero_copy_only=False), 6)
+    t = t.set_column(
+        t.schema.get_field_index("sum_value"), "sum_value", pa.array(rounded, type=pa.float64())
+    )
+    return t.set_column(
+        t.schema.get_field_index("n_events"), "n_events", t["n_events"].cast(pa.int64())
+    )
+
+
+def sql_sessionize() -> str:
+    from . import windows
+
+    return windows.sql_sessionize()
+
+
 def sql_events_minute_agg() -> str:
     return """
 SELECT date_trunc('minute', ts) AS minute, event_type,
@@ -414,6 +439,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "filter_pushdown": q_filter_pushdown,
     "events_minute_agg": q_events_minute_agg,
+    "sessionize": q_sessionize,
 }
 
 
@@ -433,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": sql_embedding_neardup(),
         "filter_pushdown": sql_filter_pushdown(),
         "events_minute_agg": sql_events_minute_agg(),
+        "sessionize": sql_sessionize(),
         # doc_fingerprint / minhash_neardup / simhash_neardup / ann_ivf_topk:
         # non-SQL-expressible (hash/approximate) -> rows-only checks.
     }
