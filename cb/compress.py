@@ -189,10 +189,19 @@ class PostingList:
         return ids, tfs
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        """Whole-list decode in ONE varint pass per stream (not per
+        block): the encoded deltas reset to an absolute id at each block
+        start, so ids = running cumsum minus the cumsum just before each
+        block start (vectorized with repeat)."""
         if self.n_blocks == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        parts = [self.decode_block(b) for b in range(self.n_blocks)]
-        return (
-            np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]),
-        )
+        v = varint_decode(self._ids_buf, self.df)
+        t = np.cumsum(v, dtype=np.uint64)
+        starts = np.arange(0, self.df, BLOCK, dtype=np.int64)
+        sizes = np.diff(np.append(starts, self.df))
+        base = np.empty(len(starts), dtype=np.uint64)
+        base[0] = np.uint64(0)
+        base[1:] = t[starts[1:] - 1]
+        ids = (t - np.repeat(base, sizes)).astype(np.int64)
+        tfs = varint_decode(self._tfs_buf, self.df).astype(np.int64)
+        return ids, tfs

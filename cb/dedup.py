@@ -64,7 +64,12 @@ FROM {table} GROUP BY 1 ORDER BY 1
 # Shingles + MinHash + LSH
 # --------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1: (a*x+b) for a,b,x < 2^31 fits uint64, so the
+# permutation family vectorizes as one numpy broadcast per batch with a
+# cheap shift-fold for the modulo.  31-bit hash space is the standard
+# engineering tradeoff for MinHash (collision bias ~|shingles|^2 / 2^32
+# per permutation — negligible at document scale).
+_MERSENNE = (1 << 31) - 1
 
 
 def _hash_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -88,18 +93,20 @@ def _shingle_hashes(shingles: list[str]) -> np.ndarray:
 
 
 def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(num_hashes,) uint64 signature; empty input -> all-max sentinel."""
+    """(num_hashes,) uint64 signature; empty input -> all-max sentinel.
+
+    Fully vectorized: y = a*x+b < 2^62 fits uint64; y mod (2^31-1) via
+    two shift-folds (2^31 === 1 mod p).  One (H, S) broadcast per call.
+    """
     if len(shingle_hashes) == 0:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (H,1)*(1,S) in python-int-free uint64 modular space: use uint128 via
-    # object fallback avoided — (a*x+b) mod p with uint64 wraparound is NOT
-    # the mathematical mod; use float-free split multiply instead.
-    x = shingle_hashes % _MERSENNE
-    sig = np.empty(len(a), dtype=np.uint64)
-    for i in range(len(a)):
-        v = (int(a[i]) * x.astype(object) + int(b[i])) % _MERSENNE  # exact python ints
-        sig[i] = np.uint64(min(v))
-    return sig
+    p = np.uint64(_MERSENNE)
+    x = (shingle_hashes % p)[None, :]  # (1, S), < 2^31
+    y = a[:, None] * x + b[:, None]  # < 2^62, exact in uint64
+    y = (y >> np.uint64(31)) + (y & p)  # < 2^32
+    y = (y >> np.uint64(31)) + (y & p)  # < p + 1
+    y = np.where(y >= p, y - p, y)
+    return y.min(axis=1).astype(np.uint64)
 
 
 class MinHashStage:

@@ -416,6 +416,144 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_orders_by_segment(sf_dir: str) -> pa.Table:
+    """Broadcast join (orders x customer dimension) + grouped counts —
+    the reference's config-into-work-item embedding as an operator."""
+    from . import joins
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).rename_columns(["o_custkey", "c_mktsegment"])
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+    joined = joins.broadcast_join(ds, cust, on="o_custkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["c_mktsegment", "o_orderpriority"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+            .rename_columns(["c_mktsegment", "o_orderpriority", "cents_sum", "n"])
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c_mktsegment", "o_orderpriority"])
+        .aggregate(Sum("cents_sum", alias_name="cents"), Sum("n", alias_name="n_orders"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    total = t["cents"].to_numpy(zero_copy_only=False) / 100.0
+    t = t.drop_columns(["cents"]).append_column(
+        "sum_totalprice", pa.array(total, type=pa.float64())
+    )
+    return t.set_column(
+        t.schema.get_field_index("n_orders"), "n_orders", t["n_orders"].cast(pa.int64())
+    )
+
+
+def sql_orders_by_segment() -> str:
+    # money summed exactly in integer cents on both sides (double SUM
+    # order is nondeterministic; cents are exact), divided once at the end
+    return """
+SELECT c.c_mktsegment, o.o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) / 100.0 AS sum_totalprice
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shaped pricing summary with decimal-exact money sums
+    (partial integer-cent aggregation per batch -> tiny global groupby)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+    def partial(batch: pa.Table) -> pa.Table:
+        cutoff = pa.scalar(
+            np.datetime64("1998-09-02", "us"), type=batch["l_shipdate"].type
+        )
+        keep = pc.less_equal(batch["l_shipdate"], cutoff)
+        b = batch.filter(keep)
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        base_c = np.rint(price * 100.0).astype(np.int64)
+        # price*(1-disc) is a 4-decimal value mathematically; *1e4 lands
+        # within ulps of an integer, so rint is exact and identical to
+        # the SQL mirror
+        disc_c = np.rint(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": pa.array(np.rint(qty).astype(np.int64), type=pa.int64()),
+                "base_c": pa.array(base_c, type=pa.int64()),
+                "disc_c": pa.array(disc_c, type=pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty", "sum"), ("base_c", "sum"), ("disc_c", "sum"), ([], "count_all")])
+            .rename_columns(
+                ["l_returnflag", "l_linestatus", "qty_sum", "base_sum", "disc_sum", "n"]
+            )
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_sum", alias_name="sum_qty"),
+            Sum("base_sum", alias_name="base_c"),
+            Sum("disc_sum", alias_name="disc_c"),
+            Sum("n", alias_name="count_order"),
+        )
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    base = t["base_c"].to_numpy(zero_copy_only=False) / 100.0
+    disc = t["disc_c"].to_numpy(zero_copy_only=False) / 10000.0
+    t = t.drop_columns(["base_c", "disc_c"])
+    t = t.append_column("sum_base_price", pa.array(base, type=pa.float64()))
+    t = t.append_column("sum_disc_price", pa.array(disc, type=pa.float64()))
+    t = t.set_column(
+        t.schema.get_field_index("sum_qty"), "sum_qty", t["sum_qty"].cast(pa.int64())
+    )
+    return t.set_column(
+        t.schema.get_field_index("count_order"),
+        "count_order",
+        t["count_order"].cast(pa.int64()),
+    )
+
+
+def sql_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+       count(*)::BIGINT AS count_order,
+       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) / 10000.0 AS sum_disc_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -440,6 +578,8 @@ QUERIES = {
     "filter_pushdown": q_filter_pushdown,
     "events_minute_agg": q_events_minute_agg,
     "sessionize": q_sessionize,
+    "orders_by_segment": q_orders_by_segment,
+    "pricing_summary": q_pricing_summary,
 }
 
 
@@ -460,6 +600,8 @@ def oracle_sql() -> dict[str, str]:
         "filter_pushdown": sql_filter_pushdown(),
         "events_minute_agg": sql_events_minute_agg(),
         "sessionize": sql_sessionize(),
+        "orders_by_segment": sql_orders_by_segment(),
+        "pricing_summary": sql_pricing_summary(),
         # doc_fingerprint / minhash_neardup / simhash_neardup / ann_ivf_topk:
         # non-SQL-expressible (hash/approximate) -> rows-only checks.
     }

@@ -1,0 +1,76 @@
+"""Dedup operators over a corpus with planted exact and near duplicates."""
+
+import numpy as np
+import pytest
+import ray
+
+from cb import analyze, dedup
+
+BASE = (
+    "def loadIndexShard(path, block):\n"
+    "    data = readFile(path)\n"
+    "    for row in parseRows(data):\n"
+    "        emit(row.key, row.value)\n"
+    "    return buildPostings(data, block)\n"
+)
+NEAR = BASE.replace("buildPostings", "buildPostingLists")  # one-token edit
+OTHER = "completely different text about quantum zebras dancing slowly tonight " * 3
+
+
+def _ds():
+    rows = [
+        {"doc_id": 1, "text": BASE},
+        {"doc_id": 2, "text": BASE},          # exact dup of 1
+        {"doc_id": 3, "text": NEAR},           # near dup of 1
+        {"doc_id": 4, "text": OTHER},
+        {"doc_id": 5, "text": OTHER + " extra"},  # near dup of 4
+        {"doc_id": 6, "text": "tiny"},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_exact_duplicates():
+    out = {r["keep_doc_id"]: r["n_docs"] for r in dedup.exact_duplicates(_ds()).take_all()}
+    assert out[1] == 2  # docs 1+2 collapse
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_minhash_signature_properties():
+    a, b = dedup._hash_params(128)
+    s1 = dedup.shingle_set(analyze.tokenize(BASE))
+    s2 = dedup.shingle_set(analyze.tokenize(NEAR))
+    sig1 = dedup.minhash_signature(dedup._shingle_hashes(s1), a, b)
+    sig2 = dedup.minhash_signature(dedup._shingle_hashes(s2), a, b)
+    est = float(np.mean(sig1 == sig2))
+    true_j = len(set(s1) & set(s2)) / len(set(s1) | set(s2))
+    assert abs(est - true_j) < 0.25
+    assert est > 0.5  # near-dups really do collide
+    # deterministic
+    again = dedup.minhash_signature(dedup._shingle_hashes(s1), a, b)
+    assert np.array_equal(sig1, again)
+
+
+def test_minhash_near_duplicates_pipeline():
+    pairs = dedup.minhash_near_duplicates(_ds(), threshold=0.5, concurrency=2).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in got  # exact dups trivially near
+    assert (1, 3) in got or (2, 3) in got  # near dup found
+    assert not any({a, b} == {4, 6} for a, b in got)
+
+
+def test_simhash_near_duplicates():
+    pairs = dedup.simhash_near_duplicates(_ds(), max_hamming=6).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in got
+    hamming = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert hamming[(1, 2)] == 0
+
+
+def test_ngram_jaccard_exact_values():
+    out = dedup.ngram_jaccard_pairs(_ds(), threshold=0.2).take_all()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    s1 = set(dedup.shingle_set(analyze.tokenize(BASE)))
+    s3 = set(dedup.shingle_set(analyze.tokenize(NEAR)))
+    expect = len(s1 & s3) / len(s1 | s3)
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == expect
