@@ -56,8 +56,12 @@ def docs_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
 
+INDEX_FORMAT_VERSION = 1  # bump when the on-disk index layout changes
+
+
 def _index_dir_for(sf_dir: str) -> str:
-    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    key = f"{os.path.abspath(sf_dir)}|v{INDEX_FORMAT_VERSION}"
+    h = hashlib.md5(key.encode()).hexdigest()[:12]
     return os.path.join("/tmp", "cb_index_cache", h)
 
 
