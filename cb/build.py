@@ -98,23 +98,65 @@ def doc_stats(batch: pa.Table) -> pa.Table:
     )
 
 
+def _empty_partials() -> pa.Table:
+    return pa.table(
+        {
+            "part": pa.array([], type=pa.int32()),
+            "term": pa.array([], type=pa.string()),
+            "bucket": pa.array([], type=pa.int32()),
+            "doc_ids": pa.array([], type=pa.list_(pa.int64())),
+            "tfs": pa.array([], type=pa.list_(pa.int32())),
+            "dls": pa.array([], type=pa.list_(pa.int32())),
+        }
+    )
+
+
+def _stats_sentinel_rows(
+    stats: pa.Table, num_parts: int, range_bits: int
+) -> pa.Table:
+    """Doc-stats as sentinel partial rows (part = num_parts + doc-id
+    bucket, term=\"\"): they ride the SAME shuffle as the postings, so
+    one tokenize pass feeds both outputs."""
+    ids = stats["doc_id"].to_numpy(zero_copy_only=False)
+    lens = stats["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, lens = ids[order], lens[order]
+    shift = ID_BITS - range_bits
+    buckets = (ids >> shift).astype(np.int32)
+    change = np.empty(len(ids), dtype=bool)
+    if len(ids) == 0:
+        return _empty_partials()
+    change[0] = True
+    change[1:] = buckets[1:] != buckets[:-1]
+    starts = np.flatnonzero(change)
+    offsets = np.append(starts, len(ids)).astype(np.int64)
+    off_arr = pa.array(offsets, type=pa.int64())
+    zeros = pa.array(np.zeros(len(ids), dtype=np.int32), type=pa.int32())
+    return pa.table(
+        {
+            "part": pa.array((num_parts + buckets[starts]).astype(np.int32), type=pa.int32()),
+            "term": pa.array([""] * len(starts), type=pa.string()),
+            "bucket": pa.array(buckets[starts], type=pa.int32()),
+            "doc_ids": pa.ListArray.from_arrays(off_arr, pa.array(ids, type=pa.int64())),
+            "tfs": pa.ListArray.from_arrays(off_arr, zeros),
+            "dls": pa.ListArray.from_arrays(off_arr, pa.array(lens.astype(np.int32), type=pa.int32())),
+        }
+    )
+
+
 def tokenize_partials(
-    batch: pa.Table, *, num_parts: int, range_bits: int
+    batch: pa.Table, *, num_parts: int, range_bits: int, emit_stats: bool = False
 ) -> pa.Table:
     """One batch of (doc_id, text) -> partial postings rows
-    (part, term, bucket, doc_ids:list, tfs:list, dls:list), sorted."""
+    (part, term, bucket, doc_ids:list, tfs:list, dls:list), sorted.
+
+    With ``emit_stats=True``, doc-stats sentinel rows are appended so
+    the single tokenize pass also produces the docstats table."""
     tf, stats = analyze.term_frequencies(batch["doc_id"], batch["text"])
     if len(tf) == 0:
-        return pa.table(
-            {
-                "part": pa.array([], type=pa.int32()),
-                "term": pa.array([], type=pa.string()),
-                "bucket": pa.array([], type=pa.int32()),
-                "doc_ids": pa.array([], type=pa.list_(pa.int64())),
-                "tfs": pa.array([], type=pa.list_(pa.int32())),
-                "dls": pa.array([], type=pa.list_(pa.int32())),
-            }
-        )
+        if emit_stats and len(stats):
+            return _stats_sentinel_rows(stats, num_parts, range_bits)
+        return _empty_partials()
     # attach doc_len to each (doc,term) row via sorted lookup
     s_ids = stats["doc_id"].to_numpy(zero_copy_only=False)
     s_len = stats["doc_len"].to_numpy(zero_copy_only=False)
@@ -144,7 +186,7 @@ def tokenize_partials(
     def as_list(col, typ):
         flat = tfl[col].combine_chunks() if isinstance(tfl[col], pa.ChunkedArray) else tfl[col]
         return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()), flat.cast(typ))
-    return pa.table(
+    out = pa.table(
         {
             "part": tfl["part"].take(pa.array(starts)),
             "term": tfl["term"].take(pa.array(starts)),
@@ -154,6 +196,9 @@ def tokenize_partials(
             "dls": as_list("dl", pa.int32()),
         }
     )
+    if emit_stats and len(stats):
+        out = pa.concat_tables([out, _stats_sentinel_rows(stats, num_parts, range_bits)])
+    return out
 
 
 def _explode_partials(group: pa.Table) -> pa.Table:
@@ -182,7 +227,7 @@ def _dict_indices(arr) -> tuple[np.ndarray, pa.Array]:
     return d.indices.to_numpy(zero_copy_only=False), d.dictionary
 
 
-def encode_partition_rows(flat: pa.Table, avgdl: float) -> pa.Table:
+def encode_partition_rows(flat: pa.Table, avgdl: float | None) -> pa.Table:
     """Sorted flat postings -> compressed rows (POSTING_SCHEMA + bucket).
 
     Boundary detection runs on dictionary codes (ints), not python
@@ -214,13 +259,55 @@ def _posting_file_schema() -> pa.Schema:
 
 
 def encode_partition(
-    group: pa.Table, *, index_dir: str, avgdl: float, lineage: str = "fast-path"
+    group: pa.Table,
+    *,
+    index_dir: str,
+    avgdl: float | None,
+    num_parts: int | None = None,
+    lineage: str = "fast-path",
 ) -> pa.Table:
-    """map_groups body: one term-partition -> postings file + manifest."""
+    """map_groups body: one term-partition -> postings file + manifest.
+
+    Sentinel partitions (part >= num_parts, emitted by the single-pass
+    build) are doc-stats groups and are written to ``docstats/``."""
     part = int(group["part"][0].as_py())
+    if num_parts is not None and part >= num_parts:
+        return pa.table(write_docstats_bucket(group, index_dir, part, num_parts))
     flat = _explode_partials(group)
     tbl = encode_partition_rows(flat, avgdl)
     return pa.table(write_partition(tbl, index_dir, part, avgdl, lineage))
+
+
+def write_docstats_bucket(group: pa.Table, index_dir: str, part: int, num_parts: int) -> dict:
+    """Sentinel group -> docstats/bucket=<b>.parquet (atomic)."""
+    ids = pc.list_flatten(group["doc_ids"]).to_numpy(zero_copy_only=False)
+    lens = pc.list_flatten(group["dls"]).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, lens = ids[order], lens[order]
+    bucket = part - num_parts
+    ddir = os.path.join(index_dir, "docstats")
+    os.makedirs(ddir, exist_ok=True)
+    fpath = os.path.join(ddir, f"bucket={bucket}.parquet")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "doc_len": pa.array(lens.astype(np.int32), type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, fpath + ".tmp")
+    os.replace(fpath + ".tmp", fpath)
+    return {
+        "partition": [part],
+        "status": ["done"],
+        "lineage": [f"docstats-bucket-{bucket}"],
+        "n_rows": [len(ids)],
+        "n_terms": [0],
+        "n_postings": [0],
+        "n_docs": [int(len(ids))],
+        "total_tokens": [int(lens.sum())],
+        "avgdl": [None],
+        "file_sha256": [""],
+    }
 
 
 def encode_partitions_block(
@@ -247,6 +334,8 @@ def _manifest_schema() -> pa.Schema:
             ("n_rows", pa.int64()),
             ("n_terms", pa.int64()),
             ("n_postings", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("total_tokens", pa.int64()),
             ("avgdl", pa.float64()),
             ("file_sha256", pa.string()),
         ]
@@ -254,7 +343,7 @@ def _manifest_schema() -> pa.Schema:
 
 
 def write_partition(
-    tbl: pa.Table, index_dir: str, part: int, avgdl: float, lineage: str
+    tbl: pa.Table, index_dir: str, part: int, avgdl: float | None, lineage: str
 ) -> dict:
     """Atomic write of one partition + manifest; idempotent under retry.
 
@@ -278,11 +367,31 @@ def write_partition(
         "n_rows": tbl.num_rows,
         "n_terms": len(set(tbl["term"].to_pylist())),
         "n_postings": int(pc.sum(tbl["df"]).as_py() or 0),
+        "n_docs": 0,
+        "total_tokens": 0,
         "avgdl": avgdl,
         "file_sha256": sha,
     }
     manifest.write_atomic(os.path.join(pdir, "manifest.json"), m)
     return {k: [v] for k, v in m.items()}
+
+
+def annotate_partition(batch: pa.Table, *, index_dir: str, avgdl: float) -> pa.Table:
+    """Post-pass body: fill block-max metadata on partitions that were
+    encoded before avgdl was known (single-pass build), rewriting the
+    partition file atomically."""
+    rows_out = []
+    for p in batch["part"].to_pylist():
+        fpath = os.path.join(index_dir, "parts", f"part={p}", "postings.parquet")
+        if not os.path.exists(fpath):
+            continue
+        tbl = pq.read_table(fpath)
+        annotated = [compress.annotate_umax(r, avgdl) for r in tbl.to_pylist()]
+        new_tbl = pa.Table.from_pylist(annotated, schema=_posting_file_schema())
+        rows_out.append(write_partition(new_tbl, index_dir, int(p), avgdl, "fast-path"))
+    if not rows_out:
+        return pa.Table.from_pylist([], schema=_manifest_schema())
+    return pa.concat_tables([pa.table(r) for r in rows_out])
 
 
 class IndexMeta:
@@ -359,38 +468,40 @@ def _build_index_inner(
 ) -> IndexMeta:
     ds = _normalize(source, text_col, id_col)
 
-    # pass 1: doc stats -> parquet + global stats
-    stats_dir = os.path.join(index_dir, "docstats")
-    os.makedirs(stats_dir, exist_ok=True)
-    stats_ds = ds.map_batches(
-        doc_stats, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
-    ).materialize()  # tiny (16B/doc); reused for the write AND the aggregate
-    try:
-        stats_ds.write_parquet(stats_dir, min_rows_per_file=500_000)
-    except TypeError:  # older Ray: num_rows_per_file
-        stats_ds.write_parquet(stats_dir)
-    agg = stats_ds.aggregate(
-        ray.data.aggregate.Count(), ray.data.aggregate.Sum("doc_len")
-    )
-    n_docs = int(agg["count()"])
-    total_tokens = int(agg["sum(doc_len)"] or 0)
-    write_global(index_dir, n_docs, total_tokens, num_parts, range_bits)
-    avgdl = (total_tokens / n_docs) if n_docs else 0.0
-
-    # pass 2: partial postings -> groupby(part) -> encode + write.
-    # Measured: the sort-based groupby merge with LARGE tokenize batches
-    # (fewer, wider partial rows = stronger pre-aggregation) beats both
-    # the hash-shuffle groupby and a key-based repartition here; the
-    # shuffle payload is what matters, not the exchange flavor.
+    # SINGLE tokenize pass: partial postings AND doc-stats sentinel rows
+    # ride one shuffle (doc stats land in sentinel partitions
+    # part >= num_parts and are written to docstats/).  Measured: the
+    # sort-based groupby merge with LARGE tokenize batches (fewer, wider
+    # partial rows = stronger pre-aggregation) beats both the
+    # hash-shuffle groupby and a key-based repartition here; the shuffle
+    # payload is what matters, not the exchange flavor.
     partials = ds.map_batches(
-        partial(tokenize_partials, num_parts=num_parts, range_bits=range_bits),
+        partial(
+            tokenize_partials,
+            num_parts=num_parts,
+            range_bits=range_bits,
+            emit_stats=True,
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
     )
     manifests = partials.groupby("part").map_groups(
-        partial(encode_partition, index_dir=index_dir, avgdl=avgdl),
+        partial(encode_partition, index_dir=index_dir, avgdl=None, num_parts=num_parts),
         batch_format="pyarrow",
     )
-    manifests.materialize()  # trigger; output is one tiny row per partition
+    rows = manifests.take_all()  # one tiny row per partition
+    n_docs = sum(r["n_docs"] for r in rows)
+    total_tokens = sum(r["total_tokens"] for r in rows)
+    write_global(index_dir, n_docs, total_tokens, num_parts, range_bits)
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+
+    # small post-pass over the written index: fill block-max metadata
+    # (needs the corpus-global avgdl, which the same shuffle produced)
+    parts_ds = ray.data.from_items([{"part": p} for p in range(num_parts)])
+    parts_ds.map_batches(
+        partial(annotate_partition, index_dir=index_dir, avgdl=avgdl),
+        batch_format="pyarrow",
+        batch_size=1,
+    ).materialize()
     return IndexMeta(index_dir)

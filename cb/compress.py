@@ -94,10 +94,12 @@ POSTING_SCHEMA = pa.schema(
         ("cf", pa.int64()),
         ("ids_blob", pa.binary()),
         ("tfs_blob", pa.binary()),
+        ("dls_blob", pa.binary()),  # per-posting doc length (varint)
         ("block_last_id", pa.list_(pa.int64())),
         ("block_umax", pa.list_(pa.float64())),
         ("block_id_off", pa.list_(pa.int32())),
         ("block_tf_off", pa.list_(pa.int32())),
+        ("block_dl_off", pa.list_(pa.int32())),
     ]
 )
 
@@ -107,25 +109,33 @@ def encode_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     doc_lens: np.ndarray,
-    avgdl: float,
+    avgdl: float | None,
 ) -> dict:
     """One term's sorted postings -> compressed row (dict per POSTING_SCHEMA).
 
-    ``doc_lens`` is aligned with ``doc_ids``; the per-block max u-factor
-    is computed with the exact float64 ops the query side uses
-    (:func:`cb.scoring.u_factor`), so block upper bounds are true upper
-    bounds of the exact contributions.
+    Per-posting doc lengths are stored IN the postings (varint stream):
+    scoring never needs a doc-stats side table, which removes the
+    docstats broadcast from the serving scale path entirely.
+
+    ``avgdl`` may be None when the corpus-global average is not yet
+    known (single-pass builds compute it from the same shuffle);
+    ``block_umax`` is then left empty and filled by
+    :func:`annotate_umax` in a small post-pass over the written index.
+    When given, umax uses the exact float64 ops of the query side
+    (:func:`cb.scoring.u_factor`), so block bounds are true upper bounds.
     """
     ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
-    assert len(ids) == len(tfs) == len(doc_lens)
+    dls = np.ascontiguousarray(doc_lens, dtype=np.int64)
+    assert len(ids) == len(tfs) == len(dls)
     n = len(ids)
     if n == 0:
         return {
-            "term": term, "df": 0, "cf": 0, "ids_blob": b"", "tfs_blob": b"",
-            "block_last_id": [], "block_umax": [], "block_id_off": [], "block_tf_off": [],
+            "term": term, "df": 0, "cf": 0,
+            "ids_blob": b"", "tfs_blob": b"", "dls_blob": b"",
+            "block_last_id": [], "block_umax": [],
+            "block_id_off": [], "block_tf_off": [], "block_dl_off": [],
         }
-    u = scoring.u_factor(tfs, doc_lens, avgdl)
     block_starts = np.arange(0, n, BLOCK, dtype=np.int64)
     block_ends = np.minimum(block_starts + BLOCK, n)
     # one vectorized pass over ALL blocks: deltas with a reset to the
@@ -138,27 +148,55 @@ def encode_postings(
     deltas[block_starts] = ids[block_starts].astype(np.uint64)
     id_bytes, id_sizes = varint_encode_with_sizes(deltas)
     tf_bytes, tf_sizes = varint_encode_with_sizes(tfs.astype(np.uint64))
+    dl_bytes, dl_sizes = varint_encode_with_sizes(dls.astype(np.uint64))
     id_cum = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(id_sizes, out=id_cum[1:])
     tf_cum = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(tf_sizes, out=tf_cum[1:])
+    dl_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(dl_sizes, out=dl_cum[1:])
+    if avgdl is not None:
+        u = scoring.u_factor(tfs, dls, avgdl)
+        umax = np.maximum.reduceat(u, block_starts).tolist()
+    else:
+        umax = []
     return {
         "term": term,
         "df": n,
         "cf": int(tfs.sum()),
         "ids_blob": id_bytes.tobytes(),
         "tfs_blob": tf_bytes.tobytes(),
+        "dls_blob": dl_bytes.tobytes(),
         "block_last_id": ids[block_ends - 1].tolist(),
-        "block_umax": np.maximum.reduceat(u, block_starts).tolist(),
+        "block_umax": umax,
         "block_id_off": id_cum[block_starts].tolist(),
         "block_tf_off": tf_cum[block_starts].tolist(),
+        "block_dl_off": dl_cum[block_starts].tolist(),
     }
+
+
+def annotate_umax(row: dict, avgdl: float) -> dict:
+    """Fill ``block_umax`` on a row encoded with ``avgdl=None``."""
+    pl = PostingList(row)
+    if pl.df == 0:
+        row = dict(row)
+        row["block_umax"] = []
+        return row
+    _, tfs, dls = pl.decode_all()
+    u = scoring.u_factor(tfs, dls, avgdl)
+    starts = np.arange(0, pl.df, BLOCK, dtype=np.int64)
+    out = dict(row)
+    out["block_umax"] = np.maximum.reduceat(u, starts).tolist()
+    return out
 
 
 class PostingList:
     """Decoded-on-demand view over one compressed posting row."""
 
-    __slots__ = ("term", "df", "cf", "_ids_buf", "_tfs_buf", "last_ids", "umax", "id_off", "tf_off")
+    __slots__ = (
+        "term", "df", "cf", "_ids_buf", "_tfs_buf", "_dls_buf",
+        "last_ids", "umax", "id_off", "tf_off", "dl_off",
+    )
 
     def __init__(self, row: dict):
         self.term = row["term"]
@@ -166,10 +204,12 @@ class PostingList:
         self.cf = int(row["cf"])
         self._ids_buf = np.frombuffer(row["ids_blob"], dtype=np.uint8)
         self._tfs_buf = np.frombuffer(row["tfs_blob"], dtype=np.uint8)
+        self._dls_buf = np.frombuffer(row["dls_blob"], dtype=np.uint8)
         self.last_ids = np.asarray(row["block_last_id"], dtype=np.int64)
         self.umax = np.asarray(row["block_umax"], dtype=np.float64)
         self.id_off = np.asarray(row["block_id_off"], dtype=np.int64)
         self.tf_off = np.asarray(row["block_tf_off"], dtype=np.int64)
+        self.dl_off = np.asarray(row["block_dl_off"], dtype=np.int64)
 
     @property
     def n_blocks(self) -> int:
@@ -178,23 +218,26 @@ class PostingList:
     def block_len(self, b: int) -> int:
         return min(BLOCK, self.df - b * BLOCK)
 
-    def decode_block(self, b: int) -> tuple[np.ndarray, np.ndarray]:
-        """Block b -> (doc_ids int64, tfs int64)."""
+    def decode_block(self, b: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Block b -> (doc_ids, tfs, doc_lens), all int64."""
         id_end = self.id_off[b + 1] if b + 1 < self.n_blocks else len(self._ids_buf)
         tf_end = self.tf_off[b + 1] if b + 1 < self.n_blocks else len(self._tfs_buf)
+        dl_end = self.dl_off[b + 1] if b + 1 < self.n_blocks else len(self._dls_buf)
         nb = self.block_len(b)
         deltas = varint_decode(self._ids_buf[self.id_off[b]:id_end], nb)
         ids = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
         tfs = varint_decode(self._tfs_buf[self.tf_off[b]:tf_end], nb).astype(np.int64)
-        return ids, tfs
+        dls = varint_decode(self._dls_buf[self.dl_off[b]:dl_end], nb).astype(np.int64)
+        return ids, tfs, dls
 
-    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Whole-list decode in ONE varint pass per stream (not per
         block): the encoded deltas reset to an absolute id at each block
         start, so ids = running cumsum minus the cumsum just before each
         block start (vectorized with repeat)."""
+        empty = np.empty(0, dtype=np.int64)
         if self.n_blocks == 0:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+            return empty, empty, empty
         v = varint_decode(self._ids_buf, self.df)
         t = np.cumsum(v, dtype=np.uint64)
         starts = np.arange(0, self.df, BLOCK, dtype=np.int64)
@@ -204,4 +247,5 @@ class PostingList:
         base[1:] = t[starts[1:] - 1]
         ids = (t - np.repeat(base, sizes)).astype(np.int64)
         tfs = varint_decode(self._tfs_buf, self.df).astype(np.int64)
-        return ids, tfs
+        dls = varint_decode(self._dls_buf, self.df).astype(np.int64)
+        return ids, tfs, dls

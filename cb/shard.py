@@ -12,17 +12,17 @@ Topology: the index is TERM-partitioned (hash(term) % num_parts); each
 ``ShardServer`` owns the partitions ``p % num_servers == server_id``.
 A query tokenizes on the driver, fetches each term's compressed postings
 from its owner (an ObjectRef — zero-copy via the object store), and the
-server owning the most query terms runs block-max WAND over the gathered
-lists.  Document stats (doc_id -> doc_len) are broadcast once via
-``ray.put`` and shared by every server on the node (plasma shared
-memory) — the broadcast-small-side pattern, not a per-query reship.
+server owning the most query terms scores the gathered lists (vectorized
+exact TAAT by default, block-max WAND selectable).  Scoring needs NO
+side tables: per-posting doc lengths are stored in the postings
+themselves (cb.compress), so the only corpus-global serving state is
+two scalars (N, avgdl) from ``_global.json``.
 
-Scale note (10^12 docs): doc stats would no longer broadcast; the scale
-path is hybrid partitioning — doc-range index GROUPS (each with local
-docstats), term-partitioned inside a group, queries fanned across groups
-and merged by (score, doc_id).  The group dimension is exactly this
-module applied per group, so the sandbox implementation is the building
-block.
+Scale note (10^12 docs): with doc lengths posting-resident, serving
+shards are self-contained; the remaining scale dimension is hybrid
+partitioning — doc-range index GROUPS, term-partitioned inside a group,
+queries fanned across groups and merged by (score, doc_id).  The group
+dimension is exactly this module applied per group.
 """
 
 from __future__ import annotations
@@ -52,12 +52,13 @@ class ChunkedPostings:
         self.cf = sum(c.cf for c in self.chunks)
 
     def decode_all(self):
-        ids, tfs = [], []
+        ids, tfs, dls = [], [], []
         for c in self.chunks:
-            i, t = c.decode_all()
+            i, t, d = c.decode_all()
             ids.append(i)
             tfs.append(t)
-        return np.concatenate(ids), np.concatenate(tfs)
+            dls.append(d)
+        return np.concatenate(ids), np.concatenate(tfs), np.concatenate(dls)
 
 
 class DocStats:
@@ -121,22 +122,32 @@ class ShardPartition:
         return ChunkedPostings(term, rows)
 
 
+class GlobalStats:
+    """The only corpus-global state scoring needs: N and avgdl.
+
+    Doc lengths ride inside the postings (cb.compress), so there is NO
+    doc-stats side table to broadcast to servers — the serving scale
+    path needs just these two scalars per index."""
+
+    __slots__ = ("n_docs", "avgdl")
+
+    def __init__(self, n_docs: int, avgdl: float):
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+
+
 @ray.remote
 class ShardServer:
     """Owns a set of term partitions; loads once, serves many queries."""
 
-    def __init__(self, index_dir: str, parts: list[int], docstats=None):
+    def __init__(self, index_dir: str, parts: list[int]):
         meta = IndexMeta(index_dir)
         self.parts = {p: ShardPartition(meta.part_file(p)) for p in parts}
-        # ``docstats`` is passed as a top-level ObjectRef (ray.put once on
-        # the driver); Ray resolves it before __init__ runs, so every
-        # server reads the SAME plasma copy zero-copy (numpy arrays are
-        # mapped read-only from shared memory, not re-shipped per actor).
-        self.docstats: DocStats = docstats if docstats is not None else DocStats.load(index_dir)
+        self.stats = GlobalStats(meta.n_docs, meta.avgdl)
         self.n_docs = meta.n_docs
         self.num_parts = meta.num_parts
         self.cache: dict[str, ChunkedPostings | None] = {}
-        self.decoded: dict[str, tuple] = {}  # term -> (ids, tfs) numpy
+        self.decoded: dict[str, tuple] = {}  # term -> (ids, tfs, dls) numpy
 
     def _local(self, term: str) -> ChunkedPostings | None:
         if term not in self.cache:
@@ -165,8 +176,8 @@ class ShardServer:
         live = {t: p for t, p in postings.items() if p is not None}
         idfs = {t: float(scoring.idf(p.df, self.n_docs)) for t, p in live.items()}
         if algo == "wand":
-            return wand.topk_wand(live, idfs, self.docstats, k)
-        return wand.topk_taat(live, idfs, self.docstats, k, decoded_cache=self.decoded)
+            return wand.topk_wand(live, idfs, self.stats, k)
+        return wand.topk_taat(live, idfs, self.stats, k, decoded_cache=self.decoded)
 
 
 class LocalSearcher:
@@ -179,7 +190,7 @@ class LocalSearcher:
             p: ShardPartition(self.meta.part_file(p))
             for p in range(self.meta.num_parts)
         }
-        self.docstats = DocStats.load(index_dir)
+        self.stats = GlobalStats(self.meta.n_docs, self.meta.avgdl)
 
     def get_postings(self, term: str) -> ChunkedPostings | None:
         p = term_partition(term, self.meta.num_parts)
@@ -193,7 +204,7 @@ class LocalSearcher:
             return []
         idfs = {t: float(scoring.idf(p.df, self.meta.n_docs)) for t, p in postings.items()}
         fn = wand.topk_wand if algo == "wand" else wand.topk_taat
-        return fn(postings, idfs, self.docstats, k)
+        return fn(postings, idfs, self.stats, k)
 
 
 class QueryEngine:
@@ -202,13 +213,11 @@ class QueryEngine:
     def __init__(self, index_dir: str, num_servers: int = 2):
         self.meta = IndexMeta(index_dir)
         self.num_servers = num_servers
-        docstats = DocStats.load(index_dir)
-        self.docstats_ref = ray.put(docstats)
         assignments: dict[int, list[int]] = {s: [] for s in range(num_servers)}
         for p in range(self.meta.num_parts):
             assignments[p % num_servers].append(p)
         self.servers = [
-            ShardServer.remote(index_dir, assignments[s], self.docstats_ref)
+            ShardServer.remote(index_dir, assignments[s])
             for s in range(num_servers)
         ]
         # terms each server is known to hold decoded/fetched (cache map)

@@ -41,7 +41,7 @@ class TermCursor:
     __slots__ = (
         "term", "idf", "alpha", "chunks", "blk_chunk", "blk_local",
         "blk_last", "blk_umax", "global_ub", "n_blocks", "cur_blk",
-        "ids", "tfs", "pos", "cur_doc",
+        "ids", "tfs", "dls", "pos", "cur_doc",
     )
 
     def __init__(self, term: str, chunked, idf: float, alpha: int):
@@ -65,7 +65,7 @@ class TermCursor:
         # monotone, so >= every exact contribution idf * u_i)
         self.global_ub = self.idf * float(self.blk_umax.max()) if self.n_blocks else 0.0
         self.cur_blk = -1
-        self.ids = self.tfs = None
+        self.ids = self.tfs = self.dls = None
         self.pos = 0
         self.cur_doc = INF_DOC
         if self.n_blocks:
@@ -74,7 +74,7 @@ class TermCursor:
     def _load_block(self, b: int) -> None:
         self.cur_blk = b
         ch = self.chunks[self.blk_chunk[b]]
-        self.ids, self.tfs = ch.decode_block(int(self.blk_local[b]))
+        self.ids, self.tfs, self.dls = ch.decode_block(int(self.blk_local[b]))
         self.pos = 0
         self.cur_doc = int(self.ids[0])
 
@@ -116,6 +116,19 @@ class TermCursor:
     def cur_tf(self) -> int:
         return int(self.tfs[self.pos])
 
+    def cur_dl(self) -> int:
+        return int(self.dls[self.pos])
+
+    def decode_chunks(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Full decode of every chunk (vectorized, one pass per stream)."""
+        ids, tfs, dls = [], [], []
+        for ch in self.chunks:
+            i, t, d = ch.decode_all()
+            ids.append(i)
+            tfs.append(t)
+            dls.append(d)
+        return np.concatenate(ids), np.concatenate(tfs), np.concatenate(dls)
+
 
 def _gather_terms(postings: dict, idfs: dict) -> list[TermCursor]:
     terms = sorted(t for t, p in postings.items() if p is not None and p.df > 0)
@@ -123,7 +136,7 @@ def _gather_terms(postings: dict, idfs: dict) -> list[TermCursor]:
 
 
 def topk_taat(
-    postings: dict, idfs: dict, docstats, k: int, decoded_cache: dict | None = None
+    postings: dict, idfs: dict, stats, k: int, decoded_cache: dict | None = None
 ) -> list[tuple[int, float]]:
     """Exact exhaustive scoring (decode-all, term-at-a-time, vectorized).
 
@@ -140,28 +153,21 @@ def topk_taat(
     for c in cursors:
         hit = decoded_cache.get(c.term) if decoded_cache is not None else None
         if hit is not None:
-            ids, tfs = hit
+            ids, tfs, dls = hit
         else:
-            ids_parts, tf_parts = [], []
-            for ch in c.chunks:
-                i, t = ch.decode_all()
-                ids_parts.append(i)
-                tf_parts.append(t)
-            ids = np.concatenate(ids_parts)
-            tfs = np.concatenate(tf_parts)
+            ids, tfs, dls = c.decode_chunks()
             if decoded_cache is not None:
-                decoded_cache[c.term] = (ids, tfs)
-        per_term.append((c, ids, tfs))
-    universe = np.unique(np.concatenate([ids for _, ids, _ in per_term]))
+                decoded_cache[c.term] = (ids, tfs, dls)
+        per_term.append((c, ids, tfs, dls))
+    universe = np.unique(np.concatenate([ids for _, ids, _, _ in per_term]))
     acc = np.zeros(len(universe), dtype=np.float64)
-    for c, ids, tfs in per_term:  # cursors sorted by term -> spec order
-        dl = docstats.lookup(ids)
-        contrib = c.idf * scoring.u_factor(tfs, dl, docstats.avgdl)
+    for c, ids, tfs, dls in per_term:  # cursors sorted by term -> spec order
+        contrib = c.idf * scoring.u_factor(tfs, dls, stats.avgdl)
         acc[np.searchsorted(universe, ids)] += contrib
     return rank_topk(universe, acc, k)
 
 
-def topk_wand(postings: dict, idfs: dict, docstats, k: int) -> list[tuple[int, float]]:
+def topk_wand(postings: dict, idfs: dict, stats, k: int) -> list[tuple[int, float]]:
     """Block-max WAND; rank-identical to :func:`topk_taat`/the oracle."""
     cursors = _gather_terms(postings, idfs)
     if not cursors:
@@ -222,10 +228,10 @@ def topk_wand(postings: dict, idfs: dict, docstats, k: int) -> list[tuple[int, f
             continue
         # full evaluation at d, summing in alphabetical-term order
         at_d = sorted((c for c in live[:j] if c.cur_doc == d), key=lambda c: c.alpha)
-        dl = int(docstats.lookup(np.array([d], dtype=np.int64))[0])
+        dl = at_d[0].cur_dl()  # doc length rides in the postings
         s = np.float64(0.0)
         for c in at_d:
-            s = s + c.idf * scoring.u_factor(c.cur_tf(), dl, docstats.avgdl)
+            s = s + c.idf * scoring.u_factor(c.cur_tf(), dl, stats.avgdl)
         key = (float(s), -d)
         if beats(key):
             if len(heap) == k:

@@ -33,10 +33,15 @@ def test_postings_roundtrip(data):
     dls = rng.integers(1, 5000, size=n).astype(np.int64)
     row = compress.encode_postings("t", ids, tfs, dls, avgdl=250.0)
     pl = compress.PostingList(row)
-    got_ids, got_tfs = pl.decode_all()
+    got_ids, got_tfs, got_dls = pl.decode_all()
     assert np.array_equal(got_ids, ids)
     assert np.array_equal(got_tfs, tfs)
+    assert np.array_equal(got_dls, dls)
     assert pl.df == n and pl.cf == tfs.sum()
+    # deferred-umax path (single-pass build) annotates identically
+    deferred = compress.encode_postings("t", ids, tfs, dls, avgdl=None)
+    assert deferred["block_umax"] == []
+    assert compress.annotate_umax(deferred, 250.0)["block_umax"] == row["block_umax"]
     # block maxes are true upper bounds of exact per-posting u factors
     u = scoring.u_factor(tfs, dls, 250.0)
     for b in range(pl.n_blocks):

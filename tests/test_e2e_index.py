@@ -78,7 +78,7 @@ def test_df_cf_match(built):
             cp = p.get(term)
             assert cp.df == oracle.df[term], term
             assert cp.cf == cf[term], term
-            ids, tfs = cp.decode_all()
+            ids, tfs, dls = cp.decode_all()
             assert np.all(np.diff(ids) > 0)  # strictly sorted, no dups
     assert seen == set(oracle.df.keys())
 
