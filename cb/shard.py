@@ -159,6 +159,23 @@ class ShardServer:
     def get_postings(self, term: str) -> ChunkedPostings | None:
         return self._local(term)
 
+    def warm(self, min_df: int = 0) -> int:
+        """Pre-decode postings for owned terms with df >= min_df (the
+        first-touch decode otherwise lands on the first query: p95).
+        Returns the number of terms warmed."""
+        n = 0
+        for part in self.parts.values():
+            if part.table is None:
+                continue
+            for term in part.offsets:
+                cp = self._local(term)
+                if cp is None or cp.df < min_df or term in self.decoded:
+                    continue
+                ids, tfs, dls = cp.decode_all()
+                self.decoded[term] = (ids, tfs, dls)
+                n += 1
+        return n
+
     def score(self, terms: list[str], k: int, fetched_terms: list[str], *fetched, algo: str = "taat"):
         """Run top-k over the query terms; ``fetched`` are ChunkedPostings
         for non-local terms (passed as ObjectRefs, resolved by Ray).
@@ -222,6 +239,11 @@ class QueryEngine:
         ]
         # terms each server is known to hold decoded/fetched (cache map)
         self.seen: list[set[str]] = [set() for _ in range(num_servers)]
+        self._rr = 0  # round-robin counter over warm replicas
+
+    def warm(self, min_df: int = 0) -> int:
+        """Pre-decode hot postings on every server (blocks until done)."""
+        return sum(ray.get([s.warm.remote(min_df) for s in self.servers]))
 
     def _owner(self, term: str) -> int:
         return term_partition(term, self.meta.num_parts) % self.num_servers
@@ -231,13 +253,23 @@ class QueryEngine:
         if not terms:
             return None
         owners = {t: self._owner(t) for t in terms}
-        # scorer = server OWNING the most query terms — a pure function of
-        # the term set, so repeats of a query always land on the same
-        # server and hit its decoded-postings cache (the seen-set below
-        # only skips re-fetches, it must not influence routing or repeat
-        # queries thrash between scorers)
-        counts = np.bincount([owners[t] for t in terms], minlength=self.num_servers)
-        scorer = int(np.argmax(counts))
+        # Routing: any server CAN score any query (it fetches and caches
+        # non-local postings), so servers act as replicas once warm.
+        # Round-robin across servers that have already seen every query
+        # term (throughput scales with the pool); for cold term sets,
+        # route to the server owning the most terms (fewest fetches) —
+        # a pure function of the term set, so retries of a cold query
+        # reuse the same server's cache instead of thrashing.
+        covered = [
+            s for s in range(self.num_servers)
+            if all(t in self.seen[s] for t in terms)
+        ]
+        if covered:
+            scorer = covered[self._rr % len(covered)]
+            self._rr += 1
+        else:
+            counts = np.bincount([owners[t] for t in terms], minlength=self.num_servers)
+            scorer = int(np.argmax(counts))
         fetched_terms = [
             t for t in terms if owners[t] != scorer and t not in self.seen[scorer]
         ]

@@ -44,7 +44,7 @@ class TermCursor:
         "ids", "tfs", "dls", "pos", "cur_doc",
     )
 
-    def __init__(self, term: str, chunked, idf: float, alpha: int):
+    def __init__(self, term: str, chunked, idf: float, alpha: int, need_umax: bool = True):
         self.term = term
         self.idf = float(idf)
         self.alpha = alpha
@@ -61,9 +61,17 @@ class TermCursor:
         self.blk_last = np.concatenate(last) if last else np.empty(0, dtype=np.int64)
         self.blk_umax = np.concatenate(umax) if umax else np.empty(0, dtype=np.float64)
         self.n_blocks = len(self.blk_last)
+        if need_umax and self.n_blocks and len(self.blk_umax) != self.n_blocks:
+            raise ValueError(
+                f"postings for {term!r} lack block-max metadata (index built "
+                "with deferred umax and never annotated); run "
+                "cb.build.annotate_partition or score with algo='taat'"
+            )
         # term-global upper bound: idf * max block u (float64 multiply —
         # monotone, so >= every exact contribution idf * u_i)
-        self.global_ub = self.idf * float(self.blk_umax.max()) if self.n_blocks else 0.0
+        self.global_ub = (
+            self.idf * float(self.blk_umax.max()) if len(self.blk_umax) else 0.0
+        )
         self.cur_blk = -1
         self.ids = self.tfs = self.dls = None
         self.pos = 0
@@ -130,9 +138,12 @@ class TermCursor:
         return np.concatenate(ids), np.concatenate(tfs), np.concatenate(dls)
 
 
-def _gather_terms(postings: dict, idfs: dict) -> list[TermCursor]:
+def _gather_terms(postings: dict, idfs: dict, need_umax: bool = True) -> list[TermCursor]:
     terms = sorted(t for t, p in postings.items() if p is not None and p.df > 0)
-    return [TermCursor(t, postings[t], idfs[t], i) for i, t in enumerate(terms)]
+    return [
+        TermCursor(t, postings[t], idfs[t], i, need_umax=need_umax)
+        for i, t in enumerate(terms)
+    ]
 
 
 def topk_taat(
@@ -146,7 +157,7 @@ def topk_taat(
     rank-equality of the two is test-enforced.  ``decoded_cache``
     (term -> (ids, tfs)) amortizes varint decoding across queries.
     """
-    cursors = _gather_terms(postings, idfs)
+    cursors = _gather_terms(postings, idfs, need_umax=False)
     if not cursors:
         return []
     per_term = []

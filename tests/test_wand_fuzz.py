@@ -83,3 +83,22 @@ def test_wand_taat_oracle_agree(seed, monkeypatch):
         got_wand = wand.topk_wand(sub, idfs, stats, k)
         assert got_taat == want, (seed, terms, k)
         assert got_wand == want, (seed, terms, k)
+
+
+def test_unannotated_index_fails_loud_for_wand():
+    """An index whose block-max annotation pass never ran must refuse
+    WAND with a clear error (TAAT still works)."""
+    import numpy as np
+    from cb import compress
+    from cb.shard import ChunkedPostings, GlobalStats
+    ids = np.arange(1, 300, dtype=np.int64) * 7
+    tfs = np.ones(len(ids), dtype=np.int64)
+    dls = np.full(len(ids), 50, dtype=np.int64)
+    row = compress.encode_postings("t", ids, tfs, dls, avgdl=None)
+    row["bucket"] = 0
+    cp = ChunkedPostings("t", [row])
+    stats = GlobalStats(1000, 50.0)
+    got = wand.topk_taat({"t": cp}, {"t": 1.0}, stats, 5)
+    assert len(got) == 5
+    with pytest.raises(ValueError, match="block-max metadata"):
+        wand.topk_wand({"t": cp}, {"t": 1.0}, stats, 5)
