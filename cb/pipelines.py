@@ -56,7 +56,7 @@ def docs_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
 
-INDEX_FORMAT_VERSION = 1  # bump when the on-disk index layout changes
+INDEX_FORMAT_VERSION = 2  # bump when the on-disk index layout changes (v2: dls_blob)
 
 
 def _index_dir_for(sf_dir: str) -> str:

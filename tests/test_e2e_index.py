@@ -83,6 +83,18 @@ def test_df_cf_match(built):
     assert seen == set(oracle.df.keys())
 
 
+def test_hot_terms_are_chunked(built):
+    """Skew handling: hot terms span multiple doc-id-range chunks whose
+    ordered concatenation is the global posting list."""
+    idx_dir, meta, oracle = built
+    searcher = shard_mod.LocalSearcher(idx_dir)
+    hot = max(oracle.df, key=oracle.df.get)
+    cp = searcher.get_postings(hot)
+    assert len(cp.chunks) > 1  # uniform 63-bit ids spread over buckets
+    ids, _, _ = cp.decode_all()
+    assert np.all(np.diff(ids) > 0)  # chunks concatenate in id order
+
+
 def test_topk_rank_identical_to_oracle(built):
     idx_dir, meta, oracle = built
     searcher = shard_mod.LocalSearcher(idx_dir)
