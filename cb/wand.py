@@ -157,6 +157,8 @@ def topk_taat(
     rank-equality of the two is test-enforced.  ``decoded_cache``
     (term -> (ids, tfs)) amortizes varint decoding across queries.
     """
+    if k <= 0:
+        return []
     cursors = _gather_terms(postings, idfs, need_umax=False)
     if not cursors:
         return []
@@ -180,6 +182,8 @@ def topk_taat(
 
 def topk_wand(postings: dict, idfs: dict, stats, k: int) -> list[tuple[int, float]]:
     """Block-max WAND; rank-identical to :func:`topk_taat`/the oracle."""
+    if k <= 0:
+        return []
     cursors = _gather_terms(postings, idfs)
     if not cursors:
         return []

@@ -102,3 +102,19 @@ def test_unannotated_index_fails_loud_for_wand():
     assert len(got) == 5
     with pytest.raises(ValueError, match="block-max metadata"):
         wand.topk_wand({"t": cp}, {"t": 1.0}, stats, 5)
+
+
+def test_k_zero_and_negative():
+    import numpy as np
+    from cb import compress
+    from cb.shard import ChunkedPostings, GlobalStats
+    ids = np.arange(1, 50, dtype=np.int64)
+    tfs = np.ones(len(ids), dtype=np.int64)
+    dls = np.full(len(ids), 10, dtype=np.int64)
+    row = compress.encode_postings("t", ids, tfs, dls, avgdl=10.0)
+    row["bucket"] = 0
+    cp = ChunkedPostings("t", [row])
+    stats = GlobalStats(100, 10.0)
+    for k in (0, -3):
+        assert wand.topk_taat({"t": cp}, {"t": 1.0}, stats, k) == []
+        assert wand.topk_wand({"t": cp}, {"t": 1.0}, stats, k) == []
