@@ -196,6 +196,13 @@ class ShardServer:
             return wand.topk_wand(live, idfs, self.stats, k)
         return wand.topk_taat(live, idfs, self.stats, k, decoded_cache=self.decoded)
 
+    def score_many(self, term_lists: list[list[str]], k: int, algo: str = "taat"):
+        """Batched scoring of pre-tokenized queries whose terms this
+        server already holds (warm path; one RPC amortizes round-trips)."""
+        return [
+            self.score(terms, k, [], algo=algo) for terms in term_lists
+        ]
+
 
 class LocalSearcher:
     """In-process searcher over a built index (tests / tiny corpora;
@@ -282,6 +289,44 @@ class QueryEngine:
         return [] if fut is None else ray.get(fut)
 
     def query_many(self, texts: list[str], k: int = 10, algo: str = "taat"):
-        """Pipelined fan-out of many queries across the pool."""
-        futs = [self._dispatch(t, k, algo) for t in texts]
-        return [([] if f is None else ray.get(f)) for f in futs]
+        """Batched fan-out: queries are tokenized on the driver, chunked
+        round-robin over the pool, and shipped as ONE score_many RPC per
+        server — per-query RPC round-trips were the throughput ceiling
+        for small queries.  Cold term sets still go through the
+        ownership-routed single-query path first (fetch + cache)."""
+        term_lists = [sorted(set(analyze.tokenize(t))) for t in texts]
+        results: list = [None] * len(texts)
+        cold_futs: dict[int, object] = {}
+        warm_idx: list[int] = []
+        for i, terms in enumerate(term_lists):
+            if not terms:
+                results[i] = []
+            elif any(
+                all(t in self.seen[s] for t in terms)
+                for s in range(self.num_servers)
+            ):
+                warm_idx.append(i)
+            else:
+                cold_futs[i] = self._dispatch(texts[i], k, algo)
+        # warm queries: round-robin batches, one RPC per server
+        batches: list[list[int]] = [[] for _ in range(self.num_servers)]
+        for j, i in enumerate(warm_idx):
+            # only servers that hold every term of this query qualify
+            covered = [
+                s for s in range(self.num_servers)
+                if all(t in self.seen[s] for t in term_lists[i])
+            ]
+            batches[covered[j % len(covered)]].append(i)
+        batch_futs = []
+        for s, idxs in enumerate(batches):
+            if idxs:
+                batch_futs.append(
+                    (idxs, self.servers[s].score_many.remote(
+                        [term_lists[i] for i in idxs], k, algo=algo))
+                )
+        for i, f in cold_futs.items():
+            results[i] = [] if f is None else ray.get(f)
+        for idxs, f in batch_futs:
+            for i, res in zip(idxs, ray.get(f)):
+                results[i] = res
+        return results
