@@ -147,7 +147,7 @@ class ShardServer:
         self.n_docs = meta.n_docs
         self.num_parts = meta.num_parts
         self.cache: dict[str, ChunkedPostings | None] = {}
-        self.decoded: dict[str, tuple] = {}  # term -> (ids, tfs, dls) numpy
+        self.decoded: dict[str, tuple] = {}  # term -> (ids, contrib) numpy
 
     def _local(self, term: str) -> ChunkedPostings | None:
         if term not in self.cache:
@@ -160,9 +160,9 @@ class ShardServer:
         return self._local(term)
 
     def warm(self, min_df: int = 0) -> int:
-        """Pre-decode postings for owned terms with df >= min_df (the
-        first-touch decode otherwise lands on the first query: p95).
-        Returns the number of terms warmed."""
+        """Pre-decode postings + contribution vectors for owned terms
+        with df >= min_df (the first-touch decode otherwise lands on the
+        first query: p95). Returns the number of terms warmed."""
         n = 0
         for part in self.parts.values():
             if part.table is None:
@@ -172,7 +172,9 @@ class ShardServer:
                 if cp is None or cp.df < min_df or term in self.decoded:
                     continue
                 ids, tfs, dls = cp.decode_all()
-                self.decoded[term] = (ids, tfs, dls)
+                idf = float(scoring.idf(cp.df, self.n_docs))
+                contrib = idf * scoring.u_factor(tfs, dls, self.stats.avgdl)
+                self.decoded[term] = (ids, contrib)
                 n += 1
         return n
 

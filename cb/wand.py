@@ -155,7 +155,10 @@ def topk_taat(
     pointer-chasing WAND loop until posting lists far exceed memory;
     block-max WAND (below) is the IO-bound/disk-resident path and the
     rank-equality of the two is test-enforced.  ``decoded_cache``
-    (term -> (ids, tfs)) amortizes varint decoding across queries.
+    (term -> (ids, contrib)) amortizes BOTH varint decoding and the
+    per-posting contribution idf*u across queries — idf, tf, dl and
+    avgdl are all fixed per (index, term), so the contribution vector
+    is query-independent and bitwise-stable.
     """
     if k <= 0:
         return []
@@ -166,16 +169,16 @@ def topk_taat(
     for c in cursors:
         hit = decoded_cache.get(c.term) if decoded_cache is not None else None
         if hit is not None:
-            ids, tfs, dls = hit
+            ids, contrib = hit
         else:
             ids, tfs, dls = c.decode_chunks()
+            contrib = c.idf * scoring.u_factor(tfs, dls, stats.avgdl)
             if decoded_cache is not None:
-                decoded_cache[c.term] = (ids, tfs, dls)
-        per_term.append((c, ids, tfs, dls))
-    universe = np.unique(np.concatenate([ids for _, ids, _, _ in per_term]))
+                decoded_cache[c.term] = (ids, contrib)
+        per_term.append((ids, contrib))
+    universe = np.unique(np.concatenate([ids for ids, _ in per_term]))
     acc = np.zeros(len(universe), dtype=np.float64)
-    for c, ids, tfs, dls in per_term:  # cursors sorted by term -> spec order
-        contrib = c.idf * scoring.u_factor(tfs, dls, stats.avgdl)
+    for ids, contrib in per_term:  # cursors sorted by term -> spec order
         acc[np.searchsorted(universe, ids)] += contrib
     return rank_topk(universe, acc, k)
 
