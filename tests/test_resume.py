@@ -121,3 +121,35 @@ def test_fast_path_value_equivalent(corpus_files, tmp_path):
         return out
 
     assert docstats_map(a) == docstats_map(b)
+
+
+def test_resumable_with_id_column_input(tmp_path):
+    """Resumable build over a (doc_id, text) table (documents shape)
+    agrees with the fast path on stats and postings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cb import corpus as cm
+    from cb.build import build_index
+
+    tbl = cm.generate_corpus(80, seed=42)
+    wid = cm.with_identity(tbl)
+    docs = pa.table({"doc_id": wid["doc_id"], "text": wid["content"]})
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(docs.slice(0, 40), str(src / "a.parquet"))
+    pq.write_table(docs.slice(40, 40), str(src / "b.parquet"))
+
+    a = str(tmp_path / "fast")
+    b = str(tmp_path / "resum")
+    build_index(str(src), a, text_col="text", id_col="doc_id", num_parts=4)
+    build_index_resumable(str(src), b, text_col="text", id_col="doc_id", num_parts=4)
+    from cb.build import IndexMeta
+
+    ma, mb = IndexMeta(a), IndexMeta(b)
+    assert (ma.n_docs, ma.total_tokens, ma.avgdl) == (mb.n_docs, mb.total_tokens, mb.avgdl)
+
+    from cb.shard import LocalSearcher
+
+    sa, sb = LocalSearcher(a), LocalSearcher(b)
+    for q in ("import", "def merge", "getValue"):
+        assert sa.query(q, 10) == sb.query(q, 10)
