@@ -4,12 +4,15 @@ Ray-Data-first dataflow (BASELINE.json north_star; lifecycle design in
 SURVEY.md §3.4):
 
     read corpus -> [identity: doc_id + sha256] (map_batches, stateless)
-      -> pass 1: doc stats (map_batches) -> docstats parquet + N/avgdl
-      -> pass 2: per-batch PARTIAL postings (map_batches; pre-aggregated
+      -> ONE tokenize pass: per-batch PARTIAL postings (pre-aggregated
          so the shuffle moves array-valued rows, not one row per
-         (doc, term) pair — the partial/combiner pattern)
-      -> groupby('part').map_groups(encode_partition)  # the shuffle
-      -> per-partition postings parquet + manifest (write-audit-publish)
+         (doc, term) pair — the partial/combiner pattern) PLUS doc-stats
+         sentinel rows (part >= num_parts) riding the same exchange
+      -> groupby('part').map_groups(encode_partition)  # the one shuffle
+      -> per-partition postings parquet (ids+tfs+doc_lens varint) and
+         docstats/bucket files + manifests (write-audit-publish)
+      -> small post-pass: block-max metadata (needs avgdl, which the
+         same shuffle's manifest rows produce)
 
 Skew handling ("salting", reference precedent: the Modulo10 shard-key
 fan-out at /root/reference/src/ConveyorBelt.Tooling/Scheduling/
@@ -27,10 +30,11 @@ num_parts`` of pre-compression data in one ``map_groups`` group; pick
 ``num_parts`` so that is <~1 GiB (sandbox default 8; a 100 TB corpus
 wants ~64k partitions).
 
-Tokenization runs twice (pass 1 stats, pass 2 postings) by design: Ray
-Data has single-consumer pipelines, and re-running the stateless
-analyzer is cheaper at scale than materializing the tokenized corpus
-(~corpus-sized) in the object store.
+Single-consumer pipelines are Ray Data's model, so the build's two
+outputs (postings + doc stats) share ONE consumer: doc-stats rows are
+keyed into sentinel partitions and separated at the encode step — the
+corpus is read and tokenized exactly once, and nothing corpus-sized is
+ever materialized in the object store.
 """
 
 from __future__ import annotations
