@@ -86,7 +86,7 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
-    from cb import analyze, build, shard
+    from cb import build, shard
 
     sf = _sf_value(SF_DIR)
     n_code_docs = max(2000, int(CORPUS_DOCS_PER_SF * sf))

@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from . import analyze, ann, build, dedup, filters, scoring, shard, textstats
 
@@ -140,7 +140,10 @@ SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens,
 def _run_query_set(sf_dir: str, with_scores: bool) -> pa.Table:
     meta = get_index(sf_dir)
     engine = shard.QueryEngine(meta.index_dir, num_servers=2)
-    results = engine.query_many(list(QUERY_SET), k=K)
+    try:
+        results = engine.query_many(list(QUERY_SET), k=K)
+    finally:
+        engine.shutdown()
     rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
     for qid, res in enumerate(results):
         for rank, (doc_id, score) in enumerate(res, start=1):

@@ -11,8 +11,6 @@ name components by string in config, and user code registers new ones.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 _REGISTRIES: dict[str, dict[str, object]] = {
     "analyzer": {},
     "parser": {},

@@ -254,6 +254,13 @@ class QueryEngine:
         """Pre-decode hot postings on every server (blocks until done)."""
         return sum(ray.get([s.warm.remote(min_df) for s in self.servers]))
 
+    def shutdown(self) -> None:
+        """Kill the server actors (callers that create short-lived
+        engines should clean up so actors don't accumulate)."""
+        for s in self.servers:
+            ray.kill(s)
+        self.servers = []
+
     def _owner(self, term: str) -> int:
         return term_partition(term, self.meta.num_parts) % self.num_servers
 
