@@ -56,6 +56,10 @@ def _register_builtins() -> None:
     register("source", "text", ray.data.read_text)
     register("source", "binary", ray.data.read_binary_files)
 
+    from . import sources
+
+    register("source", "sql", sources.read_sql_shard)
+
     register("dedup", "exact", dedup.exact_duplicates)
     register("dedup", "minhash", dedup.minhash_near_duplicates)
     register("dedup", "simhash", dedup.simhash_near_duplicates)

@@ -21,6 +21,29 @@ def test_unknown_names():
         registry.lookup("bogus", "x")
 
 
+def test_sql_shard_source(tmp_path):
+    """S2 parity: SqlShardKeyQuery analog via ray.data.read_sql."""
+    import duckdb
+
+    from cb import sources
+
+    path = str(tmp_path / "t.duckdb")
+    con = duckdb.connect(path)
+    con.sql(
+        "CREATE TABLE shard AS SELECT i AS id, 'k' || (i % 3) AS pk, i * 1.5 AS v "
+        "FROM range(60) t(i)"
+    )
+    con.close()
+    ds = sources.read_sql_shard(
+        "shard", lambda: duckdb.connect(path, read_only=True),
+        shard_field="pk", shard_value="k2",
+    )
+    rows = ds.take_all()
+    assert len(rows) == 20
+    assert all(r["pk"] == "k2" for r in rows)
+    assert registry.lookup("source", "sql") is sources.read_sql_shard
+
+
 def test_user_registration():
     registry.register("analyzer", "upper", lambda s: s.upper().split())
     assert registry.lookup("analyzer", "upper")("a b") == ["A", "B"]
