@@ -27,6 +27,14 @@ shuffle dir lives on shared storage.
 
 Fresh build and resumed build produce byte-identical indexes
 (deterministic encoding + atomic write-audit-publish); tests prove it.
+
+INCREMENTAL INGEST follows for free: calling
+:func:`build_index_resumable` again with a GROWN input list re-tokenizes
+only the new shards (old shard manifests match and skip), re-merges
+partitions from the durable partials, refreshes N/avgdl and block
+maxes, and yields an index byte-identical to a fresh build over the
+full corpus — the engine's analog of the reference's incremental
+offset-checkpointed shoveling (MasterScheduler.cs:80-87).
 """
 
 from __future__ import annotations

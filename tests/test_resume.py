@@ -153,3 +153,44 @@ def test_resumable_with_id_column_input(tmp_path):
     sa, sb = LocalSearcher(a), LocalSearcher(b)
     for q in ("import", "def merge", "getValue"):
         assert sa.query(q, 10) == sb.query(q, 10)
+
+
+def test_incremental_append(corpus_files, tmp_path):
+    """The reference's continuous-ingest story (offset checkpoints,
+    MasterScheduler incremental shards) maps to: grow the input file
+    list and re-run the resumable build — only NEW shards are
+    tokenized (old shard manifests skip), partitions re-merge from the
+    durable partials, and the result is byte-identical to a fresh build
+    over the full corpus."""
+    import glob
+
+    all_files = sorted(glob.glob(os.path.join(corpus_files, "*.parquet")))
+    assert len(all_files) == 4
+    inc = str(tmp_path / "inc")
+    # phase 1: first two shards only
+    build_index_resumable(all_files[:2], inc, num_parts=4)
+    from cb.build import IndexMeta
+
+    assert IndexMeta(inc).n_docs == 100  # half the corpus
+
+    # phase 2: append the remaining shards
+    from cb import resumable as rz
+
+    mtimes_before = {}
+    for s in (0, 1):
+        p = os.path.join(inc, "_shuffle", f"shard={s}", "manifest.json")
+        mtimes_before[s] = os.stat(p).st_mtime_ns
+    build_index_resumable(all_files, inc, num_parts=4)
+    # old shards were skipped, not re-tokenized
+    for s in (0, 1):
+        p = os.path.join(inc, "_shuffle", f"shard={s}", "manifest.json")
+        assert os.stat(p).st_mtime_ns == mtimes_before[s]
+
+    fresh = str(tmp_path / "fresh")
+    build_index_resumable(all_files, fresh, num_parts=4)
+    fa, fb = _index_files(inc), _index_files(fresh)
+    for k in sorted(fa):
+        if k.endswith(".parquet"):
+            assert _sha(fa[k]) == _sha(fb[k]), k
+    ma, mb = IndexMeta(inc), IndexMeta(fresh)
+    assert (ma.n_docs, ma.total_tokens, ma.avgdl) == (mb.n_docs, mb.total_tokens, mb.avgdl)
