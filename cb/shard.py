@@ -148,6 +148,8 @@ class ShardServer:
         self.num_parts = meta.num_parts
         self.cache: dict[str, ChunkedPostings | None] = {}
         self.decoded: dict[str, tuple] = {}  # term -> (ids, contrib) numpy
+        self.results: dict[tuple, list] = {}  # (terms, k, algo) LRU, cap below
+        self._results_cap = 4096
 
     def _local(self, term: str) -> ChunkedPostings | None:
         if term not in self.cache:
@@ -186,6 +188,10 @@ class ShardServer:
         in-memory postings); ``algo="wand"`` selects block-max WAND —
         rank-identical by construction and by test.
         """
+        key = (tuple(terms), k, algo)
+        hit = self.results.get(key)
+        if hit is not None:
+            return hit  # exact: the index is immutable for a server's lifetime
         postings = dict(zip(fetched_terms, fetched))
         for t, p in postings.items():
             self.cache[t] = p  # keep remote-fetched postings for repeat queries
@@ -195,8 +201,13 @@ class ShardServer:
         live = {t: p for t, p in postings.items() if p is not None}
         idfs = {t: float(scoring.idf(p.df, self.n_docs)) for t, p in live.items()}
         if algo == "wand":
-            return wand.topk_wand(live, idfs, self.stats, k)
-        return wand.topk_taat(live, idfs, self.stats, k, decoded_cache=self.decoded)
+            res = wand.topk_wand(live, idfs, self.stats, k)
+        else:
+            res = wand.topk_taat(live, idfs, self.stats, k, decoded_cache=self.decoded)
+        if len(self.results) >= self._results_cap:
+            self.results.pop(next(iter(self.results)))  # FIFO eviction
+        self.results[key] = res
+        return res
 
     def score_many(self, term_lists: list[list[str]], k: int, algo: str = "taat"):
         """Batched scoring of pre-tokenized queries whose terms this
