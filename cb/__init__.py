@@ -12,17 +12,23 @@ Modules:
   analyze    code-aware tokenizer (Arrow / Python / DuckDB-SQL mirrors)
   corpus     synthetic source-code corpus + doc ids + sha256
   compress   delta+varint (FOR-style) postings codec + block maxes
-  build      index build pipeline (the wide shuffle) + manifests
-  stats      document/corpus statistics
+  build      index build pipeline (the wide shuffle) + manifests + doc stats
   query      BM25 oracle (brute force) + engine query API
   wand       block-max WAND top-k
   shard      ShardServer actors + QueryEngine
   parsers    reference parser family (IIS/Akamai/Sitecore/JSON/metrics)
   filters    SimpleFilter expression -> pushed-down Arrow predicate
   dedup      exact / minhash-LSH / simhash / ngram-jaccard / embedding dedup
-  ann        brute-force + LSH-bucketed cosine top-k similarity search
+  ann        brute-force + IVF cosine top-k similarity search
   textstats  language-id, quality scores, token counts, fingerprints
   multimodal binary-column decode/feature stages (stubbed decode)
+  windows    tumbling windows + gap-based sessionization
+  joins      broadcast join for dimension tables
+  sources    SQL shard reader (ray.data.read_sql)
+  registry   config-string component registries (analyzer/parser/source/dedup)
+  resumable  checkpointed build + incremental ingest
+  pipelines  named pipelines + DuckDB oracle SQL (driver contract)
+  cli        ray-job-submit entry points
 """
 
 __version__ = "0.1.0"
