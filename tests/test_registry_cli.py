@@ -76,3 +76,30 @@ def test_cli_build_and_query(tmp_path):
     assert out["query"] == "import return"
     assert 0 < len(out["results"]) <= 5
     assert out["results"][0]["score"] >= out["results"][-1]["score"]
+
+
+def test_cli_query_file(tmp_path):
+    from cb import corpus
+
+    cdir = tmp_path / "corpus"
+    cdir.mkdir()
+    corpus.write_corpus(str(cdir), 40, seed=42, n_files=1)
+    idx = str(tmp_path / "idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "build", "--input", str(cdir), "--index", idx,
+         "--num-parts", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    qf = tmp_path / "queries.txt"
+    qf.write_text("import\nreturn def\n\nzebra nothing\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "query-file", "--index", idx,
+         "--queries", str(qf), "-k", "3", "--algo", "wand"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    lines = [json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 3
+    assert lines[0]["query"] == "import" and len(lines[0]["results"]) == 3
+    assert lines[2]["results"] == []  # absent terms

@@ -194,3 +194,66 @@ def test_incremental_append(corpus_files, tmp_path):
             assert _sha(fa[k]) == _sha(fb[k]), k
     ma, mb = IndexMeta(inc), IndexMeta(fresh)
     assert (ma.n_docs, ma.total_tokens, ma.avgdl) == (mb.n_docs, mb.total_tokens, mb.avgdl)
+
+
+def test_empty_corpus_build(tmp_path):
+    """A zero-document corpus builds a valid, queryable (empty) index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cb.build import build_index
+    from cb.shard import LocalSearcher
+
+    empty = pa.table(
+        {
+            "repo": pa.array([], type=pa.string()),
+            "path": pa.array([], type=pa.string()),
+            "commit": pa.array([], type=pa.string()),
+            "lang": pa.array([], type=pa.string()),
+            "content": pa.array([], type=pa.string()),
+        }
+    )
+    src = tmp_path / "c.parquet"
+    pq.write_table(empty, str(src))
+    idx = str(tmp_path / "idx")
+    meta = build_index(str(src), idx, num_parts=4)
+    assert meta.n_docs == 0 and meta.avgdl == 0.0
+    s = LocalSearcher(idx)
+    assert s.query("anything", 10) == []
+
+
+def test_stage_bodies_idempotent(corpus_files, tmp_path):
+    """Re-running a stage body (simulating a Ray task retry) leaves
+    byte-identical outputs."""
+    import glob
+
+    idx = str(tmp_path / "idx")
+    build_index_resumable(corpus_files, idx, num_parts=4)
+    ref = {k: _sha(p) for k, p in _index_files(idx).items() if k.endswith(".parquet")}
+
+    # retry stage A on shard 0 with its manifest deleted (forces rerun)
+    import pyarrow as pa
+
+    from cb import resumable as rz
+
+    files = sorted(glob.glob(os.path.join(corpus_files, "*.parquet")))
+    os.unlink(os.path.join(idx, "_shuffle", "shard=0", "manifest.json"))
+    rz.tokenize_shard(
+        pa.table({"shard": [0], "path": [files[0]]}),
+        shuffle_dir=os.path.join(idx, "_shuffle"),
+        index_dir=idx,
+        text_col="content",
+        id_col=None,
+        num_parts=4,
+        range_bits=4,
+    )
+    # retry stage B on partition 1 unconditionally (wrong-lineage manifest)
+    os.unlink(os.path.join(idx, "parts", "part=1", "manifest.json"))
+    rz.merge_partition(
+        pa.table({"part": [1]}),
+        shuffle_dir=os.path.join(idx, "_shuffle"),
+        index_dir=idx,
+        avgdl=ref and __import__("cb.build", fromlist=["IndexMeta"]).IndexMeta(idx).avgdl,
+        lineage_tag="retry",
+    )
+    got = {k: _sha(p) for k, p in _index_files(idx).items() if k.endswith(".parquet")}
+    assert got == ref
