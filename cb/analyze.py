@@ -116,6 +116,37 @@ def explode_tokens(
     return flat, parents, doc_len
 
 
+def term_occurrences(
+    doc_ids: pa.Array | np.ndarray, texts: pa.Array | pa.ChunkedArray
+) -> tuple[pa.Table, pa.Table]:
+    """Batch kernel: (doc_id, content) -> ((doc_id, term, pos), (doc_id, doc_len)).
+
+    One row per token OCCURRENCE with its position in the filtered token
+    stream (phrase queries need adjacency over these positions).
+    """
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    if not isinstance(doc_ids, pa.Array):
+        doc_ids = pa.array(np.asarray(doc_ids), type=pa.int64())
+    flat, parents, doc_len = explode_tokens(texts)
+    p = parents.to_numpy(zero_copy_only=False)
+    # position within each doc = running index minus the doc's first index
+    starts = np.zeros(len(doc_len) + 1, dtype=np.int64)
+    np.cumsum(doc_len, out=starts[1:])
+    pos = np.arange(len(p), dtype=np.int64) - starts[p]
+    occ = pa.table(
+        {
+            "doc_id": doc_ids.take(parents),
+            "term": flat,
+            "pos": pa.array(pos.astype(np.int32), type=pa.int32()),
+        }
+    )
+    stats = pa.table(
+        {"doc_id": doc_ids, "doc_len": pa.array(doc_len, type=pa.int32())}
+    )
+    return occ, stats
+
+
 def term_frequencies(
     doc_ids: pa.Array | np.ndarray, texts: pa.Array | pa.ChunkedArray
 ) -> tuple[pa.Table, pa.Table]:

@@ -111,6 +111,7 @@ def _empty_partials() -> pa.Table:
             "doc_ids": pa.array([], type=pa.list_(pa.int64())),
             "tfs": pa.array([], type=pa.list_(pa.int32())),
             "dls": pa.array([], type=pa.list_(pa.int32())),
+            "poss": pa.array([], type=pa.list_(pa.int32())),
         }
     )
 
@@ -144,6 +145,7 @@ def _stats_sentinel_rows(
             "doc_ids": pa.ListArray.from_arrays(off_arr, pa.array(ids, type=pa.int64())),
             "tfs": pa.ListArray.from_arrays(off_arr, zeros),
             "dls": pa.ListArray.from_arrays(off_arr, pa.array(lens.astype(np.int32), type=pa.int32())),
+            "poss": pa.ListArray.from_arrays(off_arr, zeros),
         }
     )
 
@@ -152,52 +154,93 @@ def tokenize_partials(
     batch: pa.Table, *, num_parts: int, range_bits: int, emit_stats: bool = False
 ) -> pa.Table:
     """One batch of (doc_id, text) -> partial postings rows
-    (part, term, bucket, doc_ids:list, tfs:list, dls:list), sorted.
+    (part, term, bucket, doc_ids:list, tfs:list, dls:list, poss:list),
+    sorted by (term, bucket, doc_id).  ``poss`` is the flat stream of
+    per-occurrence token positions in posting order (counts = tfs).
 
     With ``emit_stats=True``, doc-stats sentinel rows are appended so
     the single tokenize pass also produces the docstats table."""
-    tf, stats = analyze.term_frequencies(batch["doc_id"], batch["text"])
-    if len(tf) == 0:
+    occ, stats = analyze.term_occurrences(batch["doc_id"], batch["text"])
+    if len(occ) == 0:
         if emit_stats and len(stats):
             return _stats_sentinel_rows(stats, num_parts, range_bits)
         return _empty_partials()
-    # attach doc_len to each (doc,term) row via sorted lookup
+    # attach doc_len via sorted lookup
     s_ids = stats["doc_id"].to_numpy(zero_copy_only=False)
     s_len = stats["doc_len"].to_numpy(zero_copy_only=False)
     order = np.argsort(s_ids, kind="stable")
-    t_ids = tf["doc_id"].to_numpy(zero_copy_only=False)
-    dl = s_len[order][np.searchsorted(s_ids[order], t_ids)]
+    o_ids = occ["doc_id"].to_numpy(zero_copy_only=False)
+    dl = s_len[order][np.searchsorted(s_ids[order], o_ids)]
     shift = ID_BITS - range_bits
     tfl = pa.table(
         {
-            "part": _term_partitions(tf["term"].combine_chunks() if isinstance(tf["term"], pa.ChunkedArray) else tf["term"], num_parts),
-            "term": tf["term"],
-            "bucket": pa.array((t_ids >> shift).astype(np.int32), type=pa.int32()),
-            "doc_id": tf["doc_id"],
-            "tf": tf["tf"],
+            "part": _term_partitions(
+                occ["term"].combine_chunks() if isinstance(occ["term"], pa.ChunkedArray) else occ["term"],
+                num_parts,
+            ),
+            "term": occ["term"],
+            "bucket": pa.array((o_ids >> shift).astype(np.int32), type=pa.int32()),
+            "doc_id": occ["doc_id"],
+            "pos": occ["pos"],
             "dl": pa.array(dl.astype(np.int32), type=pa.int32()),
         }
-    ).sort_by([("term", "ascending"), ("bucket", "ascending"), ("doc_id", "ascending")])
-    # run-length group by (term, bucket) -> list arrays; boundaries via
-    # dictionary codes, not python strings
+    ).sort_by(
+        [("term", "ascending"), ("bucket", "ascending"), ("doc_id", "ascending"), ("pos", "ascending")]
+    )
     codes, _ = _dict_indices(tfl["term"])
     buckets = tfl["bucket"].to_numpy(zero_copy_only=False)
-    change = np.empty(len(codes), dtype=bool)
-    change[0] = True
-    change[1:] = (codes[1:] != codes[:-1]) | (buckets[1:] != buckets[:-1])
-    starts = np.flatnonzero(change)
-    offsets = np.append(starts, len(codes)).astype(np.int64)
-    def as_list(col, typ):
-        flat = tfl[col].combine_chunks() if isinstance(tfl[col], pa.ChunkedArray) else tfl[col]
-        return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()), flat.cast(typ))
+    ids = tfl["doc_id"].to_numpy(zero_copy_only=False)
+    # posting boundaries: (term, bucket, doc) change
+    p_change = np.empty(len(codes), dtype=bool)
+    p_change[0] = True
+    p_change[1:] = (
+        (codes[1:] != codes[:-1]) | (buckets[1:] != buckets[:-1]) | (ids[1:] != ids[:-1])
+    )
+    p_starts = np.flatnonzero(p_change)
+    tf_per_posting = np.diff(np.append(p_starts, len(codes)))
+    # row boundaries: (term, bucket) change, evaluated at posting starts
+    r_change = np.empty(len(p_starts), dtype=bool)
+    r_change[0] = True
+    r_change[1:] = (codes[p_starts[1:]] != codes[p_starts[:-1]]) | (
+        buckets[p_starts[1:]] != buckets[p_starts[:-1]]
+    )
+    r_starts = np.flatnonzero(r_change)  # indices into p_starts
+    post_offsets = np.append(r_starts, len(p_starts)).astype(np.int64)
+    occ_offsets = np.append(p_starts[r_starts], len(codes)).astype(np.int64)
+
+    def as_arr(col):
+        a = tfl[col]
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    first_of_posting = pa.array(p_starts)
+    row_anchor = pa.array(p_starts[r_starts])
+    off_arr = pa.array(post_offsets, type=pa.int64())
+    occ_arr = pa.array(occ_offsets, type=pa.int64())
     out = pa.table(
         {
-            "part": tfl["part"].take(pa.array(starts)),
-            "term": tfl["term"].take(pa.array(starts)),
-            "bucket": tfl["bucket"].take(pa.array(starts)),
-            "doc_ids": as_list("doc_id", pa.int64()),
-            "tfs": as_list("tf", pa.int32()),
-            "dls": as_list("dl", pa.int32()),
+            "part": tfl["part"].take(row_anchor),
+            "term": tfl["term"].take(row_anchor),
+            "bucket": tfl["bucket"].take(row_anchor),
+            "doc_ids": pa.ListArray.from_arrays(
+                off_arr,
+                pa.concat_arrays(
+                    tfl["doc_id"].take(first_of_posting).cast(pa.int64()).chunks
+                    if isinstance(tfl["doc_id"].take(first_of_posting), pa.ChunkedArray)
+                    else [tfl["doc_id"].take(first_of_posting).cast(pa.int64())]
+                ),
+            ),
+            "tfs": pa.ListArray.from_arrays(
+                off_arr, pa.array(tf_per_posting.astype(np.int32), type=pa.int32())
+            ),
+            "dls": pa.ListArray.from_arrays(
+                off_arr,
+                pa.concat_arrays(
+                    tfl["dl"].take(first_of_posting).cast(pa.int32()).chunks
+                    if isinstance(tfl["dl"].take(first_of_posting), pa.ChunkedArray)
+                    else [tfl["dl"].take(first_of_posting).cast(pa.int32())]
+                ),
+            ),
+            "poss": pa.ListArray.from_arrays(occ_arr, as_arr("pos").cast(pa.int32())),
         }
     )
     if emit_stats and len(stats):
@@ -206,20 +249,32 @@ def tokenize_partials(
 
 
 def _explode_partials(group: pa.Table) -> pa.Table:
-    """Partial-postings rows -> flat (term, bucket, doc_id, tf, dl), sorted."""
+    """Partial-postings rows -> flat OCCURRENCE table
+    (term, bucket, doc_id, tf, dl, pos), sorted by
+    (term, bucket, doc_id, pos)."""
     ids_list = group["doc_ids"].combine_chunks() if isinstance(group["doc_ids"], pa.ChunkedArray) else group["doc_ids"]
-    parents = pc.list_parent_indices(ids_list)
+    post_parents = pc.list_parent_indices(ids_list)  # posting -> row
+    doc_flat = pc.list_flatten(group["doc_ids"])
+    tf_flat = pc.list_flatten(group["tfs"]).to_numpy(zero_copy_only=False).astype(np.int64)
+    dl_flat = pc.list_flatten(group["dls"])
+    pos_flat = pc.list_flatten(group["poss"])
+    # expand postings to occurrences (row-major posting order matches the
+    # flat position stream's order by construction)
+    occ_of_posting = np.repeat(np.arange(len(tf_flat), dtype=np.int64), tf_flat)
+    take_occ = pa.array(occ_of_posting)
+    row_of_posting = post_parents.to_numpy(zero_copy_only=False) if not isinstance(post_parents, pa.ChunkedArray) else post_parents.combine_chunks().to_numpy(zero_copy_only=False)
+    row_of_occ = pa.array(row_of_posting[occ_of_posting])
     flat = pa.table(
         {
-            "term": group["term"].take(parents),
-            "bucket": group["bucket"].take(parents),
-            "doc_id": pc.list_flatten(group["doc_ids"]),
-            "tf": pc.list_flatten(group["tfs"]),
-            "dl": pc.list_flatten(group["dls"]),
+            "term": group["term"].take(row_of_occ),
+            "bucket": group["bucket"].take(row_of_occ),
+            "doc_id": doc_flat.take(take_occ),
+            "dl": dl_flat.take(take_occ),
+            "pos": pos_flat,
         }
     )
     return flat.sort_by(
-        [("term", "ascending"), ("bucket", "ascending"), ("doc_id", "ascending")]
+        [("term", "ascending"), ("bucket", "ascending"), ("doc_id", "ascending"), ("pos", "ascending")]
     )
 
 
@@ -232,7 +287,7 @@ def _dict_indices(arr) -> tuple[np.ndarray, pa.Array]:
 
 
 def encode_partition_rows(flat: pa.Table, avgdl: float | None) -> pa.Table:
-    """Sorted flat postings -> compressed rows (POSTING_SCHEMA + bucket).
+    """Sorted flat OCCURRENCES -> compressed rows (POSTING_SCHEMA + bucket).
 
     Boundary detection runs on dictionary codes (ints), not python
     strings; term strings are materialized only once per output row.
@@ -242,18 +297,38 @@ def encode_partition_rows(flat: pa.Table, avgdl: float | None) -> pa.Table:
     codes, dictionary = _dict_indices(flat["term"])
     buckets = flat["bucket"].to_numpy(zero_copy_only=False)
     ids = flat["doc_id"].to_numpy(zero_copy_only=False)
-    tfs = flat["tf"].to_numpy(zero_copy_only=False)
     dls = flat["dl"].to_numpy(zero_copy_only=False)
-    change = np.empty(len(codes), dtype=bool)
-    change[0] = True
-    change[1:] = (codes[1:] != codes[:-1]) | (buckets[1:] != buckets[:-1])
-    starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], len(codes))
-    term_at = dictionary.take(pa.array(codes[starts])).to_pylist()
+    poss = flat["pos"].to_numpy(zero_copy_only=False)
+    n = len(codes)
+    p_change = np.empty(n, dtype=bool)
+    p_change[0] = True
+    p_change[1:] = (
+        (codes[1:] != codes[:-1]) | (buckets[1:] != buckets[:-1]) | (ids[1:] != ids[:-1])
+    )
+    p_starts = np.flatnonzero(p_change)
+    tf_per_posting = np.diff(np.append(p_starts, n))
+    r_change = np.empty(len(p_starts), dtype=bool)
+    r_change[0] = True
+    r_change[1:] = (codes[p_starts[1:]] != codes[p_starts[:-1]]) | (
+        buckets[p_starts[1:]] != buckets[p_starts[:-1]]
+    )
+    r_starts = np.flatnonzero(r_change)
+    r_ends = np.append(r_starts[1:], len(p_starts))
+    term_at = dictionary.take(pa.array(codes[p_starts[r_starts]])).to_pylist()
     rows = []
-    for t, s, e in zip(term_at, starts, ends):
-        row = compress.encode_postings(t, ids[s:e], tfs[s:e], dls[s:e], avgdl)
-        row["bucket"] = int(buckets[s])
+    for t, rs, re in zip(term_at, r_starts, r_ends):
+        posting_idx = p_starts[rs:re]
+        occ_lo = p_starts[rs]
+        occ_hi = p_starts[re] if re < len(p_starts) else n
+        row = compress.encode_postings(
+            t,
+            ids[posting_idx],
+            tf_per_posting[rs:re],
+            dls[posting_idx],
+            avgdl,
+            positions=poss[occ_lo:occ_hi],
+        )
+        row["bucket"] = int(buckets[occ_lo])
         rows.append(row)
     return pa.Table.from_pylist(rows, schema=_posting_file_schema())
 

@@ -95,11 +95,14 @@ POSTING_SCHEMA = pa.schema(
         ("ids_blob", pa.binary()),
         ("tfs_blob", pa.binary()),
         ("dls_blob", pa.binary()),  # per-posting doc length (varint)
+        ("pos_blob", pa.binary()),  # per-occurrence positions (varint deltas,
+                                     # reset at each posting; counts == tf)
         ("block_last_id", pa.list_(pa.int64())),
         ("block_umax", pa.list_(pa.float64())),
         ("block_id_off", pa.list_(pa.int32())),
         ("block_tf_off", pa.list_(pa.int32())),
         ("block_dl_off", pa.list_(pa.int32())),
+        ("block_pos_off", pa.list_(pa.int32())),
     ]
 )
 
@@ -110,6 +113,7 @@ def encode_postings(
     tfs: np.ndarray,
     doc_lens: np.ndarray,
     avgdl: float | None,
+    positions: np.ndarray | None = None,
 ) -> dict:
     """One term's sorted postings -> compressed row (dict per POSTING_SCHEMA).
 
@@ -132,9 +136,10 @@ def encode_postings(
     if n == 0:
         return {
             "term": term, "df": 0, "cf": 0,
-            "ids_blob": b"", "tfs_blob": b"", "dls_blob": b"",
+            "ids_blob": b"", "tfs_blob": b"", "dls_blob": b"", "pos_blob": b"",
             "block_last_id": [], "block_umax": [],
             "block_id_off": [], "block_tf_off": [], "block_dl_off": [],
+            "block_pos_off": [],
         }
     block_starts = np.arange(0, n, BLOCK, dtype=np.int64)
     block_ends = np.minimum(block_starts + BLOCK, n)
@@ -160,6 +165,27 @@ def encode_postings(
         umax = np.maximum.reduceat(u, block_starts).tolist()
     else:
         umax = []
+    # positional stream: per-posting delta-encoded occurrence positions
+    # (counts are the tfs, so no length prefix is needed); byte offsets
+    # recorded at each BLOCK's first posting so blocks decode alone.
+    if positions is not None:
+        poss = np.ascontiguousarray(positions, dtype=np.int64)
+        occ_starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tfs, out=occ_starts[1:])
+        assert len(poss) == occ_starts[-1], "positions must total sum(tf)"
+        pdeltas = np.empty(len(poss), dtype=np.uint64)
+        if len(poss):
+            pdeltas[0] = np.uint64(poss[0])
+            np.subtract(poss[1:], poss[:-1], out=pdeltas[1:], casting="unsafe")
+            pdeltas[occ_starts[:-1]] = poss[occ_starts[:-1]].astype(np.uint64)
+        pos_bytes, pos_sizes = varint_encode_with_sizes(pdeltas)
+        pos_cum = np.zeros(len(poss) + 1, dtype=np.int64)
+        np.cumsum(pos_sizes, out=pos_cum[1:])
+        block_pos_off = pos_cum[occ_starts[block_starts]].tolist()
+        pos_blob = pos_bytes.tobytes()
+    else:
+        pos_blob = b""
+        block_pos_off = []
     return {
         "term": term,
         "df": n,
@@ -167,11 +193,13 @@ def encode_postings(
         "ids_blob": id_bytes.tobytes(),
         "tfs_blob": tf_bytes.tobytes(),
         "dls_blob": dl_bytes.tobytes(),
+        "pos_blob": pos_blob,
         "block_last_id": ids[block_ends - 1].tolist(),
         "block_umax": umax,
         "block_id_off": id_cum[block_starts].tolist(),
         "block_tf_off": tf_cum[block_starts].tolist(),
         "block_dl_off": dl_cum[block_starts].tolist(),
+        "block_pos_off": block_pos_off,
     }
 
 
@@ -194,8 +222,8 @@ class PostingList:
     """Decoded-on-demand view over one compressed posting row."""
 
     __slots__ = (
-        "term", "df", "cf", "_ids_buf", "_tfs_buf", "_dls_buf",
-        "last_ids", "umax", "id_off", "tf_off", "dl_off",
+        "term", "df", "cf", "_ids_buf", "_tfs_buf", "_dls_buf", "_pos_buf",
+        "last_ids", "umax", "id_off", "tf_off", "dl_off", "pos_off",
     )
 
     def __init__(self, row: dict):
@@ -205,11 +233,17 @@ class PostingList:
         self._ids_buf = np.frombuffer(row["ids_blob"], dtype=np.uint8)
         self._tfs_buf = np.frombuffer(row["tfs_blob"], dtype=np.uint8)
         self._dls_buf = np.frombuffer(row["dls_blob"], dtype=np.uint8)
+        self._pos_buf = np.frombuffer(row.get("pos_blob") or b"", dtype=np.uint8)
         self.last_ids = np.asarray(row["block_last_id"], dtype=np.int64)
         self.umax = np.asarray(row["block_umax"], dtype=np.float64)
         self.id_off = np.asarray(row["block_id_off"], dtype=np.int64)
         self.tf_off = np.asarray(row["block_tf_off"], dtype=np.int64)
         self.dl_off = np.asarray(row["block_dl_off"], dtype=np.int64)
+        self.pos_off = np.asarray(row.get("block_pos_off") or [], dtype=np.int64)
+
+    @property
+    def has_positions(self) -> bool:
+        return len(self._pos_buf) > 0 or self.cf == 0
 
     @property
     def n_blocks(self) -> int:
@@ -249,3 +283,28 @@ class PostingList:
         tfs = varint_decode(self._tfs_buf, self.df).astype(np.int64)
         dls = varint_decode(self._dls_buf, self.df).astype(np.int64)
         return ids, tfs, dls
+
+    def decode_positions(self) -> tuple[np.ndarray, np.ndarray]:
+        """-> (flat positions int64, per-posting occurrence offsets).
+
+        ``offsets`` has df+1 entries; posting i's positions are
+        ``flat[offsets[i]:offsets[i+1]]`` (count == tf_i).  Raises if
+        the index was built without positions."""
+        if self.df == 0:
+            return np.empty(0, dtype=np.int64), np.zeros(1, dtype=np.int64)
+        if len(self._pos_buf) == 0:
+            raise ValueError(
+                f"postings for {self.term!r} carry no positions "
+                "(index built by a pre-positional version)"
+            )
+        tfs = varint_decode(self._tfs_buf, self.df).astype(np.int64)
+        offsets = np.zeros(self.df + 1, dtype=np.int64)
+        np.cumsum(tfs, out=offsets[1:])
+        v = varint_decode(self._pos_buf, int(offsets[-1]))
+        t = np.cumsum(v, dtype=np.uint64)
+        starts = offsets[:-1]
+        base = np.empty(self.df, dtype=np.uint64)
+        base[0] = np.uint64(0)
+        base[1:] = t[starts[1:] - 1]
+        flat = (t - np.repeat(base, tfs)).astype(np.int64)
+        return flat, offsets

@@ -1,0 +1,94 @@
+"""Exact phrase queries over positional postings.
+
+ES ``match_phrase`` parity (the reference's search side is ES): a doc
+matches when the query's tokens occur at ADJACENT positions in order in
+the filtered token stream; matches are ranked by the standard BM25
+score of the phrase's unique terms (sorted-term accumulation — the same
+float-summation spec as cb.query), ties by ascending doc_id.
+
+Adjacency is verified vectorized: starting from the first term's
+positions, each step intersects (positions + 1) with the next term's
+positions for the doc; a doc matches if any chain survives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import scoring
+from .query import rank_topk
+
+
+def _decode_with_positions(chunked):
+    """ChunkedPostings -> (ids, tfs, dls, pos_flat, occ_offsets)."""
+    ids, tfs, dls, pflat = [], [], [], []
+    for ch in chunked.chunks:
+        i, t, d = ch.decode_all()
+        p, _ = ch.decode_positions()
+        ids.append(i)
+        tfs.append(t)
+        dls.append(d)
+        pflat.append(p)
+    ids = np.concatenate(ids)
+    tfs = np.concatenate(tfs)
+    dls = np.concatenate(dls)
+    pflat = np.concatenate(pflat) if pflat else np.empty(0, dtype=np.int64)
+    occ_offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=occ_offsets[1:])
+    return ids, tfs, dls, pflat, occ_offsets
+
+
+def phrase_topk(
+    ordered_terms: list[str],
+    postings: dict,
+    stats,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Top-k docs containing the exact token sequence ``ordered_terms``.
+
+    ``postings`` must contain every unique term (None -> no matches).
+    """
+    if k <= 0 or not ordered_terms:
+        return []
+    uniq = sorted(set(ordered_terms))
+    if any(postings.get(t) is None for t in uniq):
+        return []
+    decoded = {t: _decode_with_positions(postings[t]) for t in uniq}
+
+    # candidate docs: contained in every term's posting list
+    cand = decoded[ordered_terms[0]][0]
+    for t in uniq:
+        cand = np.intersect1d(cand, decoded[t][0], assume_unique=True)
+        if len(cand) == 0:
+            return []
+
+    def positions_for(term: str, doc: int) -> np.ndarray:
+        ids, tfs, dls, pflat, occ = decoded[term]
+        j = int(np.searchsorted(ids, doc))
+        return pflat[occ[j]:occ[j + 1]]
+
+    matches = []
+    for doc in cand:
+        chain = positions_for(ordered_terms[0], int(doc))
+        ok = True
+        for t in ordered_terms[1:]:
+            nxt = positions_for(t, int(doc))
+            chain = np.intersect1d(chain + 1, nxt, assume_unique=False)
+            if len(chain) == 0:
+                ok = False
+                break
+        if ok:
+            matches.append(int(doc))
+    if not matches:
+        return []
+
+    # BM25 of the phrase's unique terms over the matching docs, sorted-
+    # term accumulation (identical float order to the scoring spec)
+    scores = np.zeros(len(matches), dtype=np.float64)
+    marr = np.array(matches, dtype=np.int64)
+    for t in uniq:
+        ids, tfs, dls, _, _ = decoded[t]
+        idf = float(scoring.idf(postings[t].df, stats.n_docs))
+        j = np.searchsorted(ids, marr)
+        scores += idf * scoring.u_factor(tfs[j], dls[j], stats.avgdl)
+    return rank_topk(marr, scores, k)

@@ -217,6 +217,94 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
+PHRASE_SET: tuple[str, ...] = (
+    "merge sort",
+    "hash join",
+    "table scan",
+    "the fast query",
+    "sort merge window",
+    "window table",
+    "zebra quantum",
+    "spark",
+    "data stream",
+    "group order",
+)
+
+
+def q_phrase_search(sf_dir: str) -> pa.Table:
+    """Exact phrase top-k over positional postings (ES match_phrase
+    parity), served by the shard-server pool."""
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = [engine.phrase_query(q, k=K) for q in PHRASE_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6), type=pa.float64()
+            ),
+        }
+    )
+
+
+def sql_phrase_search() -> str:
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    ph_rows, qt_rows = [], []
+    for qid, p in enumerate(PHRASE_SET):
+        toks = analyze.tokenize(p)
+        if not toks:
+            continue
+        ph_rows.append(f"({qid}, '{' '.join(toks)}')")
+        for t in sorted(set(toks)):
+            qt_rows.append(f"({qid}, '{t}')")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+ph(query_id, phrase) AS (VALUES {', '.join(ph_rows)}),
+qt(query_id, term) AS (VALUES {', '.join(qt_rows)}),
+joined AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s FROM docs),
+mdocs AS (
+  SELECT ph.query_id, j.doc_id
+  FROM ph JOIN joined j ON j.s LIKE '% ' || ph.phrase || ' %'
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum({contrib} ORDER BY qt.term) AS score
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT m.query_id, m.doc_id, s.score,
+         row_number() OVER (PARTITION BY m.query_id ORDER BY s.score DESC, m.doc_id ASC) AS rank
+  FROM mdocs m JOIN scored s ON s.query_id = m.query_id AND s.doc_id = m.doc_id
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 def q_content_sha256(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
 
@@ -571,6 +659,7 @@ QUERIES = {
     "corpus_stats": q_corpus_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_scores": q_bm25_topk_scores,
+    "phrase_search": q_phrase_search,
     "content_sha256": q_content_sha256,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
@@ -597,6 +686,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": sql_corpus_stats(),
         "bm25_topk": sql_bm25(with_scores=False),
         "bm25_topk_scores": sql_bm25(with_scores=True),
+        "phrase_search": sql_phrase_search(),
         "content_sha256": sql_content_sha256(),
         "dedup_exact": dedup.sql_exact_duplicates(),
         "token_stats": textstats.sql_token_stats(),

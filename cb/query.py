@@ -36,7 +36,8 @@ class Oracle:
 
     def __init__(self, doc_ids, texts):
         self.doc_ids = [int(d) for d in doc_ids]
-        self.tf: list[Counter] = [Counter(analyze.tokenize(t)) for t in texts]
+        self.tokens: list[list[str]] = [analyze.tokenize(t) for t in texts]
+        self.tf: list[Counter] = [Counter(toks) for toks in self.tokens]
         self.doc_len = np.array([sum(c.values()) for c in self.tf], dtype=np.int64)
         self.n_docs = len(self.doc_ids)
         self.avgdl = float(self.doc_len.sum()) / self.n_docs if self.n_docs else 0.0
@@ -60,6 +61,35 @@ class Oracle:
             if hit:
                 ids.append(d)
                 scores.append(float(s))
+        if not ids:
+            return []
+        return rank_topk(np.array(ids), np.array(scores, dtype=np.float64), k)
+
+    def phrase_topk(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exact phrase match (adjacent tokens in order) ranked by the
+        BM25 of the phrase's unique terms; the phrase-engine spec."""
+        ordered = analyze.tokenize(text)
+        if not ordered:
+            return []
+        m = len(ordered)
+        terms = sorted(set(ordered))
+        ids, scores = [], []
+        for i, d in enumerate(self.doc_ids):
+            toks = self.tokens[i]
+            hit = any(
+                toks[j : j + m] == ordered for j in range(len(toks) - m + 1)
+            )
+            if not hit:
+                continue
+            s = np.float64(0.0)
+            for t in terms:
+                tf = self.tf[i].get(t)
+                if tf:
+                    s = s + scoring.idf(self.df[t], self.n_docs) * scoring.u_factor(
+                        tf, self.doc_len[i], self.avgdl
+                    )
+            ids.append(d)
+            scores.append(float(s))
         if not ids:
             return []
         return rank_topk(np.array(ids), np.array(scores, dtype=np.float64), k)

@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from . import analyze, scoring, wand
+from . import analyze, phrase as phrase_mod, scoring, wand
 from .build import IndexMeta, term_partition
 from .compress import PostingList
 
@@ -209,6 +209,17 @@ class ShardServer:
         self.results[key] = res
         return res
 
+    def phrase(self, ordered_terms: list[str], k: int, fetched_terms: list[str], *fetched):
+        """Exact phrase top-k (positional postings); same fetch protocol
+        as :meth:`score`."""
+        postings = dict(zip(fetched_terms, fetched))
+        for t, p in postings.items():
+            self.cache[t] = p
+        for t in set(ordered_terms):
+            if t not in postings:
+                postings[t] = self._local(t)
+        return phrase_mod.phrase_topk(ordered_terms, postings, self.stats, k)
+
     def score_many(self, term_lists: list[list[str]], k: int, algo: str = "taat"):
         """Batched scoring of pre-tokenized queries whose terms this
         server already holds (warm path; one RPC amortizes round-trips)."""
@@ -232,6 +243,11 @@ class LocalSearcher:
     def get_postings(self, term: str) -> ChunkedPostings | None:
         p = term_partition(term, self.meta.num_parts)
         return self.parts[p].get(term)
+
+    def phrase_query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        ordered = analyze.tokenize(text)
+        postings = {t: self.get_postings(t) for t in set(ordered)}
+        return phrase_mod.phrase_topk(ordered, postings, self.stats, k)
 
     def query(self, text: str, k: int = 10, algo: str = "wand") -> list[tuple[int, float]]:
         terms = sorted(set(analyze.tokenize(text)))
@@ -307,6 +323,24 @@ class QueryEngine:
     def query(self, text: str, k: int = 10, algo: str = "taat") -> list[tuple[int, float]]:
         fut = self._dispatch(text, k, algo)
         return [] if fut is None else ray.get(fut)
+
+    def phrase_query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exact phrase top-k via the pool (ownership-routed)."""
+        ordered = analyze.tokenize(text)
+        if not ordered:
+            return []
+        uniq = sorted(set(ordered))
+        owners = {t: self._owner(t) for t in uniq}
+        counts = np.bincount([owners[t] for t in uniq], minlength=self.num_servers)
+        scorer = int(np.argmax(counts))
+        fetched_terms = [
+            t for t in uniq if owners[t] != scorer and t not in self.seen[scorer]
+        ]
+        refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
+        self.seen[scorer].update(uniq)
+        return ray.get(
+            self.servers[scorer].phrase.remote(ordered, k, fetched_terms, *refs)
+        )
 
     def query_many(self, texts: list[str], k: int = 10, algo: str = "taat"):
         """Batched fan-out: queries are tokenized on the driver, chunked

@@ -1,0 +1,98 @@
+"""Positional postings + exact phrase queries vs the phrase oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cb import compress
+from cb import corpus as cm
+from cb import query as qm
+from cb import shard as sm
+from cb.build import build_index
+
+
+def test_positions_roundtrip():
+    rng = np.random.Generator(np.random.PCG64(5))
+    n = 300
+    ids = np.sort(rng.choice(2**40, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 9, size=n).astype(np.int64)
+    dls = rng.integers(5, 500, size=n).astype(np.int64)
+    pos_parts = [np.sort(rng.choice(1000, size=int(t), replace=False)) for t in tfs]
+    poss = np.concatenate(pos_parts).astype(np.int64)
+    row = compress.encode_postings("t", ids, tfs, dls, avgdl=100.0, positions=poss)
+    pl = compress.PostingList(row)
+    flat, offsets = pl.decode_positions()
+    assert np.array_equal(flat, poss)
+    assert np.array_equal(np.diff(offsets), tfs)
+    assert pl.has_positions
+
+
+def test_no_positions_raises():
+    row = compress.encode_postings(
+        "t", np.array([1, 2]), np.array([1, 1]), np.array([3, 3]), avgdl=3.0
+    )
+    pl = compress.PostingList(row)
+    with pytest.raises(ValueError, match="no positions"):
+        pl.decode_positions()
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    tbl = cm.generate_corpus(250, seed=42)
+    d = tmp_path_factory.mktemp("pcorpus")
+    pq.write_table(tbl, str(d / "c.parquet"))
+    idx = str(tmp_path_factory.mktemp("pidx"))
+    build_index(str(d / "c.parquet"), idx, num_parts=4, range_bits=3)
+    wid = cm.with_identity(tbl)
+    oracle = qm.Oracle(wid["doc_id"].to_pylist(), wid["content"].to_pylist())
+    return idx, oracle
+
+
+def _phrases(oracle):
+    # real adjacent pairs/triples from the corpus + misses
+    qs = []
+    for toks in oracle.tokens[:40]:
+        if len(toks) >= 3:
+            qs.append(" ".join(toks[1:3]))
+            qs.append(" ".join(toks[0:3]))
+    qs += ["zebra quantum", "import zebra", "import", ""]
+    # order matters: a reversed real bigram usually should NOT match
+    if oracle.tokens[6]:
+        t = oracle.tokens[6]
+        if len(t) >= 2 and t[0] != t[1]:
+            qs.append(f"{t[1]} {t[0]}")
+    return sorted(set(qs))
+
+
+def test_phrase_matches_oracle_local(built):
+    idx, oracle = built
+    s = sm.LocalSearcher(idx)
+    n_nonempty = 0
+    for q in _phrases(oracle):
+        for k in (1, 5, 20):
+            want = oracle.phrase_topk(q, k)
+            got = s.phrase_query(q, k)
+            assert got == want, (q, k)
+            n_nonempty += bool(want)
+    assert n_nonempty > 10  # the phrase set actually matches things
+
+
+def test_phrase_is_stricter_than_bag_of_words(built):
+    idx, oracle = built
+    s = sm.LocalSearcher(idx)
+    q = " ".join(oracle.tokens[10][:3])
+    bag = {d for d, _ in s.query(q, 250, algo="taat")}
+    phr = {d for d, _ in s.phrase_query(q, 250)}
+    assert phr <= bag
+    assert len(phr) >= 1
+
+
+def test_phrase_actor_path(built):
+    idx, oracle = built
+    engine = sm.QueryEngine(idx, num_servers=2)
+    try:
+        for q in _phrases(oracle)[:10]:
+            assert engine.phrase_query(q, 10) == oracle.phrase_topk(q, 10), q
+    finally:
+        engine.shutdown()
