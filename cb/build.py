@@ -172,24 +172,21 @@ def tokenize_partials(
     o_ids = occ["doc_id"].to_numpy(zero_copy_only=False)
     dl = s_len[order][np.searchsorted(s_ids[order], o_ids)]
     shift = ID_BITS - range_bits
-    tfl = pa.table(
-        {
-            "part": _term_partitions(
-                occ["term"].combine_chunks() if isinstance(occ["term"], pa.ChunkedArray) else occ["term"],
-                num_parts,
-            ),
-            "term": occ["term"],
-            "bucket": pa.array((o_ids >> shift).astype(np.int32), type=pa.int32()),
-            "doc_id": occ["doc_id"],
-            "pos": occ["pos"],
-            "dl": pa.array(dl.astype(np.int32), type=pa.int32()),
-        }
-    ).sort_by(
-        [("term", "ascending"), ("bucket", "ascending"), ("doc_id", "ascending"), ("pos", "ascending")]
+    # integer sort keys only (term via dictionary codes) — string sorts
+    # at occurrence level are the build's dominant cost otherwise
+    term_arr = occ["term"].combine_chunks() if isinstance(occ["term"], pa.ChunkedArray) else occ["term"]
+    codes0, dictionary = _dict_indices(term_arr)
+    parts_lut = np.array(
+        [term_partition(t, num_parts) for t in dictionary.to_pylist()], dtype=np.int32
     )
-    codes, _ = _dict_indices(tfl["term"])
-    buckets = tfl["bucket"].to_numpy(zero_copy_only=False)
-    ids = tfl["doc_id"].to_numpy(zero_copy_only=False)
+    buckets0 = (o_ids >> shift).astype(np.int32)
+    pos0 = occ["pos"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((pos0, o_ids, buckets0, codes0))
+    codes = codes0[order]
+    buckets = buckets0[order]
+    ids = o_ids[order]
+    poss = pos0[order]
+    dl_sorted = dl[order]
     # posting boundaries: (term, bucket, doc) change
     p_change = np.empty(len(codes), dtype=bool)
     p_change[0] = True
@@ -208,39 +205,26 @@ def tokenize_partials(
     post_offsets = np.append(r_starts, len(p_starts)).astype(np.int64)
     occ_offsets = np.append(p_starts[r_starts], len(codes)).astype(np.int64)
 
-    def as_arr(col):
-        a = tfl[col]
-        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-
-    first_of_posting = pa.array(p_starts)
-    row_anchor = pa.array(p_starts[r_starts])
+    row_codes = codes[p_starts[r_starts]]
     off_arr = pa.array(post_offsets, type=pa.int64())
     occ_arr = pa.array(occ_offsets, type=pa.int64())
     out = pa.table(
         {
-            "part": tfl["part"].take(row_anchor),
-            "term": tfl["term"].take(row_anchor),
-            "bucket": tfl["bucket"].take(row_anchor),
+            "part": pa.array(parts_lut[row_codes], type=pa.int32()),
+            "term": dictionary.take(pa.array(row_codes)),
+            "bucket": pa.array(buckets[p_starts[r_starts]], type=pa.int32()),
             "doc_ids": pa.ListArray.from_arrays(
-                off_arr,
-                pa.concat_arrays(
-                    tfl["doc_id"].take(first_of_posting).cast(pa.int64()).chunks
-                    if isinstance(tfl["doc_id"].take(first_of_posting), pa.ChunkedArray)
-                    else [tfl["doc_id"].take(first_of_posting).cast(pa.int64())]
-                ),
+                off_arr, pa.array(ids[p_starts], type=pa.int64())
             ),
             "tfs": pa.ListArray.from_arrays(
                 off_arr, pa.array(tf_per_posting.astype(np.int32), type=pa.int32())
             ),
             "dls": pa.ListArray.from_arrays(
-                off_arr,
-                pa.concat_arrays(
-                    tfl["dl"].take(first_of_posting).cast(pa.int32()).chunks
-                    if isinstance(tfl["dl"].take(first_of_posting), pa.ChunkedArray)
-                    else [tfl["dl"].take(first_of_posting).cast(pa.int32())]
-                ),
+                off_arr, pa.array(dl_sorted[p_starts].astype(np.int32), type=pa.int32())
             ),
-            "poss": pa.ListArray.from_arrays(occ_arr, as_arr("pos").cast(pa.int32())),
+            "poss": pa.ListArray.from_arrays(
+                occ_arr, pa.array(poss.astype(np.int32), type=pa.int32())
+            ),
         }
     )
     if emit_stats and len(stats):
@@ -249,33 +233,61 @@ def tokenize_partials(
 
 
 def _explode_partials(group: pa.Table) -> pa.Table:
-    """Partial-postings rows -> flat OCCURRENCE table
-    (term, bucket, doc_id, tf, dl, pos), sorted by
-    (term, bucket, doc_id, pos)."""
+    """Partial-postings rows -> flat OCCURRENCE arrays sorted by
+    (term-code, bucket, doc_id, pos); returns a dict of numpy arrays
+    plus the term dictionary (integer sorts only — no string compares).
+    """
     ids_list = group["doc_ids"].combine_chunks() if isinstance(group["doc_ids"], pa.ChunkedArray) else group["doc_ids"]
-    post_parents = pc.list_parent_indices(ids_list)  # posting -> row
-    doc_flat = pc.list_flatten(group["doc_ids"])
+    post_parents = pc.list_parent_indices(ids_list)
+    row_of_posting = (
+        post_parents.combine_chunks() if isinstance(post_parents, pa.ChunkedArray) else post_parents
+    ).to_numpy(zero_copy_only=False)
+    doc_flat = pc.list_flatten(group["doc_ids"]).to_numpy(zero_copy_only=False)
     tf_flat = pc.list_flatten(group["tfs"]).to_numpy(zero_copy_only=False).astype(np.int64)
-    dl_flat = pc.list_flatten(group["dls"])
-    pos_flat = pc.list_flatten(group["poss"])
-    # expand postings to occurrences (row-major posting order matches the
-    # flat position stream's order by construction)
-    occ_of_posting = np.repeat(np.arange(len(tf_flat), dtype=np.int64), tf_flat)
-    take_occ = pa.array(occ_of_posting)
-    row_of_posting = post_parents.to_numpy(zero_copy_only=False) if not isinstance(post_parents, pa.ChunkedArray) else post_parents.combine_chunks().to_numpy(zero_copy_only=False)
-    row_of_occ = pa.array(row_of_posting[occ_of_posting])
-    flat = pa.table(
-        {
-            "term": group["term"].take(row_of_occ),
-            "bucket": group["bucket"].take(row_of_occ),
-            "doc_id": doc_flat.take(take_occ),
-            "dl": dl_flat.take(take_occ),
-            "pos": pos_flat,
-        }
+    dl_flat = pc.list_flatten(group["dls"]).to_numpy(zero_copy_only=False)
+    pos_flat = pc.list_flatten(group["poss"]).to_numpy(zero_copy_only=False)
+    term_arr = group["term"].combine_chunks() if isinstance(group["term"], pa.ChunkedArray) else group["term"]
+    row_codes, dictionary = _dict_indices(term_arr)
+    # remap codes to ALPHABETICAL ranks: dictionary order is arrival
+    # order (shuffle-dependent), and output row order must be
+    # deterministic for the byte-identical resume guarantee
+    uniq = dictionary.to_pylist()
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[np.argsort(np.asarray(uniq, dtype=object), kind="stable")] = np.arange(len(uniq))
+    sorted_terms = pa.array(sorted(uniq), type=pa.string())
+    row_codes = rank[row_codes]
+    buckets_row = group["bucket"].to_numpy(zero_copy_only=False)
+    codes_p = row_codes[row_of_posting]
+    buckets_p = buckets_row[row_of_posting]
+    # sort POSTINGS (not occurrences) by (code, bucket, doc)
+    order = np.lexsort((doc_flat, buckets_p, codes_p))
+    codes_p = codes_p[order]
+    buckets_p = buckets_p[order]
+    doc_sorted = doc_flat[order]
+    tf_sorted = tf_flat[order]
+    dl_sorted = dl_flat[order]
+    # ragged gather of each posting's position slice into the new order
+    occ_src_start = np.zeros(len(tf_flat) + 1, dtype=np.int64)
+    np.cumsum(tf_flat, out=occ_src_start[1:])
+    out_lens = tf_sorted
+    out_offsets = np.zeros(len(out_lens) + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=out_offsets[1:])
+    total = int(out_offsets[-1])
+    gather = (
+        np.repeat(occ_src_start[order], out_lens)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(out_offsets[:-1], out_lens)
     )
-    return flat.sort_by(
-        [("term", "ascending"), ("bucket", "ascending"), ("doc_id", "ascending"), ("pos", "ascending")]
-    )
+    pos_sorted = pos_flat[gather]
+    return {
+        "codes": codes_p,
+        "dictionary": sorted_terms,
+        "buckets": buckets_p,
+        "doc_ids": doc_sorted,
+        "tfs": tf_sorted,
+        "dls": dl_sorted,
+        "poss": pos_sorted,
+    }
 
 
 def _dict_indices(arr) -> tuple[np.ndarray, pa.Array]:
@@ -286,49 +298,40 @@ def _dict_indices(arr) -> tuple[np.ndarray, pa.Array]:
     return d.indices.to_numpy(zero_copy_only=False), d.dictionary
 
 
-def encode_partition_rows(flat: pa.Table, avgdl: float | None) -> pa.Table:
-    """Sorted flat OCCURRENCES -> compressed rows (POSTING_SCHEMA + bucket).
-
-    Boundary detection runs on dictionary codes (ints), not python
-    strings; term strings are materialized only once per output row.
+def encode_partition_rows(
+    flat: dict, avgdl: float | None, store_positions: bool = True
+) -> pa.Table:
+    """Sorted posting/occurrence arrays -> compressed rows
+    (POSTING_SCHEMA + bucket).  ``store_positions=False`` drops the
+    positional stream (smaller/faster index; phrase queries unavailable).
     """
-    if flat.num_rows == 0:
+    codes = flat["codes"]
+    if len(codes) == 0:
         return pa.Table.from_pylist([], schema=_posting_file_schema())
-    codes, dictionary = _dict_indices(flat["term"])
-    buckets = flat["bucket"].to_numpy(zero_copy_only=False)
-    ids = flat["doc_id"].to_numpy(zero_copy_only=False)
-    dls = flat["dl"].to_numpy(zero_copy_only=False)
-    poss = flat["pos"].to_numpy(zero_copy_only=False)
-    n = len(codes)
-    p_change = np.empty(n, dtype=bool)
-    p_change[0] = True
-    p_change[1:] = (
-        (codes[1:] != codes[:-1]) | (buckets[1:] != buckets[:-1]) | (ids[1:] != ids[:-1])
-    )
-    p_starts = np.flatnonzero(p_change)
-    tf_per_posting = np.diff(np.append(p_starts, n))
-    r_change = np.empty(len(p_starts), dtype=bool)
+    buckets = flat["buckets"]
+    ids = flat["doc_ids"]
+    tfs = flat["tfs"]
+    dls = flat["dls"]
+    poss = flat["poss"]
+    occ_offsets = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=occ_offsets[1:])
+    r_change = np.empty(len(codes), dtype=bool)
     r_change[0] = True
-    r_change[1:] = (codes[p_starts[1:]] != codes[p_starts[:-1]]) | (
-        buckets[p_starts[1:]] != buckets[p_starts[:-1]]
-    )
+    r_change[1:] = (codes[1:] != codes[:-1]) | (buckets[1:] != buckets[:-1])
     r_starts = np.flatnonzero(r_change)
-    r_ends = np.append(r_starts[1:], len(p_starts))
-    term_at = dictionary.take(pa.array(codes[p_starts[r_starts]])).to_pylist()
+    r_ends = np.append(r_starts[1:], len(codes))
+    term_at = flat["dictionary"].take(pa.array(codes[r_starts])).to_pylist()
     rows = []
     for t, rs, re in zip(term_at, r_starts, r_ends):
-        posting_idx = p_starts[rs:re]
-        occ_lo = p_starts[rs]
-        occ_hi = p_starts[re] if re < len(p_starts) else n
         row = compress.encode_postings(
             t,
-            ids[posting_idx],
-            tf_per_posting[rs:re],
-            dls[posting_idx],
+            ids[rs:re],
+            tfs[rs:re],
+            dls[rs:re],
             avgdl,
-            positions=poss[occ_lo:occ_hi],
+            positions=poss[occ_offsets[rs]:occ_offsets[re]] if store_positions else None,
         )
-        row["bucket"] = int(buckets[occ_lo])
+        row["bucket"] = int(buckets[rs])
         rows.append(row)
     return pa.Table.from_pylist(rows, schema=_posting_file_schema())
 
@@ -344,6 +347,7 @@ def encode_partition(
     avgdl: float | None,
     num_parts: int | None = None,
     lineage: str = "fast-path",
+    store_positions: bool = True,
 ) -> pa.Table:
     """map_groups body: one term-partition -> postings file + manifest.
 
@@ -353,7 +357,7 @@ def encode_partition(
     if num_parts is not None and part >= num_parts:
         return pa.table(write_docstats_bucket(group, index_dir, part, num_parts))
     flat = _explode_partials(group)
-    tbl = encode_partition_rows(flat, avgdl)
+    tbl = encode_partition_rows(flat, avgdl, store_positions=store_positions)
     return pa.table(write_partition(tbl, index_dir, part, avgdl, lineage))
 
 
@@ -523,16 +527,20 @@ def build_index(
     num_parts: int = DEFAULT_NUM_PARTS,
     range_bits: int = DEFAULT_RANGE_BITS,
     batch_size: int = 2048,
+    positions: bool = True,
 ) -> IndexMeta:
     """Fast-path build: full Ray Data pipeline, manifests written per
     partition (resume-at-write granularity).  For checkpointed resume
     without shuffle recompute use :mod:`cb.resumable`.
 
+    ``positions=False`` skips the positional stream (~2x faster build,
+    smaller index, no phrase queries).
     """
     if isinstance(source, str):
         source = ray.data.read_parquet(source, columns=columns)
     return _build_index_inner(
-        source, index_dir, text_col, id_col, num_parts, range_bits, batch_size
+        source, index_dir, text_col, id_col, num_parts, range_bits, batch_size,
+        positions,
     )
 
 
@@ -544,6 +552,7 @@ def _build_index_inner(
     num_parts: int,
     range_bits: int,
     batch_size: int,
+    positions: bool = True,
 ) -> IndexMeta:
     ds = _normalize(source, text_col, id_col)
 
@@ -566,7 +575,13 @@ def _build_index_inner(
         zero_copy_batch=True,
     )
     manifests = partials.groupby("part").map_groups(
-        partial(encode_partition, index_dir=index_dir, avgdl=None, num_parts=num_parts),
+        partial(
+            encode_partition,
+            index_dir=index_dir,
+            avgdl=None,
+            num_parts=num_parts,
+            store_positions=positions,
+        ),
         batch_format="pyarrow",
     )
     rows = manifests.take_all()  # one tiny row per partition
