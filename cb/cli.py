@@ -3,6 +3,7 @@
     ray job submit -- python -m cb.cli build --input DIR --index DIR [--resumable]
     ray job submit -- python -m cb.cli query --index DIR --query "hash join" -k 10
     ray job submit -- python -m cb.cli query-file --index DIR --queries FILE -k 10
+    ray job submit -- python -m cb.cli phrase --index DIR --query "hash join" -k 10
 
 Owns its Ray session (guarded init — under ``ray job submit`` the
 cluster is already up and ``ray.init()`` attaches to it).
@@ -63,7 +64,10 @@ def cmd_query(args) -> int:
     else:
         with open(args.queries) as f:
             queries = [line.strip() for line in f if line.strip()]
-    results = engine.query_many(queries, k=args.k, algo=args.algo)
+    if getattr(args, "phrase", False):
+        results = [engine.phrase_query(q, k=args.k) for q in queries]
+    else:
+        results = engine.query_many(queries, k=args.k, algo=args.algo)
     for q, res in zip(queries, results):
         print(json.dumps({
             "query": q,
@@ -87,7 +91,7 @@ def main(argv=None) -> int:
                    help="checkpointed build (skips finished shards/partitions)")
     b.set_defaults(fn=cmd_build)
 
-    for name in ("query", "query-file"):
+    for name in ("query", "query-file", "phrase"):
         q = sub.add_parser(name, help="top-k BM25 query")
         q.add_argument("--index", required=True)
         q.add_argument("--query", default=None)
@@ -95,10 +99,10 @@ def main(argv=None) -> int:
         q.add_argument("-k", type=int, default=10)
         q.add_argument("--servers", type=int, default=2)
         q.add_argument("--algo", default="taat", choices=["taat", "wand"])
-        q.set_defaults(fn=cmd_query)
+        q.set_defaults(fn=cmd_query, phrase=(name == "phrase"))
 
     args = p.parse_args(argv)
-    if args.cmd in ("query", "query-file") and not (args.query or args.queries):
+    if args.cmd in ("query", "query-file", "phrase") and not (args.query or args.queries):
         p.error("provide --query or --queries")
     return args.fn(args)
 

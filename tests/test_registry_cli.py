@@ -103,3 +103,26 @@ def test_cli_query_file(tmp_path):
     assert len(lines) == 3
     assert lines[0]["query"] == "import" and len(lines[0]["results"]) == 3
     assert lines[2]["results"] == []  # absent terms
+
+
+def test_cli_phrase(tmp_path):
+    from cb import corpus
+
+    cdir = tmp_path / "corpus"
+    cdir.mkdir()
+    corpus.write_corpus(str(cdir), 40, seed=42, n_files=1)
+    idx = str(tmp_path / "idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "build", "--input", str(cdir), "--index", idx,
+         "--num-parts", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "phrase", "--index", idx,
+         "--query", "zebra quantum", "-k", "5"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["results"] == []  # absent phrase
