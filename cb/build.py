@@ -64,17 +64,6 @@ def term_partition(term: str, num_parts: int) -> int:
     return zlib.crc32(term.encode()) % num_parts
 
 
-def _term_partitions(terms: pa.Array, num_parts: int) -> pa.Array:
-    """Vectorized via dictionary-encode: hash each UNIQUE term once."""
-    d = pc.dictionary_encode(terms)
-    if isinstance(d, pa.ChunkedArray):
-        d = d.combine_chunks()
-    uniq = d.dictionary.to_pylist()
-    lut = np.array([term_partition(t, num_parts) for t in uniq], dtype=np.int32)
-    idx = d.indices.to_numpy(zero_copy_only=False)
-    return pa.array(lut[idx], type=pa.int32())
-
-
 def _normalize(ds: ray.data.Dataset, text_col: str, id_col: str | None) -> ray.data.Dataset:
     """Any input shape -> (doc_id:int64, text:string) dataset."""
     if id_col is None:
@@ -391,21 +380,6 @@ def write_docstats_bucket(group: pa.Table, index_dir: str, part: int, num_parts:
         "avgdl": [None],
         "file_sha256": [""],
     }
-
-
-def encode_partitions_block(
-    block: pa.Table, *, index_dir: str, avgdl: float, lineage: str = "fast-path"
-) -> pa.Table:
-    """map_batches body after a hash repartition on ``part``: one block
-    holds one or more WHOLE partitions (hash(part) % num_blocks routing
-    keeps a partition's rows together)."""
-    outs = []
-    for p in sorted(set(block["part"].to_pylist())):
-        sub = block.filter(pc.equal(block["part"], p))
-        outs.append(encode_partition(sub, index_dir=index_dir, avgdl=avgdl, lineage=lineage))
-    if not outs:
-        return pa.Table.from_pylist([], schema=_manifest_schema())
-    return pa.concat_tables(outs)
 
 
 def _manifest_schema() -> pa.Schema:
