@@ -62,7 +62,11 @@ class ChunkedPostings:
 
 
 class DocStats:
-    """doc_id -> doc_len lookup (sorted arrays + searchsorted)."""
+    """doc_id -> doc_len lookup (sorted arrays + searchsorted).
+
+    NOT used for scoring (doc lengths ride in the postings); this backs
+    doc-length ANALYTICS over the docstats table the build writes
+    (e.g. the doc_stats pipelines and tests)."""
 
     __slots__ = ("ids", "lens", "n_docs", "avgdl")
 

@@ -39,7 +39,7 @@ class TermCursor:
     """Iterator over one term's chunked, block-compressed postings."""
 
     __slots__ = (
-        "term", "idf", "alpha", "chunks", "blk_chunk", "blk_local",
+        "term", "idf", "alpha", "chunked", "chunks", "blk_chunk", "blk_local",
         "blk_last", "blk_umax", "global_ub", "n_blocks", "cur_blk",
         "ids", "tfs", "dls", "pos", "cur_doc",
     )
@@ -48,6 +48,7 @@ class TermCursor:
         self.term = term
         self.idf = float(idf)
         self.alpha = alpha
+        self.chunked = chunked
         self.chunks = chunked.chunks
         bc, bl, last, umax = [], [], [], []
         for ci, ch in enumerate(self.chunks):
@@ -128,14 +129,8 @@ class TermCursor:
         return int(self.dls[self.pos])
 
     def decode_chunks(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Full decode of every chunk (vectorized, one pass per stream)."""
-        ids, tfs, dls = [], [], []
-        for ch in self.chunks:
-            i, t, d = ch.decode_all()
-            ids.append(i)
-            tfs.append(t)
-            dls.append(d)
-        return np.concatenate(ids), np.concatenate(tfs), np.concatenate(dls)
+        """Full decode of every chunk (delegates to ChunkedPostings)."""
+        return self.chunked.decode_all()
 
 
 def _gather_terms(postings: dict, idfs: dict, need_umax: bool = True) -> list[TermCursor]:
