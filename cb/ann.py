@@ -100,7 +100,10 @@ def brute_force_topk(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    tbl = pa.Table.from_pylist(cands.take_all())  # tiny: batches * Q * k rows
+    cand_schema = pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+    )
+    tbl = pa.Table.from_pylist(cands.take_all(), schema=cand_schema)  # tiny: batches * Q * k
     out = {"query_id": [], "rank": [], "vec_id": [], "sim": []}
     import pandas as pd
 
@@ -186,7 +189,10 @@ def ivf_topk(
     cands = ds.map_batches(ProbeScorer, batch_format="pyarrow", concurrency=2)
     import pandas as pd
 
-    df = pa.Table.from_pylist(cands.take_all()).to_pandas()
+    cand_schema = pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+    )
+    df = pa.Table.from_pylist(cands.take_all(), schema=cand_schema).to_pandas()
     rows = {"query_id": [], "rank": [], "vec_id": [], "sim": []}
     if len(df):
         for qid, g in df.groupby("query_id"):

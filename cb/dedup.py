@@ -399,12 +399,12 @@ def sql_ngram_jaccard(
 ) -> str:
     tok = analyze.sql_token_array(text_col)
     sep = "chr(31)"
-    shingle = f"d.toks[i.r] || {sep} || d.toks[i.r+1] || {sep} || d.toks[i.r+2]"
+    shingle = f" || {sep} || ".join(f"d.toks[i.r+{j}]" if j else "d.toks[i.r]" for j in range(n))
     return f"""
 WITH docs AS (SELECT doc_id, {tok} AS toks FROM {table}),
 sh AS (
   SELECT DISTINCT d.doc_id, {shingle} AS shingle
-  FROM docs d, (SELECT unnest(range(1, greatest(len(toks) - 1, 1))) AS r, doc_id
+  FROM docs d, (SELECT unnest(range(1, greatest(len(toks) - {n - 2}, 1))) AS r, doc_id
                 FROM docs) i
   WHERE i.doc_id = d.doc_id
 ),
