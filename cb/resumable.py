@@ -157,6 +157,9 @@ def merge_partition(
         mpath = os.path.join(pdir, "manifest.json")
         if manifest.is_done(mpath, lineage=lineage_tag):
             m = manifest.read(mpath)
+            # wrap to one-element lists: write_partition() below returns
+            # its manifest pre-wrapped the same way, so both branches
+            # yield identical pa.table() schemas
             rows.append({k: [v] for k, v in m.items()})
             continue
         files = sorted(glob.glob(os.path.join(shuffle_dir, "shard=*", f"part={p}.parquet")))
