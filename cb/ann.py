@@ -29,6 +29,17 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _topk_with_ties(col: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k largest values PLUS every value tied at the kth
+    boundary.  An argpartition that keeps an arbitrary subset of the tied
+    candidates can drop the one the global (sim DESC, id ASC) tie-break
+    prefers before the driver merge — ties must survive to the merge."""
+    if k >= len(col):
+        return np.arange(len(col))
+    kth = np.partition(col, len(col) - k)[len(col) - k]
+    return np.flatnonzero(col >= kth)
+
+
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     lists = batch[col]
     if isinstance(lists, pa.ChunkedArray):
@@ -60,7 +71,7 @@ class BruteForceScorer:
         out_q, out_v, out_s = [], [], []
         for qi in range(sims.shape[1]):
             col = sims[:, qi]
-            top = np.argpartition(-col, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+            top = _topk_with_ties(col, k)
             out_q.append(np.full(len(top), self.qids[qi], dtype=np.int64))
             out_v.append(ids[top])
             out_s.append(col[top])
@@ -165,8 +176,7 @@ def ivf_topk(
                     continue
                 sub = mat[mask] @ self.qmat[qi]
                 sub_ids = ids[mask]
-                kk = min(k, len(sub_ids))
-                top = np.argpartition(-sub, kk - 1)[:kk] if kk < len(sub_ids) else np.arange(len(sub_ids))
+                top = _topk_with_ties(sub, min(k, len(sub_ids)))
                 out_q.append(np.full(len(top), self.qids[qi], dtype=np.int64))
                 out_v.append(sub_ids[top])
                 out_s.append(sub[top])

@@ -56,7 +56,8 @@ def docs_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
 
-INDEX_FORMAT_VERSION = 2  # bump when the on-disk index layout changes (v2: dls_blob)
+INDEX_FORMAT_VERSION = 3  # bump when the on-disk index layout changes
+# (v2: dls_blob; v3: positional postings — pos_blob/block_pos_off columns)
 
 
 def _index_dir_for(sf_dir: str) -> str:

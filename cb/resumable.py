@@ -82,6 +82,15 @@ def tokenize_shard(
         if existing and existing.get("status") == "done" and existing.get("lineage") == lineage:
             out.append({k: [v] for k, v in existing.items() if k in ("shard", "n_docs", "total_tokens")} | {"skipped": [True]})
             continue
+        # RE-tokenize (first run, or stale lineage): invalidate the old
+        # manifest FIRST, then drop the old tokenization's part files —
+        # a stale part=p.parquet from a modified input would otherwise be
+        # silently merged alongside the fresh ones in stage B, and a
+        # crash between the two steps must force a full shard redo.
+        if os.path.exists(mpath):
+            os.remove(mpath)
+        for stale in glob.glob(os.path.join(shuffle_dir, f"shard={shard}", "part=*.parquet")):
+            os.remove(stale)
         cols = None
         if id_col is not None:
             cols = [id_col, text_col]
@@ -149,6 +158,7 @@ def merge_partition(
     index_dir: str,
     avgdl: float,
     lineage_tag: str,
+    num_shards: int,
 ) -> pa.Table:
     """Stage-B body: rows are (part,) control records."""
     rows = []
@@ -162,7 +172,15 @@ def merge_partition(
             # yield identical pa.table() schemas
             rows.append({k: [v] for k, v in m.items()})
             continue
-        files = sorted(glob.glob(os.path.join(shuffle_dir, "shard=*", f"part={p}.parquet")))
+        # only shards in the CURRENT input list contribute — a bare
+        # shard=*/ glob would also sweep up orphaned dirs left by a
+        # shrunk or reordered input list
+        files = [
+            f
+            for s in range(num_shards)
+            for f in [os.path.join(shuffle_dir, f"shard={s}", f"part={p}.parquet")]
+            if os.path.exists(f)
+        ]
         if files:
             allp = pa.concat_tables([pq.read_table(f) for f in files])
             flat = build._explode_partials(allp)
@@ -172,6 +190,28 @@ def merge_partition(
         m = build.write_partition(tbl, index_dir, int(p), avgdl, lineage_tag)
         rows.append(m)
     return pa.concat_tables([pa.table(r) for r in rows])
+
+
+def _remove_orphan_shards(shuffle_dir: str, index_dir: str, num_shards: int) -> None:
+    """Drop shuffle dirs + docstats files of shards beyond the current
+    input list (a shrunk list must not leave their postings/doc-stats
+    behind to be merged or loaded)."""
+    import shutil
+
+    for d in glob.glob(os.path.join(shuffle_dir, "shard=*")):
+        try:
+            s = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if s >= num_shards:
+            shutil.rmtree(d, ignore_errors=True)
+    for f in glob.glob(os.path.join(index_dir, "docstats", "shard=*.parquet")):
+        try:
+            s = int(os.path.basename(f)[len("shard="):-len(".parquet")])
+        except ValueError:
+            continue
+        if s >= num_shards:
+            os.remove(f)
 
 
 def build_index_resumable(
@@ -220,6 +260,7 @@ def build_index_resumable(
     stats = a.take_all()
     n_docs = sum(r["n_docs"] for r in stats)
     total_tokens = sum(r["total_tokens"] for r in stats)
+    _remove_orphan_shards(shuffle_dir, index_dir, len(input_files))
     build.write_global(index_dir, n_docs, total_tokens, num_parts, range_bits)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
@@ -241,6 +282,7 @@ def build_index_resumable(
             index_dir=index_dir,
             avgdl=avgdl,
             lineage_tag=lineage_tag,
+            num_shards=len(input_files),
         ),
         batch_format="pyarrow",
         batch_size=1,

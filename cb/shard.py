@@ -95,7 +95,11 @@ class DocStats:
         )
 
     def lookup(self, doc_ids: np.ndarray) -> np.ndarray:
-        pos = np.searchsorted(self.ids, doc_ids)
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        pos = np.clip(np.searchsorted(self.ids, doc_ids), 0, max(len(self.ids) - 1, 0))
+        if len(self.ids) == 0 or not np.array_equal(self.ids[pos], doc_ids):
+            missing = doc_ids if len(self.ids) == 0 else doc_ids[self.ids[pos] != doc_ids]
+            raise KeyError(f"doc ids not in docstats: {missing[:5].tolist()}...")
         return self.lens[pos]
 
 

@@ -31,8 +31,16 @@ def read_sql_shard(
     used as a full query verbatim.
     """
     if shard_field is not None:
-        lit = f"'{shard_value}'" if isinstance(shard_value, str) else str(shard_value)
-        sql = f"SELECT * FROM {query_or_table} WHERE {shard_field} = {lit}"
+        # escape embedded quotes: external shard values must not be able
+        # to alter the query shape (SQL-literal injection guard)
+        if isinstance(shard_value, str):
+            lit = "'" + shard_value.replace("'", "''") + "'"
+        elif isinstance(shard_value, (int, float)):
+            lit = repr(shard_value)
+        else:
+            raise TypeError(f"unsupported shard_value type: {type(shard_value)}")
+        ident = str(shard_field).replace('"', '""')
+        sql = f'SELECT * FROM {query_or_table} WHERE "{ident}" = {lit}'
     else:
         sql = query_or_table
     return ray.data.read_sql(sql, connection_factory)

@@ -254,6 +254,60 @@ def test_stage_bodies_idempotent(corpus_files, tmp_path):
         index_dir=idx,
         avgdl=ref and __import__("cb.build", fromlist=["IndexMeta"]).IndexMeta(idx).avgdl,
         lineage_tag="retry",
+        num_shards=4,
     )
     got = {k: _sha(p) for k, p in _index_files(idx).items() if k.endswith(".parquet")}
     assert got == ref
+
+
+def test_modified_input_rebuilds_cleanly(corpus_files, tmp_path):
+    """A MODIFIED input shard (stale lineage) must fully replace its old
+    tokenization: stale part files are dropped before re-tokenize, so
+    the re-built index is byte-identical to a fresh build over the new
+    corpus (no ghost postings from the old file contents)."""
+    import glob
+    import shutil
+
+    src = str(tmp_path / "src")
+    shutil.copytree(corpus_files, src)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    idx = str(tmp_path / "idx")
+    build_index_resumable(files, idx, num_parts=4)
+
+    # modify shard 1: keep only its first 20 docs (shrinks its term set,
+    # so a stale part file would carry postings for now-absent docs)
+    t = pq.read_table(files[1]).slice(0, 20)
+    pq.write_table(t, files[1])
+    build_index_resumable(files, idx, num_parts=4)
+
+    fresh = str(tmp_path / "fresh")
+    build_index_resumable(files, fresh, num_parts=4)
+    fa, fb = _index_files(idx), _index_files(fresh)
+    keys_a = {k for k in fa if k.endswith(".parquet")}
+    keys_b = {k for k in fb if k.endswith(".parquet")}
+    assert keys_a == keys_b
+    for k in sorted(keys_a):
+        assert _sha(fa[k]) == _sha(fb[k]), k
+
+
+def test_shrunk_input_list_drops_orphans(corpus_files, tmp_path):
+    """Rebuilding with a SHRUNK input list must not merge orphaned shard
+    dirs or keep their docstats (the stale-glob hazard)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(corpus_files, "*.parquet")))
+    idx = str(tmp_path / "idx")
+    build_index_resumable(files, idx, num_parts=4)
+    build_index_resumable(files[:2], idx, num_parts=4)
+
+    fresh = str(tmp_path / "fresh")
+    build_index_resumable(files[:2], fresh, num_parts=4)
+    fa, fb = _index_files(idx), _index_files(fresh)
+    keys_a = {k for k in fa if k.endswith(".parquet") and not k.startswith("_shuffle")}
+    keys_b = {k for k in fb if k.endswith(".parquet") and not k.startswith("_shuffle")}
+    assert keys_a == keys_b
+    for k in sorted(keys_a):
+        assert _sha(fa[k]) == _sha(fb[k]), k
+    from cb.build import IndexMeta
+
+    assert IndexMeta(idx).n_docs == IndexMeta(fresh).n_docs == 100
