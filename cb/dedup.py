@@ -167,18 +167,67 @@ def _band_rows(batch: pa.Table, *, bands: int, rows_per_band: int) -> pa.Table:
     )
 
 
-def _emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    docs = sorted(set(group["doc_id"].tolist()))
+def _emit_pairs(group: pd.DataFrame, max_group: int | None = None) -> pd.DataFrame:
+    """All-pairs within one candidate bucket.  ``max_group`` caps the
+    bucket size: a bucket with more distinct docs than the cap is DROPPED
+    (logged) — an LSH bucket or shingle shared by thousands of docs
+    carries no near-dup signal and its O(n^2) pair fan-out would
+    dominate the whole job (hot-key guard; skew test proves bounded
+    time on a degenerate corpus)."""
+    docs = np.unique(group["doc_id"].to_numpy())
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+    )
     if len(docs) < 2:
-        return pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+        return empty
+    if max_group is not None and len(docs) > max_group:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup: dropping hot bucket with %d docs (cap %d, ~%d pairs skipped)",
+            len(docs), max_group, len(docs) * (len(docs) - 1) // 2,
         )
-    a, b = [], []
-    for i in range(len(docs)):
-        for j in range(i + 1, len(docs)):
-            a.append(docs[i])
-            b.append(docs[j])
-    return pd.DataFrame({"doc_a": a, "doc_b": b})
+        return empty
+    # vectorized upper-triangle pair expansion (no Python double loop)
+    ii, jj = np.triu_indices(len(docs), k=1)
+    return pd.DataFrame({"doc_a": docs[ii], "doc_b": docs[jj]})
+
+
+def _candidate_columns(pairs: ray.data.Dataset, cols: tuple[str, str] = ("doc_a", "doc_b")) -> np.ndarray:
+    """Distinct ids appearing in the candidate-pair dataset (sorted).
+    Candidate-proportional, NOT corpus-proportional: safe to hold on the
+    driver and broadcast."""
+    a, b = cols
+    chunks = [
+        np.asarray(batch[a], dtype=np.int64)
+        for batch in pairs.select_columns([a]).iter_batches(batch_format="numpy")
+    ] + [
+        np.asarray(batch[b], dtype=np.int64)
+        for batch in pairs.select_columns([b]).iter_batches(batch_format="numpy")
+    ]
+    if not chunks:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(chunks))
+
+
+def _slice_by_ids(
+    ds: ray.data.Dataset, ids: np.ndarray, id_col: str = "doc_id"
+) -> list[dict]:
+    """Rows of ``ds`` whose ``id_col`` is in ``ids`` — the dataflow does
+    the filtering (one broadcast membership test per batch); only the
+    candidate-proportional slice ever reaches the driver."""
+    ref = ray.put(ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        col = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.zeros(len(col), dtype=bool)
+        pos = np.searchsorted(want, col)
+        in_range = pos < len(want)
+        mask[in_range] = want[pos[in_range]] == col[in_range]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow").take_all()
 
 
 def minhash_near_duplicates(
@@ -190,10 +239,19 @@ def minhash_near_duplicates(
     bands: int = 32,
     threshold: float = 0.8,
     concurrency: int = 4,
+    max_bucket: int | None = 1024,
 ) -> ray.data.Dataset:
     """MinHash+LSH near-dup: signature (actor pool) -> band rows ->
     groupby(band, band_hash) -> candidate pairs -> signature-estimated
-    Jaccard filter.  -> (doc_a, doc_b, est_jaccard)."""
+    Jaccard filter.  -> (doc_a, doc_b, est_jaccard).
+
+    Verification is dataflow-shaped: candidate ids (pair-proportional)
+    are broadcast to FILTER the signature dataset down to the candidate
+    slice; nothing corpus-sized ever reaches the driver.  ``max_bucket``
+    caps LSH bucket fan-out (hot-bucket guard, dropped buckets logged).
+    """
+    from functools import partial as _partial
+
     rows_per_band = num_hashes // bands
     sigs = ds.map_batches(
         MinHashStage,
@@ -205,7 +263,7 @@ def minhash_near_duplicates(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    sigs_mat = sigs.materialize()  # reused: band rows + verification lookup
+    sigs_mat = sigs.materialize()  # reused: band rows + verification slice
     band_rows = sigs_mat.map_batches(
         _band_rows,
         fn_kwargs={"bands": bands, "rows_per_band": rows_per_band},
@@ -213,21 +271,24 @@ def minhash_near_duplicates(
     )
     pairs = (
         band_rows.groupby(["band", "band_hash"])
-        .map_groups(_emit_pairs, batch_format="pandas")
+        .map_groups(_partial(_emit_pairs, max_group=max_bucket), batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
-    )
-    # verification: signature-estimated Jaccard (small side: signatures of
-    # candidate docs — broadcast via driver lookup; candidate set << corpus)
+    ).materialize()
+    # verification: signature-estimated Jaccard over the CANDIDATE slice
+    # of the signature dataset (filtered in the dataflow, broadcast once)
+    cand_ids = _candidate_columns(pairs)
     sig_lookup = {
         r["doc_id"]: np.asarray(r["minhash"], dtype=np.int64)
-        for r in sigs_mat.take_all()
+        for r in _slice_by_ids(sigs_mat, cand_ids)
     }
+    lut_ref = ray.put(sig_lookup)
 
     def verify(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
         est = []
         for a_id, b_id in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
-            sa, sb = sig_lookup[a_id], sig_lookup[b_id]
+            sa, sb = lut[a_id], lut[b_id]
             est.append(float(np.mean(sa == sb)))
         t = batch.append_column("est_jaccard", pa.array(est, type=pa.float64()))
         import pyarrow.compute as pc
@@ -276,9 +337,19 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int | None = 1024,
 ) -> ray.data.Dataset:
     """4-band exact-match blocking (Hamming<=3 guarantees >=1 equal
-    16-bit band) -> candidate pairs -> exact Hamming verify."""
+    16-bit band) -> candidate pairs -> exact Hamming verify.
+
+    Scale note: 16-bit bands give only 65,536 buckets per band, so at
+    >=10^7 docs buckets go quadratic — ``max_bucket`` bounds the pair
+    fan-out (dropped buckets logged).  At that corpus scale prefer
+    8x8-bit banding with a higher verify bar, or MinHash LSH.
+    Verification broadcasts only the candidate slice of the signature
+    dataset (dataflow filter), never the corpus."""
+    from functools import partial as _partial
+
     sigs = ds.map_batches(
         simhash_stage,
         fn_kwargs={"text_col": text_col, "id_col": id_col},
@@ -304,16 +375,22 @@ def simhash_near_duplicates(
     pairs = (
         sigs.map_batches(bands, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
-        .map_groups(_emit_pairs, batch_format="pandas")
+        .map_groups(_partial(_emit_pairs, max_group=max_bucket), batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
-    )
-    lut = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1) for r in sigs.take_all()}
+    ).materialize()
+    cand_ids = _candidate_columns(pairs)
+    lut = {
+        r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+        for r in _slice_by_ids(sigs, cand_ids)
+    }
+    lut_ref = ray.put(lut)
 
     def verify(batch: pa.Table) -> pa.Table:
+        side = ray.get(lut_ref)
         keep_a, keep_b, dist = [], [], []
         for a_id, b_id in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
-            d = bin(lut[a_id] ^ lut[b_id]).count("1")
+            d = bin(side[a_id] ^ side[b_id]).count("1")
             if d <= max_hamming:
                 keep_a.append(a_id)
                 keep_b.append(b_id)
@@ -354,38 +431,47 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> pa.Table:
     """Exact Jaccard over DISTINCT n-gram shingle sets.
     -> (doc_a, doc_b, jaccard) for pairs >= threshold.
 
     Pair generation happens per shingle group (the groupby is the only
-    shuffle); doc set sizes are joined driver-side (small aggregate).
-    """
+    shuffle).  Doc-set sizes come from a dataflow aggregate FILTERED to
+    the candidate ids before they reach the driver (pair-proportional,
+    never corpus-sized).  ``max_df`` drops shingles shared by more than
+    that many docs (hot-shingle guard: a near-universal shingle carries
+    no signal and fans out O(n^2) pairs; dropped shingles are logged).
+    The default None keeps the exact-SQL-oracle semantics; large-corpus
+    callers should set it (~100) and accept the documented bias."""
+    from functools import partial as _partial
+
     rows = ds.map_batches(
         _shingle_rows,
         fn_kwargs={"text_col": text_col, "id_col": id_col, "n": n},
         batch_format="pyarrow",
     )
     rows_mat = rows.materialize()
-    sizes = {
-        r["doc_id"]: r["count()"]
-        for r in rows_mat.groupby("doc_id").aggregate(Count()).take_all()
-    }
     co = (
         rows_mat.groupby("shingle")
-        .map_groups(_emit_pairs, batch_format="pandas")
+        .map_groups(_partial(_emit_pairs, max_group=max_df), batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_common"))
-    )
+    ).materialize()
+    cand_ids = _candidate_columns(co)
+    sizes_ds = rows_mat.groupby("doc_id").aggregate(Count())
+    sizes = {r["doc_id"]: r["count()"] for r in _slice_by_ids(sizes_ds, cand_ids)}
+    sizes_ref = ray.put(sizes)
 
     def jaccard(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        side = ray.get(sizes_ref)
         a = batch["doc_a"].to_numpy(zero_copy_only=False)
         b = batch["doc_b"].to_numpy(zero_copy_only=False)
         c = batch["n_common"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.array([sizes[x] for x in a], dtype=np.float64)
-        nb = np.array([sizes[x] for x in b], dtype=np.float64)
+        na = np.array([side[x] for x in a], dtype=np.float64)
+        nb = np.array([side[x] for x in b], dtype=np.float64)
         j = c / (na + nb - c)
         t = batch.append_column("jaccard", pa.array(j, type=pa.float64()))
         return t.filter(pc.greater_equal(t["jaccard"], threshold))

@@ -74,3 +74,32 @@ def test_ngram_jaccard_exact_values():
     expect = len(s1 & s3) / len(s1 | s3)
     assert got[(1, 2)] == 1.0
     assert got[(1, 3)] == expect
+
+
+def test_hot_bucket_cap_bounds_degenerate_corpus():
+    """Every doc shares one hot shingle: without a cap that one group
+    emits O(n^2) pairs; with max_df the hot group is dropped while pairs
+    blocked by their OTHER (distinctive) shingles survive."""
+    hot = "alpha beta gamma "  # one shared trigram across all docs
+    rows = [
+        {"doc_id": i, "text": hot + f"unique{i} filler{i} token{i} pad{i}"}
+        for i in range(300)
+    ]
+    # two docs sharing distinctive shingles beyond the hot one
+    rows.append({"doc_id": 900, "text": hot + "special marker sequence here now"})
+    rows.append({"doc_id": 901, "text": hot + "special marker sequence here later"})
+    ds = ray.data.from_items(rows)
+    out = dedup.ngram_jaccard_pairs(ds, threshold=0.2, max_df=50).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (900, 901) in got  # blocked via 'special marker sequence' shingles
+    # the 300 hot-only docs pair ONLY through the dropped hot shingle
+    assert not any(a < 300 and b < 300 for a, b in got)
+
+
+def test_emit_pairs_cap_and_vectorized():
+    import pandas as pd
+
+    g = pd.DataFrame({"doc_id": [3, 1, 2, 1]})
+    out = dedup._emit_pairs(g)
+    assert list(zip(out["doc_a"], out["doc_b"])) == [(1, 2), (1, 3), (2, 3)]
+    assert dedup._emit_pairs(g, max_group=2).empty
