@@ -443,8 +443,7 @@ def annotate_partition(batch: pa.Table, *, index_dir: str, avgdl: float) -> pa.T
         if not os.path.exists(fpath):
             continue
         tbl = pq.read_table(fpath)
-        annotated = [compress.annotate_umax(r, avgdl) for r in tbl.to_pylist()]
-        new_tbl = pa.Table.from_pylist(annotated, schema=_posting_file_schema())
+        new_tbl = compress.annotate_umax_table(tbl, avgdl)
         rows_out.append(write_partition(new_tbl, index_dir, int(p), avgdl, "fast-path"))
     if not rows_out:
         return pa.Table.from_pylist([], schema=_manifest_schema())

@@ -203,6 +203,51 @@ def encode_postings(
     }
 
 
+def _binary_column_stream(col) -> np.ndarray:
+    """Concatenated bytes of a binary column as one uint8 ndarray
+    (zero-copy view over the Arrow data buffer)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data[offs[0] : offs[-1]]
+
+
+def annotate_umax_table(tbl: pa.Table, avgdl: float) -> pa.Table:
+    """Columnar block-umax rewrite of a whole partition file: ONE varint
+    decode over the concatenated tf/dl streams + one reduceat, instead
+    of a per-row Python dict round-trip (``to_pylist``) over up-to-GiB
+    partition files."""
+    n = tbl.num_rows
+    if n == 0:
+        return tbl
+    dfs = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(dfs.sum())
+    tfs = varint_decode(_binary_column_stream(tbl["tfs_blob"]), total).astype(np.int64)
+    dls = varint_decode(_binary_column_stream(tbl["dls_blob"]), total).astype(np.int64)
+    u = scoring.u_factor(tfs, dls, avgdl)
+    # per-row block starts: row_start + {0, BLOCK, 2*BLOCK, ...}
+    n_blocks = (dfs + BLOCK - 1) // BLOCK
+    row_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(dfs[:-1], out=row_starts[1:])
+    block_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_blocks, out=block_offsets[1:])
+    tot_blocks = int(block_offsets[-1])
+    starts = (
+        np.repeat(row_starts, n_blocks)
+        + (np.arange(tot_blocks, dtype=np.int64) - np.repeat(block_offsets[:-1], n_blocks))
+        * BLOCK
+    )
+    umax_flat = np.maximum.reduceat(u, starts) if tot_blocks else np.empty(0, dtype=np.float64)
+    umax_col = pa.ListArray.from_arrays(
+        pa.array(block_offsets, type=pa.int32()), pa.array(umax_flat, type=pa.float64())
+    )
+    return tbl.set_column(
+        tbl.schema.get_field_index("block_umax"), "block_umax", umax_col.cast(tbl["block_umax"].type)
+    )
+
+
 def annotate_umax(row: dict, avgdl: float) -> dict:
     """Fill ``block_umax`` on a row encoded with ``avgdl=None``."""
     pl = PostingList(row)

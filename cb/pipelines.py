@@ -56,6 +56,25 @@ def docs_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
 
+def _collect(ds: ray.data.Dataset) -> pa.Table:
+    """Dataset -> one driver-side Table via Arrow block refs (zero-copy
+    from the object store) — NOT row-wise ``from_pylist(take_all())``.
+    Only call on result-sized datasets.  Narrow ints/floats are widened
+    (int64/float64) to keep the driver-facing schema identical to the
+    Python-inferred one these pipelines historically produced."""
+    tables = ray.get(ds.to_arrow_refs())
+    non_empty = [t for t in tables if t.num_rows] or tables[:1]
+    if not non_empty:
+        return pa.table({})
+    t = pa.concat_tables(non_empty, promote_options="default").combine_chunks()
+    for i, f in enumerate(t.schema):
+        if pa.types.is_integer(f.type) and f.type != pa.int64():
+            t = t.set_column(i, f.name, t[f.name].cast(pa.int64()))
+        elif pa.types.is_floating(f.type) and f.type != pa.float64():
+            t = t.set_column(i, f.name, t[f.name].cast(pa.float64()))
+    return t
+
+
 INDEX_FORMAT_VERSION = 3  # bump when the on-disk index layout changes
 # (v2: dls_blob; v3: positional postings — pos_blob/block_pos_off columns)
 
@@ -84,7 +103,7 @@ def get_index(sf_dir: str) -> build.IndexMeta:
 def q_doc_stats(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
     out = ds.map_batches(build.doc_stats, batch_format="pyarrow", zero_copy_batch=True)
-    t = pa.Table.from_pylist(out.take_all())
+    t = _collect(out)
     return t.set_column(
         t.schema.get_field_index("doc_len"), "doc_len", t["doc_len"].cast(pa.int64())
     )
@@ -106,7 +125,7 @@ def q_term_stats(sf_dir: str) -> pa.Table:
     agg = parts.groupby("term").aggregate(
         Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
     )
-    return pa.Table.from_pylist(agg.take_all())
+    return _collect(agg)
 
 
 def sql_term_stats() -> str:
@@ -315,7 +334,7 @@ def q_content_sha256(sf_dir: str) -> pa.Table:
             {"doc_id": batch["doc_id"], "content_sha256": pa.array(sha, type=pa.string())}
         )
 
-    return pa.Table.from_pylist(ds.map_batches(f, batch_format="pyarrow").take_all())
+    return _collect(ds.map_batches(f, batch_format="pyarrow"))
 
 
 def sql_content_sha256() -> str:
@@ -328,45 +347,39 @@ def sql_content_sha256() -> str:
 
 def q_dedup_exact(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
-    return pa.Table.from_pylist(dedup.exact_duplicates(ds).take_all())
+    return _collect(dedup.exact_duplicates(ds))
 
 
 def q_token_stats(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
-    return pa.Table.from_pylist(
-        ds.map_batches(textstats.token_stats, batch_format="pyarrow").take_all()
-    )
+    return _collect(ds.map_batches(textstats.token_stats, batch_format="pyarrow"))
 
 
 def q_lang_id(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
-    return pa.Table.from_pylist(
-        ds.map_batches(textstats.lang_id, batch_format="pyarrow").take_all()
-    )
+    return _collect(ds.map_batches(textstats.lang_id, batch_format="pyarrow"))
 
 
 def q_fingerprint(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
-    return pa.Table.from_pylist(
-        ds.map_batches(textstats.fingerprint, batch_format="pyarrow").take_all()
-    )
+    return _collect(ds.map_batches(textstats.fingerprint, batch_format="pyarrow"))
 
 
 def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
     out = dedup.ngram_jaccard_pairs(ds, threshold=0.3)
-    return pa.Table.from_pylist(out.take_all())
+    return _collect(out)
 
 
 def q_minhash_neardup(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
     out = dedup.minhash_near_duplicates(ds, threshold=0.7, concurrency=2)
-    return pa.Table.from_pylist(out.take_all())
+    return _collect(out)
 
 
 def q_simhash_neardup(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
-    return pa.Table.from_pylist(dedup.simhash_near_duplicates(ds).take_all())
+    return _collect(dedup.simhash_near_duplicates(ds))
 
 
 def q_ann_topk(sf_dir: str) -> pa.Table:
@@ -433,7 +446,7 @@ def q_filter_pushdown(sf_dir: str) -> pa.Table:
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"],
         filter=expr,
     )
-    return pa.Table.from_pylist(ds.take_all())
+    return _collect(ds)
 
 
 def sql_filter_pushdown() -> str:
@@ -470,7 +483,7 @@ def q_events_minute_agg(sf_dir: str) -> pa.Table:
     agg = pre.groupby(["minute", "event_type"]).aggregate(
         Sum("value_sum", alias_name="sum_value"), Sum("n", alias_name="n_events")
     )
-    t = pa.Table.from_pylist(agg.take_all())
+    t = _collect(agg)
     rounded = np.round(t["sum_value"].to_numpy(zero_copy_only=False), 6)
     return t.set_column(
         t.schema.get_field_index("sum_value"),
@@ -488,7 +501,7 @@ def q_sessionize(sf_dir: str) -> pa.Table:
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
     )
     out = windows.sessionize(ds, gap_seconds=1800)
-    t = pa.Table.from_pylist(out.take_all())
+    t = _collect(out)
     rounded = np.round(t["sum_value"].to_numpy(zero_copy_only=False), 6)
     t = t.set_column(
         t.schema.get_field_index("sum_value"), "sum_value", pa.array(rounded, type=pa.float64())
@@ -548,7 +561,7 @@ def q_orders_by_segment(sf_dir: str) -> pa.Table:
         .groupby(["c_mktsegment", "o_orderpriority"])
         .aggregate(Sum("cents_sum", alias_name="cents"), Sum("n", alias_name="n_orders"))
     )
-    t = pa.Table.from_pylist(agg.take_all())
+    t = _collect(agg)
     total = t["cents"].to_numpy(zero_copy_only=False) / 100.0
     t = t.drop_columns(["cents"]).append_column(
         "sum_totalprice", pa.array(total, type=pa.float64())
@@ -621,7 +634,7 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
             Sum("n", alias_name="count_order"),
         )
     )
-    t = pa.Table.from_pylist(agg.take_all())
+    t = _collect(agg)
     base = t["base_c"].to_numpy(zero_copy_only=False) / 100.0
     disc = t["disc_c"].to_numpy(zero_copy_only=False) / 10000.0
     t = t.drop_columns(["base_c", "disc_c"])

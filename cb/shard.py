@@ -112,15 +112,24 @@ class ShardPartition:
             self.offsets: dict[str, tuple[int, int]] = {}
             return
         self.table = pq.read_table(path)
-        terms = self.table["term"].to_pylist()
+        # Arrow run-end detection (rows are (term,bucket)-sorted): one
+        # dictionary_encode + one vectorized diff, no per-row Python
+        # compares over the whole partition.
+        import pyarrow.compute as pc
+
+        term_col = self.table["term"].combine_chunks()
         self.offsets = {}
-        i = 0
-        while i < len(terms):
-            j = i
-            while j < len(terms) and terms[j] == terms[i]:
-                j += 1
-            self.offsets[terms[i]] = (i, j - i)  # rows are (term,bucket)-sorted
-            i = j
+        if len(term_col):
+            enc = pc.dictionary_encode(term_col)
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            change = np.empty(len(codes), dtype=bool)
+            change[0] = True
+            change[1:] = codes[1:] != codes[:-1]
+            starts = np.flatnonzero(change)
+            lens = np.diff(np.append(starts, len(codes)))
+            dict_vals = enc.dictionary.to_pylist()
+            for s, ln in zip(starts, lens):
+                self.offsets[dict_vals[codes[s]]] = (int(s), int(ln))
 
     def get(self, term: str) -> ChunkedPostings | None:
         loc = self.offsets.get(term)
