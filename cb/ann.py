@@ -5,12 +5,16 @@
   matmul per batch and emits only its per-batch top-k candidates, the
   driver merges the tiny candidate set.  The per-batch top-k is the
   combiner that keeps the merge O(batches * Q * k), never O(N).
-- :func:`ivf_topk` — the scale path: deterministic coarse centroids,
-  vectors bucketed by nearest centroid (one groupby-shaped pass), a
-  query probes only ``nprobe`` buckets.  Approximate -> rows-only
-  oracle check.
-- :func:`embedding_near_duplicates` — cosine >= tau near-dup pairs via
-  the same broadcast pattern.
+- :func:`build_ivf` / :func:`ivf_search` — a real bucketed IVF index:
+  sampled-k-means centroids, one groupby pass writes one parquet file
+  per coarse cell, a query READS only its ``nprobe`` buckets (pruned
+  I/O, not just pruned flops).  Approximate -> rows-only oracle check;
+  recall@10 >= 0.9 asserted in tests on clustered data.
+- :func:`embedding_near_duplicates` — EXACT cosine >= tau pairs as a
+  distributed block-pair sweep (no corpus-sized driver state).
+- :func:`embedding_near_duplicates_lsh` — the sub-quadratic scale
+  path: random-hyperplane LSH blocking + exact verify (precision 1,
+  recall rises with bands).
 """
 
 from __future__ import annotations
@@ -47,6 +51,37 @@ def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     flat = lists.flatten().to_numpy(zero_copy_only=False)
     n = len(lists)
     return flat.reshape(n, -1)
+
+
+def _candidate_schema() -> pa.Schema:
+    return pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+    )
+
+
+def _empty_candidates() -> pa.Table:
+    return pa.Table.from_pylist([], schema=_candidate_schema())
+
+
+def _merge_candidates(tbl: pa.Table, k: int) -> pa.Table:
+    """Tiny driver-side merge of per-batch candidates -> exact top-k per
+    query with the global (sim DESC, vec_id ASC) tie-break."""
+    out = {"query_id": [], "rank": [], "vec_id": [], "sim": []}
+    df = tbl.to_pandas()
+    for qid, g in df.groupby("query_id"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        out["query_id"].extend([qid] * len(g))
+        out["rank"].extend(range(1, len(g) + 1))
+        out["vec_id"].extend(g["vec_id"].tolist())
+        out["sim"].extend(g["sim"].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+            "sim": pa.array(out["sim"], type=pa.float64()),
+        }
+    )
 
 
 class BruteForceScorer:
@@ -111,64 +146,162 @@ def brute_force_topk(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    cand_schema = pa.schema(
-        [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
-    )
-    tbl = pa.Table.from_pylist(cands.take_all(), schema=cand_schema)  # tiny: batches * Q * k
-    out = {"query_id": [], "rank": [], "vec_id": [], "sim": []}
-    import pandas as pd
-
-    df = tbl.to_pandas()
-    for qid, g in df.groupby("query_id"):
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        out["query_id"].extend([qid] * len(g))
-        out["rank"].extend(range(1, len(g) + 1))
-        out["vec_id"].extend(g["vec_id"].tolist())
-        out["sim"].extend(g["sim"].tolist())
-    return pa.table(
-        {
-            "query_id": pa.array(out["query_id"], type=pa.int64()),
-            "rank": pa.array(out["rank"], type=pa.int64()),
-            "vec_id": pa.array(out["vec_id"], type=pa.int64()),
-            "sim": pa.array(out["sim"], type=pa.float64()),
-        }
-    )
+    tbl = pa.Table.from_pylist(cands.take_all(), schema=_candidate_schema())  # tiny: batches * Q * k
+    return _merge_candidates(tbl, k)
 
 
-def ivf_topk(
+# --------------------------------------------------------------------------
+# IVF: a real bucketed index (build once, probe-only reads)
+# --------------------------------------------------------------------------
+
+def _kmeans(mat: np.ndarray, k: int, iters: int = 10, seed: int = 13) -> np.ndarray:
+    """Deterministic spherical k-means over a (sampled) normalized
+    matrix: k-means++-style seeding + Lloyd iterations with cosine
+    assignment; centroids re-normalized each round."""
+    n = len(mat)
+    k = min(k, n)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    # k-means++ seeding on cosine distance
+    first = int(rng.integers(n))
+    cents = [mat[first]]
+    d = 1.0 - mat @ cents[0]
+    for _ in range(1, k):
+        probs = np.maximum(d, 0)
+        s = probs.sum()
+        idx = int(rng.choice(n, p=probs / s)) if s > 0 else int(rng.integers(n))
+        cents.append(mat[idx])
+        d = np.minimum(d, 1.0 - mat @ cents[-1])
+    C = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(mat @ C.T, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members) == 0:
+                # reseed empty cluster to the worst-served point
+                worst = int(np.argmin((mat @ C.T).max(axis=1)))
+                C[c] = mat[worst]
+            else:
+                v = members.sum(axis=0)
+                norm = np.linalg.norm(v)
+                C[c] = v / norm if norm > 0 else C[c]
+    return C
+
+
+def build_ivf(
     ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Build a bucketed IVF layout: sampled-k-means centroids, one
+    groupby pass assigning every vector to its nearest centroid, one
+    parquet file per bucket (``bucket=<c>.parquet``).  A query then
+    READS only its ``nprobe`` buckets — probing saves I/O, not just
+    matmul flops.  At cluster scale each bucket file is further
+    range-partitioned; the layout (dir per coarse cell) is the standard
+    IVF file organization."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(index_dir, exist_ok=True)
+    sample = ds.limit(sample_size).take_all()
+    smat = _normalize(np.array([r[vec_col] for r in sample]))
+    cents = _kmeans(smat, n_centroids, iters=iters)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(cents_ref)
+        mat = _normalize(_batch_matrix(batch, vec_col))
+        a = np.argmax(mat @ C.T, axis=1).astype(np.int32)
+        return pa.table(
+            {
+                "centroid": pa.array(a, type=pa.int32()),
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+            }
+        )
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        c = int(group["centroid"][0].as_py())
+        # sort by id for deterministic bucket bytes
+        group = group.sort_by(id_col)
+        fpath = os.path.join(index_dir, f"bucket={c}.parquet")
+        pq.write_table(group, fpath + ".tmp")
+        os.replace(fpath + ".tmp", fpath)
+        return pa.table(
+            {"centroid": pa.array([c], type=pa.int32()),
+             "n_vecs": pa.array([group.num_rows], type=pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("centroid")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    meta = {
+        "n_centroids": int(len(cents)),
+        "dim": int(cents.shape[1]),
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "buckets": {str(r["centroid"]): int(r["n_vecs"]) for r in counts},
+    }
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_search(
+    index_dir: str,
     query_mat: np.ndarray,
     query_ids: np.ndarray,
     *,
     k: int = 10,
-    n_centroids: int = 16,
     nprobe: int = 4,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> pa.Table:
-    """IVF-style approximate top-k: centroids = first ``n_centroids``
-    vectors (deterministic), vectors assigned to nearest centroid,
-    queries probe ``nprobe`` nearest buckets.  Same output schema as
-    :func:`brute_force_topk`; recall < 1 by design (scale path)."""
-    first = ds.limit(n_centroids).take_all()
-    cents = _normalize(np.array([r[vec_col] for r in first]))
-    cents_ref = ray.put(cents)
-    query_ref = ray.put({"mat": np.asarray(query_mat), "ids": np.asarray(query_ids)})
+    """Probe-only search over a :func:`build_ivf` layout: each query
+    selects its ``nprobe`` nearest centroids; ONLY those bucket files
+    are read (pruned ``read_parquet``), scored per batch against the
+    queries probing them, and merged on the driver."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    qmat = _normalize(np.asarray(query_mat))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    nprobe = min(nprobe, meta["n_centroids"])
+    probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    needed = sorted({int(c) for row in probe for c in row})
+    files = [
+        os.path.join(index_dir, f"bucket={c}.parquet")
+        for c in needed
+        if os.path.exists(os.path.join(index_dir, f"bucket={c}.parquet"))
+    ]
+    if not files:
+        return _merge_candidates(_empty_candidates(), k)
+    query_ref = ray.put({"mat": qmat, "ids": qids, "probe": probe})
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
 
     class ProbeScorer:
+        """Actor-pool stage: query/probe state fetched once per actor."""
+
         def __init__(self):
-            self.cents = ray.get(cents_ref)
             q = ray.get(query_ref)
-            self.qmat = _normalize(np.asarray(q["mat"]))
-            self.qids = np.asarray(q["ids"], dtype=np.int64)
-            # per query: set of probed buckets
-            qsims = self.qmat @ self.cents.T
-            self.probe = np.argsort(-qsims, axis=1)[:, :nprobe]
+            self.qmat, self.qids, self.probe = q["mat"], q["ids"], q["probe"]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             mat = _normalize(_batch_matrix(batch, vec_col))
             ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            assign = np.argmax(mat @ self.cents.T, axis=1)
+            assign = batch["centroid"].to_numpy(zero_copy_only=False)
             out_q, out_v, out_s = [], [], []
             for qi in range(len(self.qids)):
                 mask = np.isin(assign, self.probe[qi])
@@ -181,13 +314,7 @@ def ivf_topk(
                 out_v.append(sub_ids[top])
                 out_s.append(sub[top])
             if not out_q:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], type=pa.int64()),
-                        "vec_id": pa.array([], type=pa.int64()),
-                        "sim": pa.array([], type=pa.float64()),
-                    }
-                )
+                return _empty_candidates()
             return pa.table(
                 {
                     "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
@@ -196,27 +323,83 @@ def ivf_topk(
                 }
             )
 
-    cands = ds.map_batches(ProbeScorer, batch_format="pyarrow", concurrency=2)
-    import pandas as pd
-
-    cand_schema = pa.schema(
-        [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+    cands = ray.data.read_parquet(files).map_batches(
+        ProbeScorer, batch_format="pyarrow", concurrency=2
     )
-    df = pa.Table.from_pylist(cands.take_all(), schema=cand_schema).to_pandas()
-    rows = {"query_id": [], "rank": [], "vec_id": [], "sim": []}
-    if len(df):
-        for qid, g in df.groupby("query_id"):
-            g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-            rows["query_id"].extend([qid] * len(g))
-            rows["rank"].extend(range(1, len(g) + 1))
-            rows["vec_id"].extend(g["vec_id"].tolist())
-            rows["sim"].extend(g["sim"].tolist())
+    tbl = pa.Table.from_pylist(cands.take_all(), schema=_candidate_schema())
+    return _merge_candidates(tbl, k)
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    query_mat: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    index_dir: str | None = None,
+) -> pa.Table:
+    """Convenience wrapper: build (or reuse) the IVF layout, then
+    probe-search it.  Same output schema as :func:`brute_force_topk`;
+    recall < 1 by design (measured in tests: >=0.9 on clustered data).
+    """
+    import os
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="cb_ivf_")
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        build_ivf(
+            ds, index_dir, n_centroids=n_centroids,
+            vec_col=vec_col, id_col=id_col,
+        )
+    return ivf_search(index_dir, query_mat, query_ids, k=k, nprobe=nprobe)
+
+
+def _collect_pairs(ds: ray.data.Dataset) -> pa.Table:
+    """Result-sized (vec_a, vec_b, cosine) dataset -> one Table.
+    to_arrow_refs passes pandas-backed blocks through unconverted, so
+    convert defensively."""
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_pandas(b, preserve_index=False)
+        for b in ray.get(ds.to_arrow_refs())
+    ]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.Table.from_pylist([], schema=_pairs_schema())
+    return pa.concat_tables(tables).combine_chunks().cast(_pairs_schema())
+
+
+def _pairs_schema() -> pa.Schema:
+    return pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
+    )
+
+
+def _cross_pairs(
+    a_ids: np.ndarray, a_mat: np.ndarray, b_ids: np.ndarray, b_mat: np.ndarray,
+    tau: float, same: bool,
+) -> pa.Table:
+    """All unordered (a, b) pairs with cosine >= tau between two
+    normalized blocks, emitted as (min_id, max_id).  ``same=True`` (a
+    block against itself) keeps only the upper triangle; distinct
+    blocks hold disjoint id sets, so every cross pair appears exactly
+    once and is oriented by min/max."""
+    sims = a_mat @ b_mat.T
+    keep = sims >= tau
+    if same:
+        keep &= a_ids[:, None] < b_ids[None, :]
+    ii, jj = np.nonzero(keep)
+    lo = np.minimum(a_ids[ii], b_ids[jj])
+    hi = np.maximum(a_ids[ii], b_ids[jj])
     return pa.table(
         {
-            "query_id": pa.array(rows["query_id"], type=pa.int64()),
-            "rank": pa.array(rows["rank"], type=pa.int64()),
-            "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
-            "sim": pa.array(rows["sim"], type=pa.float64()),
+            "vec_a": pa.array(lo, type=pa.int64()),
+            "vec_b": pa.array(hi, type=pa.int64()),
+            "cosine": pa.array(sims[ii, jj], type=pa.float64()),
         }
     )
 
@@ -227,40 +410,184 @@ def embedding_near_duplicates(
     tau: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    block_rows: int = 4096,
+    work_dir: str | None = None,
 ) -> pa.Table:
-    """Exact cosine near-dup pairs (>= tau, a < b).  Broadcast the full
-    normalized matrix (sandbox scale); the 100TB path is LSH-bucketed
-    blocking (random-hyperplane signs) + within-bucket verify."""
-    all_rows = ds.take_all()
-    ids = np.array([r[id_col] for r in all_rows], dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    mat = _normalize(np.array([all_rows[i][vec_col] for i in order]))
-    ref = ray.put({"ids": ids, "mat": mat})
+    """EXACT cosine near-dup pairs (>= tau, a < b), distributed as a
+    block-pair sweep: vectors are bucketed into B blocks (one parquet
+    file each, written by a groupby pass), then one task per (i<=j)
+    block pair loads two blocks and emits its pairs.  Nothing
+    corpus-sized touches the driver; compute is the inherent exact
+    O(N^2) spread over B(B+1)/2 independent tasks.  For the approximate
+    scale path (sub-quadratic candidate generation) use
+    :func:`embedding_near_duplicates_lsh`."""
+    import os
+    import tempfile
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        side = ray.get(ref)
-        bmat = _normalize(_batch_matrix(batch, vec_col))
-        bids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = bmat @ side["mat"].T
-        out_a, out_b, out_s = [], [], []
-        for i in range(len(bids)):
-            mask = (sims[i] >= tau) & (side["ids"] > bids[i])
-            for j in np.flatnonzero(mask):
-                out_a.append(bids[i])
-                out_b.append(int(side["ids"][j]))
-                out_s.append(float(sims[i, j]))
+    import pyarrow.parquet as pq
+
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="cb_neardup_")
+    os.makedirs(work_dir, exist_ok=True)
+    n = ds.count()
+    n_blocks = max(1, -(-n // block_rows))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = (
+            batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64) % n_blocks
+        ).astype(np.int32)
+        return pa.table(
+            {"block": pa.array(b, type=pa.int32()), id_col: batch[id_col], vec_col: batch[vec_col]}
+        )
+
+    def write_block(group: pa.Table) -> pa.Table:
+        b = int(group["block"][0].as_py())
+        group = group.sort_by(id_col)
+        fpath = os.path.join(work_dir, f"block={b}.parquet")
+        pq.write_table(group.drop_columns(["block"]), fpath + ".tmp")
+        os.replace(fpath + ".tmp", fpath)
+        return pa.table({"block": pa.array([b], type=pa.int32())})
+
+    written = {
+        r["block"]
+        for r in ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("block")
+        .map_groups(write_block, batch_format="pyarrow")
+        .take_all()
+    }
+    blocks = sorted(written)
+    pair_rows = [
+        {"i": i, "j": j} for ai, i in enumerate(blocks) for j in blocks[ai:]
+    ]
+    if not pair_rows:
+        return pa.Table.from_pylist([], schema=_pairs_schema())
+
+    def score_pair(batch: pa.Table) -> pa.Table:
+        out = []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ta = pq.read_table(os.path.join(work_dir, f"block={i}.parquet"))
+            a_ids = ta[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            a_mat = _normalize(_batch_matrix(ta, vec_col))
+            if i == j:
+                tb_ids, tb_mat = a_ids, a_mat
+            else:
+                tb = pq.read_table(os.path.join(work_dir, f"block={j}.parquet"))
+                tb_ids = tb[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                tb_mat = _normalize(_batch_matrix(tb, vec_col))
+            out.append(_cross_pairs(a_ids, a_mat, tb_ids, tb_mat, tau, i == j))
+        return pa.concat_tables(out) if out else pa.Table.from_pylist([], schema=_pairs_schema())
+
+    cands = ray.data.from_items(pair_rows).map_batches(
+        score_pair, batch_format="pyarrow", batch_size=1
+    )
+    return _collect_pairs(cands)
+
+
+class HyperplaneSigner:
+    """Actor-pool stage: random-hyperplane sign signatures, planes
+    drawn once per actor in ``__init__`` (deterministic seed)."""
+
+    def __init__(self, dim: int, bits: int, bands: int, vec_col: str, id_col: str, seed: int = 29):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.planes = rng.normal(size=(bits * bands, dim))
+        self.bits = bits
+        self.bands = bands
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.weights = (1 << np.arange(bits, dtype=np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_matrix(batch, self.vec_col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        signs = (mat @ self.planes.T) > 0  # (n, bits*bands)
+        out_band, out_hash, out_id = [], [], []
+        for b in range(self.bands):
+            chunk = signs[:, b * self.bits : (b + 1) * self.bits]
+            h = chunk @ self.weights  # (n,)
+            out_band.append(np.full(len(ids), b, dtype=np.int32))
+            out_hash.append(h.astype(np.int64))
+            out_id.append(ids)
         return pa.table(
             {
-                "vec_a": pa.array(out_a, type=pa.int64()),
-                "vec_b": pa.array(out_b, type=pa.int64()),
-                "cosine": pa.array(out_s, type=pa.float64()),
+                "band": pa.array(np.concatenate(out_band), type=pa.int32()),
+                "band_hash": pa.array(np.concatenate(out_hash), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_id), type=pa.int64()),
             }
         )
 
-    schema = pa.schema(
-        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
+
+def embedding_near_duplicates_lsh(
+    ds: ray.data.Dataset,
+    *,
+    tau: float = 0.9,
+    bits: int = 8,
+    bands: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int | None = 4096,
+    concurrency: int = 2,
+) -> pa.Table:
+    """Approximate near-dup pairs via random-hyperplane LSH blocking +
+    EXACT within-candidate verification: sign signatures (actor pool)
+    -> band rows -> groupby(band, band_hash) -> candidate pairs ->
+    exact cosine filter over the candidate-id vector slice (broadcast,
+    pair-proportional).  Precision is exact (every emitted pair truly
+    has cosine >= tau); recall < 1 by design and rises with ``bands``
+    (P(miss) = (1 - p^bits)^bands, p = 1 - theta/pi).  The scale path
+    for corpora where the exact block sweep's O(N^2) is unaffordable."""
+    from functools import partial as _partial
+
+    from . import dedup as dedup_mod
+
+    first = ds.limit(1).take_all()
+    if not first:
+        return pa.Table.from_pylist([], schema=_pairs_schema())
+    dim = len(first[0][vec_col])
+    sigs = ds.map_batches(
+        HyperplaneSigner,
+        fn_constructor_kwargs={
+            "dim": dim, "bits": bits, "bands": bands,
+            "vec_col": vec_col, "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
     )
-    return pa.Table.from_pylist(
-        ds.map_batches(pairs, batch_format="pyarrow").take_all(), schema=schema
-    )
+    from ray.data.aggregate import Count
+
+    pairs = (
+        sigs.groupby(["band", "band_hash"])
+        .map_groups(_partial(dedup_mod._emit_pairs, max_group=max_bucket), batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+    ).materialize()
+    cand_ids = dedup_mod._candidate_columns(pairs)
+    vec_rows = dedup_mod._slice_by_ids(ds, cand_ids, id_col=id_col)
+    lut = {
+        r[id_col]: np.asarray(r[vec_col], dtype=np.float64)
+        for r in vec_rows
+    }
+    for vid, v in lut.items():
+        nrm = np.linalg.norm(v)
+        if nrm > 0:
+            lut[vid] = v / nrm
+    lut_ref = ray.put(lut)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        side = ray.get(lut_ref)
+        keep_a, keep_b, coss = [], [], []
+        for a_id, b_id in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+            c = float(side[a_id] @ side[b_id])
+            if c >= tau:
+                keep_a.append(a_id)
+                keep_b.append(b_id)
+                coss.append(c)
+        return pa.table(
+            {
+                "vec_a": pa.array(keep_a, type=pa.int64()),
+                "vec_b": pa.array(keep_b, type=pa.int64()),
+                "cosine": pa.array(coss, type=pa.float64()),
+            }
+        )
+
+    out = pairs.map_batches(verify, batch_format="pyarrow")
+    return _collect_pairs(out)

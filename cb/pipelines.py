@@ -62,7 +62,10 @@ def _collect(ds: ray.data.Dataset) -> pa.Table:
     Only call on result-sized datasets.  Narrow ints/floats are widened
     (int64/float64) to keep the driver-facing schema identical to the
     Python-inferred one these pipelines historically produced."""
-    tables = ray.get(ds.to_arrow_refs())
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_pandas(b, preserve_index=False)
+        for b in ray.get(ds.to_arrow_refs())  # pandas-backed blocks pass through unconverted
+    ]
     non_empty = [t for t in tables if t.num_rows] or tables[:1]
     if not non_empty:
         return pa.table({})
@@ -409,18 +412,33 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 
 
 def q_ann_ivf(sf_dir: str) -> pa.Table:
+    """Bucketed-IVF approximate top-k (build once, probe-only reads);
+    rows-only oracle check (approximate by design; recall vs brute
+    force asserted >=0.9 in tests)."""
     path = os.path.join(sf_dir, "embeddings.parquet")
     head = pq.read_table(path).sort_by("vec_id").slice(0, 5)
     qmat = np.array(head["embedding"].to_pylist())
     qids = head["vec_id"].to_numpy()
     ds = ray.data.read_parquet(path)
-    out = ann.ivf_topk(ds, qmat, qids, k=K)
+    key = f"{os.path.abspath(sf_dir)}|ivf-v1"
+    ivf_dir = os.path.join(
+        "/tmp", "cb_ivf_cache", hashlib.md5(key.encode()).hexdigest()[:12]
+    )
+    out = ann.ivf_topk(ds, qmat, qids, k=K, index_dir=ivf_dir)
     return out.select(["query_id", "rank", "vec_id"])
 
 
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return ann.embedding_near_duplicates(ds, tau=0.8).select(["vec_a", "vec_b"])
+
+
+def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
+    """Random-hyperplane LSH blocking + exact verify (approximate ->
+    rows-only check; every emitted pair truly has cosine >= tau, recall
+    measured vs the exact sweep in tests)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann.embedding_near_duplicates_lsh(ds, tau=0.8).select(["vec_a", "vec_b"])
 
 
 def sql_embedding_neardup() -> str:
@@ -685,6 +703,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "filter_pushdown": q_filter_pushdown,
     "events_minute_agg": q_events_minute_agg,
     "sessionize": q_sessionize,
