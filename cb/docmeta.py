@@ -1,0 +1,154 @@
+"""Per-field mapping / not_analyzed metadata columns (X5 parity).
+
+The reference configures per-field behavior through mapping JSONs
+pushed to Elasticsearch — analyzed text vs ``not_analyzed`` keyword
+fields usable as exact-match filters
+(/root/reference/src/ConveyorBelt.Tooling/Scheduling/MasterScheduler.cs:205-239
+and mappings/*.json).  The engine analog: the index's text column is
+analyzed into postings (cb.build); the columns named here are stored
+UNANALYZED in a doc-range-bucketed side table (``docmeta/``) and
+combined with BM25 at query time as a filter context — exactly the ES
+``bool: {must: match, filter: term}`` shape, where the filter does not
+change scoring.
+
+Layout mirrors docstats: one parquet file per doc-id range bucket,
+sorted by doc_id, so a doc-sharded serving topology loads only its own
+bucket range (the filter table shards WITH the postings, nothing
+corpus-global).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from .build import ID_BITS, IndexMeta
+
+
+def build_docmeta(
+    source: str | ray.data.Dataset,
+    index_dir: str,
+    meta_cols: list[str],
+    *,
+    id_col: str = "doc_id",
+) -> dict:
+    """One pruned-columns pass over the corpus -> ``docmeta/bucket=<b>``
+    files (sorted by doc_id) + ``docmeta/_meta.json``.  Idempotent; the
+    bucketing uses the index's own range_bits so metadata buckets align
+    with posting doc-range buckets."""
+    meta = IndexMeta(index_dir)
+    range_bits = meta.range_bits
+    if isinstance(source, str):
+        ds = ray.data.read_parquet(source, columns=[id_col] + meta_cols)
+    else:
+        ds = source
+
+    shift = ID_BITS - range_bits
+    out_dir = os.path.join(index_dir, "docmeta")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (ids >> shift).astype(np.int32)
+        return batch.append_column("bucket", pa.array(bucket, type=pa.int32()))
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        b = int(group["bucket"][0].as_py())
+        group = group.drop_columns(["bucket"]).sort_by(id_col)
+        fpath = os.path.join(out_dir, f"bucket={b}.parquet")
+        pq.write_table(group, fpath + ".tmp")
+        os.replace(fpath + ".tmp", fpath)
+        return pa.table(
+            {"bucket": pa.array([b], type=pa.int32()),
+             "n_docs": pa.array([group.num_rows], type=pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    m = {
+        "cols": meta_cols,
+        "id_col": id_col,
+        "range_bits": range_bits,
+        "buckets": {str(r["bucket"]): int(r["n_docs"]) for r in counts},
+    }
+    tmp = os.path.join(out_dir, "_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, os.path.join(out_dir, "_meta.json"))
+    return m
+
+
+def ensure_docmeta(index_dir: str, source: str, meta_cols: list[str], *, id_col: str = "doc_id") -> None:
+    """Build the docmeta table if absent or its column set changed."""
+    p = os.path.join(index_dir, "docmeta", "_meta.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            m = json.load(f)
+        if m.get("cols") == meta_cols and m.get("id_col") == id_col:
+            return
+    build_docmeta(source, index_dir, meta_cols, id_col=id_col)
+
+
+class DocMeta:
+    """Sorted-id metadata lookup for filter evaluation.
+
+    ``buckets`` restricts loading to a doc-range subset (what a
+    doc-sharded server passes); None loads all buckets."""
+
+    __slots__ = ("ids", "cols")
+
+    def __init__(self, index_dir: str, buckets: list[int] | None = None):
+        out_dir = os.path.join(index_dir, "docmeta")
+        with open(os.path.join(out_dir, "_meta.json")) as f:
+            m = json.load(f)
+        want = set(map(int, m["buckets"])) if buckets is None else set(buckets)
+        files = [
+            os.path.join(out_dir, f"bucket={b}.parquet")
+            for b in sorted(want)
+            if os.path.exists(os.path.join(out_dir, f"bucket={b}.parquet"))
+        ]
+        if files:
+            tbl = pa.concat_tables([pq.read_table(f) for f in files])
+            # buckets are disjoint, ascending doc-id ranges written
+            # sorted; concatenation in bucket order is globally sorted
+            ids = tbl[m["id_col"]].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            tbl = None
+            ids = np.empty(0, dtype=np.int64)
+        self.ids = ids
+        self.cols = {}
+        if tbl is not None:
+            for c in m["cols"]:
+                col = tbl[c].combine_chunks()
+                self.cols[c] = col
+
+    def mask(self, doc_ids: np.ndarray, filters: dict) -> np.ndarray:
+        """Boolean mask: does each doc satisfy EVERY (col == value) /
+        (col in values) condition?  Ids absent from the table -> False."""
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        if len(self.ids) == 0:
+            return np.zeros(len(doc_ids), dtype=bool)
+        pos = np.clip(np.searchsorted(self.ids, doc_ids), 0, len(self.ids) - 1)
+        ok = self.ids[pos] == doc_ids
+        for c, want in filters.items():
+            col = self.cols[c]
+            vals = col.take(pa.array(pos))
+            if isinstance(want, (list, tuple, set, frozenset)):
+                m = pc.is_in(vals, value_set=pa.array(sorted(want)))
+            else:
+                m = pc.equal(vals, pa.scalar(want))
+            ok &= np.asarray(
+                pc.fill_null(m, False).to_numpy(zero_copy_only=False), dtype=bool
+            )
+        return ok

@@ -240,6 +240,84 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
+FILTER_LANGS: tuple[str, ...] = ("en", "fr", "de", "es", "zh")
+
+
+def q_bm25_filtered(sf_dir: str) -> pa.Table:
+    """Filtered BM25 (X5 per-field-mapping parity): the lang column is
+    stored not_analyzed in the docmeta side table and combined with the
+    text match as an ES-style filter context — membership changes,
+    scores do not.  Each query_id filters on a cycling language."""
+    from . import docmeta as docmeta_mod
+
+    meta = get_index(sf_dir)
+    docmeta_mod.ensure_docmeta(meta.index_dir, docs_path(sf_dir), ["lang", "source"])
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = [
+            engine.filtered_query(q, {"lang": FILTER_LANGS[qid % len(FILTER_LANGS)]}, k=K)
+            for qid, q in enumerate(QUERY_SET)
+        ]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6), type=pa.float64()
+            ),
+        }
+    )
+
+
+def sql_bm25_filtered() -> str:
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    flt_rows = ", ".join(
+        f"({qid}, '{FILTER_LANGS[qid % len(FILTER_LANGS)]}')"
+        for qid in range(len(QUERY_SET))
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_query_terms_values()}),
+flt(query_id, lang) AS (VALUES {flt_rows}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rank
+  FROM scored s
+  JOIN documents d ON d.doc_id = s.doc_id
+  JOIN flt f ON f.query_id = s.query_id AND d.lang = f.lang
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 PHRASE_SET: tuple[str, ...] = (
     "merge sort",
     "hash join",
@@ -691,6 +769,7 @@ QUERIES = {
     "corpus_stats": q_corpus_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_scores": q_bm25_topk_scores,
+    "bm25_filtered": q_bm25_filtered,
     "phrase_search": q_phrase_search,
     "content_sha256": q_content_sha256,
     "dedup_exact": q_dedup_exact,
@@ -719,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": sql_corpus_stats(),
         "bm25_topk": sql_bm25(with_scores=False),
         "bm25_topk_scores": sql_bm25(with_scores=True),
+        "bm25_filtered": sql_bm25_filtered(),
         "phrase_search": sql_phrase_search(),
         "content_sha256": sql_content_sha256(),
         "dedup_exact": dedup.sql_exact_duplicates(),

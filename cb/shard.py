@@ -163,6 +163,9 @@ class ShardServer:
         self.stats = GlobalStats(meta.n_docs, meta.avgdl)
         self.n_docs = meta.n_docs
         self.num_parts = meta.num_parts
+        self.index_dir = index_dir
+        self.buckets: list[int] | None = None  # doc-range subset (doc-sharded mode)
+        self._docmeta = None  # lazy DocMeta for filtered search
         self.cache: dict[str, ChunkedPostings | None] = {}
         self.decoded: dict[str, tuple] = {}  # term -> (ids, contrib) numpy
         self.results: dict[tuple, list] = {}  # (terms, k, algo) LRU, cap below
@@ -226,6 +229,36 @@ class ShardServer:
         self.results[key] = res
         return res
 
+    def score_filtered(
+        self, terms: list[str], k: int, filters: dict,
+        fetched_terms: list[str], *fetched,
+    ):
+        """Filtered BM25 (ES ``bool: {must: match, filter: term}``
+        parity): exact TAAT over the query terms, then the metadata
+        predicate masks the candidate universe BEFORE ranking — the
+        filter context never changes scores, only membership.  DocMeta
+        loads lazily once per server; a doc-sharded server passes its
+        bucket range so the filter table shards with the postings."""
+        from . import docmeta as docmeta_mod
+
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        postings = dict(zip(fetched_terms, fetched))
+        for t, p in postings.items():
+            self.cache[t] = p
+        for t in terms:
+            if t not in postings:
+                postings[t] = self._local(t)
+        live = {t: p for t, p in postings.items() if p is not None}
+        idfs = {t: float(scoring.idf(p.df, self.n_docs)) for t, p in live.items()}
+        universe, acc = wand.taat_scores(live, idfs, self.stats, decoded_cache=self.decoded)
+        if universe is None:
+            return []
+        keep = self._docmeta.mask(universe, filters)
+        from .query import rank_topk
+
+        return rank_topk(universe[keep], acc[keep], k)
+
     def phrase(self, ordered_terms: list[str], k: int, fetched_terms: list[str], *fetched):
         """Exact phrase top-k (positional postings); same fetch protocol
         as :meth:`score`."""
@@ -265,6 +298,24 @@ class LocalSearcher:
         ordered = analyze.tokenize(text)
         postings = {t: self.get_postings(t) for t in set(ordered)}
         return phrase_mod.phrase_topk(ordered, postings, self.stats, k)
+
+    def filtered_query(self, text: str, filters: dict, k: int = 10) -> list[tuple[int, float]]:
+        """In-process filtered BM25 (ES bool must+filter parity)."""
+        from . import docmeta as docmeta_mod
+        from .query import rank_topk
+
+        terms = sorted(set(analyze.tokenize(text)))
+        postings = {t: self.get_postings(t) for t in terms}
+        postings = {t: p for t, p in postings.items() if p is not None}
+        if not postings:
+            return []
+        idfs = {t: float(scoring.idf(p.df, self.meta.n_docs)) for t, p in postings.items()}
+        universe, acc = wand.taat_scores(postings, idfs, self.stats)
+        if universe is None:
+            return []
+        dm = docmeta_mod.DocMeta(self.meta.index_dir)
+        keep = dm.mask(universe, filters)
+        return rank_topk(universe[keep], acc[keep], k)
 
     def query(self, text: str, k: int = 10, algo: str = "wand") -> list[tuple[int, float]]:
         terms = sorted(set(analyze.tokenize(text)))
@@ -340,6 +391,25 @@ class QueryEngine:
     def query(self, text: str, k: int = 10, algo: str = "taat") -> list[tuple[int, float]]:
         fut = self._dispatch(text, k, algo)
         return [] if fut is None else ray.get(fut)
+
+    def filtered_query(self, text: str, filters: dict, k: int = 10) -> list[tuple[int, float]]:
+        """Filtered BM25 via the pool (ownership-routed like phrase)."""
+        terms = sorted(set(analyze.tokenize(text)))
+        if not terms:
+            return []
+        owners = {t: self._owner(t) for t in terms}
+        counts = np.bincount([owners[t] for t in terms], minlength=self.num_servers)
+        scorer = int(np.argmax(counts))
+        fetched_terms = [
+            t for t in terms if owners[t] != scorer and t not in self.seen[scorer]
+        ]
+        refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
+        self.seen[scorer].update(terms)
+        return ray.get(
+            self.servers[scorer].score_filtered.remote(
+                terms, k, filters, fetched_terms, *refs
+            )
+        )
 
     def phrase_query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Exact phrase top-k via the pool (ownership-routed)."""

@@ -157,9 +157,21 @@ def topk_taat(
     """
     if k <= 0:
         return []
+    universe, acc = taat_scores(postings, idfs, stats, decoded_cache)
+    if universe is None:
+        return []
+    return rank_topk(universe, acc, k)
+
+
+def taat_scores(
+    postings: dict, idfs: dict, stats, decoded_cache: dict | None = None
+) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """Exact TAAT accumulation -> (matching doc ids sorted, scores).
+    The shared core of :func:`topk_taat` and filtered search (which
+    masks the universe by a metadata predicate BEFORE ranking)."""
     cursors = _gather_terms(postings, idfs, need_umax=False)
     if not cursors:
-        return []
+        return None, None
     per_term = []
     for c in cursors:
         hit = decoded_cache.get(c.term) if decoded_cache is not None else None
@@ -175,7 +187,7 @@ def topk_taat(
     acc = np.zeros(len(universe), dtype=np.float64)
     for ids, contrib in per_term:  # cursors sorted by term -> spec order
         acc[np.searchsorted(universe, ids)] += contrib
-    return rank_topk(universe, acc, k)
+    return universe, acc
 
 
 def topk_wand(postings: dict, idfs: dict, stats, k: int) -> list[tuple[int, float]]:

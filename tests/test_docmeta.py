@@ -1,0 +1,96 @@
+"""Filtered search (X5 per-field-mapping parity): docmeta side table +
+ES-style filter context — membership changes, scores do not."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from cb import docmeta as dm
+from cb.build import build_index
+from cb.shard import LocalSearcher, QueryEngine
+
+TEXTS = [
+    ("alpha join merge window", "en"),
+    ("join table scan alpha", "fr"),
+    ("merge join window table", "en"),
+    ("quantum zebra dance", "de"),
+    ("join window merge scan table", "fr"),
+    ("alpha beta join", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    d = tmp_path_factory.mktemp("docmeta")
+    rows = [
+        {"doc_id": 1000 + i * 7, "text": t, "lang": lang, "source": f"s{i % 2}"}
+        for i, (t, lang) in enumerate(TEXTS)
+    ]
+    src = str(d / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(d / "idx")
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=4)
+    dm.ensure_docmeta(idx, src, ["lang", "source"])
+    return idx, rows
+
+
+def test_docmeta_mask(built):
+    idx, rows = built
+    meta = dm.DocMeta(idx)
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    got = meta.mask(ids, {"lang": "en"})
+    want = np.array([r["lang"] == "en" for r in rows])
+    assert np.array_equal(got, want)
+    # conjunction + set membership + missing ids
+    got2 = meta.mask(ids, {"lang": {"en", "fr"}, "source": "s0"})
+    want2 = np.array([r["lang"] in ("en", "fr") and r["source"] == "s0" for r in rows])
+    assert np.array_equal(got2, want2)
+    assert not meta.mask(np.array([999999]), {"lang": "en"}).any()
+
+
+def test_filtered_query_membership_not_scores(built):
+    idx, rows = built
+    s = LocalSearcher(idx)
+    unfiltered = dict(s.query("join merge", k=10, algo="taat"))
+    for lang in ("en", "fr", "de"):
+        res = s.filtered_query("join merge", {"lang": lang}, k=10)
+        allowed = {r["doc_id"] for r in rows if r["lang"] == lang}
+        assert {d for d, _ in res} <= allowed
+        # scores identical to the unfiltered run (filter context)
+        for d, sc in res:
+            assert sc == unfiltered[d]
+    # union over langs == unfiltered result set
+    union = set()
+    for lang in ("en", "fr", "de"):
+        union |= {d for d, _ in s.filtered_query("join merge", {"lang": lang}, k=10)}
+    assert union == set(unfiltered)
+
+
+def test_filtered_query_via_engine(built):
+    idx, rows = built
+    s = LocalSearcher(idx)
+    engine = QueryEngine(idx, num_servers=2)
+    try:
+        for q in ("join merge", "alpha table", "zebra"):
+            for lang in ("en", "fr"):
+                assert engine.filtered_query(q, {"lang": lang}, k=10) == \
+                    s.filtered_query(q, {"lang": lang}, k=10)
+    finally:
+        engine.shutdown()
+
+
+def test_ensure_docmeta_idempotent_and_rebuilds_on_col_change(built):
+    idx, rows = built
+    p = os.path.join(idx, "docmeta", "_meta.json")
+    mtime = os.stat(p).st_mtime_ns
+    src = os.path.join(os.path.dirname(idx), "docs.parquet")
+    dm.ensure_docmeta(idx, src, ["lang", "source"])
+    assert os.stat(p).st_mtime_ns == mtime  # unchanged -> no rebuild
+    dm.ensure_docmeta(idx, src, ["lang"])
+    assert os.stat(p).st_mtime_ns != mtime  # column set changed -> rebuilt
+    meta = dm.DocMeta(idx)
+    assert set(meta.cols) == {"lang"}
