@@ -54,6 +54,29 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_watch(args) -> int:
+    ray = _init_ray()
+    from .resumable import watch
+
+    def report(tick, meta):
+        print(json.dumps({
+            "tick": tick,
+            "n_docs": meta.n_docs if meta else 0,
+            "total_tokens": meta.total_tokens if meta else 0,
+        }), flush=True)
+
+    watch(
+        args.input, args.index,
+        interval_s=args.interval,
+        max_ticks=args.max_ticks,
+        on_tick=report,
+        text_col=args.text_col, id_col=args.id_col,
+        num_parts=args.num_parts,
+    )
+    ray.shutdown()
+    return 0
+
+
 def cmd_query(args) -> int:
     ray = _init_ray()
     from .shard import QueryEngine
@@ -90,6 +113,16 @@ def main(argv=None) -> int:
     b.add_argument("--resumable", action="store_true",
                    help="checkpointed build (skips finished shards/partitions)")
     b.set_defaults(fn=cmd_build)
+
+    w = sub.add_parser("watch", help="poll a directory; incrementally re-index on growth")
+    w.add_argument("--input", required=True, help="corpus parquet dir to poll")
+    w.add_argument("--index", required=True, help="output index dir")
+    w.add_argument("--interval", type=float, default=30.0, help="poll seconds")
+    w.add_argument("--max-ticks", type=int, default=None, help="stop after N ticks (default: forever)")
+    w.add_argument("--text-col", default="content")
+    w.add_argument("--id-col", default=None)
+    w.add_argument("--num-parts", type=int, default=32)
+    w.set_defaults(fn=cmd_watch)
 
     for name in ("query", "query-file", "phrase"):
         q = sub.add_parser(name, help="top-k BM25 query")

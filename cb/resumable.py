@@ -192,6 +192,58 @@ def merge_partition(
     return pa.concat_tables([pa.table(r) for r in rows])
 
 
+def watch(
+    input_dir: str,
+    index_dir: str,
+    *,
+    interval_s: float = 30.0,
+    max_ticks: int | None = None,
+    sleep_fn=None,
+    on_tick=None,
+    text_col: str = "content",
+    id_col: str | None = None,
+    num_parts: int = build.DEFAULT_NUM_PARTS,
+    range_bits: int = build.DEFAULT_RANGE_BITS,
+) -> build.IndexMeta | None:
+    """Continuous-ingest driver loop (S5/W4 parity): poll ``input_dir``
+    and re-run the resumable build whenever the parquet file list or any
+    file's (size, mtime) changes — the engine analog of the reference's
+    30-second scheduler tick + chased blob offsets
+    (/root/reference/src/ConveyorBelt.Worker/WorkerRole.cs:233-247,
+    FileOffset byte cursors).  Unchanged shards skip via their
+    manifests, so a quiet tick that still fires costs one manifest scan;
+    each rebuilt index is byte-identical to a fresh build over the
+    corpus-so-far (tests).
+
+    ``max_ticks``/``sleep_fn``/``on_tick`` exist for testing and
+    embedding; the CLI (`python -m cb.cli watch`) runs it forever.
+    Returns the last IndexMeta built (None if no tick saw input files).
+    """
+    import time
+
+    if sleep_fn is None:
+        sleep_fn = time.sleep
+    last_sig = None
+    meta = None
+    tick = 0
+    while max_ticks is None or tick < max_ticks:
+        files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+        sig = tuple((f, *(lambda s: (s.st_size, s.st_mtime_ns))(os.stat(f))) for f in files)
+        if files and sig != last_sig:
+            meta = build_index_resumable(
+                files, index_dir,
+                text_col=text_col, id_col=id_col,
+                num_parts=num_parts, range_bits=range_bits,
+            )
+            last_sig = sig
+        if on_tick is not None:
+            on_tick(tick, meta)
+        tick += 1
+        if max_ticks is None or tick < max_ticks:
+            sleep_fn(interval_s)
+    return meta
+
+
 def _remove_orphan_shards(shuffle_dir: str, index_dir: str, num_shards: int) -> None:
     """Drop shuffle dirs + docstats files of shards beyond the current
     input list (a shrunk list must not leave their postings/doc-stats

@@ -196,6 +196,69 @@ def test_incremental_append(corpus_files, tmp_path):
     assert (ma.n_docs, ma.total_tokens, ma.avgdl) == (mb.n_docs, mb.total_tokens, mb.avgdl)
 
 
+def test_watch_loop_incremental(corpus_files, tmp_path):
+    """Two watch ticks over a GROWING directory: tick 0 indexes the
+    initial files, a file lands between ticks, tick 1 re-indexes
+    incrementally (old shards skip) — final index byte-identical to a
+    fresh build over everything (the continuous-shoveling parity)."""
+    import glob
+    import shutil
+
+    from cb import resumable as rz
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    all_files = sorted(glob.glob(os.path.join(corpus_files, "*.parquet")))
+    for f in all_files[:2]:
+        shutil.copy(f, src)
+    idx = str(tmp_path / "idx")
+    seen = []
+
+    def grow(_interval):
+        # simulate a file arriving while the watcher sleeps
+        if len(seen) == 1:
+            for f in all_files[2:]:
+                shutil.copy(f, src)
+
+    def record(tick, meta):
+        seen.append((tick, meta.n_docs if meta else 0))
+
+    rz.watch(src, idx, max_ticks=2, sleep_fn=grow, on_tick=record)
+    assert seen[0][1] == 100 and seen[1][1] == 200  # half then full corpus
+
+    fresh = str(tmp_path / "fresh")
+    build_index_resumable(sorted(glob.glob(os.path.join(src, "*.parquet"))), fresh, num_parts=rz.build.DEFAULT_NUM_PARTS)
+    fa, fb = _index_files(idx), _index_files(fresh)
+    keys = {k for k in fa if k.endswith(".parquet")}
+    assert keys == {k for k in fb if k.endswith(".parquet")}
+    for k in sorted(keys):
+        assert _sha(fa[k]) == _sha(fb[k]), k
+
+
+def test_watch_quiet_tick_noop(corpus_files, tmp_path):
+    """An unchanged directory between ticks must not rewrite anything."""
+    from cb import resumable as rz
+
+    import glob
+    import shutil
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    for f in sorted(glob.glob(os.path.join(corpus_files, "*.parquet")))[:2]:
+        shutil.copy(f, src)
+    idx = str(tmp_path / "idx")
+    rz.watch(src, idx, max_ticks=1, sleep_fn=lambda _s: None)
+    mtimes = {
+        k: os.stat(p).st_mtime_ns
+        for k, p in _index_files(idx).items()
+        if k.endswith(".parquet")
+    }
+    rz.watch(src, idx, max_ticks=2, sleep_fn=lambda _s: None)
+    after = _index_files(idx)
+    for k, mt in mtimes.items():
+        assert os.stat(after[k]).st_mtime_ns == mt, f"{k} rewritten on quiet tick"
+
+
 def test_empty_corpus_build(tmp_path):
     """A zero-document corpus builds a valid, queryable (empty) index."""
     import pyarrow as pa
