@@ -469,6 +469,38 @@ class IndexMeta:
     def docstats_dir(self) -> str:
         return os.path.join(self.index_dir, "docstats")
 
+    def build_metrics(self) -> dict:
+        """Per-stage observability counters surfaced from the build's
+        manifests (the engine analog of the reference's per-shard-key
+        counters, ShardKeyActor.cs:74-84): per-partition rows/terms/
+        postings plus corpus totals, read back from what the build
+        actually published — no recomputation."""
+        parts = []
+        for p in range(self.num_parts):
+            m = manifest.read(
+                os.path.join(self.index_dir, "parts", f"part={p}", "manifest.json")
+            )
+            if m:
+                parts.append(
+                    {
+                        "partition": p,
+                        "n_rows": m.get("n_rows", 0),
+                        "n_terms": m.get("n_terms", 0),
+                        "n_postings": m.get("n_postings", 0),
+                        "status": m.get("status", "missing"),
+                    }
+                )
+        return {
+            "n_docs": self.n_docs,
+            "total_tokens": self.total_tokens,
+            "avgdl": self.avgdl,
+            "num_parts": self.num_parts,
+            "partitions_done": sum(1 for r in parts if r["status"] == "done"),
+            "n_postings": sum(r["n_postings"] for r in parts),
+            "n_rows": sum(r["n_rows"] for r in parts),
+            "partitions": parts,
+        }
+
 
 def write_global(index_dir: str, n_docs: int, total_tokens: int, num_parts: int, range_bits: int) -> dict:
     g = {

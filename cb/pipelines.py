@@ -621,6 +621,24 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_late_events(sf_dir: str) -> pa.Table:
+    """Late-data / lag metrics over the event stream (W3 parity):
+    watermark = running max event-time in arrival (event_id) order;
+    per-event-type late counts and max lag."""
+    from . import windows
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts", "event_type"]
+    )
+    return windows.late_event_metrics(ds, grace_seconds=0.0)
+
+
+def sql_late_events() -> str:
+    from . import windows
+
+    return windows.sql_late_event_metrics(grace_seconds=0.0)
+
+
 def q_orders_by_segment(sf_dir: str) -> pa.Table:
     """Broadcast join (orders x customer dimension) + grouped counts —
     the reference's config-into-work-item embedding as an operator."""
@@ -785,6 +803,7 @@ QUERIES = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "filter_pushdown": q_filter_pushdown,
     "events_minute_agg": q_events_minute_agg,
+    "late_events": q_late_events,
     "sessionize": q_sessionize,
     "orders_by_segment": q_orders_by_segment,
     "pricing_summary": q_pricing_summary,
@@ -809,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": sql_embedding_neardup(),
         "filter_pushdown": sql_filter_pushdown(),
         "events_minute_agg": sql_events_minute_agg(),
+        "late_events": sql_late_events(),
         "sessionize": sql_sessionize(),
         "orders_by_segment": sql_orders_by_segment(),
         "pricing_summary": sql_pricing_summary(),

@@ -89,6 +89,144 @@ def sessionize(
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def late_event_metrics(
+    ds: ray.data.Dataset,
+    *,
+    grace_seconds: float = 0.0,
+    arrival_col: str = "event_id",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket_span: int = 4096,
+) -> pa.Table:
+    """Late-data / lag metrics (W3 parity — the reference's ShardKeyActor
+    tracks per-shard-key delay, /root/reference/src/ConveyorBelt.Tooling/
+    Actors/ShardKeyActor.cs:74-84).
+
+    The stream's processing order is ``arrival_col``; the watermark at
+    each event is the max event-time of everything that arrived STRICTLY
+    before it, minus ``grace_seconds``.  An event is late when its
+    event-time is below that watermark; its lag is (watermark - ts).
+    -> (key, n_events, n_late, max_lag_us) per key.
+
+    Distributed as a two-pass prefix max: arrival ids are bucketed
+    (``arrival // bucket_span``); pass A computes each bucket's max ts
+    (tiny aggregate), the driver forms the exclusive prefix max over
+    bucket maxima (bucket-count-sized), pass B re-groups by bucket and
+    runs the carry-in running max vectorized per group.  Nothing
+    corpus-sized on the driver; two shuffles of the (pruned) event
+    columns."""
+    import pyarrow.compute as pc
+
+    import ray
+    from ray.data.aggregate import Max
+
+    grace_us = int(round(grace_seconds * 1_000_000))
+    NEG = np.iinfo(np.int64).min // 4  # "no watermark yet" sentinel
+
+    def project(batch: pa.Table) -> pa.Table:
+        arr = batch[arrival_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch[ts_col].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(arr // bucket_span, type=pa.int64()),
+                "arrival": pa.array(arr, type=pa.int64()),
+                "ts_us": pa.array(ts.astype("datetime64[us]").astype(np.int64), type=pa.int64()),
+                key_col: batch[key_col],
+            }
+        )
+
+    bucketed = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # pass A: per-bucket max ts -> driver-side exclusive prefix max (tiny)
+    bmax = {
+        r["bucket"]: r["max_ts"]
+        for r in bucketed.groupby("bucket").aggregate(Max("ts_us", alias_name="max_ts")).take_all()
+    }
+    buckets_sorted = sorted(bmax)
+    carry_in = {}
+    running = NEG
+    for b in buckets_sorted:
+        carry_in[b] = running
+        running = max(running, bmax[b])
+    carry_ref = ray.put(carry_in)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        carry = ray.get(carry_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("arrival", kind="mergesort")
+        ts = g["ts_us"].to_numpy()
+        wm = np.maximum.accumulate(np.concatenate(([carry], ts)))[:-1]
+        has_wm = wm > NEG
+        lag = np.where(has_wm, wm - grace_us - ts, np.int64(0))
+        late = has_wm & (lag > 0)
+        out = pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy(),
+                "one": np.ones(len(g), dtype=np.int64),
+                "is_late": late.astype(np.int64),
+                "lag_us": np.where(late, lag, np.int64(0)),
+            }
+        )
+        return (
+            out.groupby(key_col, sort=True)
+            .agg(n_events=("one", "sum"), n_late=("is_late", "sum"), max_lag_us=("lag_us", "max"))
+            .reset_index()
+        )
+
+    agg = (
+        bucketed.groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(key_col)
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_late", alias_name="n_late"),
+            Max("max_lag_us", alias_name="max_lag_us"),
+        )
+    )
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_pandas(b, preserve_index=False)
+        for b in ray.get(agg.to_arrow_refs())
+    ]
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    out = pa.concat_tables(tables).combine_chunks()
+    return out.cast(
+        pa.schema(
+            [
+                (key_col, out.schema.field(key_col).type),
+                ("n_events", pa.int64()),
+                ("n_late", pa.int64()),
+                ("max_lag_us", pa.int64()),
+            ]
+        )
+    )
+
+
+def sql_late_event_metrics(
+    table: str = "events",
+    grace_seconds: float = 0.0,
+    arrival_col: str = "event_id",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> str:
+    """DuckDB mirror via an exclusive running max window."""
+    grace_us = int(round(grace_seconds * 1_000_000))
+    return f"""
+WITH w AS (
+  SELECT {key_col},
+         epoch_us({ts_col}) AS ts_us,
+         max(epoch_us({ts_col})) OVER (
+           ORDER BY {arrival_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS wm_us
+  FROM {table}
+)
+SELECT {key_col},
+       count(*)::BIGINT AS n_events,
+       coalesce(sum(CASE WHEN wm_us - {grace_us} - ts_us > 0 THEN 1 ELSE 0 END), 0)::BIGINT AS n_late,
+       coalesce(max(CASE WHEN wm_us - {grace_us} - ts_us > 0
+                         THEN wm_us - {grace_us} - ts_us ELSE 0 END), 0)::BIGINT AS max_lag_us
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_sessionize(
     table: str = "events",
     key_col: str = "user_id",
