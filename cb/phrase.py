@@ -88,7 +88,9 @@ def phrase_topk(
     marr = np.array(matches, dtype=np.int64)
     for t in uniq:
         ids, tfs, dls, _, _ = decoded[t]
-        idf = float(scoring.idf(postings[t].df, stats.n_docs))
+        # gdf = corpus-global df (== df unless this server holds only a
+        # doc-range slice); idf must be corpus-exact either way
+        idf = float(scoring.idf(getattr(postings[t], "gdf", postings[t].df), stats.n_docs))
         j = np.searchsorted(ids, marr)
         scores += idf * scoring.u_factor(tfs[j], dls[j], stats.avgdl)
     return rank_topk(marr, scores, k)

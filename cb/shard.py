@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray
@@ -40,16 +41,22 @@ from .compress import PostingList
 
 
 class ChunkedPostings:
-    """One term's global posting list = ordered doc-id-range chunks."""
+    """One term's posting list = ordered doc-id-range chunks.
 
-    __slots__ = ("term", "chunks", "df", "cf")
+    ``df``/``cf`` count the chunks HELD here; ``gdf`` is the term's
+    corpus-global df (equal to ``df`` when a server holds the whole
+    list, the partition-file total when it holds a doc-range slice) —
+    idf must always use ``gdf`` or doc-sharded scores would drift."""
 
-    def __init__(self, term: str, rows: list[dict]):
+    __slots__ = ("term", "chunks", "df", "cf", "gdf")
+
+    def __init__(self, term: str, rows: list[dict], global_df: int | None = None):
         self.term = term
         rows = sorted(rows, key=lambda r: r["bucket"])
         self.chunks = [PostingList(r) for r in rows]
         self.df = sum(c.df for c in self.chunks)
         self.cf = sum(c.cf for c in self.chunks)
+        self.gdf = int(global_df) if global_df is not None else self.df
 
     def decode_all(self):
         ids, tfs, dls = [], [], []
@@ -104,19 +111,33 @@ class DocStats:
 
 
 class ShardPartition:
-    """One term-partition file, loaded once; postings decoded on demand."""
+    """One term-partition file, loaded once; postings decoded on demand.
 
-    def __init__(self, path: str):
+    ``buckets`` restricts the loaded rows to a doc-range subset (the
+    doc-sharded serving topology); per-term GLOBAL df is computed from
+    the full file's (term, df) columns before filtering, so idf stays
+    corpus-exact on a slice.  At cluster scale the file itself is
+    bucket-partitioned and the global df comes from a per-partition
+    summary row — here the full file is local anyway."""
+
+    def __init__(self, path: str, buckets: list[int] | None = None):
         if not os.path.exists(path):
             self.table = None
             self.offsets: dict[str, tuple[int, int]] = {}
+            self.global_df: dict[str, int] = {}
             return
-        self.table = pq.read_table(path)
+        import pyarrow.compute as pc
+
+        table = pq.read_table(path)
+        self.global_df = self._term_df_totals(table)
+        if buckets is not None and table.num_rows:
+            table = table.filter(
+                pc.is_in(table["bucket"], value_set=pa.array(sorted(buckets), type=pa.int32()))
+            )
+        self.table = table
         # Arrow run-end detection (rows are (term,bucket)-sorted): one
         # dictionary_encode + one vectorized diff, no per-row Python
         # compares over the whole partition.
-        import pyarrow.compute as pc
-
         term_col = self.table["term"].combine_chunks()
         self.offsets = {}
         if len(term_col):
@@ -131,12 +152,30 @@ class ShardPartition:
             for s, ln in zip(starts, lens):
                 self.offsets[dict_vals[codes[s]]] = (int(s), int(ln))
 
+    @staticmethod
+    def _term_df_totals(table: pa.Table) -> dict[str, int]:
+        """Per-term sum of chunk dfs (vectorized run-end reduceat)."""
+        import pyarrow.compute as pc
+
+        if table.num_rows == 0:
+            return {}
+        enc = pc.dictionary_encode(table["term"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        dfs = table["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        change = np.empty(len(codes), dtype=bool)
+        change[0] = True
+        change[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(dfs, starts)
+        dict_vals = enc.dictionary.to_pylist()
+        return {dict_vals[codes[s]]: int(v) for s, v in zip(starts, sums)}
+
     def get(self, term: str) -> ChunkedPostings | None:
         loc = self.offsets.get(term)
         if loc is None:
             return None
         rows = self.table.slice(loc[0], loc[1]).to_pylist()
-        return ChunkedPostings(term, rows)
+        return ChunkedPostings(term, rows, global_df=self.global_df.get(term))
 
 
 class GlobalStats:
@@ -155,16 +194,18 @@ class GlobalStats:
 
 @ray.remote
 class ShardServer:
-    """Owns a set of term partitions; loads once, serves many queries."""
+    """Owns a set of term partitions — whole lists (term-sharded) or a
+    doc-range bucket slice of every list (doc-sharded, ``buckets``);
+    loads once, serves many queries."""
 
-    def __init__(self, index_dir: str, parts: list[int]):
+    def __init__(self, index_dir: str, parts: list[int], buckets: list[int] | None = None):
         meta = IndexMeta(index_dir)
-        self.parts = {p: ShardPartition(meta.part_file(p)) for p in parts}
+        self.parts = {p: ShardPartition(meta.part_file(p), buckets=buckets) for p in parts}
         self.stats = GlobalStats(meta.n_docs, meta.avgdl)
         self.n_docs = meta.n_docs
         self.num_parts = meta.num_parts
         self.index_dir = index_dir
-        self.buckets: list[int] | None = None  # doc-range subset (doc-sharded mode)
+        self.buckets = buckets  # doc-range subset (doc-sharded mode)
         self._docmeta = None  # lazy DocMeta for filtered search
         self.cache: dict[str, ChunkedPostings | None] = {}
         self.decoded: dict[str, tuple] = {}  # term -> (ids, contrib) numpy
@@ -191,10 +232,10 @@ class ShardServer:
                 continue
             for term in part.offsets:
                 cp = self._local(term)
-                if cp is None or cp.df < min_df or term in self.decoded:
+                if cp is None or cp.gdf < min_df or term in self.decoded:
                     continue
                 ids, tfs, dls = cp.decode_all()
-                idf = float(scoring.idf(cp.df, self.n_docs))
+                idf = float(scoring.idf(cp.gdf, self.n_docs))
                 contrib = idf * scoring.u_factor(tfs, dls, self.stats.avgdl)
                 self.decoded[term] = (ids, contrib)
                 n += 1
@@ -219,7 +260,7 @@ class ShardServer:
             if t not in postings:
                 postings[t] = self._local(t)
         live = {t: p for t, p in postings.items() if p is not None}
-        idfs = {t: float(scoring.idf(p.df, self.n_docs)) for t, p in live.items()}
+        idfs = {t: float(scoring.idf(p.gdf, self.n_docs)) for t, p in live.items()}
         if algo == "wand":
             res = wand.topk_wand(live, idfs, self.stats, k)
         else:
@@ -250,7 +291,7 @@ class ShardServer:
             if t not in postings:
                 postings[t] = self._local(t)
         live = {t: p for t, p in postings.items() if p is not None}
-        idfs = {t: float(scoring.idf(p.df, self.n_docs)) for t, p in live.items()}
+        idfs = {t: float(scoring.idf(p.gdf, self.n_docs)) for t, p in live.items()}
         universe, acc = wand.taat_scores(live, idfs, self.stats, decoded_cache=self.decoded)
         if universe is None:
             return []
@@ -309,7 +350,7 @@ class LocalSearcher:
         postings = {t: p for t, p in postings.items() if p is not None}
         if not postings:
             return []
-        idfs = {t: float(scoring.idf(p.df, self.meta.n_docs)) for t, p in postings.items()}
+        idfs = {t: float(scoring.idf(p.gdf, self.meta.n_docs)) for t, p in postings.items()}
         universe, acc = wand.taat_scores(postings, idfs, self.stats)
         if universe is None:
             return []
@@ -323,24 +364,69 @@ class LocalSearcher:
         postings = {t: p for t, p in postings.items() if p is not None}
         if not postings:
             return []
-        idfs = {t: float(scoring.idf(p.df, self.meta.n_docs)) for t, p in postings.items()}
+        idfs = {t: float(scoring.idf(p.gdf, self.meta.n_docs)) for t, p in postings.items()}
         fn = wand.topk_wand if algo == "wand" else wand.topk_taat
         return fn(postings, idfs, self.stats, k)
 
 
-class QueryEngine:
-    """Driver-side facade over the ShardServer pool."""
+def _merge_topk(results: list[list[tuple[int, float]]], k: int) -> list[tuple[int, float]]:
+    """Merge per-server top-k lists over DISJOINT doc sets -> global
+    top-k with the (score desc, doc_id asc) tie-break.  Exact: every
+    server returns its k best, and the global k best each live on some
+    server."""
+    allr = [t for r in results for t in r]
+    allr.sort(key=lambda t: (-t[1], t[0]))
+    return allr[:k]
 
-    def __init__(self, index_dir: str, num_servers: int = 2):
+
+class QueryEngine:
+    """Driver-side facade over the ShardServer pool.
+
+    Two topologies (``mode``):
+
+    - ``"doc"`` (default): every server holds a doc-range BUCKET slice
+      of every term partition; a query fans out to all servers, each
+      scores its disjoint doc subset locally (per-query work ~1/S per
+      server — throughput scales by dividing work, and per-server
+      decode/cache memory shrinks with the pool), and the driver merges
+      by (score, doc_id).  This is partition re-assignment, not
+      replication: adding servers re-slices the doc ranges.  The analog
+      of ES's doc-sharded index with scatter-gather search.
+    - ``"term"``: each server owns whole term partitions
+      (p % num_servers); a query routes to the server owning most of
+      its terms, fetching the rest once via the object store.  Lower
+      fan-out per query; replica round-robin for warm term sets.
+    """
+
+    def __init__(self, index_dir: str, num_servers: int = 2, mode: str = "doc"):
         self.meta = IndexMeta(index_dir)
         self.num_servers = num_servers
-        assignments: dict[int, list[int]] = {s: [] for s in range(num_servers)}
-        for p in range(self.meta.num_parts):
-            assignments[p % num_servers].append(p)
-        self.servers = [
-            ShardServer.remote(index_dir, assignments[s])
-            for s in range(num_servers)
-        ]
+        self.mode = mode
+        if mode == "doc":
+            n_buckets = 1 << self.meta.range_bits
+            if num_servers > n_buckets:
+                raise ValueError(
+                    f"doc-sharded pool needs num_servers <= {n_buckets} "
+                    f"(2^range_bits doc-range buckets)"
+                )
+            all_parts = list(range(self.meta.num_parts))
+            self.servers = [
+                ShardServer.remote(
+                    index_dir, all_parts,
+                    buckets=[b for b in range(n_buckets) if b % num_servers == s],
+                )
+                for s in range(num_servers)
+            ]
+        elif mode == "term":
+            assignments: dict[int, list[int]] = {s: [] for s in range(num_servers)}
+            for p in range(self.meta.num_parts):
+                assignments[p % num_servers].append(p)
+            self.servers = [
+                ShardServer.remote(index_dir, assignments[s])
+                for s in range(num_servers)
+            ]
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
         # terms each server is known to hold decoded/fetched (cache map)
         self.seen: list[set[str]] = [set() for _ in range(num_servers)]
         self._rr = 0  # round-robin counter over warm replicas
@@ -363,6 +449,9 @@ class QueryEngine:
         terms = sorted(set(analyze.tokenize(text)))
         if not terms:
             return None
+        if self.mode == "doc":
+            # scatter-gather: every term is local to every server's slice
+            return [s.score.remote(terms, k, [], algo=algo) for s in self.servers]
         owners = {t: self._owner(t) for t in terms}
         # Routing: any server CAN score any query (it fetches and caches
         # non-local postings), so servers act as replicas once warm.
@@ -390,13 +479,23 @@ class QueryEngine:
 
     def query(self, text: str, k: int = 10, algo: str = "taat") -> list[tuple[int, float]]:
         fut = self._dispatch(text, k, algo)
-        return [] if fut is None else ray.get(fut)
+        if fut is None:
+            return []
+        if isinstance(fut, list):  # doc-sharded scatter-gather
+            return _merge_topk(ray.get(fut), k)
+        return ray.get(fut)
 
     def filtered_query(self, text: str, filters: dict, k: int = 10) -> list[tuple[int, float]]:
-        """Filtered BM25 via the pool (ownership-routed like phrase)."""
+        """Filtered BM25 via the pool (scatter-gather in doc mode,
+        ownership-routed in term mode)."""
         terms = sorted(set(analyze.tokenize(text)))
         if not terms:
             return []
+        if self.mode == "doc":
+            futs = [
+                s.score_filtered.remote(terms, k, filters, []) for s in self.servers
+            ]
+            return _merge_topk(ray.get(futs), k)
         owners = {t: self._owner(t) for t in terms}
         counts = np.bincount([owners[t] for t in terms], minlength=self.num_servers)
         scorer = int(np.argmax(counts))
@@ -412,10 +511,14 @@ class QueryEngine:
         )
 
     def phrase_query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
-        """Exact phrase top-k via the pool (ownership-routed)."""
+        """Exact phrase top-k via the pool (scatter-gather in doc mode,
+        ownership-routed in term mode)."""
         ordered = analyze.tokenize(text)
         if not ordered:
             return []
+        if self.mode == "doc":
+            futs = [s.phrase.remote(ordered, k, []) for s in self.servers]
+            return _merge_topk(ray.get(futs), k)
         uniq = sorted(set(ordered))
         owners = {t: self._owner(t) for t in uniq}
         counts = np.bincount([owners[t] for t in uniq], minlength=self.num_servers)
@@ -437,6 +540,21 @@ class QueryEngine:
         ownership-routed single-query path first (fetch + cache)."""
         term_lists = [sorted(set(analyze.tokenize(t))) for t in texts]
         results: list = [None] * len(texts)
+        if self.mode == "doc":
+            # one score_many RPC per server covering every query; each
+            # server scores its doc slice, driver merges per query
+            live_idx = [i for i, terms in enumerate(term_lists) if terms]
+            futs = [
+                s.score_many.remote([term_lists[i] for i in live_idx], k, algo=algo)
+                for s in self.servers
+            ]
+            per_server = ray.get(futs)
+            for i, terms in enumerate(term_lists):
+                if not terms:
+                    results[i] = []
+            for j, i in enumerate(live_idx):
+                results[i] = _merge_topk([per_server[s][j] for s in range(self.num_servers)], k)
+            return results
         cold_futs: dict[int, object] = {}
         warm_idx: list[int] = []
         for i, terms in enumerate(term_lists):

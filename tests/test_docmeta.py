@@ -83,6 +83,28 @@ def test_filtered_query_via_engine(built):
         engine.shutdown()
 
 
+def test_doc_vs_term_topology_bitwise_parity(built):
+    """Doc-sharded scatter-gather and term-sharded routing must both be
+    bitwise-identical to the in-process searcher — scores included
+    (global df drives idf even on a doc-range slice)."""
+    idx, rows = built
+    s = LocalSearcher(idx)
+    queries = ["join merge", "alpha table scan", "window", "zebra", "join window merge scan"]
+    for mode in ("doc", "term"):
+        for ns in (1, 2, 3):
+            engine = QueryEngine(idx, num_servers=ns, mode=mode)
+            try:
+                for q in queries:
+                    assert engine.query(q, k=10) == s.query(q, k=10, algo="taat"), (mode, ns, q)
+                    assert engine.phrase_query(q, k=10) == s.phrase_query(q, k=10), (mode, ns, q)
+                    assert engine.filtered_query(q, {"lang": "en"}, k=10) == \
+                        s.filtered_query(q, {"lang": "en"}, k=10), (mode, ns, q)
+                many = engine.query_many(queries, k=10)
+                assert many == [s.query(q, k=10, algo="taat") for q in queries], (mode, ns)
+            finally:
+                engine.shutdown()
+
+
 def test_ensure_docmeta_idempotent_and_rebuilds_on_col_change(built):
     idx, rows = built
     p = os.path.join(idx, "docmeta", "_meta.json")
