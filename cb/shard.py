@@ -430,6 +430,11 @@ class QueryEngine:
         # terms each server is known to hold decoded/fetched (cache map)
         self.seen: list[set[str]] = [set() for _ in range(num_servers)]
         self._rr = 0  # round-robin counter over warm replicas
+        # driver-side merged-result LRU: the index is immutable for the
+        # engine's lifetime, so repeat queries skip the scatter-gather
+        # fan-out entirely (doc mode pays S RPCs per distinct query)
+        self._results: dict[tuple, list] = {}
+        self._results_cap = 8192
 
     def warm(self, min_df: int = 0) -> int:
         """Pre-decode hot postings on every server (blocks until done)."""
@@ -477,13 +482,24 @@ class QueryEngine:
         self.seen[scorer].update(terms)
         return self.servers[scorer].score.remote(terms, k, fetched_terms, *refs, algo=algo)
 
+    def _cache_put(self, key: tuple, res: list) -> list:
+        if len(self._results) >= self._results_cap:
+            self._results.pop(next(iter(self._results)))  # FIFO eviction
+        self._results[key] = res
+        return res
+
     def query(self, text: str, k: int = 10, algo: str = "taat") -> list[tuple[int, float]]:
+        terms = tuple(sorted(set(analyze.tokenize(text))))
+        key = (terms, k, algo)
+        hit = self._results.get(key)
+        if hit is not None:
+            return hit
         fut = self._dispatch(text, k, algo)
         if fut is None:
             return []
         if isinstance(fut, list):  # doc-sharded scatter-gather
-            return _merge_topk(ray.get(fut), k)
-        return ray.get(fut)
+            return self._cache_put(key, _merge_topk(ray.get(fut), k))
+        return self._cache_put(key, ray.get(fut))
 
     def filtered_query(self, text: str, filters: dict, k: int = 10) -> list[tuple[int, float]]:
         """Filtered BM25 via the pool (scatter-gather in doc mode,
