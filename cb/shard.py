@@ -120,15 +120,25 @@ class ShardPartition:
     bucket-partitioned and the global df comes from a per-partition
     summary row — here the full file is local anyway."""
 
-    def __init__(self, path: str, buckets: list[int] | None = None):
-        if not os.path.exists(path):
-            self.table = None
-            self.offsets: dict[str, tuple[int, int]] = {}
-            self.global_df: dict[str, int] = {}
-            return
+    def __init__(
+        self,
+        path: str | None = None,
+        buckets: list[int] | None = None,
+        table: pa.Table | None = None,
+    ):
+        """Load from ``path`` (own parquet read) or from an in-memory
+        ``table`` (one shared read via the object store — the doc-
+        sharded pool reads each file ONCE and every server filters its
+        zero-copy plasma view, instead of S full parquet decodes)."""
+        if table is None:
+            if path is None or not os.path.exists(path):
+                self.table = None
+                self.offsets: dict[str, tuple[int, int]] = {}
+                self.global_df: dict[str, int] = {}
+                return
+            table = pq.read_table(path)
         import pyarrow.compute as pc
 
-        table = pq.read_table(path)
         self.global_df = self._term_df_totals(table)
         if buckets is not None and table.num_rows:
             table = table.filter(
@@ -193,14 +203,40 @@ class GlobalStats:
 
 
 @ray.remote
+def _load_partition_table(path: str) -> pa.Table:
+    """One parquet decode per partition file, shared by every server
+    through the object store."""
+    if os.path.exists(path):
+        return pq.read_table(path)
+    from .build import _posting_file_schema
+
+    return pa.Table.from_pylist([], schema=_posting_file_schema())
+
+
+@ray.remote
 class ShardServer:
     """Owns a set of term partitions — whole lists (term-sharded) or a
     doc-range bucket slice of every list (doc-sharded, ``buckets``);
     loads once, serves many queries."""
 
-    def __init__(self, index_dir: str, parts: list[int], buckets: list[int] | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        parts: list[int],
+        buckets: list[int] | None = None,
+        part_refs: list | None = None,
+    ):
         meta = IndexMeta(index_dir)
-        self.parts = {p: ShardPartition(meta.part_file(p), buckets=buckets) for p in parts}
+        if part_refs is not None:
+            # shared tables from the object store (read once per file by
+            # loader tasks; plasma get is zero-copy on the same node)
+            tables = ray.get(part_refs)
+            self.parts = {
+                p: ShardPartition(buckets=buckets, table=t)
+                for p, t in zip(parts, tables)
+            }
+        else:
+            self.parts = {p: ShardPartition(meta.part_file(p), buckets=buckets) for p in parts}
         self.stats = GlobalStats(meta.n_docs, meta.avgdl)
         self.n_docs = meta.n_docs
         self.num_parts = meta.num_parts
@@ -410,10 +446,19 @@ class QueryEngine:
                     f"(2^range_bits doc-range buckets)"
                 )
             all_parts = list(range(self.meta.num_parts))
+            # each partition file is parquet-decoded ONCE by a loader
+            # task; servers filter their bucket slice from the shared
+            # zero-copy plasma tables (S x disk-read amplification
+            # avoided).  At cluster scale the layout is bucket-
+            # partitioned files and each server reads only its range.
+            part_refs = [
+                _load_partition_table.remote(self.meta.part_file(p)) for p in all_parts
+            ]
             self.servers = [
                 ShardServer.remote(
                     index_dir, all_parts,
                     buckets=[b for b in range(n_buckets) if b % num_servers == s],
+                    part_refs=part_refs,
                 )
                 for s in range(num_servers)
             ]
