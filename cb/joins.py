@@ -9,11 +9,12 @@ analog is embedding small config/dimension data into every work item
   Arrow ``index_in`` + ``take`` per batch inside ``map_batches``; no
   shuffle, no pandas round-trip, the canonical pattern for dimension
   tables at any scale.
-- For large-large joins the engine's pattern is the bucketed hash join
-  (add ``bucket = hash(key) % B`` to both sides, groupby bucket, merge
-  within groups) — exercised by the dedup candidate-pair pipelines; a
-  general wrapper is deliberately not provided until a workload needs
-  it (no speculative API surface).
+- :func:`hash_join` — large-large joins via Ray Data's native hash
+  join: both sides shuffle by key into ``num_partitions`` aggregators
+  (one all-to-all exchange).  Partitioning assumption: the join key
+  hashes evenly; a skewed key needs salting upstream.  The bucketed
+  form of the same idea (explicit ``hash(key) % B`` groupby) is what
+  the dedup candidate-pair pipelines use.
 """
 
 from __future__ import annotations
@@ -68,3 +69,30 @@ def broadcast_join(
         return batch
 
     return ds.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int = 32,
+    left_suffix: str | None = None,
+    right_suffix: str | None = "_r",
+) -> ray.data.Dataset:
+    """Large-large join of two fact tables (one key-hash shuffle per
+    side).  Use :func:`broadcast_join` whenever one side fits in the
+    object store — it avoids the exchange entirely.  ``num_partitions``
+    sizes the aggregator pool: pick so each partition's share of BOTH
+    sides fits a worker's heap (~rows/num_partitions per side)."""
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,) if right_on else None,
+        left_suffix=left_suffix,
+        right_suffix=right_suffix,
+    )

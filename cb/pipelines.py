@@ -697,6 +697,59 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_orders_lineitem_join(sf_dir: str) -> pa.Table:
+    """Large-large fact join (orders x lineitem on orderkey, one
+    key-hash shuffle per side via Ray Data's native hash join) +
+    grouped integer-exact aggregate."""
+    from . import joins
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_quantity"]
+    )
+    joined = joins.hash_join(
+        lineitem, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "qty": pa.array(qty, type=pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["o_orderpriority"])
+            .aggregate([("qty", "sum"), ([], "count_all")])
+            .rename_columns(["o_orderpriority", "qty_sum", "n"])
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("qty_sum", alias_name="sum_qty"), Sum("n", alias_name="n_lines"))
+    )
+    t = _collect(agg)
+    return t.set_column(
+        t.schema.get_field_index("sum_qty"), "sum_qty", t["sum_qty"].cast(pa.int64())
+    ).set_column(
+        t.schema.get_field_index("n_lines"), "n_lines", t["n_lines"].cast(pa.int64())
+    )
+
+
+def sql_orders_lineitem_join() -> str:
+    return """
+SELECT o.o_orderpriority,
+       sum(CAST(round(l.l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+       count(*)::BIGINT AS n_lines
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_pricing_summary(sf_dir: str) -> pa.Table:
     """TPC-H Q1-shaped pricing summary with decimal-exact money sums
     (partial integer-cent aggregation per batch -> tiny global groupby)."""
@@ -806,6 +859,7 @@ QUERIES = {
     "late_events": q_late_events,
     "sessionize": q_sessionize,
     "orders_by_segment": q_orders_by_segment,
+    "orders_lineitem_join": q_orders_lineitem_join,
     "pricing_summary": q_pricing_summary,
 }
 
@@ -831,6 +885,7 @@ def oracle_sql() -> dict[str, str]:
         "late_events": sql_late_events(),
         "sessionize": sql_sessionize(),
         "orders_by_segment": sql_orders_by_segment(),
+        "orders_lineitem_join": sql_orders_lineitem_join(),
         "pricing_summary": sql_pricing_summary(),
         # doc_fingerprint / minhash_neardup / simhash_neardup / ann_ivf_topk:
         # non-SQL-expressible (hash/approximate) -> rows-only checks.
