@@ -124,7 +124,7 @@ def q_term_stats(sf_dir: str) -> pa.Table:
         for p in range(meta.num_parts)
         if os.path.exists(meta.part_file(p))
     ]
-    parts = ray.data.read_parquet(files)
+    parts = ray.data.read_parquet(files, columns=["term", "df", "cf"])
     agg = parts.groupby("term").aggregate(
         Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
     )

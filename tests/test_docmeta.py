@@ -94,6 +94,7 @@ def test_doc_vs_term_topology_bitwise_parity(built):
         for ns in (1, 2, 3):
             engine = QueryEngine(idx, num_servers=ns, mode=mode)
             try:
+                engine.warm(min_df=1)  # pre-decode must not change results
                 for q in queries:
                     assert engine.query(q, k=10) == s.query(q, k=10, algo="taat"), (mode, ns, q)
                     assert engine.phrase_query(q, k=10) == s.phrase_query(q, k=10), (mode, ns, q)
