@@ -528,6 +528,32 @@ ORDER BY vec_a, vec_b
 """
 
 
+def q_media_ann_topk(sf_dir: str) -> pa.Table:
+    """End-to-end multimodal similarity pipeline: synthetic media table
+    (deterministic; no media tables in the sf dirs) -> actor-pool
+    decode+feature stage (fake decoder, real plumbing — no media libs in
+    this container) -> exact cosine top-k over the feature column.
+    Rows-only check (model-scoring shaped, no SQL oracle)."""
+    from . import multimodal
+
+    media = multimodal.synthesize_media_table(300, seed=42)
+    ds = ray.data.from_arrow(media)
+    feats = ds.map_batches(
+        multimodal.DecodeStage,
+        fn_constructor_kwargs={"fake": True, "out_dim": 32},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    ).materialize()
+    head = sorted(feats.take(5), key=lambda r: r["media_id"])
+    qmat = np.array([r["feature"] for r in head])
+    qids = np.array([r["media_id"] for r in head])
+    out = ann.brute_force_topk(
+        feats, qmat, qids, k=K, vec_col="feature", id_col="media_id"
+    )
+    return out.select(["query_id", "rank", "vec_id"])
+
+
 # --------------------------------------------------------------------------
 # Reference-parity relational pipelines (filters / windowed aggregates)
 # --------------------------------------------------------------------------
@@ -854,6 +880,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "media_ann_topk": q_media_ann_topk,
     "filter_pushdown": q_filter_pushdown,
     "events_minute_agg": q_events_minute_agg,
     "late_events": q_late_events,
