@@ -125,11 +125,14 @@ class ShardPartition:
         path: str | None = None,
         buckets: list[int] | None = None,
         table: pa.Table | None = None,
+        global_df: dict[str, int] | None = None,
     ):
         """Load from ``path`` (own parquet read) or from an in-memory
         ``table`` (one shared read via the object store — the doc-
         sharded pool reads each file ONCE and every server filters its
-        zero-copy plasma view, instead of S full parquet decodes)."""
+        zero-copy plasma view, instead of S full parquet decodes).
+        ``global_df`` short-circuits the per-term df summary when the
+        loader already computed it."""
         if table is None:
             if path is None or not os.path.exists(path):
                 self.table = None
@@ -139,7 +142,7 @@ class ShardPartition:
             table = pq.read_table(path)
         import pyarrow.compute as pc
 
-        self.global_df = self._term_df_totals(table)
+        self.global_df = global_df if global_df is not None else self._term_df_totals(table)
         if buckets is not None and table.num_rows:
             table = table.filter(
                 pc.is_in(table["bucket"], value_set=pa.array(sorted(buckets), type=pa.int32()))
@@ -203,14 +206,18 @@ class GlobalStats:
 
 
 @ray.remote
-def _load_partition_table(path: str) -> pa.Table:
+def _load_partition_table(path: str) -> tuple[pa.Table, dict]:
     """One parquet decode per partition file, shared by every server
-    through the object store."""
+    through the object store.  The per-term global-df summary is
+    computed here ONCE (it is the same for every server) instead of
+    per server — the per-server load work left is just the bucket
+    filter and run-end offsets over its own slice."""
     if os.path.exists(path):
-        return pq.read_table(path)
+        t = pq.read_table(path)
+        return t, ShardPartition._term_df_totals(t)
     from .build import _posting_file_schema
 
-    return pa.Table.from_pylist([], schema=_posting_file_schema())
+    return pa.Table.from_pylist([], schema=_posting_file_schema()), {}
 
 
 @ray.remote
@@ -230,10 +237,10 @@ class ShardServer:
         if part_refs is not None:
             # shared tables from the object store (read once per file by
             # loader tasks; plasma get is zero-copy on the same node)
-            tables = ray.get(part_refs)
+            loaded = ray.get(part_refs)
             self.parts = {
-                p: ShardPartition(buckets=buckets, table=t)
-                for p, t in zip(parts, tables)
+                p: ShardPartition(buckets=buckets, table=t, global_df=gdf)
+                for p, (t, gdf) in zip(parts, loaded)
             }
         else:
             self.parts = {p: ShardPartition(meta.part_file(p), buckets=buckets) for p in parts}
