@@ -60,6 +60,10 @@ def _register_builtins() -> None:
 
     register("source", "sql", sources.read_sql_shard)
 
+    from . import streaming
+
+    register("source", "stream", streaming.StreamConsumer)
+
     register("dedup", "exact", dedup.exact_duplicates)
     register("dedup", "minhash", dedup.minhash_near_duplicates)
     register("dedup", "simhash", dedup.simhash_near_duplicates)
