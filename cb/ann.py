@@ -38,6 +38,8 @@ def _topk_with_ties(col: np.ndarray, k: int) -> np.ndarray:
     boundary.  An argpartition that keeps an arbitrary subset of the tied
     candidates can drop the one the global (sim DESC, id ASC) tie-break
     prefers before the driver merge — ties must survive to the merge."""
+    if k <= 0:
+        return np.empty(0, dtype=np.int64)
     if k >= len(col):
         return np.arange(len(col))
     kth = np.partition(col, len(col) - k)[len(col) - k]
@@ -245,6 +247,15 @@ def build_ivf(
         .map_groups(write_bucket, batch_format="pyarrow")
         .take_all()
     )
+    written = {int(r["centroid"]) for r in counts}
+    # drop stale cells from a previous build of this dir (write_bucket
+    # only touches non-empty groups; ivf_search also guards via meta)
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(index_dir, "bucket=*.parquet")):
+        c = int(os.path.basename(f)[len("bucket=") : -len(".parquet")])
+        if c not in written:
+            os.remove(f)
     meta = {
         "n_centroids": int(len(cents)),
         "dim": int(cents.shape[1]),
@@ -279,8 +290,16 @@ def ivf_search(
     qmat = _normalize(np.asarray(query_mat))
     qids = np.asarray(query_ids, dtype=np.int64)
     nprobe = min(nprobe, meta["n_centroids"])
-    probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
-    needed = sorted({int(c) for row in probe for c in row})
+    # only cells THIS build wrote (meta['buckets']) are live — a stale
+    # bucket file from an earlier build in the same dir must not serve;
+    # dead cells are masked out so every query still probes nprobe REAL
+    # cells rather than wasting probes on empty ones
+    live = {int(c) for c in meta["buckets"]}
+    qsims = qmat @ cents.T
+    dead = np.array([c not in live for c in range(len(cents))], dtype=bool)
+    qsims[:, dead] = -np.inf
+    probe = np.argsort(-qsims, axis=1)[:, :nprobe]
+    needed = sorted({int(c) for row in probe for c in row} & live)
     files = [
         os.path.join(index_dir, f"bucket={c}.parquet")
         for c in needed
@@ -360,17 +379,10 @@ def ivf_topk(
 
 
 def _collect_pairs(ds: ray.data.Dataset) -> pa.Table:
-    """Result-sized (vec_a, vec_b, cosine) dataset -> one Table.
-    to_arrow_refs passes pandas-backed blocks through unconverted, so
-    convert defensively."""
-    tables = [
-        b if isinstance(b, pa.Table) else pa.Table.from_pandas(b, preserve_index=False)
-        for b in ray.get(ds.to_arrow_refs())
-    ]
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
-        return pa.Table.from_pylist([], schema=_pairs_schema())
-    return pa.concat_tables(tables).combine_chunks().cast(_pairs_schema())
+    """Result-sized (vec_a, vec_b, cosine) dataset -> one Table."""
+    from .collect import collect_table
+
+    return collect_table(ds, schema=_pairs_schema())
 
 
 def _pairs_schema() -> pa.Schema:

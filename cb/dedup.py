@@ -198,13 +198,10 @@ def _candidate_columns(pairs: ray.data.Dataset, cols: tuple[str, str] = ("doc_a"
     Candidate-proportional, NOT corpus-proportional: safe to hold on the
     driver and broadcast."""
     a, b = cols
-    chunks = [
-        np.asarray(batch[a], dtype=np.int64)
-        for batch in pairs.select_columns([a]).iter_batches(batch_format="numpy")
-    ] + [
-        np.asarray(batch[b], dtype=np.int64)
-        for batch in pairs.select_columns([b]).iter_batches(batch_format="numpy")
-    ]
+    chunks = []
+    for batch in pairs.select_columns([a, b]).iter_batches(batch_format="numpy"):
+        chunks.append(np.asarray(batch[a], dtype=np.int64))
+        chunks.append(np.asarray(batch[b], dtype=np.int64))
     if not chunks:
         return np.empty(0, dtype=np.int64)
     return np.unique(np.concatenate(chunks))

@@ -62,14 +62,9 @@ def _collect(ds: ray.data.Dataset) -> pa.Table:
     Only call on result-sized datasets.  Narrow ints/floats are widened
     (int64/float64) to keep the driver-facing schema identical to the
     Python-inferred one these pipelines historically produced."""
-    tables = [
-        b if isinstance(b, pa.Table) else pa.Table.from_pandas(b, preserve_index=False)
-        for b in ray.get(ds.to_arrow_refs())  # pandas-backed blocks pass through unconverted
-    ]
-    non_empty = [t for t in tables if t.num_rows] or tables[:1]
-    if not non_empty:
-        return pa.table({})
-    t = pa.concat_tables(non_empty, promote_options="default").combine_chunks()
+    from .collect import collect_table
+
+    t = collect_table(ds)
     for i, f in enumerate(t.schema):
         if pa.types.is_integer(f.type) and f.type != pa.int64():
             t = t.set_column(i, f.name, t[f.name].cast(pa.int64()))

@@ -227,8 +227,15 @@ def watch(
     meta = None
     tick = 0
     while max_ticks is None or tick < max_ticks:
-        files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
-        sig = tuple((f, *(lambda s: (s.st_size, s.st_mtime_ns))(os.stat(f))) for f in files)
+        sig_parts = []
+        for f in sorted(glob.glob(os.path.join(input_dir, "*.parquet"))):
+            try:
+                st = os.stat(f)
+            except FileNotFoundError:
+                continue  # deleted between glob and stat; pick up next tick
+            sig_parts.append((f, st.st_size, st.st_mtime_ns))
+        files = [f for f, _, _ in sig_parts]
+        sig = tuple(sig_parts)
         if files and sig != last_sig:
             meta = build_index_resumable(
                 files, index_dir,

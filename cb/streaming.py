@@ -89,13 +89,32 @@ class StreamConsumer:
             return self.parser(msgs)
         return pa.Table.from_pylist(msgs)
 
+    def _clear_uncommitted(self, partition: int, committed: int) -> None:
+        """Drop shard files whose range starts at/after the committed
+        offset: they were written by a consumer that crashed before its
+        checkpoint advanced.  Without this, a replay that polls a
+        LARGER batch (new messages arrived before the restart) would
+        write an overlapping range beside the stale file and duplicate
+        rows downstream."""
+        import glob as _glob
+
+        for f in _glob.glob(
+            os.path.join(self.out_dir, f"part={partition}-off=*.parquet")
+        ):
+            rng = os.path.basename(f).split("off=", 1)[1][: -len(".parquet")]
+            if int(rng.split("-")[0]) >= committed:
+                os.remove(f)
+
     def tick(self) -> int:
         """One consume pass over every partition; returns messages
-        consumed.  Shard file name encodes (partition, offset range) so
-        a replayed range overwrites its own identical bytes."""
+        consumed.  Committed ranges (below the checkpoint) are never
+        touched; uncommitted shards from a crashed predecessor are
+        cleared before re-consuming, so replay is exactly-once at the
+        file level."""
         consumed = 0
         for p in range(self.n_partitions):
             start = self._offset(p)
+            self._clear_uncommitted(p, start)
             while True:
                 msgs = ray.get(self.buffer.poll.remote(p, start, self.batch_max))
                 if not msgs:

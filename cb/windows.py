@@ -181,21 +181,18 @@ def late_event_metrics(
             Max("max_lag_us", alias_name="max_lag_us"),
         )
     )
-    tables = [
-        b if isinstance(b, pa.Table) else pa.Table.from_pandas(b, preserve_index=False)
-        for b in ray.get(agg.to_arrow_refs())
-    ]
-    tables = [t for t in tables if t.num_rows] or tables[:1]
-    out = pa.concat_tables(tables).combine_chunks()
-    return out.cast(
-        pa.schema(
+    from .collect import collect_table
+
+    return collect_table(
+        agg,
+        schema=pa.schema(
             [
-                (key_col, out.schema.field(key_col).type),
+                (key_col, pa.string()),
                 ("n_events", pa.int64()),
                 ("n_late", pa.int64()),
                 ("max_lag_us", pa.int64()),
             ]
-        )
+        ),
     )
 
 

@@ -63,6 +63,14 @@ def test_late_event_metrics_in_order_stream_zero_late():
     assert sum(r["n_events"] for r in got) == len(df)
 
 
+def test_late_event_metrics_empty_stream():
+    df = _synthetic_stream(n=5).iloc[0:0]
+    ds = ray.data.from_pandas(df)
+    got = windows.late_event_metrics(ds)
+    assert got.num_rows == 0
+    assert got.schema.names == ["event_type", "n_events", "n_late", "max_lag_us"]
+
+
 def test_build_metrics_counters(tmp_path):
     import pyarrow.parquet as pq
 

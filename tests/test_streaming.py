@@ -73,6 +73,29 @@ def test_replay_after_lost_checkpoint_is_idempotent(buffer, tmp_path):
     assert _sha(shard) == ref  # byte-identical overwrite
 
 
+def test_replay_with_new_arrivals_does_not_duplicate(buffer, tmp_path):
+    """Crash before checkpoint + NEW messages arriving before restart:
+    the replay polls a larger range — the stale uncommitted shard must
+    be cleared, not left overlapping (code-review finding, round 2)."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "out")
+    ray.get(buffer.push.remote(0, _msgs(0, 20, 0)))
+    c = streaming.StreamConsumer(buffer, out, batch_max=64)
+    c.tick()
+    # crash between shard write and checkpoint: ckpt lost, shard stays
+    os.remove(os.path.join(out, "_checkpoints", "p0.json"))
+    ray.get(buffer.push.remote(0, _msgs(20, 10, 0)))  # arrivals pre-restart
+    c2 = streaming.StreamConsumer(buffer, out, batch_max=64)
+    assert c2.tick() == 30
+    files = sorted(glob.glob(os.path.join(out, "part=0-*.parquet")))
+    total = sum(pq.read_table(f).num_rows for f in files)
+    ids = [
+        i for f in files for i in pq.read_table(f)["doc_id"].to_pylist()
+    ]
+    assert total == 30 and len(set(ids)) == 30  # no duplicated rows
+
+
 def test_consume_then_watch_indexes_stream(buffer, tmp_path):
     """The full loop: push -> consume -> watch re-indexes the shard dir
     incrementally; final index equals a fresh build over everything."""
