@@ -96,6 +96,35 @@ def test_hot_bucket_cap_bounds_degenerate_corpus():
     assert not any(a < 300 and b < 300 for a, b in got)
 
 
+def test_verification_state_is_candidate_proportional(monkeypatch):
+    """The round-1 scale-killer was corpus-sized driver lookup tables in
+    near-dup verification.  Verification now filters the signature
+    dataset down to CANDIDATE ids in the dataflow; this test spies on
+    the slice and asserts its size tracks candidates, not the corpus."""
+    slices = []
+    real = dedup._slice_by_ids
+
+    def spy(ds, ids, id_col="doc_id"):
+        out = real(ds, ids, id_col=id_col)
+        slices.append(len(out))
+        return out
+
+    monkeypatch.setattr(dedup, "_slice_by_ids", spy)
+    # 200 unrelated docs + one near-dup pair -> candidates ~2 docs
+    rows = [
+        {"doc_id": i, "text": f"totally unique document {i} with words w{i} x{i} y{i} z{i}"}
+        for i in range(200)
+    ]
+    rows.append({"doc_id": 900, "text": "shared shingle run alpha beta gamma delta one"})
+    rows.append({"doc_id": 901, "text": "shared shingle run alpha beta gamma delta two"})
+    ds = ray.data.from_items(rows)
+    pairs = dedup.minhash_near_duplicates(ds, threshold=0.5, concurrency=2).take_all()
+    assert any({r["doc_a"], r["doc_b"]} == {900, 901} for r in pairs)
+    assert slices, "verification did not go through the candidate slice"
+    # corpus is 202 docs; the slice must be FAR smaller (candidates only)
+    assert max(slices) <= 20, f"slice sizes {slices} look corpus-sized"
+
+
 def test_emit_pairs_cap_and_vectorized():
     import pandas as pd
 
