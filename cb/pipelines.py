@@ -660,6 +660,48 @@ def sql_late_events() -> str:
     return windows.sql_late_event_metrics(grace_seconds=0.0)
 
 
+def q_events_props_extract(sf_dir: str) -> pa.Table:
+    """JSON property extraction (P5 GenericJsonParser parity, driver-
+    gated): the flat props JSON column is field-extracted with a
+    vectorized Arrow regex kernel (the fast path for flat props; nested
+    JSON goes through cb.parsers.parse_json) and aggregated per event
+    type."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], pattern=r'"k": (?P<k>-?\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": k})
+        return (
+            t.group_by(["event_type"])
+            .aggregate([("k", "sum"), ([], "count_all")])
+            .rename_columns(["event_type", "k_sum", "n"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("k_sum", alias_name="sum_k"), Sum("n", alias_name="n_events"))
+    )
+    t = _collect(agg)
+    return t.set_column(
+        t.schema.get_field_index("sum_k"), "sum_k", t["sum_k"].cast(pa.int64())
+    ).set_column(
+        t.schema.get_field_index("n_events"), "n_events", t["n_events"].cast(pa.int64())
+    )
+
+
+def sql_events_props_extract() -> str:
+    return """
+SELECT event_type,
+       sum(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT))::BIGINT AS sum_k,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_orders_by_segment(sf_dir: str) -> pa.Table:
     """Broadcast join (orders x customer dimension) + grouped counts —
     the reference's config-into-work-item embedding as an operator."""
@@ -879,6 +921,7 @@ QUERIES = {
     "filter_pushdown": q_filter_pushdown,
     "events_minute_agg": q_events_minute_agg,
     "late_events": q_late_events,
+    "events_props_extract": q_events_props_extract,
     "sessionize": q_sessionize,
     "orders_by_segment": q_orders_by_segment,
     "orders_lineitem_join": q_orders_lineitem_join,
@@ -905,6 +948,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_pushdown": sql_filter_pushdown(),
         "events_minute_agg": sql_events_minute_agg(),
         "late_events": sql_late_events(),
+        "events_props_extract": sql_events_props_extract(),
         "sessionize": sql_sessionize(),
         "orders_by_segment": sql_orders_by_segment(),
         "orders_lineitem_join": sql_orders_lineitem_join(),

@@ -97,6 +97,8 @@ def test_doc_vs_term_topology_bitwise_parity(built):
                 engine.warm(min_df=1)  # pre-decode must not change results
                 for q in queries:
                     assert engine.query(q, k=10) == s.query(q, k=10, algo="taat"), (mode, ns, q)
+                    assert engine.query(q, k=10, algo="wand") == \
+                        s.query(q, k=10, algo="wand"), (mode, ns, q, "wand")
                     assert engine.phrase_query(q, k=10) == s.phrase_query(q, k=10), (mode, ns, q)
                     assert engine.filtered_query(q, {"lang": "en"}, k=10) == \
                         s.filtered_query(q, {"lang": "en"}, k=10), (mode, ns, q)
