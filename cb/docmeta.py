@@ -100,6 +100,50 @@ def ensure_docmeta(index_dir: str, source: str, meta_cols: list[str], *, id_col:
     build_docmeta(source, index_dir, meta_cols, id_col=id_col)
 
 
+def build_from_mapping(
+    source: str,
+    index_dir: str,
+    mapping: dict | str,
+    **build_kwargs,
+):
+    """Mapping-config-driven build — the reference's drop-a-mapping-JSON
+    flow (MasterScheduler.cs:205-239 applies ``mappings/*.json`` with
+    per-field ``analyzed`` / ``not_analyzed``).  The mapping names one
+    analyzed text field (-> postings) and any not_analyzed fields
+    (-> docmeta filter columns):
+
+        {"id": "doc_id", "analyzed": "text",
+         "not_analyzed": ["lang", "source"]}
+
+    Accepts the dict or a path to a JSON file.  Returns the IndexMeta;
+    filtered search works immediately against the named fields.
+    """
+    import json as _json
+
+    from . import build as build_mod
+
+    if isinstance(mapping, str):
+        with open(mapping) as f:
+            mapping = _json.load(f)
+    meta = build_mod.build_index(
+        source,
+        index_dir,
+        text_col=mapping["analyzed"],
+        id_col=mapping.get("id"),
+        **build_kwargs,
+    )
+    not_analyzed = mapping.get("not_analyzed") or []
+    if not_analyzed:
+        if not mapping.get("id"):
+            raise ValueError(
+                "not_analyzed fields need an explicit 'id' column in the "
+                "mapping (derived corpus identities are not present in "
+                "the source table for the docmeta pass)"
+            )
+        build_docmeta(source, index_dir, list(not_analyzed), id_col=mapping["id"])
+    return meta
+
+
 class DocMeta:
     """Sorted-id metadata lookup for filter evaluation.
 

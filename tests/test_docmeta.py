@@ -108,6 +108,30 @@ def test_doc_vs_term_topology_bitwise_parity(built):
                 engine.shutdown()
 
 
+def test_build_from_mapping(built, tmp_path):
+    """Mapping-JSON-driven build (X5): one config names the analyzed
+    field and the not_analyzed filter columns; filtered search works
+    immediately."""
+    import json
+
+    src = os.path.join(os.path.dirname(built[0]), "docs.parquet")
+    mpath = str(tmp_path / "mapping.json")
+    with open(mpath, "w") as f:
+        json.dump({"id": "doc_id", "analyzed": "text", "not_analyzed": ["lang"]}, f)
+    idx = str(tmp_path / "idx")
+    meta = dm.build_from_mapping(src, idx, mpath, num_parts=4)
+    assert meta.n_docs == len(built[1])
+    s = LocalSearcher(idx)
+    res = s.filtered_query("join merge", {"lang": "en"}, k=10)
+    allowed = {r["doc_id"] for r in built[1] if r["lang"] == "en"}
+    assert res and {d for d, _ in res} <= allowed
+    with pytest.raises(ValueError):
+        dm.build_from_mapping(
+            src, str(tmp_path / "idx2"),
+            {"analyzed": "text", "not_analyzed": ["lang"]}, num_parts=4,
+        )
+
+
 def test_ensure_docmeta_idempotent_and_rebuilds_on_col_change(built):
     idx, rows = built
     p = os.path.join(idx, "docmeta", "_meta.json")
