@@ -125,6 +125,12 @@ def build_from_mapping(
     if isinstance(mapping, str):
         with open(mapping) as f:
             mapping = _json.load(f)
+    if (mapping.get("not_analyzed") or []) and not mapping.get("id"):
+        raise ValueError(
+            "not_analyzed fields need an explicit 'id' column in the "
+            "mapping (derived corpus identities are not present in "
+            "the source table for the docmeta pass)"
+        )
     meta = build_mod.build_index(
         source,
         index_dir,
@@ -134,12 +140,6 @@ def build_from_mapping(
     )
     not_analyzed = mapping.get("not_analyzed") or []
     if not_analyzed:
-        if not mapping.get("id"):
-            raise ValueError(
-                "not_analyzed fields need an explicit 'id' column in the "
-                "mapping (derived corpus identities are not present in "
-                "the source table for the docmeta pass)"
-            )
         build_docmeta(source, index_dir, list(not_analyzed), id_col=mapping["id"])
     return meta
 
