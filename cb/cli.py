@@ -81,13 +81,19 @@ def cmd_query(args) -> int:
     ray = _init_ray()
     from .shard import QueryEngine
 
-    engine = QueryEngine(args.index, num_servers=args.servers)
+    engine = QueryEngine(args.index, num_servers=args.servers, mode=args.mode)
     if args.query:
         queries = [args.query]
     else:
         with open(args.queries) as f:
             queries = [line.strip() for line in f if line.strip()]
-    if getattr(args, "phrase", False):
+    if getattr(args, "filtered", False):
+        filters = {}
+        for spec in args.filter or []:
+            col, _, val = spec.partition("=")
+            filters[col] = val
+        results = [engine.filtered_query(q, filters, k=args.k) for q in queries]
+    elif getattr(args, "phrase", False):
         results = [engine.phrase_query(q, k=args.k) for q in queries]
     else:
         results = engine.query_many(queries, k=args.k, algo=args.algo)
@@ -124,7 +130,7 @@ def main(argv=None) -> int:
     w.add_argument("--num-parts", type=int, default=32)
     w.set_defaults(fn=cmd_watch)
 
-    for name in ("query", "query-file", "phrase"):
+    for name in ("query", "query-file", "phrase", "filtered-query"):
         q = sub.add_parser(name, help="top-k BM25 query")
         q.add_argument("--index", required=True)
         q.add_argument("--query", default=None)
@@ -132,10 +138,19 @@ def main(argv=None) -> int:
         q.add_argument("-k", type=int, default=10)
         q.add_argument("--servers", type=int, default=2)
         q.add_argument("--algo", default="taat", choices=["taat", "wand"])
-        q.set_defaults(fn=cmd_query, phrase=(name == "phrase"))
+        q.add_argument("--mode", default="doc", choices=["doc", "term"],
+                       help="serving topology: doc-sharded scatter-gather or term-sharded")
+        if name == "filtered-query":
+            q.add_argument("--filter", action="append", metavar="COL=VALUE",
+                           help="not_analyzed equality filter (repeatable)")
+        q.set_defaults(
+            fn=cmd_query,
+            phrase=(name == "phrase"),
+            filtered=(name == "filtered-query"),
+        )
 
     args = p.parse_args(argv)
-    if args.cmd in ("query", "query-file", "phrase") and not (args.query or args.queries):
+    if args.cmd in ("query", "query-file", "phrase", "filtered-query") and not (args.query or args.queries):
         p.error("provide --query or --queries")
     return args.fn(args)
 

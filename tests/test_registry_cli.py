@@ -78,6 +78,38 @@ def test_cli_build_and_query(tmp_path):
     assert out["results"][0]["score"] >= out["results"][-1]["score"]
 
 
+def test_cli_filtered_query(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        {"doc_id": i, "text": f"join merge window doc{i}", "lang": ("en", "fr")[i % 2]}
+        for i in range(20)
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(src / "d.parquet"))
+    idx = str(tmp_path / "idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "build", "--input", str(src), "--index", idx,
+         "--num-parts", "4", "--text-col", "text", "--id-col", "doc_id"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    from cb import docmeta as dm
+
+    dm.build_docmeta(str(src / "d.parquet"), idx, ["lang"])
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "filtered-query", "--index", idx,
+         "--query", "join merge", "--filter", "lang=en", "-k", "20"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    got = {d["doc_id"] for d in out["results"]}
+    assert got and got <= {i for i in range(20) if i % 2 == 0}
+
+
 def test_cli_query_file(tmp_path):
     from cb import corpus
 
