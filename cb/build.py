@@ -287,42 +287,135 @@ def _dict_indices(arr) -> tuple[np.ndarray, pa.Array]:
     return d.indices.to_numpy(zero_copy_only=False), d.dictionary
 
 
+def _cumsum0(sizes: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(sizes) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=out[1:])
+    return out
+
+
+def _bin_column(data: np.ndarray, offsets: np.ndarray) -> pa.Array:
+    """Row blobs = contiguous slices of one byte stream -> BinaryArray
+    over the stream buffer (no per-row bytes objects)."""
+    assert offsets[-1] < (1 << 31), "partition blob stream exceeds binary offsets"
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
+def _list_column(values: pa.Array, offsets: np.ndarray) -> pa.Array:
+    return pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32), type=pa.int32()), values)
+
+
 def encode_partition_rows(
     flat: dict, avgdl: float | None, store_positions: bool = True
 ) -> pa.Table:
     """Sorted posting/occurrence arrays -> compressed rows
     (POSTING_SCHEMA + bucket).  ``store_positions=False`` drops the
     positional stream (smaller/faster index; phrase queries unavailable).
+
+    Encodes the WHOLE partition as four varint streams (one vectorized
+    pass each) and slices per-row blobs out of them — per-value bytes
+    are identical to per-row :func:`cb.compress.encode_postings` calls
+    (LEB128 is context-free; tests assert table equality), but the
+    per-row Python call overhead (the encode stage's dominant cost at
+    ~4 varint calls x row count) is gone.
     """
     codes = flat["codes"]
     if len(codes) == 0:
         return pa.Table.from_pylist([], schema=_posting_file_schema())
+    n = len(codes)
     buckets = flat["buckets"]
-    ids = flat["doc_ids"]
-    tfs = flat["tfs"]
-    dls = flat["dls"]
-    poss = flat["poss"]
-    occ_offsets = np.zeros(len(tfs) + 1, dtype=np.int64)
-    np.cumsum(tfs, out=occ_offsets[1:])
-    r_change = np.empty(len(codes), dtype=bool)
+    ids = np.ascontiguousarray(flat["doc_ids"], dtype=np.int64)
+    tfs = np.ascontiguousarray(flat["tfs"], dtype=np.int64)
+    dls = np.ascontiguousarray(flat["dls"], dtype=np.int64)
+    poss = np.ascontiguousarray(flat["poss"], dtype=np.int64)
+
+    r_change = np.empty(n, dtype=bool)
     r_change[0] = True
     r_change[1:] = (codes[1:] != codes[:-1]) | (buckets[1:] != buckets[:-1])
     r_starts = np.flatnonzero(r_change)
-    r_ends = np.append(r_starts[1:], len(codes))
-    term_at = flat["dictionary"].take(pa.array(codes[r_starts])).to_pylist()
-    rows = []
-    for t, rs, re in zip(term_at, r_starts, r_ends):
-        row = compress.encode_postings(
-            t,
-            ids[rs:re],
-            tfs[rs:re],
-            dls[rs:re],
-            avgdl,
-            positions=poss[occ_offsets[rs]:occ_offsets[re]] if store_positions else None,
+    r_ends = np.append(r_starts[1:], n)
+    row_len = r_ends - r_starts  # df per row
+    n_rows = len(r_starts)
+
+    # global block structure: each row split into ceil(df/BLOCK) blocks
+    n_blocks_row = (row_len + compress.BLOCK - 1) // compress.BLOCK
+    blk_off = _cumsum0(n_blocks_row)
+    tot_blocks = int(blk_off[-1])
+    blk_row = np.repeat(np.arange(n_rows, dtype=np.int64), n_blocks_row)
+    blk_starts = (
+        np.repeat(r_starts, n_blocks_row)
+        + (np.arange(tot_blocks, dtype=np.int64) - np.repeat(blk_off[:-1], n_blocks_row))
+        * compress.BLOCK
+    )
+    blk_ends = np.minimum(blk_starts + compress.BLOCK, r_ends[blk_row])
+
+    # id deltas reset at every block start (covers row starts too)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = np.uint64(ids[0])
+    np.subtract(ids[1:], ids[:-1], out=deltas[1:], casting="unsafe")
+    deltas[blk_starts] = ids[blk_starts].astype(np.uint64)
+    id_bytes, id_sizes = compress.varint_encode_with_sizes(deltas)
+    tf_bytes, tf_sizes = compress.varint_encode_with_sizes(tfs.astype(np.uint64))
+    dl_bytes, dl_sizes = compress.varint_encode_with_sizes(dls.astype(np.uint64))
+    id_cum, tf_cum, dl_cum = _cumsum0(id_sizes), _cumsum0(tf_sizes), _cumsum0(dl_sizes)
+    bounds = np.append(r_starts, n)
+
+    if avgdl is not None:
+        u = compress.scoring.u_factor(tfs, dls, avgdl)
+        umax_flat = np.maximum.reduceat(u, blk_starts)
+        umax_off = blk_off
+    else:
+        umax_flat = np.empty(0, dtype=np.float64)
+        umax_off = np.zeros(n_rows + 1, dtype=np.int64)
+
+    cols: dict[str, pa.Array] = {}
+    cols["term"] = flat["dictionary"].take(pa.array(codes[r_starts]))
+    cols["df"] = pa.array(row_len, type=pa.int64())
+    cols["cf"] = pa.array(np.add.reduceat(tfs, r_starts), type=pa.int64())
+    cols["ids_blob"] = _bin_column(id_bytes, id_cum[bounds])
+    cols["tfs_blob"] = _bin_column(tf_bytes, tf_cum[bounds])
+    cols["dls_blob"] = _bin_column(dl_bytes, dl_cum[bounds])
+
+    occ_starts = _cumsum0(tfs)  # posting -> first occurrence index
+    if store_positions:
+        total_occ = int(occ_starts[-1])
+        pdeltas = np.empty(total_occ, dtype=np.uint64)
+        if total_occ:
+            pdeltas[0] = np.uint64(poss[0])
+            np.subtract(poss[1:], poss[:-1], out=pdeltas[1:], casting="unsafe")
+            pdeltas[occ_starts[:-1]] = poss[occ_starts[:-1]].astype(np.uint64)
+        pos_bytes, pos_sizes = compress.varint_encode_with_sizes(pdeltas)
+        pos_cum = _cumsum0(pos_sizes)
+        cols["pos_blob"] = _bin_column(pos_bytes, pos_cum[occ_starts[bounds]])
+        block_pos_vals = (
+            pos_cum[occ_starts[blk_starts]]
+            - np.repeat(pos_cum[occ_starts[r_starts]], n_blocks_row)
         )
-        row["bucket"] = int(buckets[rs])
-        rows.append(row)
-    return pa.Table.from_pylist(rows, schema=_posting_file_schema())
+        cols["block_pos_off"] = _list_column(
+            pa.array(block_pos_vals.astype(np.int32), type=pa.int32()), blk_off
+        )
+    else:
+        cols["pos_blob"] = _bin_column(
+            np.empty(0, dtype=np.uint8), np.zeros(n_rows + 1, dtype=np.int64)
+        )
+        cols["block_pos_off"] = _list_column(
+            pa.array([], type=pa.int32()), np.zeros(n_rows + 1, dtype=np.int64)
+        )
+
+    cols["block_last_id"] = _list_column(
+        pa.array(ids[blk_ends - 1], type=pa.int64()), blk_off
+    )
+    cols["block_umax"] = _list_column(pa.array(umax_flat, type=pa.float64()), umax_off)
+    for name, cum in (("block_id_off", id_cum), ("block_tf_off", tf_cum), ("block_dl_off", dl_cum)):
+        vals = cum[blk_starts] - np.repeat(cum[r_starts], n_blocks_row)
+        cols[name] = _list_column(pa.array(vals.astype(np.int32), type=pa.int32()), blk_off)
+    cols["bucket"] = pa.array(buckets[r_starts].astype(np.int32), type=pa.int32())
+
+    schema = _posting_file_schema()
+    return pa.table({f.name: cols[f.name] for f in schema}).cast(schema)
 
 
 def _posting_file_schema() -> pa.Schema:
