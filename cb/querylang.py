@@ -1,0 +1,124 @@
+"""Lucene-lite query strings: the user-facing query surface.
+
+Reference users query their data through Elasticsearch/Kibana query
+strings (README.md: "use Kibana on top of your Elasticsearch");
+this module gives the engine the load-bearing subset so a pipeline
+owner can switch without rewriting queries:
+
+    error timeout            free terms (scored, OR-matched)
+    "hash join"              exact phrase (required, positional match)
+    lang:en source:src3      not_analyzed field filter (ES filter ctx)
+    -deprecated              exclusion (docs containing it are dropped)
+
+Semantics (ES-aligned):
+- free terms contribute BM25 score; a doc matches if it contains ANY
+  scored term (phrase terms count) — ES default OR behavior;
+- every quoted phrase is REQUIRED (match_phrase in a bool.must);
+  phrase terms also contribute to the BM25 score;
+- ``field:value`` terms go to the docmeta filter context — they change
+  membership, never scores;
+- ``-term`` drops every doc containing the term (bool.must_not).
+
+Execution is pure composition of existing primitives (taat scores,
+positional phrase match, docmeta mask, posting membership), so it runs
+wherever they run — in-process and on every doc-sharded server (each
+server evaluates its disjoint slice; the driver merge stays exact).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from . import analyze
+
+_TOKEN_RE = re.compile(r'"([^"]*)"|(\S+)')
+
+
+def parse(q: str) -> dict:
+    """Query string -> {terms, phrases, filters, excluded}."""
+    terms: list[str] = []
+    phrases: list[list[str]] = []
+    filters: dict[str, str] = {}
+    excluded: list[str] = []
+    for m in _TOKEN_RE.finditer(q):
+        phrase, word = m.group(1), m.group(2)
+        if phrase is not None:
+            toks = analyze.tokenize(phrase)
+            if toks:
+                phrases.append(toks)
+            continue
+        if word.startswith("-") and len(word) > 1:
+            excluded.extend(analyze.tokenize(word[1:]))
+            continue
+        if ":" in word and not word.startswith(":"):
+            field, _, value = word.partition(":")
+            filters[field] = value
+            continue
+        terms.extend(analyze.tokenize(word))
+    return {
+        "terms": sorted(set(terms)),
+        "phrases": phrases,
+        "filters": filters,
+        "excluded": sorted(set(excluded)),
+    }
+
+
+def execute(
+    parsed: dict,
+    *,
+    get_postings,
+    stats,
+    k: int,
+    docmeta=None,
+    decoded_cache: dict | None = None,
+) -> list[tuple[int, float]]:
+    """Run a parsed query over one postings scope (the whole index for
+    LocalSearcher; a doc-range slice on a doc-sharded server).
+
+    ``get_postings(term) -> ChunkedPostings | None``; ``docmeta`` is a
+    :class:`cb.docmeta.DocMeta` (required when filters are present).
+    """
+    from . import phrase as phrase_mod, scoring, wand
+    from .query import rank_topk
+
+    score_terms = sorted(set(parsed["terms"]) | {t for p in parsed["phrases"] for t in p})
+    if not score_terms:
+        return []
+    postings = {t: get_postings(t) for t in score_terms}
+    live = {t: p for t, p in postings.items() if p is not None}
+    if not live:
+        return []
+    idfs = {
+        t: float(scoring.idf(getattr(p, "gdf", p.df), stats.n_docs))
+        for t, p in live.items()
+    }
+    universe, acc = wand.taat_scores(live, idfs, stats, decoded_cache=decoded_cache)
+    if universe is None:
+        return []
+    keep = np.ones(len(universe), dtype=bool)
+    # required phrases: bool.must match_phrase
+    for ph in parsed["phrases"]:
+        ph_postings = {t: postings.get(t) or get_postings(t) for t in set(ph)}
+        if any(p is None for p in ph_postings.values()):
+            return []
+        hits = phrase_mod.phrase_topk(ph, ph_postings, stats, len(universe))
+        hit_ids = np.array(sorted(d for d, _ in hits), dtype=np.int64)
+        keep &= np.isin(universe, hit_ids, assume_unique=True)
+    # exclusions: bool.must_not term membership
+    for t in parsed["excluded"]:
+        p = get_postings(t)
+        if p is None:
+            continue
+        ids, _, _ = p.decode_all()
+        keep &= ~np.isin(universe, ids, assume_unique=True)
+    # filter context
+    if parsed["filters"]:
+        if docmeta is None:
+            raise ValueError(
+                f"query uses field filters {sorted(parsed['filters'])} but no "
+                "docmeta table is loaded (build one with cb.docmeta)"
+            )
+        keep &= docmeta.mask(universe, parsed["filters"])
+    return rank_topk(universe[keep], acc[keep], k)

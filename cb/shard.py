@@ -343,6 +343,29 @@ class ShardServer:
 
         return rank_topk(universe[keep], acc[keep], k)
 
+    def query_string(self, parsed: dict, k: int, fetched_terms: list[str] = (), *fetched):
+        """Lucene-lite query over this server's scope (doc-sharded: its
+        disjoint doc slice — the driver merge stays exact because every
+        clause is evaluated per doc).  ``fetched`` carries non-local
+        postings in term-sharded mode (same protocol as score)."""
+        from . import docmeta as docmeta_mod, querylang
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        dm = None
+        if parsed.get("filters"):
+            if self._docmeta is None:
+                self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+            dm = self._docmeta
+        return querylang.execute(
+            parsed,
+            get_postings=self._local,
+            stats=self.stats,
+            k=k,
+            docmeta=dm,
+            decoded_cache=self.decoded,
+        )
+
     def phrase(self, ordered_terms: list[str], k: int, fetched_terms: list[str], *fetched):
         """Exact phrase top-k (positional postings); same fetch protocol
         as :meth:`score`."""
@@ -382,6 +405,22 @@ class LocalSearcher:
         ordered = analyze.tokenize(text)
         postings = {t: self.get_postings(t) for t in set(ordered)}
         return phrase_mod.phrase_topk(ordered, postings, self.stats, k)
+
+    def search(self, query_string: str, k: int = 10) -> list[tuple[int, float]]:
+        """Lucene-lite query string (terms, "phrases", field:value,
+        -exclusions) — see :mod:`cb.querylang`."""
+        from . import docmeta as docmeta_mod, querylang
+
+        parsed = querylang.parse(query_string)
+        dm = None
+        if parsed["filters"]:
+            try:
+                dm = docmeta_mod.DocMeta(self.meta.index_dir)
+            except FileNotFoundError:
+                dm = None  # querylang raises the descriptive ValueError
+        return querylang.execute(
+            parsed, get_postings=self.get_postings, stats=self.stats, k=k, docmeta=dm
+        )
 
     def filtered_query(self, text: str, filters: dict, k: int = 10) -> list[tuple[int, float]]:
         """In-process filtered BM25 (ES bool must+filter parity)."""
@@ -598,6 +637,34 @@ class QueryEngine:
         self.seen[scorer].update(uniq)
         return ray.get(
             self.servers[scorer].phrase.remote(ordered, k, fetched_terms, *refs)
+        )
+
+    def search(self, query_string: str, k: int = 10) -> list[tuple[int, float]]:
+        """Lucene-lite query string via the pool (scatter-gather in doc
+        mode; ownership-routed with postings fetch in term mode)."""
+        from . import querylang
+
+        parsed = querylang.parse(query_string)
+        involved = sorted(
+            set(parsed["terms"])
+            | {t for p in parsed["phrases"] for t in p}
+            | set(parsed["excluded"])
+        )
+        if not involved:
+            return []
+        if self.mode == "doc":
+            futs = [s.query_string.remote(parsed, k) for s in self.servers]
+            return _merge_topk(ray.get(futs), k)
+        owners = {t: self._owner(t) for t in involved}
+        counts = np.bincount([owners[t] for t in involved], minlength=self.num_servers)
+        scorer = int(np.argmax(counts))
+        fetched_terms = [
+            t for t in involved if owners[t] != scorer and t not in self.seen[scorer]
+        ]
+        refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
+        self.seen[scorer].update(involved)
+        return ray.get(
+            self.servers[scorer].query_string.remote(parsed, k, fetched_terms, *refs)
         )
 
     def query_many(self, texts: list[str], k: int = 10, algo: str = "taat"):
