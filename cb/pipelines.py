@@ -401,6 +401,110 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
+SEARCH_SET: tuple[str, ...] = (
+    "merge sort window",
+    '"merge sort"',
+    '"hash join" lang:en',
+    "window -table",
+    "column lang:fr -join",
+    '"table scan" -merge lang:es',
+    "spark zebra",
+    "group order lang:zh",
+    '"data stream" -batch',
+    "customer value lang:en -row",
+)
+
+
+def q_search_querystring(sf_dir: str) -> pa.Table:
+    """Lucene-lite query strings end-to-end (terms + phrases + field
+    filters + exclusions) served by the doc-sharded pool."""
+    from . import docmeta as docmeta_mod
+
+    meta = get_index(sf_dir)
+    docmeta_mod.ensure_docmeta(meta.index_dir, docs_path(sf_dir), ["lang", "source"])
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = [engine.search(q, k=K) for q in SEARCH_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6), type=pa.float64()
+            ),
+        }
+    )
+
+
+def sql_search_querystring() -> str:
+    """Oracle generated per query from the SAME parser the engine uses:
+    scored terms -> BM25 sum; phrases -> token-joined LIKE; filters ->
+    metadata equality; exclusions -> NOT LIKE on the token stream."""
+    from . import querylang
+
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    qt_rows = []
+    member_selects = []
+    for qid, q in enumerate(SEARCH_SET):
+        p = querylang.parse(q)
+        score_terms = sorted(set(p["terms"]) | {t for ph in p["phrases"] for t in ph})
+        for t in score_terms:
+            qt_rows.append(f"({qid}, '{t}')")
+        preds = []
+        for ph in p["phrases"]:
+            preds.append("j.s LIKE '% " + " ".join(ph) + " %'")
+        for t in p["excluded"]:
+            preds.append(f"j.s NOT LIKE '% {t} %'")
+        for col, val in p["filters"].items():
+            preds.append(f"d.{col} = '{val}'")
+        where = (" AND " + " AND ".join(preds)) if preds else ""
+        member_selects.append(
+            f"SELECT {qid} AS query_id, d.doc_id FROM documents d "
+            f"JOIN joined j ON j.doc_id = d.doc_id WHERE TRUE{where}"
+        )
+    members = " UNION ALL ".join(member_selects)
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+joined AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s FROM docs),
+q(query_id, term) AS (VALUES {", ".join(qt_rows)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+m AS ({members}),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rank
+  FROM scored s JOIN m ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 def q_content_sha256(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
 
@@ -905,6 +1009,7 @@ QUERIES = {
     "bm25_topk_scores": q_bm25_topk_scores,
     "bm25_filtered": q_bm25_filtered,
     "phrase_search": q_phrase_search,
+    "search_querystring": q_search_querystring,
     "content_sha256": q_content_sha256,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
@@ -938,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_scores": sql_bm25(with_scores=True),
         "bm25_filtered": sql_bm25_filtered(),
         "phrase_search": sql_phrase_search(),
+        "search_querystring": sql_search_querystring(),
         "content_sha256": sql_content_sha256(),
         "dedup_exact": dedup.sql_exact_duplicates(),
         "token_stats": textstats.sql_token_stats(),
