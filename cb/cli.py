@@ -87,7 +87,9 @@ def cmd_query(args) -> int:
     else:
         with open(args.queries) as f:
             queries = [line.strip() for line in f if line.strip()]
-    if getattr(args, "filtered", False):
+    if getattr(args, "qstring", False):
+        results = [engine.search(q, k=args.k) for q in queries]
+    elif getattr(args, "filtered", False):
         filters = {}
         for spec in args.filter or []:
             col, _, val = spec.partition("=")
@@ -130,7 +132,7 @@ def main(argv=None) -> int:
     w.add_argument("--num-parts", type=int, default=32)
     w.set_defaults(fn=cmd_watch)
 
-    for name in ("query", "query-file", "phrase", "filtered-query"):
+    for name in ("query", "query-file", "phrase", "filtered-query", "search"):
         q = sub.add_parser(name, help="top-k BM25 query")
         q.add_argument("--index", required=True)
         q.add_argument("--query", default=None)
@@ -147,10 +149,11 @@ def main(argv=None) -> int:
             fn=cmd_query,
             phrase=(name == "phrase"),
             filtered=(name == "filtered-query"),
+            qstring=(name == "search"),
         )
 
     args = p.parse_args(argv)
-    if args.cmd in ("query", "query-file", "phrase", "filtered-query") and not (args.query or args.queries):
+    if args.cmd in ("query", "query-file", "phrase", "filtered-query", "search") and not (args.query or args.queries):
         p.error("provide --query or --queries")
     return args.fn(args)
 
