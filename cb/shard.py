@@ -206,18 +206,34 @@ class GlobalStats:
 
 
 @ray.remote
-def _load_partition_table(path: str) -> tuple[pa.Table, dict]:
-    """One parquet decode per partition file, shared by every server
-    through the object store.  The per-term global-df summary is
-    computed here ONCE (it is the same for every server) instead of
-    per server — the per-server load work left is just the bucket
-    filter and run-end offsets over its own slice."""
-    if os.path.exists(path):
-        t = pq.read_table(path)
-        return t, ShardPartition._term_df_totals(t)
+def _load_partition_slices(path: str, assignments: list[list[int]]) -> dict:
+    """One parquet decode per partition file; the per-term global-df
+    summary AND each server's bucket slice are computed here ONCE
+    (loader tasks parallelize with the CPU count), then each slice is
+    ``ray.put`` separately so a server fetches ONLY its own doc-range
+    rows.  Per-server init work is therefore ~1/S (offsets + warm over
+    its slice) — the engine-load phase scales with the pool instead of
+    every server re-filtering the full file."""
+    import pyarrow.compute as pc
+
     from .build import _posting_file_schema
 
-    return pa.Table.from_pylist([], schema=_posting_file_schema()), {}
+    if os.path.exists(path):
+        t = pq.read_table(path)
+        gdf = ShardPartition._term_df_totals(t)
+    else:
+        t = pa.Table.from_pylist([], schema=_posting_file_schema())
+        gdf = {}
+    slices = []
+    for buckets in assignments:
+        if len(assignments) == 1:
+            sl = t
+        else:
+            sl = t.filter(
+                pc.is_in(t["bucket"], value_set=pa.array(sorted(buckets), type=pa.int32()))
+            ) if t.num_rows else t
+        slices.append(ray.put(sl))
+    return {"slices": slices, "gdf": gdf}
 
 
 @ray.remote
@@ -235,13 +251,13 @@ class ShardServer:
     ):
         meta = IndexMeta(index_dir)
         if part_refs is not None:
-            # shared tables from the object store (read once per file by
-            # loader tasks; plasma get is zero-copy on the same node)
-            loaded = ray.get(part_refs)
-            self.parts = {
-                p: ShardPartition(buckets=buckets, table=t, global_df=gdf)
-                for p, (t, gdf) in zip(parts, loaded)
-            }
+            # pre-sliced tables from the object store (read + sliced
+            # once by loader tasks; plasma get is zero-copy on-node);
+            # each entry is (slice_ref, gdf) for THIS server only
+            self.parts = {}
+            for p, (sref, gdf) in zip(parts, part_refs):
+                t = ray.get(sref)
+                self.parts[p] = ShardPartition(table=t, global_df=gdf)
         else:
             self.parts = {p: ShardPartition(meta.part_file(p), buckets=buckets) for p in parts}
         self.stats = GlobalStats(meta.n_docs, meta.avgdl)
@@ -492,19 +508,26 @@ class QueryEngine:
                     f"(2^range_bits doc-range buckets)"
                 )
             all_parts = list(range(self.meta.num_parts))
-            # each partition file is parquet-decoded ONCE by a loader
-            # task; servers filter their bucket slice from the shared
-            # zero-copy plasma tables (S x disk-read amplification
-            # avoided).  At cluster scale the layout is bucket-
-            # partitioned files and each server reads only its range.
-            part_refs = [
-                _load_partition_table.remote(self.meta.part_file(p)) for p in all_parts
+            assignments = [
+                [b for b in range(n_buckets) if b % num_servers == s]
+                for s in range(num_servers)
             ]
+            # each partition file is parquet-decoded AND per-server
+            # sliced ONCE by loader tasks (parallel across CPUs); a
+            # server fetches only its own slices, so per-server init is
+            # ~1/S of the index.  At cluster scale the layout is bucket-
+            # partitioned files and each server reads only its range.
+            loaded = ray.get(
+                [
+                    _load_partition_slices.remote(self.meta.part_file(p), assignments)
+                    for p in all_parts
+                ]
+            )
             self.servers = [
                 ShardServer.remote(
                     index_dir, all_parts,
-                    buckets=[b for b in range(n_buckets) if b % num_servers == s],
-                    part_refs=part_refs,
+                    buckets=assignments[s],
+                    part_refs=[(loaded[i]["slices"][s], loaded[i]["gdf"]) for i in range(len(all_parts))],
                 )
                 for s in range(num_servers)
             ]
