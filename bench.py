@@ -104,6 +104,23 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # Contention probe: a fixed single-threaded numpy kernel, timed at
+    # start and end of the run.  The sandbox VM shares hardware with
+    # invisible neighbors and run-to-run wall times swing up to ~2x for
+    # identical work; this calibrates how loaded the box was so scaling
+    # ratios can be read honestly (a clean pair has similar calib times
+    # in both legs).
+    def _calibrate() -> float:
+        import numpy as _np
+
+        a = _np.random.Generator(_np.random.PCG64(1)).standard_normal((1200, 1200))
+        t = time.perf_counter()
+        for _ in range(4):
+            a = a @ a * 1e-3
+        return time.perf_counter() - t
+
+    extras["calib_start_sec"] = _calibrate()
+
     # phase 1: index build over the sf documents table
     docs_idx = "/tmp/cb_bench/idx_docs"
     shutil.rmtree(docs_idx, ignore_errors=True)
@@ -168,6 +185,7 @@ def run_bench() -> dict:
     timings["bm25_query_throughput"] = time.perf_counter() - t0
     extras["queries_per_sec"] = len(distinct_queries) / timings["bm25_query_throughput"]
 
+    extras["calib_end_sec"] = _calibrate()
     total = sum(timings.values())
     out = {
         "metric": "index_build_plus_bm25_queries",
