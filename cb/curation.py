@@ -1,0 +1,243 @@
+"""Training-data curation operators: quality filtering, stratified
+sampling, benchmark decontamination, PII redaction.
+
+The operations an LLM-corpus pipeline runs between raw ingest and
+training, expressed Ray-Data-first (vectorized ``map_batches``, one
+broadcast for small side inputs, no shuffles) with DuckDB SQL mirrors
+so every one is value-checked by the driver's oracle gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from . import analyze, textstats
+
+# --------------------------------------------------------------------------
+# Quality filter: threshold rules over the token_stats metrics
+# --------------------------------------------------------------------------
+
+QUALITY_RULES = (
+    # (name, metric, op, threshold) — first failing rule is the reason
+    ("too_short", "n_tokens", "lt", 5),
+    ("too_long", "n_tokens", "gt", 100000),
+    ("high_stop_ratio", "stop_ratio", "gt", 0.6),
+    ("short_tokens", "mean_token_len", "lt", 2.0),
+)
+
+
+def quality_filter(ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
+    """-> (doc_id, keep, reason): rule-based quality gate over the
+    vectorized token metrics; ``reason`` is the FIRST failing rule."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        stats = textstats.token_stats(batch, text_col=text_col, id_col=id_col)
+        n = stats.num_rows
+        reason = np.full(n, "", dtype=object)
+        for name, metric, op, thr in QUALITY_RULES:
+            col = stats[metric].to_numpy(zero_copy_only=False)
+            bad = col < thr if op == "lt" else col > thr
+            fresh = bad & (reason == "")
+            reason[fresh] = name
+        return pa.table(
+            {
+                "doc_id": stats["doc_id"],
+                "keep": pa.array(reason == "", type=pa.bool_()),
+                "reason": pa.array(reason.tolist(), type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sql_quality_filter(table: str = "documents", text_col: str = "text") -> str:
+    stats_sql = textstats.sql_token_stats(table, text_col).strip().rstrip(";")
+    cases = " ".join(
+        f"WHEN {metric} {'<' if op == 'lt' else '>'} {thr} THEN '{name}'"
+        for name, metric, op, thr in QUALITY_RULES
+    )
+    return f"""
+WITH s AS ({stats_sql})
+SELECT doc_id,
+       (CASE {cases} ELSE '' END) = '' AS keep,
+       CASE {cases} ELSE '' END AS reason
+FROM s ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling: deterministic per-group rates (no RNG, no shuffle)
+# --------------------------------------------------------------------------
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    rates: dict[str, int],
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: int = 0,
+) -> ray.data.Dataset:
+    """Keep each row iff ``doc_id % 100 < rates[group]`` — a
+    deterministic, resume-stable hash sample with per-group percentages
+    (the down/up-weighting step of corpus mixing).  Embarrassingly
+    parallel; the id is already uniform (content-derived)."""
+    ref = ray.put(dict(rates))
+
+    def f(batch: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        groups = batch[group_col].to_pylist()
+        lim = np.array([r.get(g, default_rate) for g in groups], dtype=np.int64)
+        return batch.filter(pa.array((ids % 100) < lim))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_stratified_sample(
+    rates: dict[str, int], table: str = "documents", group_col: str = "lang"
+) -> str:
+    cases = " ".join(f"WHEN '{g}' THEN {p}" for g, p in sorted(rates.items()))
+    return f"""
+SELECT doc_id, {group_col}
+FROM {table}
+WHERE doc_id % 100 < (CASE {group_col} {cases} ELSE 0 END)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Decontamination: n-gram overlap against a benchmark set
+# --------------------------------------------------------------------------
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    benchmark_texts: list[str],
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """-> (doc_id, contaminated, n_hits): flag docs sharing any token
+    n-gram with the benchmark set (test-set leakage removal).  The
+    benchmark shingle set is small and broadcast once; each batch
+    intersects locally — no shuffle.  At 100 TB this is the standard
+    decontamination pass: benchmark shingles ~10^6 entries, corpus
+    streamed once."""
+    from .dedup import SHINGLE_SEP, shingle_set
+
+    bench = set()
+    for t in benchmark_texts:
+        bench.update(shingle_set(analyze.tokenize(t), n))
+    ref = ray.put(bench)
+
+    def f(batch: pa.Table) -> pa.Table:
+        side = ray.get(ref)
+        hits = []
+        for text in batch[text_col].to_pylist():
+            sh = shingle_set(analyze.tokenize(text), n)
+            hits.append(sum(1 for s in sh if s in side))
+        return pa.table(
+            {
+                "doc_id": batch[id_col],
+                "contaminated": pa.array([h > 0 for h in hits], type=pa.bool_()),
+                "n_hits": pa.array(hits, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sql_decontaminate(
+    benchmark_texts: list[str] | None = None,
+    n: int = 8,
+    table: str = "documents",
+    text_col: str = "text",
+    bench_sql: str | None = None,
+) -> str:
+    """Mirror of :func:`decontaminate`.  The benchmark set comes from
+    ``benchmark_texts`` (inlined VALUES) or ``bench_sql`` (a SELECT
+    yielding one column ``bt`` — lets the driver's static oracle derive
+    the set from the same tables the engine reads)."""
+    from .analyze import sql_token_array
+
+    tok = sql_token_array(text_col)
+    sep = "chr(31)"
+    shingle = f" || {sep} || ".join(
+        f"d.toks[i.r+{j}]" if j else "d.toks[i.r]" for j in range(n)
+    )
+    if bench_sql is None:
+        bench_sql = "VALUES " + ", ".join(
+            "('" + t.replace("'", "''") + "')" for t in benchmark_texts
+        )
+    btok = sql_token_array("bt")
+    bshingle = f" || {sep} || ".join(
+        f"b.toks[i.r+{j}]" if j else f"b.toks[i.r]" for j in range(n)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM {table}),
+bench(bt) AS ({bench_sql}),
+btoks AS (SELECT {btok} AS toks FROM bench),
+bsh AS (
+  SELECT DISTINCT {bshingle} AS shingle
+  FROM btoks b, (SELECT unnest(range(1, greatest(len(toks) - {n - 2}, 1))) AS r, toks
+                 FROM btoks) i
+  WHERE i.toks = b.toks
+),
+dsh AS (
+  SELECT DISTINCT d.doc_id, {shingle} AS shingle
+  FROM docs d, (SELECT unnest(range(1, greatest(len(toks) - {n - 2}, 1))) AS r, doc_id
+                FROM docs) i
+  WHERE i.doc_id = d.doc_id
+),
+hits AS (
+  SELECT d.doc_id, count(*)::BIGINT AS n_hits
+  FROM dsh d JOIN bsh USING (shingle) GROUP BY 1
+)
+SELECT docs.doc_id,
+       coalesce(hits.n_hits, 0) > 0 AS contaminated,
+       coalesce(hits.n_hits, 0)::BIGINT AS n_hits
+FROM docs LEFT JOIN hits USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# PII redaction: vectorized regex scrub (RE2 on both engine and oracle)
+# --------------------------------------------------------------------------
+
+PII_PATTERNS = (
+    # (pattern, replacement) — applied in order; RE2 syntax, identical
+    # semantics in pyarrow (RE2) and DuckDB (RE2)
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{9,}\b", "<NUM>"),
+)
+
+
+def pii_redact(ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
+    """-> (doc_id, text_redacted): email/IP/long-number scrub with
+    Arrow's RE2 kernels (the P10 secret-redaction parity generalized
+    to corpus text)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        s = batch[text_col]
+        for pat, rep in PII_PATTERNS:
+            s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
+        return pa.table({"doc_id": batch[id_col], "text_redacted": s})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_pii_redact(table: str = "documents", text_col: str = "text") -> str:
+    expr = text_col
+    for pat, rep in PII_PATTERNS:
+        # DuckDB standard string literals keep backslashes verbatim —
+        # only quotes need escaping
+        pat_sql = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{rep}', 'g')"
+    return f"SELECT doc_id, {expr} AS text_redacted FROM {table} ORDER BY doc_id"

@@ -21,7 +21,7 @@ import pyarrow.parquet as pq
 import ray.data
 from ray.data.aggregate import Sum
 
-from . import analyze, ann, build, dedup, filters, scoring, shard, textstats
+from . import analyze, ann, build, curation, dedup, filters, scoring, shard, textstats
 
 K = 10
 
@@ -654,6 +654,50 @@ def q_media_ann_topk(sf_dir: str) -> pa.Table:
 
 
 # --------------------------------------------------------------------------
+# Training-data curation pipelines (cb.curation)
+# --------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 60, "fr": 35, "de": 20, "es": 10, "zh": 5}
+
+# Deterministic benchmark set for the decontamination gate, derivable
+# identically by the static SQL oracle: the 3 lowest-doc_id documents
+# (guaranteed hits) + one absent probe string.
+_DECON_PROBE = "zebra quantum flux capacitor benchmark probe text only"
+
+
+def _benchmark_texts(sf_dir: str) -> list[str]:
+    head = pq.read_table(docs_path(sf_dir), columns=["doc_id", "text"]).sort_by("doc_id")
+    return [head["text"][i].as_py() for i in range(min(3, head.num_rows))] + [_DECON_PROBE]
+
+
+def _decon_bench_sql() -> str:
+    return (
+        "(SELECT text AS bt FROM documents ORDER BY doc_id LIMIT 3) "
+        f"UNION ALL (SELECT '{_DECON_PROBE}')"
+    )
+
+
+def q_quality_filter(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(curation.quality_filter(ds))
+
+
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "lang"])
+    return _collect(curation.stratified_sample(ds, SAMPLE_RATES))
+
+
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(curation.decontaminate(ds, _benchmark_texts(sf_dir), n=8))
+
+
+def q_pii_redact(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(curation.pii_redact(ds))
+
+
+# --------------------------------------------------------------------------
 # Reference-parity relational pipelines (filters / windowed aggregates)
 # --------------------------------------------------------------------------
 
@@ -1023,6 +1067,10 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "media_ann_topk": q_media_ann_topk,
+    "quality_filter": q_quality_filter,
+    "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
+    "pii_redact": q_pii_redact,
     "filter_pushdown": q_filter_pushdown,
     "events_minute_agg": q_events_minute_agg,
     "late_events": q_late_events,
@@ -1056,6 +1104,10 @@ def oracle_sql() -> dict[str, str]:
         "late_events": sql_late_events(),
         "events_props_extract": sql_events_props_extract(),
         "sessionize": sql_sessionize(),
+        "quality_filter": curation.sql_quality_filter(),
+        "stratified_sample": curation.sql_stratified_sample(SAMPLE_RATES),
+        "decontaminate": curation.sql_decontaminate(n=8, bench_sql=_decon_bench_sql()),
+        "pii_redact": curation.sql_pii_redact(),
         "orders_by_segment": sql_orders_by_segment(),
         "orders_lineitem_join": sql_orders_lineitem_join(),
         "pricing_summary": sql_pricing_summary(),

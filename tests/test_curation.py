@@ -1,0 +1,67 @@
+"""Curation operators: quality gate, stratified sample, decontamination,
+PII redaction — semantics on planted data (the sf-table entries are
+oracle-checked; these prove behavior the synthetic tables can't show)."""
+
+import numpy as np
+import pytest
+import ray
+
+from cb import curation
+
+
+def test_quality_filter_reasons():
+    rows = [
+        {"doc_id": 1, "text": "good document with several meaningful tokens present here"},
+        {"doc_id": 2, "text": "tiny"},                        # too_short
+        {"doc_id": 3, "text": "the of and to in a is it " * 4},  # high stop ratio
+    ]
+    out = {r["doc_id"]: r for r in curation.quality_filter(ray.data.from_items(rows)).take_all()}
+    assert out[1]["keep"] and out[1]["reason"] == ""
+    assert not out[2]["keep"] and out[2]["reason"] == "too_short"
+    assert not out[3]["keep"] and out[3]["reason"] in ("high_stop_ratio", "too_short")
+
+
+def test_stratified_sample_rates():
+    rows = [
+        {"doc_id": i, "lang": ("en", "de")[i % 2]} for i in range(400)
+    ]
+    out = curation.stratified_sample(
+        ray.data.from_items(rows), {"en": 50, "de": 10}
+    ).take_all()
+    en = [r for r in out if r["lang"] == "en"]
+    de = [r for r in out if r["lang"] == "de"]
+    assert all(r["doc_id"] % 100 < 50 for r in en)
+    assert all(r["doc_id"] % 100 < 10 for r in de)
+    # roughly proportional on uniform ids
+    assert 80 <= len(en) <= 120 and 10 <= len(de) <= 30
+    # deterministic: same input -> same sample
+    again = curation.stratified_sample(
+        ray.data.from_items(rows), {"en": 50, "de": 10}
+    ).take_all()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+
+
+def test_decontaminate_flags_overlap():
+    bench = ["the secret benchmark question about unusual marmots and telescopes today ok"]
+    rows = [
+        {"doc_id": 1, "text": "clean document with no test overlap at all in it whatsoever"},
+        # contains an 8-gram of the benchmark
+        {"doc_id": 2, "text": "prefix words " + bench[0] + " suffix words"},
+    ]
+    out = {r["doc_id"]: r for r in curation.decontaminate(
+        ray.data.from_items(rows), bench, n=8
+    ).take_all()}
+    assert not out[1]["contaminated"] and out[1]["n_hits"] == 0
+    assert out[2]["contaminated"] and out[2]["n_hits"] > 0
+
+
+def test_pii_redact_patterns():
+    rows = [
+        {"doc_id": 1, "text": "contact me at alice.smith+x@example.org or 10.0.0.1 ref 123456789012"},
+        {"doc_id": 2, "text": "nothing sensitive here 1234"},
+    ]
+    out = {r["doc_id"]: r["text_redacted"] for r in curation.pii_redact(
+        ray.data.from_items(rows)
+    ).take_all()}
+    assert out[1] == "contact me at <EMAIL> or <IP> ref <NUM>"
+    assert out[2] == "nothing sensitive here 1234"
