@@ -207,6 +207,91 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# BPE-ish token counting (subword-regex proxy for tokenizer budgeting)
+# --------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer shape, restricted to RE2 syntax (no
+# backtracking, no \p shortcuts DuckDB lacks): contractions, letter
+# runs, digit runs, non-space symbol runs, trailing spaces.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_stats(ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
+    """-> (doc_id, n_bpe_tokens): subword-regex token counts — the
+    budgeting number a tokenizer-aware pipeline schedules by (exact BPE
+    merges need the tokenizer model; the pre-tokenizer split is the
+    standard proxy and is exactly SQL-mirrorable)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch[text_col], pattern=BPE_PATTERN)
+        return pa.table({"doc_id": batch[id_col], "n_bpe_tokens": n.cast(pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_bpe_token_stats(table: str = "documents", text_col: str = "text") -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id, len(regexp_extract_all({text_col}, '{pat}'))::BIGINT AS n_bpe_tokens
+FROM {table} ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: greedy document packing into token-budget windows
+# --------------------------------------------------------------------------
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    *,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """-> (pack_group, pack_id, doc_id, n_tokens): deterministic greedy
+    first-fit packing of documents into token-budget windows — the
+    sample-packing step before training.  Docs are grouped by
+    ``doc_id % 64`` (PACK GROUPS — each group packs independently, so
+    the operator is one groupby + a per-group vectorized pass and pack
+    ids are stable under resume/repartition); within a group docs pack
+    in ascending doc_id order.  Oversized docs get a singleton pack
+    (truncation is the trainer's call, flagged by n_tokens > budget)."""
+    import pandas as pd
+
+    from . import analyze as analyze_mod
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        lists = analyze_mod.token_array(batch[text_col])
+        n = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pack_group": pa.array(ids % 64, type=pa.int64()),
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def pack_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        toks = g["n_tokens"].to_numpy()
+        pack = np.empty(len(g), dtype=np.int64)
+        cur, used = 0, 0
+        for i, t in enumerate(toks):
+            if used > 0 and used + t > budget:
+                cur += 1
+                used = 0
+            pack[i] = cur
+            used += t
+        out = g.copy()
+        out["pack_id"] = pack
+        return out[["pack_group", "pack_id", id_col, "n_tokens"]]
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow", zero_copy_batch=True)
+    return counted.groupby("pack_group").map_groups(pack_group, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
 # PII redaction: vectorized regex scrub (RE2 on both engine and oracle)
 # --------------------------------------------------------------------------
 

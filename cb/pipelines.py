@@ -697,6 +697,18 @@ def q_pii_redact(sf_dir: str) -> pa.Table:
     return _collect(curation.pii_redact(ds))
 
 
+def q_bpe_token_stats(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(curation.bpe_token_stats(ds))
+
+
+def q_pack_sequences(sf_dir: str) -> pa.Table:
+    """Greedy token-budget sequence packing (stateful per pack group ->
+    rows-only check; invariants proven in tests/test_curation.py)."""
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(curation.pack_sequences(ds, budget=512))
+
+
 # --------------------------------------------------------------------------
 # Reference-parity relational pipelines (filters / windowed aggregates)
 # --------------------------------------------------------------------------
@@ -1071,6 +1083,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
     "pii_redact": q_pii_redact,
+    "bpe_token_stats": q_bpe_token_stats,
+    "pack_sequences": q_pack_sequences,
     "filter_pushdown": q_filter_pushdown,
     "events_minute_agg": q_events_minute_agg,
     "late_events": q_late_events,
@@ -1108,6 +1122,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": curation.sql_stratified_sample(SAMPLE_RATES),
         "decontaminate": curation.sql_decontaminate(n=8, bench_sql=_decon_bench_sql()),
         "pii_redact": curation.sql_pii_redact(),
+        "bpe_token_stats": curation.sql_bpe_token_stats(),
+        # pack_sequences: order-dependent stateful packing -> rows-only
         "orders_by_segment": sql_orders_by_segment(),
         "orders_lineitem_join": sql_orders_lineitem_join(),
         "pricing_summary": sql_pricing_summary(),

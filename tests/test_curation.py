@@ -55,6 +55,43 @@ def test_decontaminate_flags_overlap():
     assert out[2]["contaminated"] and out[2]["n_hits"] > 0
 
 
+def test_bpe_token_count_matches_regex():
+    import re
+
+    rows = [
+        {"doc_id": 1, "text": "It's a test-case: 42 items, obviously."},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "snake_case camelCase  double  spaces"},
+    ]
+    out = {r["doc_id"]: r["n_bpe_tokens"] for r in curation.bpe_token_stats(
+        ray.data.from_items(rows)
+    ).take_all()}
+    for r in rows:
+        assert out[r["doc_id"]] == len(re.findall(curation.BPE_PATTERN, r["text"]))
+
+
+def test_pack_sequences_invariants():
+    rng = np.random.Generator(np.random.PCG64(4))
+    rows = [
+        {"doc_id": int(i), "text": " ".join(f"tok{j}" for j in range(int(rng.integers(5, 120))))}
+        for i in range(300)
+    ]
+    budget = 200
+    out = curation.pack_sequences(
+        ray.data.from_items(rows), budget=budget
+    ).take_all()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in rows}  # every doc packed once
+    sums: dict = {}
+    for r in out:
+        sums.setdefault((r["pack_group"], r["pack_id"]), []).append(r["n_tokens"])
+    for key, toks in sums.items():
+        assert sum(toks) <= budget or len(toks) == 1, key  # budget, or oversized singleton
+    # deterministic
+    again = curation.pack_sequences(ray.data.from_items(rows), budget=budget).take_all()
+    assert sorted(map(tuple, (sorted(r.items()) for r in again))) == \
+        sorted(map(tuple, (sorted(r.items()) for r in out)))
+
+
 def test_pii_redact_patterns():
     rows = [
         {"doc_id": 1, "text": "contact me at alice.smith+x@example.org or 10.0.0.1 ref 123456789012"},
