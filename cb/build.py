@@ -170,7 +170,14 @@ def tokenize_partials(
     )
     buckets0 = (o_ids >> shift).astype(np.int32)
     pos0 = occ["pos"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((pos0, o_ids, buckets0, codes0))
+    # sort keys (term-code, bucket, doc): composed into ONE int64 key +
+    # doc id (lexsort cost scales with key count).  pos is NOT a key:
+    # occurrence rows arrive in ascending pos within each doc and
+    # lexsort is stable, so (code,bucket,doc,pos) order is identical —
+    # and since that 4-tuple is unique per row, the permutation is the
+    # same one the explicit 4-key sort produced (byte-identical output).
+    ckey = (codes0.astype(np.int64) << np.int64(range_bits)) | buckets0
+    order = np.lexsort((o_ids, ckey))
     codes = codes0[order]
     buckets = buckets0[order]
     ids = o_ids[order]
@@ -248,8 +255,12 @@ def _explode_partials(group: pa.Table) -> pa.Table:
     buckets_row = group["bucket"].to_numpy(zero_copy_only=False)
     codes_p = row_codes[row_of_posting]
     buckets_p = buckets_row[row_of_posting]
-    # sort POSTINGS (not occurrences) by (code, bucket, doc)
-    order = np.lexsort((doc_flat, buckets_p, codes_p))
+    # sort POSTINGS (not occurrences) by (code, bucket, doc) — the
+    # (code,bucket) pair composed into one key; (code,bucket,doc) is
+    # unique per posting so the permutation is exactly the 3-key one
+    bshift = np.int64(int(buckets_p.max()).bit_length() if len(buckets_p) else 1)
+    ckey = (codes_p.astype(np.int64) << bshift) | buckets_p
+    order = np.lexsort((doc_flat, ckey))
     codes_p = codes_p[order]
     buckets_p = buckets_p[order]
     doc_sorted = doc_flat[order]
