@@ -653,6 +653,69 @@ def q_media_ann_topk(sf_dir: str) -> pa.Table:
     return out.select(["query_id", "rank", "vec_id"])
 
 
+def q_top_docs_per_lang(sf_dir: str) -> pa.Table:
+    """Per-group top-k (top-3 longest docs per language, ties by
+    doc_id): groupby + per-group vectorized head — the grouped-top-k
+    shape every leaderboard/sampling pipeline needs."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        docs_path(sf_dir), columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rank"] = range(1, len(g) + 1)
+        return g[["lang", "rank", "doc_id", "n_chars"]]
+
+    out = ds.groupby("lang").map_groups(topk, batch_format="pandas")
+    return _collect(out)
+
+
+def sql_top_docs_per_lang() -> str:
+    return """
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+)
+SELECT lang, rank::BIGINT AS rank, doc_id, n_chars
+FROM ranked WHERE rank <= 3 ORDER BY lang, rank
+"""
+
+
+def q_doclen_quantiles(sf_dir: str) -> pa.Table:
+    """Exact discrete quantiles of document length per language
+    (groupby + per-group sorted pick, lower interpolation = DuckDB
+    quantile_disc)."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["lang", "n_chars"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["n_chars"].to_numpy())
+        out = {"lang": [g["lang"].iloc[0]], "n_docs": [len(v)]}
+        for p in (50, 90, 99):
+            # DuckDB's quantile_disc convention: index ceil(p*n) - 1
+            # (verified against quantile_disc on the test tables)
+            idx = max(0, int(np.ceil(p / 100 * len(v))) - 1)
+            out[f"p{p}"] = [int(v[idx])]
+        return pd.DataFrame(out)
+
+    return _collect(ds.groupby("lang").map_groups(q, batch_format="pandas"))
+
+
+def sql_doclen_quantiles() -> str:
+    return """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       quantile_disc(n_chars, 0.50)::BIGINT AS p50,
+       quantile_disc(n_chars, 0.90)::BIGINT AS p90,
+       quantile_disc(n_chars, 0.99)::BIGINT AS p99
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data curation pipelines (cb.curation)
 # --------------------------------------------------------------------------
@@ -1085,6 +1148,8 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "bpe_token_stats": q_bpe_token_stats,
     "pack_sequences": q_pack_sequences,
+    "top_docs_per_lang": q_top_docs_per_lang,
+    "doclen_quantiles": q_doclen_quantiles,
     "filter_pushdown": q_filter_pushdown,
     "events_minute_agg": q_events_minute_agg,
     "late_events": q_late_events,
@@ -1123,6 +1188,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": curation.sql_decontaminate(n=8, bench_sql=_decon_bench_sql()),
         "pii_redact": curation.sql_pii_redact(),
         "bpe_token_stats": curation.sql_bpe_token_stats(),
+        "top_docs_per_lang": sql_top_docs_per_lang(),
+        "doclen_quantiles": sql_doclen_quantiles(),
         # pack_sequences: order-dependent stateful packing -> rows-only
         "orders_by_segment": sql_orders_by_segment(),
         "orders_lineitem_join": sql_orders_lineitem_join(),
