@@ -307,7 +307,13 @@ def _cumsum0(sizes: np.ndarray) -> np.ndarray:
 def _bin_column(data: np.ndarray, offsets: np.ndarray) -> pa.Array:
     """Row blobs = contiguous slices of one byte stream -> BinaryArray
     over the stream buffer (no per-row bytes objects)."""
-    assert offsets[-1] < (1 << 31), "partition blob stream exceeds binary offsets"
+    if offsets[-1] >= (1 << 31):
+        # a real error, not an assert: under python -O a silent int32
+        # wrap would write a corrupted index
+        raise ValueError(
+            f"partition blob stream is {offsets[-1]} bytes (>2GiB binary-"
+            "offset limit); raise num_parts so partitions shrink"
+        )
     return pa.Array.from_buffers(
         pa.binary(),
         len(offsets) - 1,

@@ -114,6 +114,34 @@ ORDER BY doc_id
 # Decontamination: n-gram overlap against a benchmark set
 # --------------------------------------------------------------------------
 
+class DecontaminateStage:
+    """Actor-pool stage: the benchmark shingle set (large at real scale,
+    ~10^6 entries) is fetched and deserialized ONCE per actor in
+    ``__init__`` — a plain-function stage would re-unpickle it on every
+    batch."""
+
+    def __init__(self, bench_ref, n: int, text_col: str, id_col: str):
+        self.bench = ray.get(bench_ref)
+        self.n = n
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import shingle_set
+
+        hits = []
+        for text in batch[self.text_col].to_pylist():
+            sh = shingle_set(analyze.tokenize(text), self.n)
+            hits.append(sum(1 for s in sh if s in self.bench))
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col],
+                "contaminated": pa.array([h > 0 for h in hits], type=pa.bool_()),
+                "n_hits": pa.array(hits, type=pa.int64()),
+            }
+        )
+
+
 def decontaminate(
     ds: ray.data.Dataset,
     benchmark_texts: list[str],
@@ -121,35 +149,28 @@ def decontaminate(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    concurrency: int = 2,
 ) -> ray.data.Dataset:
     """-> (doc_id, contaminated, n_hits): flag docs sharing any token
     n-gram with the benchmark set (test-set leakage removal).  The
-    benchmark shingle set is small and broadcast once; each batch
-    intersects locally — no shuffle.  At 100 TB this is the standard
-    decontamination pass: benchmark shingles ~10^6 entries, corpus
-    streamed once."""
-    from .dedup import SHINGLE_SEP, shingle_set
+    benchmark shingle set is broadcast once and held per actor; each
+    batch intersects locally — no shuffle.  At 100 TB this is the
+    standard decontamination pass: benchmark shingles ~10^6 entries,
+    corpus streamed once."""
+    from .dedup import shingle_set
 
     bench = set()
     for t in benchmark_texts:
         bench.update(shingle_set(analyze.tokenize(t), n))
-    ref = ray.put(bench)
-
-    def f(batch: pa.Table) -> pa.Table:
-        side = ray.get(ref)
-        hits = []
-        for text in batch[text_col].to_pylist():
-            sh = shingle_set(analyze.tokenize(text), n)
-            hits.append(sum(1 for s in sh if s in side))
-        return pa.table(
-            {
-                "doc_id": batch[id_col],
-                "contaminated": pa.array([h > 0 for h in hits], type=pa.bool_()),
-                "n_hits": pa.array(hits, type=pa.int64()),
-            }
-        )
-
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(
+        DecontaminateStage,
+        fn_constructor_kwargs={
+            "bench_ref": ray.put(bench), "n": n,
+            "text_col": text_col, "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
 
 
 def sql_decontaminate(
@@ -164,9 +185,10 @@ def sql_decontaminate(
     yielding one column ``bt`` — lets the driver's static oracle derive
     the set from the same tables the engine reads)."""
     from .analyze import sql_token_array
+    from .dedup import SHINGLE_SEP
 
     tok = sql_token_array(text_col)
-    sep = "chr(31)"
+    sep = f"chr({ord(SHINGLE_SEP)})"  # derived, so Python and SQL can't drift
     shingle = f" || {sep} || ".join(
         f"d.toks[i.r+{j}]" if j else "d.toks[i.r]" for j in range(n)
     )

@@ -481,7 +481,7 @@ def sql_ngram_jaccard(
     table: str = "documents", text_col: str = "text", n: int = 3, threshold: float = 0.5
 ) -> str:
     tok = analyze.sql_token_array(text_col)
-    sep = "chr(31)"
+    sep = f"chr({ord(SHINGLE_SEP)})"  # derived from the Python separator
     shingle = f" || {sep} || ".join(f"d.toks[i.r+{j}]" if j else "d.toks[i.r]" for j in range(n))
     return f"""
 WITH docs AS (SELECT doc_id, {tok} AS toks FROM {table}),

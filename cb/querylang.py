@@ -34,6 +34,10 @@ import numpy as np
 from . import analyze
 
 _TOKEN_RE = re.compile(r'"([^"]*)"|(\S+)')
+# a word is a field filter only when it LOOKS like one: identifier
+# field, simple value (no further ':' or '/') — so URLs and times in
+# free text ("http://x", "at 3:30pm") stay ordinary scored terms
+_FILTER_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):([^:/]+)$")
 
 
 def parse(q: str) -> dict:
@@ -52,9 +56,9 @@ def parse(q: str) -> dict:
         if word.startswith("-") and len(word) > 1:
             excluded.extend(analyze.tokenize(word[1:]))
             continue
-        if ":" in word and not word.startswith(":"):
-            field, _, value = word.partition(":")
-            filters[field] = value
+        m = _FILTER_RE.match(word)
+        if m:
+            filters[m.group(1)] = m.group(2)
             continue
         terms.extend(analyze.tokenize(word))
     return {
@@ -119,6 +123,11 @@ def execute(
             raise ValueError(
                 f"query uses field filters {sorted(parsed['filters'])} but no "
                 "docmeta table is loaded (build one with cb.docmeta)"
+            )
+        unknown = sorted(set(parsed["filters"]) - set(docmeta.cols))
+        if unknown:
+            raise ValueError(
+                f"unknown filter fields {unknown}; docmeta has {sorted(docmeta.cols)}"
             )
         keep &= docmeta.mask(universe, parsed["filters"])
     return rank_topk(universe[keep], acc[keep], k)

@@ -206,14 +206,17 @@ class GlobalStats:
 
 
 @ray.remote
-def _load_partition_slices(path: str, assignments: list[list[int]]) -> dict:
+def _load_partition_slices(path: str, assignments: list[list[int]]):
     """One parquet decode per partition file; the per-term global-df
     summary AND each server's bucket slice are computed here ONCE
-    (loader tasks parallelize with the CPU count), then each slice is
-    ``ray.put`` separately so a server fetches ONLY its own doc-range
-    rows.  Per-server init work is therefore ~1/S (offsets + warm over
-    its slice) — the engine-load phase scales with the pool instead of
-    every server re-filtering the full file."""
+    (loader tasks parallelize with the CPU count) and returned as
+    SEPARATE task return values (``num_returns``) so each object is
+    owned by the DRIVER — a slice created via ``ray.put`` inside the
+    task would die with the ephemeral loader worker — and a server
+    fetches ONLY its own doc-range rows.  Per-server init work is
+    therefore ~1/S (offsets + warm over its slice): the engine-load
+    phase scales with the pool instead of every server re-filtering the
+    full file.  Returns (*per_server_slices, global_df)."""
     import pyarrow.compute as pc
 
     from .build import _posting_file_schema
@@ -232,8 +235,8 @@ def _load_partition_slices(path: str, assignments: list[list[int]]) -> dict:
             sl = t.filter(
                 pc.is_in(t["bucket"], value_set=pa.array(sorted(buckets), type=pa.int32()))
             ) if t.num_rows else t
-        slices.append(ray.put(sl))
-    return {"slices": slices, "gdf": gdf}
+        slices.append(sl)
+    return (*slices, gdf)
 
 
 @ray.remote
@@ -251,13 +254,13 @@ class ShardServer:
     ):
         meta = IndexMeta(index_dir)
         if part_refs is not None:
-            # pre-sliced tables from the object store (read + sliced
-            # once by loader tasks; plasma get is zero-copy on-node);
-            # each entry is (slice_ref, gdf) for THIS server only
+            # pre-sliced tables + gdf summaries from the object store
+            # (read + sliced once by loader tasks; plasma get is
+            # zero-copy on-node); each entry is (slice_ref, gdf_ref)
+            # for THIS server only
             self.parts = {}
-            for p, (sref, gdf) in zip(parts, part_refs):
-                t = ray.get(sref)
-                self.parts[p] = ShardPartition(table=t, global_df=gdf)
+            for p, (sref, gref) in zip(parts, part_refs):
+                self.parts[p] = ShardPartition(table=ray.get(sref), global_df=ray.get(gref))
         else:
             self.parts = {p: ShardPartition(meta.part_file(p), buckets=buckets) for p in parts}
         self.stats = GlobalStats(meta.n_docs, meta.avgdl)
@@ -513,21 +516,23 @@ class QueryEngine:
                 for s in range(num_servers)
             ]
             # each partition file is parquet-decoded AND per-server
-            # sliced ONCE by loader tasks (parallel across CPUs); a
-            # server fetches only its own slices, so per-server init is
-            # ~1/S of the index.  At cluster scale the layout is bucket-
-            # partitioned files and each server reads only its range.
-            loaded = ray.get(
-                [
-                    _load_partition_slices.remote(self.meta.part_file(p), assignments)
-                    for p in all_parts
-                ]
-            )
+            # sliced ONCE by loader tasks (parallel across CPUs); the
+            # slices and gdf summaries stay in the object store as
+            # driver-owned task returns (never materialized here), and
+            # a server fetches only its own.  At cluster scale the
+            # layout is bucket-partitioned files and each server reads
+            # only its range.
+            loaded = [
+                _load_partition_slices.options(num_returns=num_servers + 1).remote(
+                    self.meta.part_file(p), assignments
+                )
+                for p in all_parts
+            ]
             self.servers = [
                 ShardServer.remote(
                     index_dir, all_parts,
                     buckets=assignments[s],
-                    part_refs=[(loaded[i]["slices"][s], loaded[i]["gdf"]) for i in range(len(all_parts))],
+                    part_refs=[(refs[s], refs[-1]) for refs in loaded],
                 )
                 for s in range(num_servers)
             ]
