@@ -77,6 +77,24 @@ def cmd_watch(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    from .build import IndexMeta
+
+    m = IndexMeta(args.index).build_metrics()
+    if not args.partitions:
+        m.pop("partitions", None)
+    print(json.dumps(m))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    from .shard import delete_docs
+
+    n = delete_docs(args.index, [int(d) for d in args.doc_ids])
+    print(json.dumps({"index": args.index, "tombstones": n}))
+    return 0
+
+
 def cmd_query(args) -> int:
     ray = _init_ray()
     from .shard import QueryEngine
@@ -131,6 +149,16 @@ def main(argv=None) -> int:
     w.add_argument("--id-col", default=None)
     w.add_argument("--num-parts", type=int, default=32)
     w.set_defaults(fn=cmd_watch)
+
+    st = sub.add_parser("stats", help="build observability counters from manifests")
+    st.add_argument("--index", required=True)
+    st.add_argument("--partitions", action="store_true", help="include per-partition rows")
+    st.set_defaults(fn=cmd_stats)
+
+    dl = sub.add_parser("delete", help="tombstone documents by id (queries mask them)")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("doc_ids", nargs="+", help="doc ids to tombstone")
+    dl.set_defaults(fn=cmd_delete)
 
     for name in ("query", "query-file", "phrase", "filtered-query", "search"):
         q = sub.add_parser(name, help="top-k BM25 query")

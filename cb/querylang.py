@@ -77,6 +77,7 @@ def execute(
     k: int,
     docmeta=None,
     decoded_cache: dict | None = None,
+    drop_ids: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Run a parsed query over one postings scope (the whole index for
     LocalSearcher; a doc-range slice on a doc-sharded server).
@@ -102,6 +103,10 @@ def execute(
     if universe is None:
         return []
     keep = np.ones(len(universe), dtype=bool)
+    if drop_ids is not None and len(drop_ids):
+        # tombstoned documents (sorted id array)
+        pos = np.clip(np.searchsorted(drop_ids, universe), 0, len(drop_ids) - 1)
+        keep &= drop_ids[pos] != universe
     # required phrases: bool.must match_phrase
     for ph in parsed["phrases"]:
         ph_postings = {t: postings.get(t) or get_postings(t) for t in set(ph)}

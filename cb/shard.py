@@ -191,6 +191,38 @@ class ShardPartition:
         return ChunkedPostings(term, rows, global_df=self.global_df.get(term))
 
 
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Tombstone documents (ES DELETE-by-id parity): ids are appended to
+    ``_tombstones.json`` (atomic rewrite); every query path masks them
+    at ranking time — postings stay immutable, deletes are metadata.
+    A rebuild (or future compaction) physically drops them.  Returns
+    the total tombstone count."""
+    import json
+
+    from . import manifest
+
+    path = os.path.join(index_dir, "_tombstones.json")
+    existing = manifest.read(path) or {"doc_ids": []}
+    merged = sorted(set(existing["doc_ids"]) | {int(d) for d in doc_ids})
+    manifest.write_atomic(path, {"doc_ids": merged})
+    return len(merged)
+
+
+def load_tombstones(index_dir: str) -> np.ndarray:
+    from . import manifest
+
+    t = manifest.read(os.path.join(index_dir, "_tombstones.json"))
+    return np.array(sorted(t["doc_ids"]), dtype=np.int64) if t else np.empty(0, dtype=np.int64)
+
+
+def _live_mask(ids: np.ndarray, tomb: np.ndarray) -> np.ndarray:
+    """True where ``ids`` is NOT tombstoned (both int64; tomb sorted)."""
+    if len(tomb) == 0:
+        return np.ones(len(ids), dtype=bool)
+    pos = np.clip(np.searchsorted(tomb, ids), 0, len(tomb) - 1)
+    return tomb[pos] != ids
+
+
 class GlobalStats:
     """The only corpus-global state scoring needs: N and avgdl.
 
@@ -268,6 +300,9 @@ class ShardServer:
         self.num_parts = meta.num_parts
         self.index_dir = index_dir
         self.buckets = buckets  # doc-range subset (doc-sharded mode)
+        # tombstones are read ONCE at server start: deletes issued later
+        # need a new engine (documented delete_docs contract)
+        self.tombstones = load_tombstones(index_dir)
         self._docmeta = None  # lazy DocMeta for filtered search
         self.cache: dict[str, ChunkedPostings | None] = {}
         self.decoded: dict[str, tuple] = {}  # term -> (ids, contrib) numpy
@@ -323,7 +358,19 @@ class ShardServer:
                 postings[t] = self._local(t)
         live = {t: p for t, p in postings.items() if p is not None}
         idfs = {t: float(scoring.idf(p.gdf, self.n_docs)) for t, p in live.items()}
-        if algo == "wand":
+        if len(self.tombstones):
+            # deletes present: mask the universe BEFORE ranking (WAND's
+            # heap can't un-admit a tombstoned doc, so route via exact
+            # TAAT — rank-identical by construction and by test)
+            from .query import rank_topk
+
+            universe, acc = wand.taat_scores(live, idfs, self.stats, decoded_cache=self.decoded)
+            if universe is None:
+                res = []
+            else:
+                keep = _live_mask(universe, self.tombstones)
+                res = rank_topk(universe[keep], acc[keep], k)
+        elif algo == "wand":
             res = wand.topk_wand(live, idfs, self.stats, k)
         else:
             res = wand.topk_taat(live, idfs, self.stats, k, decoded_cache=self.decoded)
@@ -357,7 +404,7 @@ class ShardServer:
         universe, acc = wand.taat_scores(live, idfs, self.stats, decoded_cache=self.decoded)
         if universe is None:
             return []
-        keep = self._docmeta.mask(universe, filters)
+        keep = self._docmeta.mask(universe, filters) & _live_mask(universe, self.tombstones)
         from .query import rank_topk
 
         return rank_topk(universe[keep], acc[keep], k)
@@ -383,6 +430,7 @@ class ShardServer:
             k=k,
             docmeta=dm,
             decoded_cache=self.decoded,
+            drop_ids=self.tombstones,
         )
 
     def phrase(self, ordered_terms: list[str], k: int, fetched_terms: list[str], *fetched):
@@ -394,6 +442,16 @@ class ShardServer:
         for t in set(ordered_terms):
             if t not in postings:
                 postings[t] = self._local(t)
+        if len(self.tombstones):
+            # ask for k + |tombstones| then drop: at most that many
+            # ranked slots can be tombstoned, so the cut stays exact
+            res = phrase_mod.phrase_topk(
+                ordered_terms, postings, self.stats, k + len(self.tombstones)
+            )
+            return [
+                (d, s) for d, s in res
+                if _live_mask(np.array([d], dtype=np.int64), self.tombstones)[0]
+            ][:k]
         return phrase_mod.phrase_topk(ordered_terms, postings, self.stats, k)
 
     def score_many(self, term_lists: list[list[str]], k: int, algo: str = "taat"):
@@ -415,6 +473,7 @@ class LocalSearcher:
             for p in range(self.meta.num_parts)
         }
         self.stats = GlobalStats(self.meta.n_docs, self.meta.avgdl)
+        self.tombstones = load_tombstones(index_dir)
 
     def get_postings(self, term: str) -> ChunkedPostings | None:
         p = term_partition(term, self.meta.num_parts)
@@ -423,6 +482,13 @@ class LocalSearcher:
     def phrase_query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         ordered = analyze.tokenize(text)
         postings = {t: self.get_postings(t) for t in set(ordered)}
+        if len(self.tombstones):
+            res = phrase_mod.phrase_topk(
+                ordered, postings, self.stats, k + len(self.tombstones)
+            )
+            ids = np.array([d for d, _ in res], dtype=np.int64)
+            keep = _live_mask(ids, self.tombstones)
+            return [r for r, ok in zip(res, keep) if ok][:k]
         return phrase_mod.phrase_topk(ordered, postings, self.stats, k)
 
     def search(self, query_string: str, k: int = 10) -> list[tuple[int, float]]:
@@ -438,7 +504,8 @@ class LocalSearcher:
             except FileNotFoundError:
                 dm = None  # querylang raises the descriptive ValueError
         return querylang.execute(
-            parsed, get_postings=self.get_postings, stats=self.stats, k=k, docmeta=dm
+            parsed, get_postings=self.get_postings, stats=self.stats, k=k, docmeta=dm,
+            drop_ids=self.tombstones,
         )
 
     def filtered_query(self, text: str, filters: dict, k: int = 10) -> list[tuple[int, float]]:
@@ -456,7 +523,7 @@ class LocalSearcher:
         if universe is None:
             return []
         dm = docmeta_mod.DocMeta(self.meta.index_dir)
-        keep = dm.mask(universe, filters)
+        keep = dm.mask(universe, filters) & _live_mask(universe, self.tombstones)
         return rank_topk(universe[keep], acc[keep], k)
 
     def query(self, text: str, k: int = 10, algo: str = "wand") -> list[tuple[int, float]]:
@@ -466,6 +533,14 @@ class LocalSearcher:
         if not postings:
             return []
         idfs = {t: float(scoring.idf(p.gdf, self.meta.n_docs)) for t, p in postings.items()}
+        if len(self.tombstones):
+            from .query import rank_topk
+
+            universe, acc = wand.taat_scores(postings, idfs, self.stats)
+            if universe is None:
+                return []
+            keep = _live_mask(universe, self.tombstones)
+            return rank_topk(universe[keep], acc[keep], k)
         fn = wand.topk_wand if algo == "wand" else wand.topk_taat
         return fn(postings, idfs, self.stats, k)
 

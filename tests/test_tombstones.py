@@ -1,0 +1,75 @@
+"""Document deletion (tombstones): queries mask deleted docs exactly;
+the index stays immutable (ES DELETE-by-id parity)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from cb import docmeta as dm
+from cb.build import build_index
+from cb.shard import LocalSearcher, QueryEngine, delete_docs, load_tombstones
+
+DOCS = [
+    (1, "hash join over the big table", "en"),
+    (2, "hash join deprecated path", "en"),
+    (3, "merge sort window frame", "fr"),
+    (4, "join hash reversed words", "en"),
+    (5, "the quick hash join trick", "fr"),
+]
+
+
+@pytest.fixture()
+def built(tmp_path):
+    rows = [{"doc_id": i, "text": t, "lang": lang} for i, t, lang in DOCS]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=4)
+    dm.ensure_docmeta(idx, src, ["lang"])
+    return idx
+
+
+def test_delete_masks_every_query_path(built):
+    before = LocalSearcher(built)
+    full = before.query("hash join", k=10, algo="taat")
+    assert {d for d, _ in full} == {1, 2, 4, 5}
+    assert delete_docs(built, [2, 5]) == 2
+    assert list(load_tombstones(built)) == [2, 5]
+
+    s = LocalSearcher(built)
+    live = dict(full)
+    # plain BM25: tombstoned docs gone, survivors keep EXACT scores
+    res = s.query("hash join", k=10, algo="taat")
+    assert {d for d, _ in res} == {1, 4}
+    for d, sc in res:
+        assert sc == live[d]
+    assert s.query("hash join", k=10, algo="wand") == res
+    # phrase
+    assert {d for d, _ in s.phrase_query("hash join", k=10)} == {1}
+    # filtered
+    assert {d for d, _ in s.filtered_query("hash join", {"lang": "en"}, k=10)} == {1, 4}
+    # query string
+    assert {d for d, _ in s.search('"hash join" -deprecated', k=10)} == {1}
+
+
+def test_delete_engine_parity_both_modes(built):
+    delete_docs(built, [1])
+    s = LocalSearcher(built)
+    for mode in ("doc", "term"):
+        engine = QueryEngine(built, num_servers=2, mode=mode)
+        try:
+            for q in ("hash join", "merge window", "zebra"):
+                assert engine.query(q, k=10) == s.query(q, k=10, algo="taat"), (mode, q)
+            assert engine.phrase_query("hash join", k=10) == s.phrase_query("hash join", k=10)
+            assert engine.search('"hash join"', k=10) == s.search('"hash join"', k=10)
+            assert engine.filtered_query("join", {"lang": "en"}, k=10) == \
+                s.filtered_query("join", {"lang": "en"}, k=10)
+        finally:
+            engine.shutdown()
+
+
+def test_delete_idempotent_and_cumulative(built):
+    assert delete_docs(built, [3]) == 1
+    assert delete_docs(built, [3, 4]) == 2  # union, not append-duplicate
+    assert list(load_tombstones(built)) == [3, 4]
