@@ -259,6 +259,55 @@ def test_watch_quiet_tick_noop(corpus_files, tmp_path):
         assert os.stat(after[k]).st_mtime_ns == mt, f"{k} rewritten on quiet tick"
 
 
+def test_chaos_random_wounds_resume_byte_identical(corpus_files, tmp_path):
+    """Randomized crash-recovery soak: inflict random combinations of
+    wounds (deleted partition dirs, deleted docstats shards, deleted or
+    truncated shuffle manifests, stale part files) and assert the
+    resumed build is byte-identical to the reference every time."""
+    import glob
+    import json
+    import random
+    import shutil
+
+    files = sorted(glob.glob(os.path.join(corpus_files, "*.parquet")))
+    ref_dir = str(tmp_path / "ref")
+    build_index_resumable(files, ref_dir, num_parts=4)
+    ref = {k: _sha(p) for k, p in _index_files(ref_dir).items() if k.endswith(".parquet")}
+
+    rng = random.Random(7)
+    for trial in range(4):
+        idx = str(tmp_path / f"t{trial}")
+        build_index_resumable(files, idx, num_parts=4)
+        # wound it
+        for _ in range(rng.randint(1, 4)):
+            kind = rng.choice(["part", "docstats", "manifest", "garbage"])
+            if kind == "part":
+                p = rng.randrange(4)
+                shutil.rmtree(os.path.join(idx, "parts", f"part={p}"), ignore_errors=True)
+            elif kind == "docstats":
+                s = rng.randrange(len(files))
+                f = os.path.join(idx, "docstats", f"shard={s}.parquet")
+                if os.path.exists(f):
+                    os.remove(f)
+                m = os.path.join(idx, "_shuffle", f"shard={s}", "manifest.json")
+                if os.path.exists(m):
+                    os.remove(m)
+            elif kind == "manifest":
+                s = rng.randrange(len(files))
+                m = os.path.join(idx, "_shuffle", f"shard={s}", "manifest.json")
+                if os.path.exists(m):
+                    with open(m, "w") as fh:
+                        fh.write("{")  # truncated write (crash mid-publish)
+            else:
+                # stray uncommitted file a crashed task might leave
+                with open(os.path.join(idx, "parts", "part=0", "postings.parquet.tmp"), "wb") as fh:
+                    fh.write(b"garbage")
+        build_index_resumable(files, idx, num_parts=4)
+        got = {k: _sha(p) for k, p in _index_files(idx).items()
+               if k.endswith(".parquet")}
+        assert got == ref, f"trial {trial} diverged"
+
+
 def test_empty_corpus_build(tmp_path):
     """A zero-document corpus builds a valid, queryable (empty) index."""
     import pyarrow as pa
