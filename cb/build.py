@@ -560,6 +560,111 @@ def annotate_partition(batch: pa.Table, *, index_dir: str, avgdl: float) -> pa.T
     return pa.concat_tables([pa.table(r) for r in rows_out])
 
 
+def compact_index(index_dir: str) -> "IndexMeta":
+    """Physically drop tombstoned documents (the ES segment-merge
+    analog): filter every docstats bucket, recompute the corpus globals
+    (N / avgdl change on compaction, exactly as a fresh build over the
+    survivors would), then rewrite each partition file with tombstoned
+    postings removed and block metadata re-derived.  Output is
+    byte-identical to a fresh build over the surviving corpus (tested),
+    and the tombstone set is cleared.
+
+    Runs as a Ray Data pass over partition control rows (one task per
+    partition), like the block-max annotation post-pass."""
+    from . import shard as shard_mod
+
+    tomb = shard_mod.load_tombstones(index_dir)
+    meta = IndexMeta(index_dir)
+    if len(tomb) == 0:
+        return meta
+
+    # pass 1 (small): filter docstats buckets, recompute globals
+    ddir = os.path.join(index_dir, "docstats")
+    n_docs = 0
+    total_tokens = 0
+    for f in sorted(os.listdir(ddir)):
+        if not f.endswith(".parquet"):
+            continue
+        path = os.path.join(ddir, f)
+        t = pq.read_table(path)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(tomb, ids), 0, len(tomb) - 1)
+        keep = tomb[pos] != ids
+        t2 = t.filter(pa.array(keep))
+        if t2.num_rows == 0:
+            os.remove(path)  # a fresh build writes no file for an empty bucket
+            continue
+        pq.write_table(t2, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        n_docs += t2.num_rows
+        total_tokens += int(pc.sum(t2["doc_len"]).as_py() or 0)
+    write_global(index_dir, n_docs, total_tokens, meta.num_parts, meta.range_bits)
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    tomb_ref = __import__("ray").put(tomb)
+
+    def compact_partition(batch: pa.Table, *, index_dir: str, avgdl: float) -> pa.Table:
+        import ray as _ray
+
+        from .compress import PostingList, encode_postings
+
+        tombs = _ray.get(tomb_ref)
+        rows_out = []
+        for p in batch["part"].to_pylist():
+            fpath = os.path.join(index_dir, "parts", f"part={p}", "postings.parquet")
+            if not os.path.exists(fpath):
+                continue
+            tbl = pq.read_table(fpath)
+            new_rows = []
+            for row in tbl.to_pylist():
+                pl = PostingList(row)
+                ids, tfs, dls = pl.decode_all()
+                pos_ = np.clip(np.searchsorted(tombs, ids), 0, len(tombs) - 1)
+                keep = tombs[pos_] != ids
+                if keep.all():
+                    survivors = (ids, tfs, dls, None, True)
+                elif not keep.any():
+                    continue  # whole posting row deleted
+                else:
+                    survivors = (ids[keep], tfs[keep], dls[keep], keep, False)
+                ids2, tfs2, dls2, keep_mask, full = survivors
+                if pl.has_positions and pl.cf > 0:
+                    flat, offs = pl.decode_positions()
+                    if full:
+                        poss2 = flat
+                    else:
+                        poss2 = np.concatenate(
+                            [flat[offs[i]:offs[i + 1]] for i in np.flatnonzero(keep_mask)]
+                        ) if keep_mask.any() else np.empty(0, dtype=np.int64)
+                    new = encode_postings(row["term"], ids2, tfs2, dls2, avgdl, positions=poss2)
+                else:
+                    new = encode_postings(row["term"], ids2, tfs2, dls2, avgdl)
+                new["bucket"] = row["bucket"]
+                new_rows.append(new)
+            new_tbl = pa.Table.from_pylist(new_rows, schema=_posting_file_schema())
+            # canonicalize through one parquet round-trip: the writer's
+            # byte layout is sensitive to the in-memory array
+            # representation (from_pylist vs read-from-parquet), and the
+            # fresh-build files it must byte-match were written from
+            # read-back tables (annotate post-pass).  Offline op; the
+            # extra serialization is irrelevant.
+            sink = pa.BufferOutputStream()
+            pq.write_table(new_tbl, sink)
+            new_tbl = pq.read_table(pa.BufferReader(sink.getvalue()))
+            rows_out.append(write_partition(new_tbl, index_dir, int(p), avgdl, "compacted"))
+        if not rows_out:
+            return pa.Table.from_pylist([], schema=_manifest_schema())
+        return pa.concat_tables([pa.table(r) for r in rows_out])
+
+    parts_ds = ray.data.from_items([{"part": p} for p in range(meta.num_parts)])
+    parts_ds.map_batches(
+        partial(compact_partition, index_dir=index_dir, avgdl=avgdl),
+        batch_format="pyarrow",
+        batch_size=1,
+    ).materialize()
+    os.remove(os.path.join(index_dir, "_tombstones.json"))
+    return IndexMeta(index_dir)
+
+
 class IndexMeta:
     """Loaded _global.json + paths."""
 

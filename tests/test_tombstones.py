@@ -73,3 +73,49 @@ def test_delete_idempotent_and_cumulative(built):
     assert delete_docs(built, [3]) == 1
     assert delete_docs(built, [3, 4]) == 2  # union, not append-duplicate
     assert list(load_tombstones(built)) == [3, 4]
+
+
+def test_compaction_byte_identical_to_fresh_survivor_build(tmp_path):
+    """compact_index physically drops tombstoned docs; the result must
+    be byte-identical (postings + docstats parquet) to a FRESH build
+    over only the surviving documents."""
+    import hashlib
+    import os
+
+    from cb.build import build_index, compact_index
+
+    rows = [
+        {"doc_id": 100 + i * 7, "text": f"doc {i} shares join merge window tokens t{i} u{i % 5}"}
+        for i in range(40)
+    ]
+    src_all = str(tmp_path / "all.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src_all)
+    idx = str(tmp_path / "idx")
+    build_index(src_all, idx, text_col="text", id_col="doc_id", num_parts=4)
+    dead = [rows[i]["doc_id"] for i in (0, 3, 11, 12, 39)]
+    delete_docs(idx, dead)
+    meta = compact_index(idx)
+
+    survivors = [r for r in rows if r["doc_id"] not in set(dead)]
+    src_live = str(tmp_path / "live.parquet")
+    pq.write_table(pa.Table.from_pylist(survivors), src_live)
+    fresh_dir = str(tmp_path / "fresh")
+    build_index(src_live, fresh_dir, text_col="text", id_col="doc_id", num_parts=4)
+
+    def shas(d):
+        out = {}
+        for root, _, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, d)] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    assert shas(idx) == shas(fresh_dir)
+    assert meta.n_docs == len(survivors)
+    assert len(load_tombstones(idx)) == 0  # cleared
+    # queries over the compacted index behave like the fresh one
+    a, b = LocalSearcher(idx), LocalSearcher(fresh_dir)
+    for q in ("join merge", "window", "doc"):
+        assert a.query(q, k=10) == b.query(q, k=10)
