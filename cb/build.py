@@ -560,6 +560,80 @@ def annotate_partition(batch: pa.Table, *, index_dir: str, avgdl: float) -> pa.T
     return pa.concat_tables([pa.table(r) for r in rows_out])
 
 
+def _decode_partition_flat(tbl: pa.Table) -> tuple[dict, bool]:
+    """Whole-partition columnar decode — the inverse of
+    :func:`encode_partition_rows`: ONE varint decode per stream over the
+    CONCATENATED blob columns (no per-row Python), recovering the flat
+    (codes, buckets, doc_ids, tfs, dls, poss) arrays.  Returns
+    ``(flat, store_positions)``; ``store_positions`` is False for
+    indexes built without the positional stream."""
+    n_rows = tbl.num_rows
+    empty = {
+        "codes": np.empty(0, dtype=np.int64),
+        "dictionary": pa.array([], type=pa.string()),
+        "buckets": np.empty(0, dtype=np.int32),
+        "doc_ids": np.empty(0, dtype=np.int64),
+        "tfs": np.empty(0, dtype=np.int64),
+        "dls": np.empty(0, dtype=np.int64),
+        "poss": np.empty(0, dtype=np.int64),
+    }
+    if n_rows == 0:
+        return empty, True
+    term_arr = tbl["term"].combine_chunks() if isinstance(tbl["term"], pa.ChunkedArray) else tbl["term"]
+    codes_row, dictionary = _dict_indices(term_arr)
+    dfs = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(dfs.sum())
+    if total == 0:
+        return empty, True
+    buckets_row = tbl["bucket"].to_numpy(zero_copy_only=False).astype(np.int32)
+    # id deltas reset at every block start (per-row multiples of BLOCK)
+    n_blocks = (dfs + compress.BLOCK - 1) // compress.BLOCK
+    row_starts = _cumsum0(dfs)[:-1]
+    blk_off = _cumsum0(n_blocks)
+    tot_blocks = int(blk_off[-1])
+    blk_starts = (
+        np.repeat(row_starts, n_blocks)
+        + (np.arange(tot_blocks, dtype=np.int64) - np.repeat(blk_off[:-1], n_blocks))
+        * compress.BLOCK
+    )
+    v = compress.varint_decode(compress._binary_column_stream(tbl["ids_blob"]), total)
+    t = np.cumsum(v, dtype=np.uint64)
+    sizes = np.diff(np.append(blk_starts, total))
+    base = np.empty(tot_blocks, dtype=np.uint64)
+    base[0] = np.uint64(0)
+    base[1:] = t[blk_starts[1:] - 1]
+    ids = (t - np.repeat(base, sizes)).astype(np.int64)
+    tfs = compress.varint_decode(
+        compress._binary_column_stream(tbl["tfs_blob"]), total
+    ).astype(np.int64)
+    dls = compress.varint_decode(
+        compress._binary_column_stream(tbl["dls_blob"]), total
+    ).astype(np.int64)
+    pos_stream = compress._binary_column_stream(tbl["pos_blob"])
+    total_occ = int(tfs.sum())
+    store_positions = len(pos_stream) > 0 or total_occ == 0
+    if store_positions and total_occ:
+        pv = compress.varint_decode(pos_stream, total_occ)
+        pt = np.cumsum(pv, dtype=np.uint64)
+        occ_starts = _cumsum0(tfs)[:-1]  # position deltas reset per posting
+        pbase = np.empty(total, dtype=np.uint64)
+        pbase[0] = np.uint64(0)
+        pbase[1:] = pt[occ_starts[1:] - 1]
+        poss = (pt - np.repeat(pbase, tfs)).astype(np.int64)
+    else:
+        poss = np.empty(0, dtype=np.int64)
+    flat = {
+        "codes": np.repeat(codes_row.astype(np.int64), dfs),
+        "dictionary": dictionary,
+        "buckets": np.repeat(buckets_row, dfs),
+        "doc_ids": ids,
+        "tfs": tfs,
+        "dls": dls,
+        "poss": poss,
+    }
+    return flat, store_positions
+
+
 def compact_index(index_dir: str) -> "IndexMeta":
     """Physically drop tombstoned documents (the ES segment-merge
     analog): filter every docstats bucket, recompute the corpus globals
@@ -573,10 +647,22 @@ def compact_index(index_dir: str) -> "IndexMeta":
     partition), like the block-max annotation post-pass."""
     from . import shard as shard_mod
 
+    sentinel = os.path.join(index_dir, "_compacting.json")
     tomb = shard_mod.load_tombstones(index_dir)
     meta = IndexMeta(index_dir)
     if len(tomb) == 0:
+        # a crash between tombstone removal and sentinel clear leaves a
+        # dangling sentinel over a fully-compacted index — clear it
+        if os.path.exists(sentinel):
+            os.remove(sentinel)
         return meta
+    # compaction-in-progress sentinel FIRST: pass 1 rewrites docstats +
+    # _global.json to survivor stats before partitions are compacted, so
+    # a crash mid-way leaves globals inconsistent with the postings; the
+    # sentinel marks the index as mid-compaction (a re-run converges —
+    # every step is idempotent — and the sentinel forces the operator to
+    # know one is needed).  Cleared only after the tombstone set is.
+    manifest.write_atomic(sentinel, {"tombstones": int(len(tomb))})
 
     # pass 1 (small): filter docstats buckets, recompute globals
     ddir = os.path.join(index_dir, "docstats")
@@ -605,8 +691,6 @@ def compact_index(index_dir: str) -> "IndexMeta":
     def compact_partition(batch: pa.Table, *, index_dir: str, avgdl: float) -> pa.Table:
         import ray as _ray
 
-        from .compress import PostingList, encode_postings
-
         tombs = _ray.get(tomb_ref)
         rows_out = []
         for p in batch["part"].to_pylist():
@@ -614,39 +698,31 @@ def compact_index(index_dir: str) -> "IndexMeta":
             if not os.path.exists(fpath):
                 continue
             tbl = pq.read_table(fpath)
-            new_rows = []
-            for row in tbl.to_pylist():
-                pl = PostingList(row)
-                ids, tfs, dls = pl.decode_all()
-                pos_ = np.clip(np.searchsorted(tombs, ids), 0, len(tombs) - 1)
-                keep = tombs[pos_] != ids
-                if keep.all():
-                    survivors = (ids, tfs, dls, None, True)
-                elif not keep.any():
-                    continue  # whole posting row deleted
-                else:
-                    survivors = (ids[keep], tfs[keep], dls[keep], keep, False)
-                ids2, tfs2, dls2, keep_mask, full = survivors
-                if pl.has_positions and pl.cf > 0:
-                    flat, offs = pl.decode_positions()
-                    if full:
-                        poss2 = flat
-                    else:
-                        poss2 = np.concatenate(
-                            [flat[offs[i]:offs[i + 1]] for i in np.flatnonzero(keep_mask)]
-                        ) if keep_mask.any() else np.empty(0, dtype=np.int64)
-                    new = encode_postings(row["term"], ids2, tfs2, dls2, avgdl, positions=poss2)
-                else:
-                    new = encode_postings(row["term"], ids2, tfs2, dls2, avgdl)
-                new["bucket"] = row["bucket"]
-                new_rows.append(new)
-            new_tbl = pa.Table.from_pylist(new_rows, schema=_posting_file_schema())
+            flat, store_positions = _decode_partition_flat(tbl)
+            # survivor mask over ALL postings of the partition at once
+            keep = np.ones(len(flat["doc_ids"]), dtype=bool)
+            if len(flat["doc_ids"]):
+                pos_ = np.clip(np.searchsorted(tombs, flat["doc_ids"]), 0, len(tombs) - 1)
+                keep = tombs[pos_] != flat["doc_ids"]
+            occ_keep = np.repeat(keep, flat["tfs"]) if store_positions else None
+            flat = {
+                "codes": flat["codes"][keep],
+                "dictionary": flat["dictionary"],
+                "buckets": flat["buckets"][keep],
+                "doc_ids": flat["doc_ids"][keep],
+                "tfs": flat["tfs"][keep],
+                "dls": flat["dls"][keep],
+                "poss": flat["poss"][occ_keep] if store_positions else flat["poss"],
+            }
+            # fully-deleted term rows vanish on their own: row boundaries
+            # are re-derived from the surviving (code, bucket) runs
+            new_tbl = encode_partition_rows(flat, avgdl, store_positions=store_positions)
             # canonicalize through one parquet round-trip: the writer's
             # byte layout is sensitive to the in-memory array
-            # representation (from_pylist vs read-from-parquet), and the
-            # fresh-build files it must byte-match were written from
-            # read-back tables (annotate post-pass).  Offline op; the
-            # extra serialization is irrelevant.
+            # representation, and the fresh-build files it must
+            # byte-match were written from read-back tables (annotate
+            # post-pass).  Offline op; the extra serialization is
+            # irrelevant.
             sink = pa.BufferOutputStream()
             pq.write_table(new_tbl, sink)
             new_tbl = pq.read_table(pa.BufferReader(sink.getvalue()))
@@ -662,6 +738,7 @@ def compact_index(index_dir: str) -> "IndexMeta":
         batch_size=1,
     ).materialize()
     os.remove(os.path.join(index_dir, "_tombstones.json"))
+    os.remove(sentinel)
     return IndexMeta(index_dir)
 
 

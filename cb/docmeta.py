@@ -32,8 +32,30 @@ import ray.data
 from .build import ID_BITS, IndexMeta
 
 
+def _source_lineage(source) -> list | None:
+    """Corpus lineage for staleness checks: sorted (path, size, mtime_ns)
+    triples of the source parquet files; None for in-memory Datasets
+    (caller can pass an explicit tag instead)."""
+    import glob as _glob
+
+    if isinstance(source, (list, tuple)):
+        files = sorted(os.path.abspath(p) for p in source)
+    elif isinstance(source, str):
+        if os.path.isdir(source):
+            files = sorted(_glob.glob(os.path.join(source, "*.parquet")))
+        else:
+            files = [source]
+    else:
+        return None
+    out = []
+    for f in files:
+        st = os.stat(f)
+        out.append([os.path.abspath(f), st.st_size, st.st_mtime_ns])
+    return out
+
+
 def build_docmeta(
-    source: str | ray.data.Dataset,
+    source: str | list | ray.data.Dataset,
     index_dir: str,
     meta_cols: list[str],
     *,
@@ -42,10 +64,15 @@ def build_docmeta(
     """One pruned-columns pass over the corpus -> ``docmeta/bucket=<b>``
     files (sorted by doc_id) + ``docmeta/_meta.json``.  Idempotent; the
     bucketing uses the index's own range_bits so metadata buckets align
-    with posting doc-range buckets."""
+    with posting doc-range buckets.  ``_meta.json`` records the source
+    lineage (file/size/mtime list) so :func:`ensure_docmeta` rebuilds
+    when the corpus changed, and the bucket MEMBERSHIP, so stale bucket
+    files from an earlier, larger build are neither loaded nor left on
+    disk."""
     meta = IndexMeta(index_dir)
     range_bits = meta.range_bits
-    if isinstance(source, str):
+    lineage = _source_lineage(source)
+    if isinstance(source, (str, list, tuple)):
         ds = ray.data.read_parquet(source, columns=[id_col] + meta_cols)
     else:
         ds = source
@@ -76,10 +103,22 @@ def build_docmeta(
         .map_groups(write_bucket, batch_format="pyarrow")
         .take_all()
     )
+    written = {int(r["bucket"]) for r in counts}
+    # orphan cleanup: a rebuild over a smaller/re-bucketed corpus must
+    # not leave previous buckets behind to be served by doc-sharded
+    # loaders (they load by _meta.json membership, but dead files are
+    # also confusing and unbounded)
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(out_dir, "bucket=*.parquet")):
+        b = int(os.path.basename(f)[len("bucket=") : -len(".parquet")])
+        if b not in written:
+            os.remove(f)
     m = {
         "cols": meta_cols,
         "id_col": id_col,
         "range_bits": range_bits,
+        "lineage": lineage,
         "buckets": {str(r["bucket"]): int(r["n_docs"]) for r in counts},
     }
     tmp = os.path.join(out_dir, "_meta.json.tmp")
@@ -89,15 +128,39 @@ def build_docmeta(
     return m
 
 
-def ensure_docmeta(index_dir: str, source: str, meta_cols: list[str], *, id_col: str = "doc_id") -> None:
-    """Build the docmeta table if absent or its column set changed."""
+def ensure_docmeta(
+    index_dir: str, source: str | list, meta_cols: list[str], *, id_col: str = "doc_id"
+) -> None:
+    """Build the docmeta table if absent, its column set changed, or the
+    SOURCE changed (lineage mismatch): docs indexed after the docmeta
+    build would otherwise be silently excluded from every filtered /
+    query-string search (DocMeta.mask -> False for unknown ids)."""
     p = os.path.join(index_dir, "docmeta", "_meta.json")
     if os.path.exists(p):
         with open(p) as f:
             m = json.load(f)
-        if m.get("cols") == meta_cols and m.get("id_col") == id_col:
+        if (
+            m.get("cols") == meta_cols
+            and m.get("id_col") == id_col
+            and m.get("lineage") == _source_lineage(source)
+        ):
             return
     build_docmeta(source, index_dir, meta_cols, id_col=id_col)
+
+
+def refresh_docmeta(index_dir: str, source: str | list) -> bool:
+    """Re-run :func:`ensure_docmeta` with the PREVIOUS build's column
+    config if a docmeta table exists (no-op otherwise) — the hook the
+    incremental-reindex loop (cb.resumable.watch) calls after every
+    rebuild so filtered search keeps covering newly indexed docs.
+    Returns True if a docmeta table exists for this index."""
+    p = os.path.join(index_dir, "docmeta", "_meta.json")
+    if not os.path.exists(p):
+        return False
+    with open(p) as f:
+        m = json.load(f)
+    ensure_docmeta(index_dir, source, m["cols"], id_col=m["id_col"])
+    return True
 
 
 def build_from_mapping(
@@ -156,7 +219,10 @@ class DocMeta:
         out_dir = os.path.join(index_dir, "docmeta")
         with open(os.path.join(out_dir, "_meta.json")) as f:
             m = json.load(f)
-        want = set(map(int, m["buckets"])) if buckets is None else set(buckets)
+        live = set(map(int, m["buckets"]))  # _meta.json membership, not
+        # file existence: a stale bucket file from an earlier, larger
+        # build must never serve
+        want = live if buckets is None else (set(buckets) & live)
         files = [
             os.path.join(out_dir, f"bucket={b}.parquet")
             for b in sorted(want)

@@ -412,6 +412,7 @@ SEARCH_SET: tuple[str, ...] = (
     "group order lang:zh",
     '"data stream" -batch',
     "customer value lang:en -row",
+    'window sort -"merge sort"',
 )
 
 
@@ -464,6 +465,8 @@ def sql_search_querystring() -> str:
         preds = []
         for ph in p["phrases"]:
             preds.append("j.s LIKE '% " + " ".join(ph) + " %'")
+        for ph in p["excluded_phrases"]:
+            preds.append("j.s NOT LIKE '% " + " ".join(ph) + " %'")
         for t in p["excluded"]:
             preds.append(f"j.s NOT LIKE '% {t} %'")
         for col, val in p["filters"].items():

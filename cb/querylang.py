@@ -9,6 +9,7 @@ owner can switch without rewriting queries:
     "hash join"              exact phrase (required, positional match)
     lang:en source:src3      not_analyzed field filter (ES filter ctx)
     -deprecated              exclusion (docs containing it are dropped)
+    -"legacy api"            negated phrase (bool.must_not match_phrase)
 
 Semantics (ES-aligned):
 - free terms contribute BM25 score; a doc matches if it contains ANY
@@ -33,7 +34,9 @@ import numpy as np
 
 from . import analyze
 
-_TOKEN_RE = re.compile(r'"([^"]*)"|(\S+)')
+# -"..." (negated phrase) must match BEFORE the bare \S+ branch, which
+# would otherwise capture -"foo from -"foo bar" and silently misparse
+_TOKEN_RE = re.compile(r'-"([^"]*)"|"([^"]*)"|(\S+)')
 # a word is a field filter only when it LOOKS like one: identifier
 # field, simple value (no further ':' or '/') — so URLs and times in
 # free text ("http://x", "at 3:30pm") stay ordinary scored terms
@@ -41,13 +44,20 @@ _FILTER_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):([^:/]+)$")
 
 
 def parse(q: str) -> dict:
-    """Query string -> {terms, phrases, filters, excluded}."""
+    """Query string -> {terms, phrases, filters, excluded,
+    excluded_phrases}."""
     terms: list[str] = []
     phrases: list[list[str]] = []
     filters: dict[str, str] = {}
     excluded: list[str] = []
+    excluded_phrases: list[list[str]] = []
     for m in _TOKEN_RE.finditer(q):
-        phrase, word = m.group(1), m.group(2)
+        neg_phrase, phrase, word = m.group(1), m.group(2), m.group(3)
+        if neg_phrase is not None:
+            toks = analyze.tokenize(neg_phrase)
+            if toks:
+                excluded_phrases.append(toks)
+            continue
         if phrase is not None:
             toks = analyze.tokenize(phrase)
             if toks:
@@ -66,6 +76,7 @@ def parse(q: str) -> dict:
         "phrases": phrases,
         "filters": filters,
         "excluded": sorted(set(excluded)),
+        "excluded_phrases": excluded_phrases,
     }
 
 
@@ -115,6 +126,19 @@ def execute(
         hits = phrase_mod.phrase_topk(ph, ph_postings, stats, len(universe))
         hit_ids = np.array(sorted(d for d, _ in hits), dtype=np.int64)
         keep &= np.isin(universe, hit_ids, assume_unique=True)
+    # negated phrases: bool.must_not match_phrase — docs containing the
+    # exact sequence are dropped from the candidate universe
+    for ph in parsed.get("excluded_phrases", []):
+        ph_postings = {t: postings.get(t) or get_postings(t) for t in set(ph)}
+        if any(p is None for p in ph_postings.values()):
+            continue  # phrase can't occur anywhere -> nothing to drop
+        # matches are NOT bounded by the universe (negated-phrase terms
+        # are unscored): bound by the phrase's rarest term df instead
+        cap = min(p.df for p in ph_postings.values())
+        hits = phrase_mod.phrase_topk(ph, ph_postings, stats, cap)
+        if hits:
+            hit_ids = np.array(sorted(d for d, _ in hits), dtype=np.int64)
+            keep &= ~np.isin(universe, hit_ids, assume_unique=True)
     # exclusions: bool.must_not term membership
     for t in parsed["excluded"]:
         p = get_postings(t)

@@ -242,6 +242,12 @@ def watch(
                 text_col=text_col, id_col=id_col,
                 num_parts=num_parts, range_bits=range_bits,
             )
+            # filtered search must keep covering newly indexed docs: the
+            # docmeta side table (if one was built for this index)
+            # refreshes whenever the corpus lineage changed
+            from . import docmeta as docmeta_mod
+
+            docmeta_mod.refresh_docmeta(index_dir, files)
             last_sig = sig
         if on_tick is not None:
             on_tick(tick, meta)

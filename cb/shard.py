@@ -223,6 +223,27 @@ def _live_mask(ids: np.ndarray, tomb: np.ndarray) -> np.ndarray:
     return tomb[pos] != ids
 
 
+def _phrase_topk_live(ordered_terms, postings, stats, k, tomb):
+    """Tombstone-aware phrase top-k: over-fetch ADAPTIVELY (start at
+    k + min(|tomb|, 64), escalate to the exact k + |tomb| bound only
+    when the first cut might have truncated survivors), then drop dead
+    docs with ONE vectorized liveness mask over the whole result id
+    array — per-query cost no longer grows linearly with the total
+    number of deletes ever issued."""
+    if len(tomb) == 0:
+        return phrase_mod.phrase_topk(ordered_terms, postings, stats, k)
+    probe = k + min(len(tomb), 64)
+    res = phrase_mod.phrase_topk(ordered_terms, postings, stats, probe)
+    ids = np.fromiter((d for d, _ in res), dtype=np.int64, count=len(res))
+    keep = _live_mask(ids, tomb)
+    if int(keep.sum()) < k and len(res) == probe and probe < k + len(tomb):
+        # possibly truncated: retry with the exact worst-case bound
+        res = phrase_mod.phrase_topk(ordered_terms, postings, stats, k + len(tomb))
+        ids = np.fromiter((d for d, _ in res), dtype=np.int64, count=len(res))
+        keep = _live_mask(ids, tomb)
+    return [r for r, ok in zip(res, keep) if ok][:k]
+
+
 class GlobalStats:
     """The only corpus-global state scoring needs: N and avgdl.
 
@@ -304,9 +325,12 @@ class ShardServer:
         # need a new engine (documented delete_docs contract)
         self.tombstones = load_tombstones(index_dir)
         self._docmeta = None  # lazy DocMeta for filtered search
+        from collections import OrderedDict
+
         self.cache: dict[str, ChunkedPostings | None] = {}
         self.decoded: dict[str, tuple] = {}  # term -> (ids, contrib) numpy
-        self.results: dict[tuple, list] = {}  # (terms, k, algo) LRU, cap below
+        # (terms, k, algo) -> result, true LRU (hits refresh recency)
+        self.results: OrderedDict[tuple, list] = OrderedDict()
         self._results_cap = 4096
 
     def _local(self, term: str) -> ChunkedPostings | None:
@@ -349,6 +373,7 @@ class ShardServer:
         key = (tuple(terms), k, algo)
         hit = self.results.get(key)
         if hit is not None:
+            self.results.move_to_end(key)  # LRU: refresh recency on hit
             return hit  # exact: the index is immutable for a server's lifetime
         postings = dict(zip(fetched_terms, fetched))
         for t, p in postings.items():
@@ -375,7 +400,7 @@ class ShardServer:
         else:
             res = wand.topk_taat(live, idfs, self.stats, k, decoded_cache=self.decoded)
         if len(self.results) >= self._results_cap:
-            self.results.pop(next(iter(self.results)))  # FIFO eviction
+            self.results.popitem(last=False)  # evict least-recently-used
         self.results[key] = res
         return res
 
@@ -442,17 +467,7 @@ class ShardServer:
         for t in set(ordered_terms):
             if t not in postings:
                 postings[t] = self._local(t)
-        if len(self.tombstones):
-            # ask for k + |tombstones| then drop: at most that many
-            # ranked slots can be tombstoned, so the cut stays exact
-            res = phrase_mod.phrase_topk(
-                ordered_terms, postings, self.stats, k + len(self.tombstones)
-            )
-            return [
-                (d, s) for d, s in res
-                if _live_mask(np.array([d], dtype=np.int64), self.tombstones)[0]
-            ][:k]
-        return phrase_mod.phrase_topk(ordered_terms, postings, self.stats, k)
+        return _phrase_topk_live(ordered_terms, postings, self.stats, k, self.tombstones)
 
     def score_many(self, term_lists: list[list[str]], k: int, algo: str = "taat"):
         """Batched scoring of pre-tokenized queries whose terms this
@@ -482,14 +497,7 @@ class LocalSearcher:
     def phrase_query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         ordered = analyze.tokenize(text)
         postings = {t: self.get_postings(t) for t in set(ordered)}
-        if len(self.tombstones):
-            res = phrase_mod.phrase_topk(
-                ordered, postings, self.stats, k + len(self.tombstones)
-            )
-            ids = np.array([d for d, _ in res], dtype=np.int64)
-            keep = _live_mask(ids, self.tombstones)
-            return [r for r, ok in zip(res, keep) if ok][:k]
-        return phrase_mod.phrase_topk(ordered, postings, self.stats, k)
+        return _phrase_topk_live(ordered, postings, self.stats, k, self.tombstones)
 
     def search(self, query_string: str, k: int = 10) -> list[tuple[int, float]]:
         """Lucene-lite query string (terms, "phrases", field:value,
@@ -627,7 +635,9 @@ class QueryEngine:
         # driver-side merged-result LRU: the index is immutable for the
         # engine's lifetime, so repeat queries skip the scatter-gather
         # fan-out entirely (doc mode pays S RPCs per distinct query)
-        self._results: dict[tuple, list] = {}
+        from collections import OrderedDict
+
+        self._results: "OrderedDict[tuple, list]" = OrderedDict()
         self._results_cap = 8192
 
     def warm(self, min_df: int = 0) -> int:
@@ -678,7 +688,7 @@ class QueryEngine:
 
     def _cache_put(self, key: tuple, res: list) -> list:
         if len(self._results) >= self._results_cap:
-            self._results.pop(next(iter(self._results)))  # FIFO eviction
+            self._results.popitem(last=False)  # evict least-recently-used
         self._results[key] = res
         return res
 
@@ -687,6 +697,7 @@ class QueryEngine:
         key = (terms, k, algo)
         hit = self._results.get(key)
         if hit is not None:
+            self._results.move_to_end(key)  # LRU: refresh recency on hit
             return hit
         fut = self._dispatch(text, k, algo)
         if fut is None:

@@ -143,3 +143,74 @@ def test_ensure_docmeta_idempotent_and_rebuilds_on_col_change(built):
     assert os.stat(p).st_mtime_ns != mtime  # column set changed -> rebuilt
     meta = dm.DocMeta(idx)
     assert set(meta.cols) == {"lang"}
+
+
+def _write_docs(path, rows):
+    pq.write_table(pa.Table.from_pylist(rows), path)
+
+
+def test_ensure_docmeta_rebuilds_on_lineage_change(tmp_path):
+    rows = [
+        {"doc_id": 1 + i, "text": t, "lang": lang}
+        for i, (t, lang) in enumerate(TEXTS)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    _write_docs(src, rows)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=4)
+    dm.ensure_docmeta(idx, src, ["lang"])
+    # grow the corpus (same path, new bytes) and reindex
+    new_row = {"doc_id": 999, "text": "join fresh doc", "lang": "zh"}
+    _write_docs(src, rows + [new_row])
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=4)
+    # without the lineage check this is a silent no-op and doc 999 is
+    # invisible to every filtered search
+    dm.ensure_docmeta(idx, src, ["lang"])
+    meta = dm.DocMeta(idx)
+    assert meta.mask(np.array([999]), {"lang": "zh"}).all()
+    s = LocalSearcher(idx)
+    assert 999 in {d for d, _ in s.filtered_query("join", {"lang": "zh"}, k=10)}
+
+
+def test_refresh_docmeta_hook(tmp_path):
+    rows = [{"doc_id": 1, "text": "alpha join", "lang": "en"}]
+    src = str(tmp_path / "docs.parquet")
+    _write_docs(src, rows)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=4)
+    assert dm.refresh_docmeta(idx, src) is False  # no table yet -> no-op
+    dm.ensure_docmeta(idx, src, ["lang"])
+    _write_docs(src, rows + [{"doc_id": 2, "text": "join beta", "lang": "fr"}])
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=4)
+    assert dm.refresh_docmeta(idx, src) is True  # reuses stored cols
+    assert dm.DocMeta(idx).mask(np.array([2]), {"lang": "fr"}).all()
+
+
+def test_docmeta_orphan_buckets_removed_and_not_loaded(tmp_path):
+    # ids in two doc-range buckets (range_bits=4 -> bucket = id >> 59)
+    hi = 1 << 59
+    rows_big = [
+        {"doc_id": 1, "text": "alpha join", "lang": "en"},
+        {"doc_id": hi + 1, "text": "beta join", "lang": "fr"},
+    ]
+    src = str(tmp_path / "docs.parquet")
+    _write_docs(src, rows_big)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=4)
+    dm.ensure_docmeta(idx, src, ["lang"])
+    assert os.path.exists(os.path.join(idx, "docmeta", "bucket=1.parquet"))
+    # shrink to bucket 0 only and rebuild
+    _write_docs(src, rows_big[:1])
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=4)
+    dm.ensure_docmeta(idx, src, ["lang"])
+    assert not os.path.exists(os.path.join(idx, "docmeta", "bucket=1.parquet"))
+    meta = dm.DocMeta(idx)
+    assert not meta.mask(np.array([hi + 1]), {"lang": "fr"}).any()
+    # even if a stale file resurfaces, membership comes from _meta.json
+    pq.write_table(
+        pa.table({"doc_id": pa.array([hi + 1], pa.int64()),
+                  "lang": pa.array(["fr"])}),
+        os.path.join(idx, "docmeta", "bucket=1.parquet"),
+    )
+    meta2 = dm.DocMeta(idx)
+    assert not meta2.mask(np.array([hi + 1]), {"lang": "fr"}).any()

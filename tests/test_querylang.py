@@ -60,6 +60,27 @@ def test_exclusion(built):
     assert got == {1, 5}
 
 
+def test_parse_negated_phrase():
+    p = querylang.parse('window -"hash join" -deprecated')
+    assert p["terms"] == ["window"]
+    assert p["excluded_phrases"] == [["hash", "join"]]
+    assert p["excluded"] == ["deprecated"]
+    assert p["phrases"] == []
+
+
+def test_negated_phrase(built):
+    s = LocalSearcher(built)
+    # docs with "hash" but NOT the exact phrase "hash join": doc 4 only
+    got = {d for d, _ in s.search('hash -"hash join"', k=10)}
+    assert got == {4}
+    # negated phrase whose terms never co-occur: drops nothing
+    got = {d for d, _ in s.search('hash -"zebra join"', k=10)}
+    assert got == {1, 2, 4, 5}
+    # negated phrase with a term absent from the corpus: drops nothing
+    got = {d for d, _ in s.search('hash -"warp join"', k=10)}
+    assert got == {1, 2, 4, 5}
+
+
 def test_field_filter(built):
     s = LocalSearcher(built)
     got = {d for d, _ in s.search('"hash join" lang:en', k=10)}

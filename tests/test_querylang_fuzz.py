@@ -54,6 +54,11 @@ def _reference_search(rows, parsed, k):
             if not any(toks[d][j : j + m] == ph for j in range(len(toks[d]) - m + 1)):
                 ok = False
                 break
+        for ph in parsed.get("excluded_phrases", []):
+            m = len(ph)
+            if any(toks[d][j : j + m] == ph for j in range(len(toks[d]) - m + 1)):
+                ok = False
+                break
         if ok and any(t in tf[d] for t in parsed["excluded"]):
             ok = False
         if ok:
@@ -80,6 +85,9 @@ def _random_query(rng) -> str:
         parts.append("lang:" + LANGS[int(rng.integers(len(LANGS)))])
     if rng.random() < 0.4:
         parts.append("-" + VOCAB[int(rng.integers(len(VOCAB)))])
+    if rng.random() < 0.3:
+        a, b = rng.integers(len(VOCAB), size=2)
+        parts.append(f'-"{VOCAB[int(a)]} {VOCAB[int(b)]}"')
     return " ".join(parts)
 
 

@@ -119,3 +119,65 @@ def test_compaction_byte_identical_to_fresh_survivor_build(tmp_path):
     a, b = LocalSearcher(idx), LocalSearcher(fresh_dir)
     for q in ("join merge", "window", "doc"):
         assert a.query(q, k=10) == b.query(q, k=10)
+
+
+def test_compaction_sentinel_cleared_and_forced_rerun(tmp_path):
+    """The _compacting.json sentinel marks a mid-compaction index; a
+    successful compact clears it, and a dangling sentinel (crash after
+    tombstone removal) is cleared by the next compact_index call."""
+    import os
+
+    from cb.build import build_index, compact_index
+
+    rows = [
+        {"doc_id": 10 + i, "text": f"join merge tok{i}"} for i in range(12)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=4)
+    delete_docs(idx, [11, 15])
+    compact_index(idx)
+    sentinel = os.path.join(idx, "_compacting.json")
+    assert not os.path.exists(sentinel)
+    # dangling sentinel with no tombstones (crash between tombstone
+    # removal and sentinel clear): next call is a no-op that clears it
+    with open(sentinel, "w") as f:
+        f.write("{}")
+    compact_index(idx)
+    assert not os.path.exists(sentinel)
+
+
+def test_decode_partition_flat_roundtrip(tmp_path):
+    import numpy as np
+
+    """_decode_partition_flat is the exact inverse of
+    encode_partition_rows: re-encoding the decoded arrays reproduces the
+    partition table bit-for-bit."""
+    from cb.build import IndexMeta, _decode_partition_flat, build_index, encode_partition_rows
+
+    rng = np.random.default_rng(5)
+    rows = [
+        {
+            "doc_id": int(i * 13 + 7),
+            "text": " ".join(
+                f"w{int(rng.integers(40))}" for _ in range(int(rng.integers(3, 200)))
+            ),
+        }
+        for i in range(300)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=2)
+    meta = IndexMeta(idx)
+    checked = 0
+    for p in range(meta.num_parts):
+        f = meta.part_file(p)
+        tbl = pq.read_table(f)
+        flat, store_positions = _decode_partition_flat(tbl)
+        assert store_positions
+        re_tbl = encode_partition_rows(flat, meta.avgdl, store_positions=True)
+        assert re_tbl.equals(tbl), f"partition {p} round-trip mismatch"
+        checked += tbl.num_rows
+    assert checked > 30
