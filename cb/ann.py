@@ -148,7 +148,9 @@ def brute_force_topk(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    tbl = pa.Table.from_pylist(cands.take_all(), schema=_candidate_schema())  # tiny: batches * Q * k
+    from .collect import collect_table
+
+    tbl = collect_table(cands, schema=_candidate_schema())  # tiny: batches * Q * k
     return _merge_candidates(tbl, k)
 
 
@@ -212,7 +214,24 @@ def build_ivf(
     import pyarrow.parquet as pq
 
     os.makedirs(index_dir, exist_ok=True)
-    sample = ds.limit(sample_size).take_all()
+    # centroid sample: deterministic HASH sample on the id column, not
+    # limit(n) (first-N is order-biased on clustered inputs) and not
+    # random_sample (row-order/partitioning dependent) — Knuth
+    # multiplicative hashing keeps the kept-set a fixed function of the
+    # ids, so rebuilds see the same seed sample regardless of scan order
+    n_total = ds.count()
+    if n_total > sample_size:
+        frac = sample_size / n_total
+        cut = np.uint64(int(frac * (1 << 32)))
+
+        def keep_sample(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+            return batch.filter(pa.array(h < cut))
+
+        sample = ds.map_batches(keep_sample, batch_format="pyarrow").take_all()
+    else:
+        sample = ds.take_all()
     smat = _normalize(np.array([r[vec_col] for r in sample]))
     cents = _kmeans(smat, n_centroids, iters=iters)
     cents_ref = ray.put(cents)
@@ -276,11 +295,14 @@ def ivf_search(
     *,
     k: int = 10,
     nprobe: int = 4,
+    concurrency: int = 2,
 ) -> pa.Table:
     """Probe-only search over a :func:`build_ivf` layout: each query
     selects its ``nprobe`` nearest centroids; ONLY those bucket files
     are read (pruned ``read_parquet``), scored per batch against the
-    queries probing them, and merged on the driver."""
+    queries probing them, and merged on the driver.  Size
+    ``concurrency`` to the cluster (stay below the session CPU count —
+    an actor pool that reserves every CPU starves the read tasks)."""
     import json
     import os
 
@@ -343,9 +365,11 @@ def ivf_search(
             )
 
     cands = ray.data.read_parquet(files).map_batches(
-        ProbeScorer, batch_format="pyarrow", concurrency=2
+        ProbeScorer, batch_format="pyarrow", concurrency=concurrency
     )
-    tbl = pa.Table.from_pylist(cands.take_all(), schema=_candidate_schema())
+    from .collect import collect_table
+
+    tbl = collect_table(cands, schema=_candidate_schema())
     return _merge_candidates(tbl, k)
 
 
@@ -360,6 +384,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     index_dir: str | None = None,
+    concurrency: int = 2,
 ) -> pa.Table:
     """Convenience wrapper: build (or reuse) the IVF layout, then
     probe-search it.  Same output schema as :func:`brute_force_topk`;
@@ -375,7 +400,9 @@ def ivf_topk(
             ds, index_dir, n_centroids=n_centroids,
             vec_col=vec_col, id_col=id_col,
         )
-    return ivf_search(index_dir, query_mat, query_ids, k=k, nprobe=nprobe)
+    return ivf_search(
+        index_dir, query_mat, query_ids, k=k, nprobe=nprobe, concurrency=concurrency
+    )
 
 
 def _collect_pairs(ds: ray.data.Dataset) -> pa.Table:
@@ -572,32 +599,33 @@ def embedding_near_duplicates_lsh(
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
     ).materialize()
-    cand_ids = dedup_mod._candidate_columns(pairs)
-    vec_rows = dedup_mod._slice_by_ids(ds, cand_ids, id_col=id_col)
-    lut = {
-        r[id_col]: np.asarray(r[vec_col], dtype=np.float64)
-        for r in vec_rows
+    vec_rows = dedup_mod._slice_by_ids(ds, dedup_mod._candidate_columns(pairs), id_col=id_col)
+    vec_rows.sort(key=lambda r: r[id_col])
+    mat = (
+        _normalize(np.array([r[vec_col] for r in vec_rows]))
+        if vec_rows
+        else np.empty((0, dim), dtype=np.float64)
+    )
+    side = {
+        "ids": np.array([r[id_col] for r in vec_rows], dtype=np.int64),
+        "mat": mat,
     }
-    for vid, v in lut.items():
-        nrm = np.linalg.norm(v)
-        if nrm > 0:
-            lut[vid] = v / nrm
-    lut_ref = ray.put(lut)
+    lut_ref = ray.put(side)
 
     def verify(batch: pa.Table) -> pa.Table:
-        side = ray.get(lut_ref)
-        keep_a, keep_b, coss = [], [], []
-        for a_id, b_id in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
-            c = float(side[a_id] @ side[b_id])
-            if c >= tau:
-                keep_a.append(a_id)
-                keep_b.append(b_id)
-                coss.append(c)
+        s = ray.get(lut_ref)
+        ia, ib = dedup_mod._pair_indices(batch, s["ids"])
+        # one vectorized row-wise dot over the gathered matrices — no
+        # per-pair Python loop
+        cos = np.einsum("ij,ij->i", s["mat"][ia], s["mat"][ib])
+        keep = cos >= tau
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "vec_a": pa.array(keep_a, type=pa.int64()),
-                "vec_b": pa.array(keep_b, type=pa.int64()),
-                "cosine": pa.array(coss, type=pa.float64()),
+                "vec_a": pa.array(a[keep], type=pa.int64()),
+                "vec_b": pa.array(b[keep], type=pa.int64()),
+                "cosine": pa.array(cos[keep], type=pa.float64()),
             }
         )
 

@@ -77,6 +77,43 @@ def cmd_watch(args) -> int:
     return 0
 
 
+def cmd_catalog(args) -> int:
+    from . import catalog
+
+    if args.action == "add":
+        row = catalog.add_source(
+            args.catalog, args.name, args.input, args.index,
+            text_col=args.text_col, id_col=args.id_col,
+            num_parts=args.num_parts, stop_after=args.stop_after,
+        )
+        print(json.dumps(row))
+    elif args.action == "list":
+        print(json.dumps(catalog.load_catalog(args.catalog)))
+    elif args.action in ("pause", "resume"):
+        catalog.set_active(args.catalog, args.name, args.action == "resume")
+        print(json.dumps({"name": args.name, "active": args.action == "resume"}))
+    elif args.action in ("stop-indexing", "start-indexing"):
+        catalog.set_stop_indexing(args.catalog, args.action == "stop-indexing")
+        print(json.dumps({"stop_indexing": args.action == "stop-indexing"}))
+    elif args.action == "watch":
+        ray = _init_ray()
+
+        def report(tick, metas):
+            print(json.dumps({
+                "tick": tick,
+                "sources": {
+                    n: (m.n_docs if m else 0) for n, m in metas.items()
+                },
+            }), flush=True)
+
+        catalog.watch_catalog(
+            args.catalog, interval_s=args.interval,
+            max_ticks=args.max_ticks, on_tick=report,
+        )
+        ray.shutdown()
+    return 0
+
+
 def cmd_stats(args) -> int:
     from .build import IndexMeta
 
@@ -150,6 +187,26 @@ def main(argv=None) -> int:
     w.add_argument("--num-parts", type=int, default=32)
     w.set_defaults(fn=cmd_watch)
 
+    c = sub.add_parser(
+        "catalog",
+        help="durable source catalog: add/list/pause/resume sources, run the multi-source watch",
+    )
+    c.add_argument("action", choices=[
+        "add", "list", "pause", "resume", "stop-indexing", "start-indexing", "watch",
+    ])
+    c.add_argument("--catalog", required=True, help="sources.json path")
+    c.add_argument("--name", default=None, help="source name (add/pause/resume)")
+    c.add_argument("--input", default=None, help="corpus parquet dir (add)")
+    c.add_argument("--index", default=None, help="index dir (add)")
+    c.add_argument("--text-col", default="content")
+    c.add_argument("--id-col", default=None)
+    c.add_argument("--num-parts", type=int, default=32)
+    c.add_argument("--stop-after", default=None,
+                   help="stop-offset guard: ignore input files sorting after this basename")
+    c.add_argument("--interval", type=float, default=30.0)
+    c.add_argument("--max-ticks", type=int, default=None)
+    c.set_defaults(fn=cmd_catalog)
+
     st = sub.add_parser("stats", help="build observability counters from manifests")
     st.add_argument("--index", required=True)
     st.add_argument("--partitions", action="store_true", help="include per-partition rows")
@@ -183,6 +240,11 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     if args.cmd in ("query", "query-file", "phrase", "filtered-query", "search") and not (args.query or args.queries):
         p.error("provide --query or --queries")
+    if args.cmd == "catalog":
+        if args.action == "add" and not (args.name and args.input and args.index):
+            p.error("catalog add needs --name, --input and --index")
+        if args.action in ("pause", "resume") and not args.name:
+            p.error(f"catalog {args.action} needs --name")
     return args.fn(args)
 
 

@@ -207,6 +207,15 @@ def _candidate_columns(pairs: ray.data.Dataset, cols: tuple[str, str] = ("doc_a"
     return np.unique(np.concatenate(chunks))
 
 
+def _pair_indices(batch: pa.Table, ids_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_a, doc_b) columns -> positions into a sorted candidate-id
+    array (vectorized searchsorted; every candidate is present by
+    construction)."""
+    a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.searchsorted(ids_sorted, a), np.searchsorted(ids_sorted, b)
+
+
 def _slice_by_ids(
     ds: ray.data.Dataset, ids: np.ndarray, id_col: str = "doc_id"
 ) -> list[dict]:
@@ -273,23 +282,28 @@ def minhash_near_duplicates(
         .aggregate(Count(alias_name="n_bands"))
     ).materialize()
     # verification: signature-estimated Jaccard over the CANDIDATE slice
-    # of the signature dataset (filtered in the dataflow, broadcast once)
-    cand_ids = _candidate_columns(pairs)
-    sig_lookup = {
-        r["doc_id"]: np.asarray(r["minhash"], dtype=np.int64)
-        for r in _slice_by_ids(sigs_mat, cand_ids)
+    # of the signature dataset (filtered in the dataflow, broadcast once
+    # as a (sorted ids, signature matrix) pair — one numpy comparison
+    # per batch, no per-pair Python loop)
+    cand_rows = _slice_by_ids(sigs_mat, _candidate_columns(pairs))
+    cand_rows.sort(key=lambda r: r["doc_id"])
+    side = {
+        "ids": np.array([r["doc_id"] for r in cand_rows], dtype=np.int64),
+        "sigs": (
+            np.array([r["minhash"] for r in cand_rows], dtype=np.int64)
+            if cand_rows
+            else np.empty((0, num_hashes), dtype=np.int64)
+        ),
     }
-    lut_ref = ray.put(sig_lookup)
+    lut_ref = ray.put(side)
 
     def verify(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        est = []
-        for a_id, b_id in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
-            sa, sb = lut[a_id], lut[b_id]
-            est.append(float(np.mean(sa == sb)))
-        t = batch.append_column("est_jaccard", pa.array(est, type=pa.float64()))
         import pyarrow.compute as pc
 
+        s = ray.get(lut_ref)
+        ia, ib = _pair_indices(batch, s["ids"])
+        est = (s["sigs"][ia] == s["sigs"][ib]).mean(axis=1)
+        t = batch.append_column("est_jaccard", pa.array(est, type=pa.float64()))
         return t.filter(pc.greater_equal(t["est_jaccard"], threshold))
 
     return pairs.map_batches(verify, batch_format="pyarrow")
@@ -376,27 +390,32 @@ def simhash_near_duplicates(
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
     ).materialize()
-    cand_ids = _candidate_columns(pairs)
-    lut = {
-        r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
-        for r in _slice_by_ids(sigs, cand_ids)
+    cand_rows = _slice_by_ids(sigs, _candidate_columns(pairs))
+    cand_rows.sort(key=lambda r: r["doc_id"])
+    side = {
+        "ids": np.array([r["doc_id"] for r in cand_rows], dtype=np.int64),
+        "sigs": np.array([r["simhash"] for r in cand_rows], dtype=np.int64).view(
+            np.uint64
+        ),
     }
-    lut_ref = ray.put(lut)
+    lut_ref = ray.put(side)
 
     def verify(batch: pa.Table) -> pa.Table:
-        side = ray.get(lut_ref)
-        keep_a, keep_b, dist = [], [], []
-        for a_id, b_id in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
-            d = bin(side[a_id] ^ side[b_id]).count("1")
-            if d <= max_hamming:
-                keep_a.append(a_id)
-                keep_b.append(b_id)
-                dist.append(d)
+        s = ray.get(lut_ref)
+        ia, ib = _pair_indices(batch, s["ids"])
+        x = s["sigs"][ia] ^ s["sigs"][ib]
+        # vectorized 64-bit popcount: unpackbits over the byte view
+        d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(
+            axis=1
+        ).astype(np.int64)
+        keep = d <= max_hamming
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "doc_a": pa.array(keep_a, type=pa.int64()),
-                "doc_b": pa.array(keep_b, type=pa.int64()),
-                "hamming": pa.array(dist, type=pa.int64()),
+                "doc_a": pa.array(a[keep], type=pa.int64()),
+                "doc_b": pa.array(b[keep], type=pa.int64()),
+                "hamming": pa.array(d[keep], type=pa.int64()),
             }
         )
 
@@ -455,20 +474,21 @@ def ngram_jaccard_pairs(
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_common"))
     ).materialize()
-    cand_ids = _candidate_columns(co)
-    sizes_ds = rows_mat.groupby("doc_id").aggregate(Count())
-    sizes = {r["doc_id"]: r["count()"] for r in _slice_by_ids(sizes_ds, cand_ids)}
+    cand_rows = _slice_by_ids(rows_mat.groupby("doc_id").aggregate(Count()), _candidate_columns(co))
+    cand_rows.sort(key=lambda r: r["doc_id"])
+    sizes = {
+        "ids": np.array([r["doc_id"] for r in cand_rows], dtype=np.int64),
+        "n": np.array([r["count()"] for r in cand_rows], dtype=np.float64),
+    }
     sizes_ref = ray.put(sizes)
 
     def jaccard(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         side = ray.get(sizes_ref)
-        a = batch["doc_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        ia, ib = _pair_indices(batch, side["ids"])
         c = batch["n_common"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.array([side[x] for x in a], dtype=np.float64)
-        nb = np.array([side[x] for x in b], dtype=np.float64)
+        na, nb = side["n"][ia], side["n"][ib]
         j = c / (na + nb - c)
         t = batch.append_column("jaccard", pa.array(j, type=pa.float64()))
         return t.filter(pc.greater_equal(t["jaccard"], threshold))

@@ -192,6 +192,51 @@ def merge_partition(
     return pa.concat_tables([pa.table(r) for r in rows])
 
 
+def watch_tick(
+    input_dir: str,
+    index_dir: str,
+    last_sig,
+    *,
+    text_col: str = "content",
+    id_col: str | None = None,
+    num_parts: int = build.DEFAULT_NUM_PARTS,
+    range_bits: int = build.DEFAULT_RANGE_BITS,
+    stop_after: str | None = None,
+) -> tuple:
+    """ONE poll of ``input_dir``: rebuild (resumable) iff the parquet
+    file list or any (size, mtime) changed since ``last_sig``.  Returns
+    ``(meta_or_None, new_sig)`` — pass ``new_sig`` back on the next
+    tick.  ``stop_after`` is the F3 stop-offset guard (the reference's
+    explicit end-offset config, BaseScheduler.cs:25-33): input files
+    whose basename sorts AFTER it are never scheduled, bounding an
+    otherwise-unbounded chase."""
+    sig_parts = []
+    for f in sorted(glob.glob(os.path.join(input_dir, "*.parquet"))):
+        if stop_after is not None and os.path.basename(f) > stop_after:
+            continue  # beyond the configured stop offset
+        try:
+            st = os.stat(f)
+        except FileNotFoundError:
+            continue  # deleted between glob and stat; pick up next tick
+        sig_parts.append((f, st.st_size, st.st_mtime_ns))
+    files = [f for f, _, _ in sig_parts]
+    sig = tuple(sig_parts)
+    if not files or sig == last_sig:
+        return None, (last_sig if not files else sig)
+    meta = build_index_resumable(
+        files, index_dir,
+        text_col=text_col, id_col=id_col,
+        num_parts=num_parts, range_bits=range_bits,
+    )
+    # filtered search must keep covering newly indexed docs: the docmeta
+    # side table (if one was built for this index) refreshes whenever
+    # the corpus lineage changed
+    from . import docmeta as docmeta_mod
+
+    docmeta_mod.refresh_docmeta(index_dir, files)
+    return meta, sig
+
+
 def watch(
     input_dir: str,
     index_dir: str,
@@ -204,6 +249,7 @@ def watch(
     id_col: str | None = None,
     num_parts: int = build.DEFAULT_NUM_PARTS,
     range_bits: int = build.DEFAULT_RANGE_BITS,
+    stop_after: str | None = None,
 ) -> build.IndexMeta | None:
     """Continuous-ingest driver loop (S5/W4 parity): poll ``input_dir``
     and re-run the resumable build whenever the parquet file list or any
@@ -217,6 +263,8 @@ def watch(
 
     ``max_ticks``/``sleep_fn``/``on_tick`` exist for testing and
     embedding; the CLI (`python -m cb.cli watch`) runs it forever.
+    ``stop_after`` bounds the chase (F3 stop-offset guard): files whose
+    basename sorts after it are never scheduled.
     Returns the last IndexMeta built (None if no tick saw input files).
     """
     import time
@@ -227,28 +275,14 @@ def watch(
     meta = None
     tick = 0
     while max_ticks is None or tick < max_ticks:
-        sig_parts = []
-        for f in sorted(glob.glob(os.path.join(input_dir, "*.parquet"))):
-            try:
-                st = os.stat(f)
-            except FileNotFoundError:
-                continue  # deleted between glob and stat; pick up next tick
-            sig_parts.append((f, st.st_size, st.st_mtime_ns))
-        files = [f for f, _, _ in sig_parts]
-        sig = tuple(sig_parts)
-        if files and sig != last_sig:
-            meta = build_index_resumable(
-                files, index_dir,
-                text_col=text_col, id_col=id_col,
-                num_parts=num_parts, range_bits=range_bits,
-            )
-            # filtered search must keep covering newly indexed docs: the
-            # docmeta side table (if one was built for this index)
-            # refreshes whenever the corpus lineage changed
-            from . import docmeta as docmeta_mod
-
-            docmeta_mod.refresh_docmeta(index_dir, files)
-            last_sig = sig
+        new_meta, last_sig = watch_tick(
+            input_dir, index_dir, last_sig,
+            text_col=text_col, id_col=id_col,
+            num_parts=num_parts, range_bits=range_bits,
+            stop_after=stop_after,
+        )
+        if new_meta is not None:
+            meta = new_meta
         if on_tick is not None:
             on_tick(tick, meta)
         tick += 1
