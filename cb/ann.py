@@ -591,14 +591,10 @@ def embedding_near_duplicates_lsh(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    from ray.data.aggregate import Count
-
-    pairs = (
-        sigs.groupby(["band", "band_hash"])
-        .map_groups(_partial(dedup_mod._emit_pairs, max_group=max_bucket), batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
-    ).materialize()
+    cand = sigs.groupby(["band", "band_hash"]).map_groups(
+        _partial(dedup_mod._emit_pairs, max_group=max_bucket), batch_format="pandas"
+    )
+    pairs = dedup_mod._pair_counts(cand, "n_bands").materialize()
     vec_rows = dedup_mod._slice_by_ids(ds, dedup_mod._candidate_columns(pairs), id_col=id_col)
     vec_rows.sort(key=lambda r: r[id_col])
     mat = (

@@ -313,6 +313,38 @@ def pack_sequences(
     return counted.groupby("pack_group").map_groups(pack_group, batch_format="pandas")
 
 
+def sql_pack_sequences(
+    budget: int = 2048, table: str = "documents", text_col: str = "text"
+) -> str:
+    """Exact SQL mirror of :func:`pack_sequences`: the greedy running-
+    budget recurrence is a recursive CTE stepping one row-number at a
+    time per pack group (recursion depth = largest group, all groups
+    advance per iteration)."""
+    tok = analyze.sql_token_array(text_col)
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id % 64 AS pack_group, doc_id,
+         len({tok})::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS rn
+  FROM {table}
+),
+r AS (
+  SELECT pack_group, doc_id, n_tokens, rn,
+         0::BIGINT AS pack_id, n_tokens AS used
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.pack_group, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN r.used > 0 AND r.used + t.n_tokens > {budget}
+              THEN r.pack_id + 1 ELSE r.pack_id END,
+         CASE WHEN r.used > 0 AND r.used + t.n_tokens > {budget}
+              THEN t.n_tokens ELSE r.used + t.n_tokens END
+  FROM t JOIN r ON t.pack_group = r.pack_group AND t.rn = r.rn + 1
+)
+SELECT pack_group, pack_id, doc_id, n_tokens
+FROM r ORDER BY pack_group, doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # PII redaction: vectorized regex scrub (RE2 on both engine and oracle)
 # --------------------------------------------------------------------------

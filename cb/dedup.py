@@ -207,6 +207,47 @@ def _candidate_columns(pairs: ray.data.Dataset, cols: tuple[str, str] = ("doc_a"
     return np.unique(np.concatenate(chunks))
 
 
+def _pair_counts(
+    pairs: ray.data.Dataset, count_col: str, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Distinct (doc_a, doc_b) rows + occurrence counts.
+
+    Replaces ``groupby([doc_a, doc_b]).aggregate(Count)``: Ray's generic
+    aggregate over a two-column key materializes one group per DISTINCT
+    PAIR (measured ~85 s for 500k candidate rows on this box — the
+    dominant cost of every near-dup pipeline).  Here the per-pair count
+    is a per-batch Arrow ``group_by`` partial (combiner), ONE shuffle
+    keyed by a bounded hash bucket of the pair, and a vectorized Arrow
+    merge per bucket — group count is ``n_buckets``, never
+    pair-cardinality (same pattern as the index build's partial rows).
+    """
+    def partial_count(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select(["doc_a", "doc_b"])
+            .group_by(["doc_a", "doc_b"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc_a", "doc_b", "n"])
+        )
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((a * np.uint64(1000003)) ^ b) % np.uint64(n_buckets)
+        return t.append_column("bucket", pa.array(h.astype(np.int32), type=pa.int32()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        return (
+            group.select(["doc_a", "doc_b", "n"])
+            .group_by(["doc_a", "doc_b"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["doc_a", "doc_b", count_col])
+        )
+
+    return (
+        pairs.map_batches(partial_count, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def _pair_indices(batch: pa.Table, ids_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(doc_a, doc_b) columns -> positions into a sorted candidate-id
     array (vectorized searchsorted; every candidate is present by
@@ -275,12 +316,10 @@ def minhash_near_duplicates(
         fn_kwargs={"bands": bands, "rows_per_band": rows_per_band},
         batch_format="pyarrow",
     )
-    pairs = (
-        band_rows.groupby(["band", "band_hash"])
-        .map_groups(_partial(_emit_pairs, max_group=max_bucket), batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
-    ).materialize()
+    cand = band_rows.groupby(["band", "band_hash"]).map_groups(
+        _partial(_emit_pairs, max_group=max_bucket), batch_format="pandas"
+    )
+    pairs = _pair_counts(cand, "n_bands").materialize()
     # verification: signature-estimated Jaccard over the CANDIDATE slice
     # of the signature dataset (filtered in the dataflow, broadcast once
     # as a (sorted ids, signature matrix) pair — one numpy comparison
@@ -383,13 +422,12 @@ def simhash_near_duplicates(
             }
         )
 
-    pairs = (
+    cand = (
         sigs.map_batches(bands, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
         .map_groups(_partial(_emit_pairs, max_group=max_bucket), batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
-    ).materialize()
+    )
+    pairs = _pair_counts(cand, "n_bands").materialize()
     cand_rows = _slice_by_ids(sigs, _candidate_columns(pairs))
     cand_rows.sort(key=lambda r: r["doc_id"])
     side = {
@@ -468,12 +506,10 @@ def ngram_jaccard_pairs(
         batch_format="pyarrow",
     )
     rows_mat = rows.materialize()
-    co = (
-        rows_mat.groupby("shingle")
-        .map_groups(_partial(_emit_pairs, max_group=max_df), batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_common"))
-    ).materialize()
+    cand = rows_mat.groupby("shingle").map_groups(
+        _partial(_emit_pairs, max_group=max_df), batch_format="pandas"
+    )
+    co = _pair_counts(cand, "n_common").materialize()
     cand_rows = _slice_by_ids(rows_mat.groupby("doc_id").aggregate(Count()), _candidate_columns(co))
     cand_rows.sort(key=lambda r: r["doc_id"])
     sizes = {

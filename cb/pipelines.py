@@ -608,24 +608,35 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
     return out.select(["query_id", "rank", "vec_id"])
 
 
+# tau sits where the driver fixtures contain REAL pairs at every sf
+# (7 / 14 / 144 at sf0.001/0.01/0.1, nearest sim >= 1e-4 from the
+# threshold) — a threshold above the fixture's similarity ceiling would
+# make the row a vacuous 0-vs-0 pass.
+NEARDUP_TAU = 0.45
+
+
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return ann.embedding_near_duplicates(ds, tau=0.8).select(["vec_a", "vec_b"])
+    return ann.embedding_near_duplicates(ds, tau=NEARDUP_TAU).select(["vec_a", "vec_b"])
 
 
 def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
-    """Random-hyperplane LSH blocking + exact verify (approximate ->
-    rows-only check; every emitted pair truly has cosine >= tau, recall
-    measured vs the exact sweep in tests)."""
+    """Random-hyperplane LSH blocking + exact verify.  Precision is
+    exact by construction; this entry runs a SATURATED band config
+    (bits=4 x bands=64: P(miss) < 1e-5 per pair at tau=0.45, recall
+    empirically 1 at every sf fixture), so the exact-pair SQL join is a
+    valid oracle.  Production configs trade bands for recall < 1."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return ann.embedding_near_duplicates_lsh(ds, tau=0.8).select(["vec_a", "vec_b"])
+    return ann.embedding_near_duplicates_lsh(
+        ds, tau=NEARDUP_TAU, bits=4, bands=64
+    ).select(["vec_a", "vec_b"])
 
 
 def sql_embedding_neardup() -> str:
-    return """
+    return f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEARDUP_TAU}
 ORDER BY vec_a, vec_b
 """
 
@@ -769,8 +780,9 @@ def q_bpe_token_stats(sf_dir: str) -> pa.Table:
 
 
 def q_pack_sequences(sf_dir: str) -> pa.Table:
-    """Greedy token-budget sequence packing (stateful per pack group ->
-    rows-only check; invariants proven in tests/test_curation.py)."""
+    """Greedy token-budget sequence packing; the per-group running-
+    budget recurrence has an exact recursive-CTE SQL mirror (value-
+    checked) plus invariant tests in tests/test_curation.py."""
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
     return _collect(curation.pack_sequences(ds, budget=512))
 
@@ -1178,9 +1190,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.sql_exact_duplicates(),
         "token_stats": textstats.sql_token_stats(),
         "lang_id": textstats.sql_lang_id(),
+        "doc_fingerprint": textstats.sql_fingerprint(),
         "ngram_jaccard_pairs": dedup.sql_ngram_jaccard(threshold=0.3),
         "ann_cosine_topk": sql_ann_topk(),
         "embedding_neardup": sql_embedding_neardup(),
+        # saturated-band config -> recall 1 at fixture scale, so the
+        # exact pair join is a valid oracle for the LSH path too
+        "embedding_neardup_lsh": sql_embedding_neardup(),
         "filter_pushdown": sql_filter_pushdown(),
         "events_minute_agg": sql_events_minute_agg(),
         "late_events": sql_late_events(),
@@ -1193,10 +1209,10 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": curation.sql_bpe_token_stats(),
         "top_docs_per_lang": sql_top_docs_per_lang(),
         "doclen_quantiles": sql_doclen_quantiles(),
-        # pack_sequences: order-dependent stateful packing -> rows-only
+        "pack_sequences": curation.sql_pack_sequences(budget=512),
         "orders_by_segment": sql_orders_by_segment(),
         "orders_lineitem_join": sql_orders_lineitem_join(),
         "pricing_summary": sql_pricing_summary(),
-        # doc_fingerprint / minhash_neardup / simhash_neardup / ann_ivf_topk:
+        # minhash_neardup / simhash_neardup / ann_ivf_topk:
         # non-SQL-expressible (hash/approximate) -> rows-only checks.
     }

@@ -3,8 +3,7 @@
 Vectorized ``map_batches`` stages over a text column: token counting,
 quality scoring (stopword ratio, mean token length), n-gram-marker
 language ID, and rolling-hash document fingerprints.  Each has a DuckDB
-SQL mirror (except the fingerprint, which is rows-only checked) so the
-driver's oracle can value-compare results.
+SQL mirror so the driver's oracle can value-compare results.
 """
 
 from __future__ import annotations
@@ -157,26 +156,90 @@ SELECT doc_id, {case} AS lang_pred FROM c ORDER BY doc_id
 # Document fingerprint: polynomial rolling hash over the kept-token stream
 # --------------------------------------------------------------------------
 
-_FP_MOD = (1 << 61) - 1
+# Mersenne prime modulus + small base: h = (h*B + md5_64(tok)) % M over
+# the token sequence.  Token hash = lower-64 md5 word (the exact value
+# DuckDB's md5_number_lower returns), so the whole fingerprint has an
+# exact SQL mirror (sql_fingerprint) and the driver value-hash-checks
+# it; M < 2^31 keeps every intermediate product within uint64/BIGINT on
+# both engines.
+_FP_MOD = (1 << 31) - 1
 _FP_BASE = 1_000_003
 
 
-def fingerprint(batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """64-bit polynomial hash of the filtered token sequence (order-
-    sensitive, whitespace/formatting-insensitive). Rows-only oracle."""
-    kept = analyze.token_array(batch[text_col])
-    out = np.zeros(len(kept), dtype=np.int64)
-    lists = kept.to_pylist()
-    for i, toks in enumerate(lists):
-        h = 0
-        for t in toks:
-            import zlib
+_FP_POWS = np.ones(1, dtype=np.uint64)
 
-            h = (h * _FP_BASE + zlib.crc32(t.encode())) % _FP_MOD
-        out[i] = h
+
+def _fp_pows(n: int) -> np.ndarray:
+    """B^j % M for j < n (grown once per process, reused across batches)."""
+    global _FP_POWS
+    if len(_FP_POWS) < n:
+        old = len(_FP_POWS)
+        grown = np.empty(n, dtype=np.uint64)
+        grown[:old] = _FP_POWS
+        M, B = np.uint64(_FP_MOD), np.uint64(_FP_BASE)
+        for j in range(old, n):
+            grown[j] = (grown[j - 1] * B) % M
+        _FP_POWS = grown
+    return _FP_POWS
+
+
+def _token_hashes(vocab: list[str]) -> np.ndarray:
+    """md5-lower-64 per unique token (vocab-bounded Python loop; the
+    per-occurrence work below is fully vectorized)."""
+    import hashlib
+    import struct
+
+    out = np.empty(len(vocab), dtype=np.uint64)
+    for i, t in enumerate(vocab):
+        out[i] = struct.unpack("<Q", hashlib.md5(t.encode()).digest()[8:16])[0]
+    return out % np.uint64(_FP_MOD)
+
+
+def fingerprint(batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Polynomial hash of the filtered token sequence (order-sensitive,
+    whitespace/formatting-insensitive).  Vectorized: unique-token md5s
+    once per batch vocabulary, then one modular polynomial evaluation
+    over the flat token stream (fp = sum h_i * B^(L-1-i) mod M — the
+    closed form of the rolling recurrence)."""
+    kept = analyze.token_array(batch[text_col])
+    offsets = kept.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offsets)
+    n = len(lens)
+    out = np.zeros(n, dtype=np.uint64)
+    total = int(offsets[-1] - offsets[0])
+    if total:
+        flat = pc.list_flatten(kept)
+        enc = pc.dictionary_encode(flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        h = _token_hashes(enc.dictionary.to_pylist())[codes]  # < M
+        M = np.uint64(_FP_MOD)
+        pows = _fp_pows(int(lens.max()))
+        starts0 = offsets[:-1] - offsets[0]
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts0, lens)
+        exp = np.repeat(lens, lens) - 1 - within
+        prod = (h * pows[exp]) % M  # < M < 2^31; doc sums fit uint64
+        nonempty = lens > 0
+        sums = np.add.reduceat(prod, starts0[nonempty])
+        out[nonempty] = sums % M
     return pa.table(
         {
             "doc_id": batch[id_col],
-            "fingerprint": pa.array(out, type=pa.int64()),
+            "fingerprint": pa.array(out.astype(np.int64), type=pa.int64()),
         }
     )
+
+
+def sql_fingerprint(table: str = "documents", text_col: str = "text") -> str:
+    """Exact SQL mirror of :func:`fingerprint`: same md5-lower-64 token
+    hash (md5_number_lower), same rolling recurrence via list_reduce
+    with a prepended 0 accumulator."""
+    tok = analyze.sql_token_array(text_col)
+    return f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS UBIGINT),
+           list_transform({tok}, t -> md5_number_lower(t) % {_FP_MOD})),
+         (a, b) -> (a * {_FP_BASE} + b) % {_FP_MOD}
+       )::BIGINT AS fingerprint
+FROM {table} ORDER BY doc_id
+"""
