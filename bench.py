@@ -185,6 +185,56 @@ def run_bench() -> dict:
     timings["bm25_query_throughput"] = time.perf_counter() - t0
     extras["queries_per_sec"] = len(distinct_queries) / timings["bm25_query_throughput"]
 
+    # phase 4 (extras, untimed in headline): IVF recall@10 vs brute
+    # force on the embeddings table — the accuracy/perf tradeoff number
+    # the approximate index is accountable to.
+    emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        import numpy as np
+
+        from cb import ann
+
+        head = pq.read_table(emb_path).sort_by("vec_id").slice(0, 20)
+        qmat = np.array(head["embedding"].to_pylist())
+        qids = head["vec_id"].to_numpy()
+        ds = ray.data.read_parquet(emb_path)
+        exact = ann.brute_force_topk(ds, qmat, qids, k=10)
+        ivf_dir = "/tmp/cb_bench/ivf"
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        approx = ann.ivf_topk(
+            ray.data.read_parquet(emb_path), qmat, qids, k=10,
+            index_dir=ivf_dir, n_centroids=16, nprobe=4,
+        )
+        extras["ivf_build_plus_search_sec"] = time.perf_counter() - t0
+        ex = {}
+        for r in exact.to_pylist():
+            ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+        got = {}
+        for r in approx.to_pylist():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls = [
+            len(ex[q] & got.get(q, set())) / len(ex[q]) for q in ex
+        ]
+        extras["ivf_recall_at_10"] = sum(recalls) / len(recalls)
+
+    # phase 5 (extras): compaction throughput — tombstone ~1% of the
+    # code corpus and physically drop it (vectorized whole-partition
+    # decode -> survivor mask -> re-encode).
+    engine.shutdown()
+    import pyarrow.compute as pc
+
+    ds_dir = os.path.join(code_idx, "docstats")
+    some = pq.read_table(os.path.join(ds_dir, sorted(os.listdir(ds_dir))[0]))
+    dead = some["doc_id"].to_pylist()[:: max(1, some.num_rows // max(1, meta_code.n_docs // 100))]
+    shard.delete_docs(code_idx, dead)
+    n_rows = build.IndexMeta(code_idx).build_metrics()["n_rows"]
+    t0 = time.perf_counter()
+    build.compact_index(code_idx)
+    extras["compact_sec"] = time.perf_counter() - t0
+    extras["compact_tombstones"] = float(len(dead))
+    extras["compact_posting_rows"] = float(n_rows)
+
     extras["calib_end_sec"] = _calibrate()
     total = sum(timings.values())
     out = {

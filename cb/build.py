@@ -9,8 +9,10 @@ SURVEY.md §3.4):
          (doc, term) pair — the partial/combiner pattern) PLUS doc-stats
          sentinel rows (part >= num_parts) riding the same exchange
       -> groupby('part').map_groups(encode_partition)  # the one shuffle
-      -> per-partition postings parquet (ids+tfs+doc_lens varint) and
-         docstats/bucket files + manifests (write-audit-publish)
+      -> per-partition postings parquet, ONE FILE PER DOC-RANGE BUCKET
+         (ids+tfs+doc_lens varint; doc-sharded servers read only their
+         buckets) + per-term df summary, and docstats/bucket files +
+         manifests (write-audit-publish)
       -> small post-pass: block-max metadata (needs avgdl, which the
          same shuffle's manifest rows produce)
 
@@ -509,35 +511,107 @@ def _manifest_schema() -> pa.Schema:
     )
 
 
+def _canonical_parquet(tbl: pa.Table) -> pa.Table:
+    """Round-trip through an in-memory parquet buffer: the writer's byte
+    layout is sensitive to the in-memory array representation (freshly
+    encoded vs read-from-parquet), and the byte-identity guarantees
+    (fresh == resumed == compacted) need every write path to emit the
+    SAME bytes for the same logical content."""
+    sink = pa.BufferOutputStream()
+    pq.write_table(tbl, sink)
+    return pq.read_table(pa.BufferReader(sink.getvalue()))
+
+
+def _bucket_file(pdir: str, bucket: int) -> str:
+    return os.path.join(pdir, f"bucket={bucket}.parquet")
+
+
+def read_partition_table(index_dir: str, part: int) -> pa.Table:
+    """Concatenate one partition's bucket files back into the canonical
+    (term asc, bucket asc) row order.  Missing partition -> empty table."""
+    import glob as _glob
+
+    pdir = os.path.join(index_dir, "parts", f"part={part}")
+    files = sorted(
+        _glob.glob(os.path.join(pdir, "bucket=*.parquet")),
+        key=lambda f: int(os.path.basename(f)[len("bucket=") : -len(".parquet")]),
+    )
+    if not files:
+        return pa.Table.from_pylist([], schema=_posting_file_schema())
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    # per-bucket files are term-sorted; the canonical global order is
+    # (term, bucket) — utf8 byte order == code-point order, identical
+    # to the build's Python-sorted term ranks
+    return tbl.sort_by([("term", "ascending"), ("bucket", "ascending")]).combine_chunks()
+
+
 def write_partition(
     tbl: pa.Table, index_dir: str, part: int, avgdl: float | None, lineage: str
 ) -> dict:
     """Atomic write of one partition + manifest; idempotent under retry.
 
+    BUCKET-PRUNED layout: one parquet file per doc-range bucket
+    (``bucket=<b>.parquet``, term-sorted within) plus a tiny per-term
+    corpus-df summary (``_termdf.parquet``).  A doc-sharded server
+    therefore reads ONLY its assigned bucket files — engine load I/O is
+    ~1/S per server, and a partition larger than worker memory still
+    serves because no reader ever needs the whole partition — while idf
+    stays corpus-exact via the summary.  Stale bucket files from an
+    earlier, larger build are removed.
+
     Returns the manifest as a dict of single-element lists (one output
     row for the manifests dataset).
     """
-    pdir = os.path.join(index_dir, "parts", f"part={part}")
-    os.makedirs(pdir, exist_ok=True)
-    fpath = os.path.join(pdir, "postings.parquet")
-    tmp = fpath + ".tmp"
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, fpath)
+    import glob as _glob
     import hashlib
 
-    with open(fpath, "rb") as f:
-        sha = hashlib.sha256(f.read()).hexdigest()
+    pdir = os.path.join(index_dir, "parts", f"part={part}")
+    os.makedirs(pdir, exist_ok=True)
+    written: dict[int, str] = {}
+    if tbl.num_rows:
+        buckets = sorted(set(tbl["bucket"].to_pylist()))
+    else:
+        buckets = []
+    for b in buckets:
+        sub = _canonical_parquet(tbl.filter(pc.equal(tbl["bucket"], b)))
+        fpath = _bucket_file(pdir, int(b))
+        tmp = fpath + ".tmp"
+        pq.write_table(sub, tmp)
+        os.replace(tmp, fpath)
+        with open(fpath, "rb") as f:
+            written[int(b)] = hashlib.sha256(f.read()).hexdigest()
+    for f in _glob.glob(os.path.join(pdir, "bucket=*.parquet")):
+        if int(os.path.basename(f)[len("bucket=") : -len(".parquet")]) not in written:
+            os.remove(f)
+    # per-term corpus df totals: the gdf source for bucket-sliced
+    # loaders (corpus-exact idf without reading other buckets)
+    if tbl.num_rows:
+        termdf = (
+            tbl.select(["term", "df"])
+            .group_by("term")
+            .aggregate([("df", "sum")])
+            .rename_columns(["term", "df"])
+            .sort_by("term")
+        )
+    else:
+        termdf = pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    tpath = os.path.join(pdir, "_termdf.parquet")
+    pq.write_table(_canonical_parquet(termdf), tpath + ".tmp")
+    os.replace(tpath + ".tmp", tpath)
     m = {
         "partition": part,
         "status": "done",
         "lineage": lineage,
         "n_rows": tbl.num_rows,
-        "n_terms": len(set(tbl["term"].to_pylist())),
+        "n_terms": termdf.num_rows,
         "n_postings": int(pc.sum(tbl["df"]).as_py() or 0),
         "n_docs": 0,
         "total_tokens": 0,
         "avgdl": avgdl,
-        "file_sha256": sha,
+        # partition content hash = hash of ordered per-bucket hashes
+        "file_sha256": hashlib.sha256(
+            "".join(written[b] for b in sorted(written)).encode()
+        ).hexdigest(),
     }
     manifest.write_atomic(os.path.join(pdir, "manifest.json"), m)
     return {k: [v] for k, v in m.items()}
@@ -545,16 +619,54 @@ def write_partition(
 
 def annotate_partition(batch: pa.Table, *, index_dir: str, avgdl: float) -> pa.Table:
     """Post-pass body: fill block-max metadata on partitions that were
-    encoded before avgdl was known (single-pass build), rewriting the
-    partition file atomically."""
+    encoded before avgdl was known (single-pass build).  Block structure
+    is per posting row, so each BUCKET FILE annotates independently —
+    no concat/sort/re-split of the partition; bytes stay identical to
+    the one-shot write_partition path (every write is canonicalized
+    through the same parquet round-trip; the byte-identity suite and
+    the compaction-vs-fresh test cross-check the two paths)."""
+    import glob as _glob
+    import hashlib
+
     rows_out = []
     for p in batch["part"].to_pylist():
-        fpath = os.path.join(index_dir, "parts", f"part={p}", "postings.parquet")
-        if not os.path.exists(fpath):
+        pdir = os.path.join(index_dir, "parts", f"part={p}")
+        files = sorted(
+            _glob.glob(os.path.join(pdir, "bucket=*.parquet")),
+            key=lambda f: int(os.path.basename(f)[len("bucket=") : -len(".parquet")]),
+        )
+        if not files:
             continue
-        tbl = pq.read_table(fpath)
-        new_tbl = compress.annotate_umax_table(tbl, avgdl)
-        rows_out.append(write_partition(new_tbl, index_dir, int(p), avgdl, "fast-path"))
+        written: dict[int, str] = {}
+        n_rows = 0
+        n_postings = 0
+        for f in files:
+            b = int(os.path.basename(f)[len("bucket=") : -len(".parquet")])
+            t = compress.annotate_umax_table(pq.read_table(f), avgdl)
+            t = _canonical_parquet(t)
+            pq.write_table(t, f + ".tmp")
+            os.replace(f + ".tmp", f)
+            with open(f, "rb") as fh:
+                written[b] = hashlib.sha256(fh.read()).hexdigest()
+            n_rows += t.num_rows
+            n_postings += int(pc.sum(t["df"]).as_py() or 0)
+        termdf = pq.read_metadata(os.path.join(pdir, "_termdf.parquet"))
+        m = {
+            "partition": int(p),
+            "status": "done",
+            "lineage": "fast-path",
+            "n_rows": n_rows,
+            "n_terms": termdf.num_rows,
+            "n_postings": n_postings,
+            "n_docs": 0,
+            "total_tokens": 0,
+            "avgdl": avgdl,
+            "file_sha256": hashlib.sha256(
+                "".join(written[b] for b in sorted(written)).encode()
+            ).hexdigest(),
+        }
+        manifest.write_atomic(os.path.join(pdir, "manifest.json"), m)
+        rows_out.append({k: [v] for k, v in m.items()})
     if not rows_out:
         return pa.Table.from_pylist([], schema=_manifest_schema())
     return pa.concat_tables([pa.table(r) for r in rows_out])
@@ -694,10 +806,9 @@ def compact_index(index_dir: str) -> "IndexMeta":
         tombs = _ray.get(tomb_ref)
         rows_out = []
         for p in batch["part"].to_pylist():
-            fpath = os.path.join(index_dir, "parts", f"part={p}", "postings.parquet")
-            if not os.path.exists(fpath):
+            tbl = read_partition_table(index_dir, int(p))
+            if tbl.num_rows == 0:
                 continue
-            tbl = pq.read_table(fpath)
             flat, store_positions = _decode_partition_flat(tbl)
             # survivor mask over ALL postings of the partition at once
             keep = np.ones(len(flat["doc_ids"]), dtype=bool)
@@ -716,16 +827,9 @@ def compact_index(index_dir: str) -> "IndexMeta":
             }
             # fully-deleted term rows vanish on their own: row boundaries
             # are re-derived from the surviving (code, bucket) runs
+            # write_partition canonicalizes every bucket through a
+            # parquet round-trip, so no extra normalization is needed
             new_tbl = encode_partition_rows(flat, avgdl, store_positions=store_positions)
-            # canonicalize through one parquet round-trip: the writer's
-            # byte layout is sensitive to the in-memory array
-            # representation, and the fresh-build files it must
-            # byte-match were written from read-back tables (annotate
-            # post-pass).  Offline op; the extra serialization is
-            # irrelevant.
-            sink = pa.BufferOutputStream()
-            pq.write_table(new_tbl, sink)
-            new_tbl = pq.read_table(pa.BufferReader(sink.getvalue()))
             rows_out.append(write_partition(new_tbl, index_dir, int(p), avgdl, "compacted"))
         if not rows_out:
             return pa.Table.from_pylist([], schema=_manifest_schema())
@@ -755,8 +859,8 @@ class IndexMeta:
         self.num_parts = g["num_parts"]
         self.range_bits = g["range_bits"]
 
-    def part_file(self, part: int) -> str:
-        return os.path.join(self.index_dir, "parts", f"part={part}", "postings.parquet")
+    def part_dir(self, part: int) -> str:
+        return os.path.join(self.index_dir, "parts", f"part={part}")
 
     def docstats_dir(self) -> str:
         return os.path.join(self.index_dir, "docstats")

@@ -171,15 +171,20 @@ def build_from_mapping(
 ):
     """Mapping-config-driven build — the reference's drop-a-mapping-JSON
     flow (MasterScheduler.cs:205-239 applies ``mappings/*.json`` with
-    per-field ``analyzed`` / ``not_analyzed``).  The mapping names one
-    analyzed text field (-> postings) and any not_analyzed fields
-    (-> docmeta filter columns):
+    per-field ``analyzed`` / ``not_analyzed``).  The mapping names the
+    analyzed text field(s) (-> postings; a LIST builds a multi-field
+    index, cb.multifield) and any not_analyzed fields (-> docmeta
+    filter columns):
 
         {"id": "doc_id", "analyzed": "text",
          "not_analyzed": ["lang", "source"]}
+        {"id": "doc_id", "analyzed": ["text", "title"]}
 
-    Accepts the dict or a path to a JSON file.  Returns the IndexMeta;
-    filtered search works immediately against the named fields.
+    Accepts the dict or a path to a JSON file.  Returns the IndexMeta
+    (single field) or the multifield manifest dict (field list);
+    filtered search works immediately against the named fields (for a
+    multi-field index the docmeta table lives under the FIRST field's
+    sub-index, whose buckets every field shares).
     """
     import json as _json
 
@@ -194,14 +199,30 @@ def build_from_mapping(
             "mapping (derived corpus identities are not present in "
             "the source table for the docmeta pass)"
         )
+    analyzed = mapping["analyzed"]
+    not_analyzed = mapping.get("not_analyzed") or []
+    if isinstance(analyzed, (list, tuple)):
+        from . import multifield
+
+        meta = multifield.build_multifield(
+            source, index_dir, list(analyzed),
+            id_col=mapping.get("id", "doc_id"), **build_kwargs,
+        )
+        if not_analyzed:
+            build_docmeta(
+                source,
+                multifield.field_dir(index_dir, analyzed[0]),
+                list(not_analyzed),
+                id_col=mapping["id"],
+            )
+        return meta
     meta = build_mod.build_index(
         source,
         index_dir,
-        text_col=mapping["analyzed"],
+        text_col=analyzed,
         id_col=mapping.get("id"),
         **build_kwargs,
     )
-    not_analyzed = mapping.get("not_analyzed") or []
     if not_analyzed:
         build_docmeta(source, index_dir, list(not_analyzed), id_col=mapping["id"])
     return meta

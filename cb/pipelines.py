@@ -73,8 +73,9 @@ def _collect(ds: ray.data.Dataset) -> pa.Table:
     return t
 
 
-INDEX_FORMAT_VERSION = 3  # bump when the on-disk index layout changes
-# (v2: dls_blob; v3: positional postings — pos_blob/block_pos_off columns)
+INDEX_FORMAT_VERSION = 4  # bump when the on-disk index layout changes
+# (v2: dls_blob; v3: positional postings — pos_blob/block_pos_off columns;
+#  v4: bucket-pruned partitions — one file per doc-range bucket + _termdf)
 
 
 def _index_dir_for(sf_dir: str) -> str:
@@ -113,12 +114,12 @@ def sql_doc_stats() -> str:
 
 
 def q_term_stats(sf_dir: str) -> pa.Table:
+    import glob
+
     meta = get_index(sf_dir)
-    files = [
-        meta.part_file(p)
-        for p in range(meta.num_parts)
-        if os.path.exists(meta.part_file(p))
-    ]
+    files = sorted(
+        glob.glob(os.path.join(meta.index_dir, "parts", "part=*", "bucket=*.parquet"))
+    )
     parts = ray.data.read_parquet(files, columns=["term", "df", "cf"])
     agg = parts.groupby("term").aggregate(
         Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
@@ -501,6 +502,160 @@ ranked AS (
   SELECT s.query_id, s.doc_id, s.score,
          row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rank
   FROM scored s JOIN m ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
+# Multi-field query set: unscoped terms score in BOTH fields
+# (most_fields sum), field:term scopes to one analyzed field, -term
+# drops docs containing it in ANY field.
+MULTIFIELD_SET: tuple[str, ...] = (
+    "join table",
+    "title:join",
+    "merge title:sort",
+    "window -table",
+    "title:spark zebra",
+    "customer part key",
+    "title:key text:value",
+    "hash join title:merge",
+    "stream batch window",
+    "title:window title:sort column",
+)
+
+
+def _docs_with_title(sf_dir: str) -> ray.data.Dataset:
+    """documents + a derived second analyzed field: title = the first 8
+    kept tokens (space-joined; re-tokenizing reproduces them exactly,
+    and the SQL mirror is list_slice(toks, 1, 8))."""
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def with_title(batch: pa.Table) -> pa.Table:
+        toks = analyze.token_array(batch["text"])
+        title = pc.binary_join(pc.list_slice(toks, 0, 8), pa.scalar(" "))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": batch["text"], "title": title}
+        )
+
+    return ds.map_batches(with_title, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def get_multifield_index(sf_dir: str) -> str:
+    from . import multifield
+
+    key = f"{os.path.abspath(sf_dir)}|mf-v{INDEX_FORMAT_VERSION}"
+    idx = os.path.join(
+        "/tmp", "cb_index_cache", "mf-" + hashlib.md5(key.encode()).hexdigest()[:12]
+    )
+    if not os.path.exists(multifield._mf_manifest_path(idx)):
+        multifield.build_multifield(
+            _docs_with_title(sf_dir), idx, ["text", "title"], id_col="doc_id"
+        )
+    return idx
+
+
+def q_bm25_multifield(sf_dir: str) -> pa.Table:
+    """Multi-field BM25 (the reference's many-analyzed-fields mappings):
+    per-field sub-indexes, most_fields cross-field score sum, field:term
+    routing — served by the doc-sharded MultiFieldEngine pool."""
+    from . import multifield
+
+    idx = get_multifield_index(sf_dir)
+    engine = multifield.MultiFieldEngine(idx, num_servers=2)
+    try:
+        results = [engine.search(q, k=K) for q in MULTIFIELD_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6), type=pa.float64()
+            ),
+        }
+    )
+
+
+def sql_bm25_multifield() -> str:
+    """Oracle generated by the SAME term router the engine uses: per
+    field, the standard single-field BM25 CTEs over that field's token
+    lists; the total is coalesce(text)+coalesce(title) in the engine's
+    fixed field order (same two-addend float sum)."""
+    from . import multifield
+
+    tok = analyze.sql_token_array("text")
+    q_rows = {"text": [], "title": []}
+    excl_rows = []
+    for qid, q in enumerate(MULTIFIELD_SET):
+        field_terms, excluded = multifield.route_terms(q, ["text", "title"])
+        for f, terms in field_terms.items():
+            for t in terms:
+                q_rows[f].append(f"({qid}, '{t}')")
+        for t in excluded:
+            excl_rows.append(f"({qid}, '{t}')")
+    if not excl_rows:
+        excl_rows.append("(-1, '')")
+    per_field = []
+    for f in ("text", "title"):
+        contrib = scoring.sql_score_terms(
+            f"(SELECT n_docs FROM g_{f})", f"(SELECT avgdl FROM g_{f})"
+        )
+        per_field.append(f"""
+s_{f} AS (SELECT doc_id, len(t_{f})::BIGINT AS doc_len FROM f),
+g_{f} AS (SELECT count(*)::BIGINT AS n_docs,
+              sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM s_{f}),
+tf_{f} AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM (SELECT doc_id, unnest(t_{f}) AS term FROM f) GROUP BY 1, 2),
+df_{f} AS (SELECT term, count(*)::BIGINT AS df FROM tf_{f} GROUP BY 1),
+q_{f}(query_id, term) AS (VALUES {', '.join(q_rows[f])}),
+scored_{f} AS (
+  SELECT q.query_id, tf.doc_id, sum({contrib} ORDER BY q.term) AS score
+  FROM q_{f} q
+  JOIN tf_{f} tf ON tf.term = q.term
+  JOIN df_{f} df ON df.term = q.term
+  JOIN s_{f} stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+)""")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+f AS (SELECT doc_id, toks AS t_text, list_slice(toks, 1, 8) AS t_title FROM docs),
+{','.join(per_field)},
+m AS (
+  SELECT query_id, doc_id FROM scored_text
+  UNION
+  SELECT query_id, doc_id FROM scored_title
+),
+excl(query_id, term) AS (VALUES {', '.join(excl_rows)}),
+dropped AS (
+  SELECT e.query_id, tf.doc_id FROM excl e JOIN tf_text tf ON tf.term = e.term
+  UNION
+  SELECT e.query_id, tf.doc_id FROM excl e JOIN tf_title tf ON tf.term = e.term
+),
+total AS (
+  SELECT m.query_id, m.doc_id,
+         coalesce(st.score, CAST(0 AS DOUBLE)) + coalesce(sti.score, CAST(0 AS DOUBLE)) AS score
+  FROM m
+  LEFT JOIN scored_text st ON st.query_id = m.query_id AND st.doc_id = m.doc_id
+  LEFT JOIN scored_title sti ON sti.query_id = m.query_id AND sti.doc_id = m.doc_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dropped d WHERE d.query_id = m.query_id AND d.doc_id = m.doc_id
+  )
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM total
 )
 SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
        round(score, 6) AS score
@@ -1142,6 +1297,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_scores": q_bm25_topk_scores,
     "bm25_filtered": q_bm25_filtered,
+    "bm25_multifield": q_bm25_multifield,
     "phrase_search": q_phrase_search,
     "search_querystring": q_search_querystring,
     "content_sha256": q_content_sha256,
@@ -1184,6 +1340,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": sql_bm25(with_scores=False),
         "bm25_topk_scores": sql_bm25(with_scores=True),
         "bm25_filtered": sql_bm25_filtered(),
+        "bm25_multifield": sql_bm25_multifield(),
         "phrase_search": sql_phrase_search(),
         "search_querystring": sql_search_querystring(),
         "content_sha256": sql_content_sha256(),

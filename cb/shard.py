@@ -111,14 +111,15 @@ class DocStats:
 
 
 class ShardPartition:
-    """One term-partition file, loaded once; postings decoded on demand.
+    """One term partition, loaded once; postings decoded on demand.
 
-    ``buckets`` restricts the loaded rows to a doc-range subset (the
-    doc-sharded serving topology); per-term GLOBAL df is computed from
-    the full file's (term, df) columns before filtering, so idf stays
-    corpus-exact on a slice.  At cluster scale the file itself is
-    bucket-partitioned and the global df comes from a per-partition
-    summary row — here the full file is local anyway."""
+    The on-disk layout is BUCKET-PRUNED (one parquet file per doc-range
+    bucket, cb.build.write_partition): ``buckets`` restricts the READ to
+    a doc-range subset — a doc-sharded server touches only its own
+    bucket files, so load I/O is ~1/S per server and a partition larger
+    than worker memory still serves.  Per-term GLOBAL df comes from the
+    partition's tiny ``_termdf.parquet`` summary, so idf stays
+    corpus-exact on any slice without reading other buckets."""
 
     def __init__(
         self,
@@ -127,26 +128,46 @@ class ShardPartition:
         table: pa.Table | None = None,
         global_df: dict[str, int] | None = None,
     ):
-        """Load from ``path`` (own parquet read) or from an in-memory
-        ``table`` (one shared read via the object store — the doc-
-        sharded pool reads each file ONCE and every server filters its
-        zero-copy plasma view, instead of S full parquet decodes).
-        ``global_df`` short-circuits the per-term df summary when the
-        loader already computed it."""
+        """Load from ``path`` (a partition DIRECTORY of bucket files) or
+        from an in-memory ``table`` (tests / pre-sliced views).
+        ``global_df`` short-circuits the summary read when the caller
+        already has it."""
+        import glob as _glob
+
+        import pyarrow.compute as pc
+
         if table is None:
-            if path is None or not os.path.exists(path):
+            if path is None or not os.path.isdir(path):
                 self.table = None
                 self.offsets: dict[str, tuple[int, int]] = {}
                 self.global_df: dict[str, int] = {}
                 return
-            table = pq.read_table(path)
-        import pyarrow.compute as pc
-
+            files = []
+            for f in _glob.glob(os.path.join(path, "bucket=*.parquet")):
+                b = int(os.path.basename(f)[len("bucket=") : -len(".parquet")])
+                if buckets is None or b in set(buckets):
+                    files.append((b, f))
+            if global_df is None:
+                tdf = os.path.join(path, "_termdf.parquet")
+                if os.path.exists(tdf):
+                    t = pq.read_table(tdf)
+                    global_df = dict(
+                        zip(t["term"].to_pylist(), t["df"].to_pylist())
+                    )
+            if not files:
+                self.table = None
+                self.offsets = {}
+                self.global_df = global_df or {}
+                return
+            table = pa.concat_tables(
+                [pq.read_table(f) for _, f in sorted(files)]
+            ).sort_by([("term", "ascending"), ("bucket", "ascending")])
+        else:
+            if buckets is not None and table.num_rows:
+                table = table.filter(
+                    pc.is_in(table["bucket"], value_set=pa.array(sorted(buckets), type=pa.int32()))
+                )
         self.global_df = global_df if global_df is not None else self._term_df_totals(table)
-        if buckets is not None and table.num_rows:
-            table = table.filter(
-                pc.is_in(table["bucket"], value_set=pa.array(sorted(buckets), type=pa.int32()))
-            )
         self.table = table
         # Arrow run-end detection (rows are (term,bucket)-sorted): one
         # dictionary_encode + one vectorized diff, no per-row Python
@@ -259,63 +280,25 @@ class GlobalStats:
 
 
 @ray.remote
-def _load_partition_slices(path: str, assignments: list[list[int]]):
-    """One parquet decode per partition file; the per-term global-df
-    summary AND each server's bucket slice are computed here ONCE
-    (loader tasks parallelize with the CPU count) and returned as
-    SEPARATE task return values (``num_returns``) so each object is
-    owned by the DRIVER — a slice created via ``ray.put`` inside the
-    task would die with the ephemeral loader worker — and a server
-    fetches ONLY its own doc-range rows.  Per-server init work is
-    therefore ~1/S (offsets + warm over its slice): the engine-load
-    phase scales with the pool instead of every server re-filtering the
-    full file.  Returns (*per_server_slices, global_df)."""
-    import pyarrow.compute as pc
-
-    from .build import _posting_file_schema
-
-    if os.path.exists(path):
-        t = pq.read_table(path)
-        gdf = ShardPartition._term_df_totals(t)
-    else:
-        t = pa.Table.from_pylist([], schema=_posting_file_schema())
-        gdf = {}
-    slices = []
-    for buckets in assignments:
-        if len(assignments) == 1:
-            sl = t
-        else:
-            sl = t.filter(
-                pc.is_in(t["bucket"], value_set=pa.array(sorted(buckets), type=pa.int32()))
-            ) if t.num_rows else t
-        slices.append(sl)
-    return (*slices, gdf)
-
-
-@ray.remote
 class ShardServer:
     """Owns a set of term partitions — whole lists (term-sharded) or a
     doc-range bucket slice of every list (doc-sharded, ``buckets``);
-    loads once, serves many queries."""
+    loads once, serves many queries.
+
+    Doc-sharded load is PRUNED AT THE READ: the partition layout is one
+    file per doc-range bucket, so a server opens only its assigned
+    bucket files — bytes read per server ~ 1/S of the index, no loader
+    tasks, no shared full-file decode, and partitions larger than one
+    worker's memory still serve."""
 
     def __init__(
         self,
         index_dir: str,
         parts: list[int],
         buckets: list[int] | None = None,
-        part_refs: list | None = None,
     ):
         meta = IndexMeta(index_dir)
-        if part_refs is not None:
-            # pre-sliced tables + gdf summaries from the object store
-            # (read + sliced once by loader tasks; plasma get is
-            # zero-copy on-node); each entry is (slice_ref, gdf_ref)
-            # for THIS server only
-            self.parts = {}
-            for p, (sref, gref) in zip(parts, part_refs):
-                self.parts[p] = ShardPartition(table=ray.get(sref), global_df=ray.get(gref))
-        else:
-            self.parts = {p: ShardPartition(meta.part_file(p), buckets=buckets) for p in parts}
+        self.parts = {p: ShardPartition(meta.part_dir(p), buckets=buckets) for p in parts}
         self.stats = GlobalStats(meta.n_docs, meta.avgdl)
         self.n_docs = meta.n_docs
         self.num_parts = meta.num_parts
@@ -484,7 +467,7 @@ class LocalSearcher:
     def __init__(self, index_dir: str):
         self.meta = IndexMeta(index_dir)
         self.parts = {
-            p: ShardPartition(self.meta.part_file(p))
+            p: ShardPartition(self.meta.part_dir(p))
             for p in range(self.meta.num_parts)
         }
         self.stats = GlobalStats(self.meta.n_docs, self.meta.avgdl)
@@ -598,25 +581,12 @@ class QueryEngine:
                 [b for b in range(n_buckets) if b % num_servers == s]
                 for s in range(num_servers)
             ]
-            # each partition file is parquet-decoded AND per-server
-            # sliced ONCE by loader tasks (parallel across CPUs); the
-            # slices and gdf summaries stay in the object store as
-            # driver-owned task returns (never materialized here), and
-            # a server fetches only its own.  At cluster scale the
-            # layout is bucket-partitioned files and each server reads
-            # only its range.
-            loaded = [
-                _load_partition_slices.options(num_returns=num_servers + 1).remote(
-                    self.meta.part_file(p), assignments
-                )
-                for p in all_parts
-            ]
+            # bucket-pruned layout: every server reads ONLY its assigned
+            # bucket files (disjoint), so the pool's total load I/O is
+            # one read of the index regardless of S, each server's share
+            # is ~1/S, and no file is ever decoded twice
             self.servers = [
-                ShardServer.remote(
-                    index_dir, all_parts,
-                    buckets=assignments[s],
-                    part_refs=[(refs[s], refs[-1]) for refs in loaded],
-                )
+                ShardServer.remote(index_dir, all_parts, buckets=assignments[s])
                 for s in range(num_servers)
             ]
         elif mode == "term":

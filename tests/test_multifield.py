@@ -1,0 +1,138 @@
+"""Multi-field analyzed indexes: most_fields scoring, field:term
+routing, topology parity, mapping-driven build."""
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from cb import analyze, multifield, scoring
+from cb.query import rank_topk
+
+DOCS = [
+    # (doc_id, title, body)
+    (11, "fast hash join", "the table scan uses a hash join over rows"),
+    (22, "merge sort window", "sort merge frames the window computation"),
+    (33, "zebra quantum", "unrelated words entirely about zebras"),
+    (44, "table of contents", "join the merge of sorted tables"),
+    (55, "hash functions", "quantum hash zebra table"),
+]
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mf")
+    rows = [
+        {"doc_id": i, "title": t, "body": b} for i, t, b in DOCS
+    ]
+    src = str(d / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(d / "idx")
+    multifield.build_multifield(src, idx, ["title", "body"], id_col="doc_id", num_parts=4)
+    return idx
+
+
+def _reference(query, k=10):
+    """Sequential most_fields spec: per-field BM25 (sorted-term sum,
+    per-field df/avgdl), doc score = sum over fields in index order."""
+    field_terms, excluded = multifield.route_terms(query, ["title", "body"])
+    toks = {
+        f: {i: analyze.tokenize(v) for i, t, b in DOCS for v in [(t if f == "title" else b)]}
+        for f in ("title", "body")
+    }
+    scores: dict[int, float] = {}
+    for f in ("title", "body"):
+        tf = {i: Counter(ts) for i, ts in toks[f].items()}
+        dl = {i: len(ts) for i, ts in toks[f].items()}
+        n = len(DOCS)
+        avgdl = sum(dl.values()) / n
+        df = Counter()
+        for c in tf.values():
+            df.update(c.keys())
+        for i, _, _ in DOCS:
+            s = np.float64(0.0)
+            hit = False
+            for t in field_terms[f]:
+                c = tf[i].get(t)
+                if c:
+                    hit = True
+                    s = s + scoring.idf(df[t], n) * scoring.u_factor(c, dl[i], avgdl)
+            if hit:
+                scores[i] = float(np.float64(scores.get(i, 0.0)) + s)
+    for i, _, _ in DOCS:
+        if i in scores and any(
+            t in toks[f][i] for f in ("title", "body") for t in excluded
+        ):
+            del scores[i]
+    if not scores:
+        return []
+    ids = np.array(sorted(scores), dtype=np.int64)
+    vals = np.array([scores[i] for i in ids], dtype=np.float64)
+    return rank_topk(ids, vals, k)
+
+
+QUERIES = (
+    "hash join",                 # unscoped -> scored in both fields
+    "title:hash",                # scoped to title only
+    "body:join title:merge",     # two scoped terms
+    "table -zebra",              # exclusion across fields
+    "zebra",                     # matches title of 33, body of 55
+    "title:quantum body:quantum",
+    "absentterm",
+)
+
+
+def test_searcher_matches_reference(built):
+    s = multifield.MultiFieldSearcher(built)
+    for q in QUERIES:
+        assert s.search(q, k=10) == _reference(q), q
+
+
+def test_engine_bitwise_parity_with_searcher(built):
+    s = multifield.MultiFieldSearcher(built)
+    for n in (1, 2, 3):
+        eng = multifield.MultiFieldEngine(built, num_servers=n)
+        try:
+            for q in QUERIES:
+                assert eng.search(q, k=10) == s.search(q, k=10), (n, q)
+        finally:
+            eng.shutdown()
+
+
+def test_field_scoping_changes_results(built):
+    s = multifield.MultiFieldSearcher(built)
+    both = {d for d, _ in s.search("hash", k=10)}
+    title_only = {d for d, _ in s.search("title:hash", k=10)}
+    assert title_only == {11, 55}   # hash in title
+    assert both == {11, 55}         # hash somewhere
+    # scoping to body: doc 55 has hash in body too, 11 only in body text
+    body_only = {d for d, _ in s.search("body:hash", k=10)}
+    assert body_only == {11, 55}
+    # but scores differ between scoped and unscoped (sum of two fields)
+    assert dict(s.search("hash", k=10)) != dict(s.search("title:hash", k=10))
+
+
+def test_errors(built):
+    s = multifield.MultiFieldSearcher(built)
+    with pytest.raises(ValueError, match="phrase"):
+        s.search('"hash join"')
+    with pytest.raises(ValueError, match="unknown analyzed field"):
+        s.search("lang:en hash")
+
+
+def test_mapping_driven_multifield(tmp_path):
+    from cb.docmeta import build_from_mapping
+
+    rows = [{"doc_id": i, "title": t, "body": b} for i, t, b in DOCS]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "idx")
+    m = build_from_mapping(
+        src, idx, {"id": "doc_id", "analyzed": ["title", "body"]}, num_parts=4
+    )
+    assert m["fields"] == ["title", "body"]
+    s = multifield.MultiFieldSearcher(idx)
+    assert {d for d, _ in s.search("title:hash", k=10)} == {11, 55}

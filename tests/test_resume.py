@@ -69,7 +69,7 @@ def test_resume_skips_done_partitions(corpus_files, tmp_path):
     before = {
         k: os.stat(p).st_mtime_ns
         for k, p in _index_files(b).items()
-        if k.endswith("postings.parquet")
+        if "/bucket=" in k and k.startswith("parts/")
     }
     build_index_resumable(corpus_files, b, num_parts=4)
     after_files = _index_files(b)
@@ -98,10 +98,11 @@ def test_fast_path_value_equivalent(corpus_files, tmp_path):
     def postings_map(index_dir, num_parts):
         rows = {}
         for p in range(num_parts):
-            f = os.path.join(index_dir, "parts", f"part={p}", "postings.parquet")
-            if not os.path.exists(f):
+            from cb.build import read_partition_table
+
+            t = read_partition_table(index_dir, p)
+            if t.num_rows == 0:
                 continue
-            t = pq.read_table(f)
             for r in t.to_pylist():
                 rows[(r["term"], r["bucket"])] = (
                     r["df"], r["cf"], r["ids_blob"], r["tfs_blob"],
@@ -300,7 +301,7 @@ def test_chaos_random_wounds_resume_byte_identical(corpus_files, tmp_path):
                         fh.write("{")  # truncated write (crash mid-publish)
             else:
                 # stray uncommitted file a crashed task might leave
-                with open(os.path.join(idx, "parts", "part=0", "postings.parquet.tmp"), "wb") as fh:
+                with open(os.path.join(idx, "parts", "part=0", "bucket=0.parquet.tmp"), "wb") as fh:
                     fh.write(b"garbage")
         build_index_resumable(files, idx, num_parts=4)
         got = {k: _sha(p) for k, p in _index_files(idx).items()

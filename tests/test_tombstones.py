@@ -154,7 +154,13 @@ def test_decode_partition_flat_roundtrip(tmp_path):
     """_decode_partition_flat is the exact inverse of
     encode_partition_rows: re-encoding the decoded arrays reproduces the
     partition table bit-for-bit."""
-    from cb.build import IndexMeta, _decode_partition_flat, build_index, encode_partition_rows
+    from cb.build import (
+        IndexMeta,
+        _decode_partition_flat,
+        build_index,
+        encode_partition_rows,
+        read_partition_table,
+    )
 
     rng = np.random.default_rng(5)
     rows = [
@@ -173,8 +179,7 @@ def test_decode_partition_flat_roundtrip(tmp_path):
     meta = IndexMeta(idx)
     checked = 0
     for p in range(meta.num_parts):
-        f = meta.part_file(p)
-        tbl = pq.read_table(f)
+        tbl = read_partition_table(idx, p)
         flat, store_positions = _decode_partition_flat(tbl)
         assert store_positions
         re_tbl = encode_partition_rows(flat, meta.avgdl, store_positions=True)
