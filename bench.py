@@ -187,9 +187,11 @@ def run_bench() -> dict:
 
     # phase 4 (extras, untimed in headline): IVF recall@10 vs brute
     # force on the embeddings table — the accuracy/perf tradeoff number
-    # the approximate index is accountable to.
+    # the approximate index is accountable to.  Skipped during --scaling
+    # legs (extras are not part of the scaled job).
+    skip_extras = bool(os.environ.get("CB_BENCH_SKIP_EXTRAS"))
     emb_path = os.path.join(SF_DIR, "embeddings.parquet")
-    if os.path.exists(emb_path):
+    if not skip_extras and os.path.exists(emb_path):
         import numpy as np
 
         from cb import ann
@@ -222,18 +224,17 @@ def run_bench() -> dict:
     # code corpus and physically drop it (vectorized whole-partition
     # decode -> survivor mask -> re-encode).
     engine.shutdown()
-    import pyarrow.compute as pc
-
-    ds_dir = os.path.join(code_idx, "docstats")
-    some = pq.read_table(os.path.join(ds_dir, sorted(os.listdir(ds_dir))[0]))
-    dead = some["doc_id"].to_pylist()[:: max(1, some.num_rows // max(1, meta_code.n_docs // 100))]
-    shard.delete_docs(code_idx, dead)
-    n_rows = build.IndexMeta(code_idx).build_metrics()["n_rows"]
-    t0 = time.perf_counter()
-    build.compact_index(code_idx)
-    extras["compact_sec"] = time.perf_counter() - t0
-    extras["compact_tombstones"] = float(len(dead))
-    extras["compact_posting_rows"] = float(n_rows)
+    if not skip_extras:
+        ds_dir = os.path.join(code_idx, "docstats")
+        some = pq.read_table(os.path.join(ds_dir, sorted(os.listdir(ds_dir))[0]))
+        dead = some["doc_id"].to_pylist()[:: max(1, some.num_rows // max(1, meta_code.n_docs // 100))]
+        shard.delete_docs(code_idx, dead)
+        n_rows = build.IndexMeta(code_idx).build_metrics()["n_rows"]
+        t0 = time.perf_counter()
+        build.compact_index(code_idx)
+        extras["compact_sec"] = time.perf_counter() - t0
+        extras["compact_tombstones"] = float(len(dead))
+        extras["compact_posting_rows"] = float(n_rows)
 
     extras["calib_end_sec"] = _calibrate()
     total = sum(timings.values())
@@ -252,7 +253,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), CB_BENCH_SKIP_EXTRAS="1")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -513,10 +513,14 @@ def _manifest_schema() -> pa.Schema:
 
 def _canonical_parquet(tbl: pa.Table) -> pa.Table:
     """Round-trip through an in-memory parquet buffer: the writer's byte
-    layout is sensitive to the in-memory array representation (freshly
-    encoded vs read-from-parquet), and the byte-identity guarantees
-    (fresh == resumed == compacted) need every write path to emit the
-    SAME bytes for the same logical content."""
+    layout differs between freshly-encoded arrays and read-from-parquet
+    arrays, and the byte-identity guarantees (fresh == resumed ==
+    compacted) need every FINAL write to emit the same bytes for the
+    same logical content.  Applied only where the written bytes are
+    final (avgdl known): the fast path's first write is rewritten by
+    the annotate post-pass (whose input is already a read-back), so it
+    skips the round-trip — that's one serialize per bucket saved on the
+    build's hottest write."""
     sink = pa.BufferOutputStream()
     pq.write_table(tbl, sink)
     return pq.read_table(pa.BufferReader(sink.getvalue()))
@@ -572,8 +576,11 @@ def write_partition(
         buckets = sorted(set(tbl["bucket"].to_pylist()))
     else:
         buckets = []
+    canonical = avgdl is not None  # final bytes (no annotate rewrite coming)
     for b in buckets:
-        sub = _canonical_parquet(tbl.filter(pc.equal(tbl["bucket"], b)))
+        sub = tbl.filter(pc.equal(tbl["bucket"], b))
+        if canonical:
+            sub = _canonical_parquet(sub)
         fpath = _bucket_file(pdir, int(b))
         tmp = fpath + ".tmp"
         pq.write_table(sub, tmp)
@@ -596,7 +603,7 @@ def write_partition(
     else:
         termdf = pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
     tpath = os.path.join(pdir, "_termdf.parquet")
-    pq.write_table(_canonical_parquet(termdf), tpath + ".tmp")
+    pq.write_table(termdf, tpath + ".tmp")
     os.replace(tpath + ".tmp", tpath)
     m = {
         "partition": part,
@@ -622,9 +629,8 @@ def annotate_partition(batch: pa.Table, *, index_dir: str, avgdl: float) -> pa.T
     encoded before avgdl was known (single-pass build).  Block structure
     is per posting row, so each BUCKET FILE annotates independently —
     no concat/sort/re-split of the partition; bytes stay identical to
-    the one-shot write_partition path (every write is canonicalized
-    through the same parquet round-trip; the byte-identity suite and
-    the compaction-vs-fresh test cross-check the two paths)."""
+    the one-shot write_partition path (the byte-identity suite and the
+    compaction-vs-fresh test cross-check the two paths)."""
     import glob as _glob
     import hashlib
 
@@ -643,7 +649,6 @@ def annotate_partition(batch: pa.Table, *, index_dir: str, avgdl: float) -> pa.T
         for f in files:
             b = int(os.path.basename(f)[len("bucket=") : -len(".parquet")])
             t = compress.annotate_umax_table(pq.read_table(f), avgdl)
-            t = _canonical_parquet(t)
             pq.write_table(t, f + ".tmp")
             os.replace(f + ".tmp", f)
             with open(f, "rb") as fh:
@@ -827,8 +832,6 @@ def compact_index(index_dir: str) -> "IndexMeta":
             }
             # fully-deleted term rows vanish on their own: row boundaries
             # are re-derived from the surviving (code, bucket) runs
-            # write_partition canonicalizes every bucket through a
-            # parquet round-trip, so no extra normalization is needed
             new_tbl = encode_partition_rows(flat, avgdl, store_positions=store_positions)
             rows_out.append(write_partition(new_tbl, index_dir, int(p), avgdl, "compacted"))
         if not rows_out:
