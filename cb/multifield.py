@@ -88,52 +88,93 @@ def load_multifield_meta(index_dir: str) -> dict:
     return m
 
 
-def route_terms(
-    query: str, fields: list[str]
-) -> tuple[dict[str, list[str]], list[str]]:
-    """Query string -> ({field: sorted scored terms}, excluded terms).
+def route_query(query: str, fields: list[str]) -> dict:
+    """Query string -> the full routed clause structure.
 
-    Unscoped terms score in EVERY field (most_fields); ``field:term``
-    with an analyzed field scopes the term; ``-term`` excludes docs
-    containing the term in ANY field.  Phrases and not_analyzed filters
-    are the single-field searcher's job — a multifield query using them
-    raises a descriptive error rather than silently ignoring them."""
+    - Unscoped terms score in EVERY field (most_fields); ``field:term``
+      with an analyzed field scopes the term; ``-term`` excludes docs
+      containing the term in ANY field.
+    - ``"a b"`` (unscoped phrase) is REQUIRED in at least one analyzed
+      field; ``field:"a b"`` is required in that field; ``-"a b"`` drops
+      docs containing the phrase in ANY field.  Phrase terms are scored
+      wherever the phrase can match (same as the single-field engine).
+    - ``field:val`` / ``field:"multi word"`` where ``field`` is NOT an
+      analyzed field goes to the docmeta filter context (exact match on
+      a not_analyzed column; validated at execution).
+    """
     from . import querylang
 
     parsed = querylang.parse(query)
-    if parsed["phrases"] or parsed.get("excluded_phrases"):
-        raise ValueError(
-            "phrase clauses are per-field; use the single-field searcher "
-            "on the target field's sub-index"
-        )
     field_terms: dict[str, set] = {f: set() for f in fields}
+    filters: dict[str, str] = {}
+    field_phrases: list[tuple[str, list[str]]] = []
+    for f, raw in parsed["scoped_phrases"]:
+        if f in field_terms:
+            toks = analyze.tokenize(raw)
+            if toks:
+                field_phrases.append((f, toks))
+                field_terms[f].update(toks)
+        else:
+            filters[f] = raw
     for f, val in parsed["filters"].items():
-        if f not in field_terms:
-            raise ValueError(
-                f"unknown analyzed field {f!r}; this index has {fields}"
-            )
-        field_terms[f].update(analyze.tokenize(val))
+        if f in field_terms:
+            field_terms[f].update(analyze.tokenize(val))
+        else:
+            filters[f] = val
+    for ph in parsed["phrases"]:
+        for f in fields:
+            field_terms[f].update(ph)
     for t in parsed["terms"]:
         for f in fields:
             field_terms[f].add(t)
-    return {f: sorted(ts) for f, ts in field_terms.items()}, parsed["excluded"]
+    return {
+        "field_terms": {f: sorted(ts) for f, ts in field_terms.items()},
+        "excluded": parsed["excluded"],
+        "any_phrases": parsed["phrases"],
+        "field_phrases": field_phrases,
+        "filters": filters,
+        "excluded_phrases": parsed["excluded_phrases"],
+    }
+
+
+def route_terms(
+    query: str, fields: list[str]
+) -> tuple[dict[str, list[str]], list[str]]:
+    """Term-only routing: ({field: sorted scored terms}, excluded).
+
+    The restricted form the SQL oracle generator shares with the engine;
+    phrase clauses or non-analyzed filters raise (use :func:`route_query`
+    / the searcher for the full surface)."""
+    r = route_query(query, fields)
+    if r["any_phrases"] or r["field_phrases"] or r["excluded_phrases"]:
+        raise ValueError("route_terms handles term queries only (no phrases)")
+    if r["filters"]:
+        raise ValueError(
+            f"unknown analyzed field {sorted(r['filters'])}; this index has {fields}"
+        )
+    return r["field_terms"], r["excluded"]
 
 
 def _score_fields(
-    field_terms: dict[str, list[str]],
-    excluded: list[str],
+    routed: dict,
     get_postings,  # (field, term) -> ChunkedPostings | None
     stats: dict[str, GlobalStats],
     field_order: list[str],
     k: int,
     tombstones: np.ndarray,
+    docmeta=None,
 ) -> list[tuple[int, float]]:
     """Cross-field most_fields sum over one postings scope (whole index
     in-process; a doc-range slice on a server).  Field order is fixed,
-    so the float sum is deterministic and slice-independent."""
+    so the float sum is deterministic and slice-independent.  Every
+    clause (phrase, filter, exclusion) is evaluated per doc, so a
+    doc-sharded server can run this over its disjoint slice and the
+    driver merge stays exact."""
+    from . import phrase as phrase_mod
+
     per_field = []
     for f in field_order:
-        terms = field_terms.get(f) or []
+        terms = routed["field_terms"].get(f) or []
         postings = {t: get_postings(f, t) for t in terms}
         live = {t: p for t, p in postings.items() if p is not None}
         if not live:
@@ -152,7 +193,64 @@ def _score_fields(
     for _, universe, acc in per_field:  # manifest field order
         total[np.searchsorted(all_ids, universe)] += acc
     keep = _live_mask(all_ids, tombstones)
-    for t in excluded:
+    # filter context: exact match on not_analyzed docmeta columns —
+    # membership only, never scores (ES bool.filter)
+    if routed.get("filters"):
+        if docmeta is None:
+            raise ValueError(
+                f"filter fields {sorted(routed['filters'])} are not analyzed "
+                f"fields of this index ({field_order}) and no docmeta table "
+                "is built (cb.docmeta / mapping not_analyzed)"
+            )
+        unknown = sorted(set(routed["filters"]) - set(docmeta.cols))
+        if unknown:
+            raise ValueError(
+                f"unknown filter fields {unknown}; analyzed fields are "
+                f"{field_order}, docmeta columns {sorted(docmeta.cols)}"
+            )
+        keep &= docmeta.mask(all_ids, routed["filters"])
+
+    def _phrase_hits(f: str, toks: list[str], cap: int) -> np.ndarray | None:
+        """Sorted ids of docs matching the phrase in field ``f`` within
+        this scope; None when a phrase term is absent from the field."""
+        ph_postings = {t: get_postings(f, t) for t in set(toks)}
+        if any(p is None for p in ph_postings.values()):
+            return None
+        hits = phrase_mod.phrase_topk(toks, ph_postings, stats[f], cap)
+        return np.array(sorted(d for d, _ in hits), dtype=np.int64)
+
+    # unscoped phrases: required in >=1 analyzed field.  Phrase terms
+    # are scored in every field, so matches are within the universe and
+    # cap=len(all_ids) is exact.
+    for toks in routed.get("any_phrases", ()):
+        union: list[np.ndarray] = []
+        for f in field_order:
+            h = _phrase_hits(f, toks, len(all_ids))
+            if h is not None and len(h):
+                union.append(h)
+        if not union:
+            return []
+        keep &= np.isin(all_ids, np.unique(np.concatenate(union)), assume_unique=True)
+    # field-scoped phrases: required in THAT field
+    for f, toks in routed.get("field_phrases", ()):
+        h = _phrase_hits(f, toks, len(all_ids))
+        if h is None or len(h) == 0:
+            return []
+        keep &= np.isin(all_ids, h, assume_unique=True)
+    # negated phrases: must_not in ANY field.  Their terms are unscored,
+    # so matches are NOT bounded by the universe — bound by the phrase's
+    # rarest term df in the field instead.
+    for toks in routed.get("excluded_phrases", ()):
+        for f in field_order:
+            ph_postings = {t: get_postings(f, t) for t in set(toks)}
+            if any(p is None for p in ph_postings.values()):
+                continue
+            cap = min(p.df for p in ph_postings.values())
+            hits = phrase_mod.phrase_topk(toks, ph_postings, stats[f], cap)
+            if hits:
+                hit_ids = np.array(sorted(d for d, _ in hits), dtype=np.int64)
+                keep &= ~np.isin(all_ids, hit_ids, assume_unique=True)
+    for t in routed["excluded"]:
         for f in field_order:
             p = get_postings(f, t)
             if p is None:
@@ -162,11 +260,25 @@ def _score_fields(
     return rank_topk(all_ids[keep], total[keep], k)
 
 
+def _load_docmeta(index_dir: str, fields: list[str], buckets: list[int] | None):
+    """The docmeta side table of a multi-field index lives under the
+    FIRST field's sub-index (build_from_mapping convention — every field
+    shares the same doc-range buckets).  None when not built; the filter
+    executor raises the descriptive error."""
+    from . import docmeta as docmeta_mod
+
+    try:
+        return docmeta_mod.DocMeta(field_dir(index_dir, fields[0]), buckets=buckets)
+    except FileNotFoundError:
+        return None
+
+
 class MultiFieldSearcher:
     """In-process multi-field searcher (tests / tiny corpora)."""
 
     def __init__(self, index_dir: str):
         m = load_multifield_meta(index_dir)
+        self.index_dir = index_dir
         self.fields: list[str] = m["fields"]
         self.metas = {f: IndexMeta(field_dir(index_dir, f)) for f in self.fields}
         self.stats = {
@@ -180,16 +292,25 @@ class MultiFieldSearcher:
             for f, meta in self.metas.items()
         }
         self.tombstones = load_tombstones(index_dir)
+        self._dm = None
+        self._dm_loaded = False
 
     def _get(self, field: str, term: str):
         meta = self.metas[field]
         return self.parts[field][term_partition(term, meta.num_parts)].get(term)
 
+    def _docmeta(self):
+        if not self._dm_loaded:
+            self._dm = _load_docmeta(self.index_dir, self.fields, None)
+            self._dm_loaded = True
+        return self._dm
+
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        field_terms, excluded = route_terms(query, self.fields)
+        routed = route_query(query, self.fields)
+        dm = self._docmeta() if routed["filters"] else None
         return _score_fields(
-            field_terms, excluded, self._get, self.stats, self.fields, k,
-            self.tombstones,
+            routed, self._get, self.stats, self.fields, k, self.tombstones,
+            docmeta=dm,
         )
 
 
@@ -203,6 +324,8 @@ class MultiFieldServer:
 
     def __init__(self, index_dir: str, buckets: list[int] | None):
         m = load_multifield_meta(index_dir)
+        self.index_dir = index_dir
+        self.buckets = buckets
         self.fields: list[str] = m["fields"]
         self.metas = {f: IndexMeta(field_dir(index_dir, f)) for f in self.fields}
         self.stats = {
@@ -216,15 +339,25 @@ class MultiFieldServer:
             for f, meta in self.metas.items()
         }
         self.tombstones = load_tombstones(index_dir)
+        self._dm = None
+        self._dm_loaded = False
 
     def _get(self, field: str, term: str):
         meta = self.metas[field]
         return self.parts[field][term_partition(term, meta.num_parts)].get(term)
 
-    def score(self, field_terms: dict, excluded: list, k: int):
+    def score(self, routed: dict, k: int):
+        dm = None
+        if routed.get("filters"):
+            if not self._dm_loaded:
+                # the docmeta table shards WITH the postings: this server
+                # loads only its own doc-range buckets
+                self._dm = _load_docmeta(self.index_dir, self.fields, self.buckets)
+                self._dm_loaded = True
+            dm = self._dm
         return _score_fields(
-            field_terms, excluded, self._get, self.stats, self.fields, k,
-            self.tombstones,
+            routed, self._get, self.stats, self.fields, k, self.tombstones,
+            docmeta=dm,
         )
 
 
@@ -253,8 +386,8 @@ class MultiFieldEngine:
         ]
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        field_terms, excluded = route_terms(query, self.fields)
-        futs = [s.score.remote(field_terms, excluded, k) for s in self.servers]
+        routed = route_query(query, self.fields)
+        futs = [s.score.remote(routed, k) for s in self.servers]
         return _merge_topk(ray.get(futs), k)
 
     def shutdown(self) -> None:

@@ -663,6 +663,154 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
+#  Multi-field query strings: phrases (unscoped -> any analyzed field,
+#  field:"..." -> that field), docmeta filter context (lang/source), and
+#  exclusions — the full search surface over the two-field index.
+MF_QS_SET: tuple[str, ...] = (
+    '"merge sort" window',
+    'title:"merge sort"',
+    "hash join lang:en",
+    '"hash join" lang:fr',
+    'text:"table scan" column',
+    'window -"merge sort"',
+    '"data stream" source:src1',
+    "title:join merge lang:de",
+    'column row -table source:src2',
+    '"group order" title:group',
+)
+
+
+def q_multifield_querystring(sf_dir: str) -> pa.Table:
+    """Query strings over the multi-field index: most_fields scoring,
+    any-field + field-scoped required phrases, negated phrases, docmeta
+    filters — served by the doc-sharded MultiFieldEngine pool."""
+    from . import docmeta as docmeta_mod, multifield
+
+    idx = get_multifield_index(sf_dir)
+    docmeta_mod.ensure_docmeta(
+        multifield.field_dir(idx, "text"), docs_path(sf_dir), ["lang", "source"]
+    )
+    engine = multifield.MultiFieldEngine(idx, num_servers=2)
+    try:
+        results = [engine.search(q, k=K) for q in MF_QS_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6), type=pa.float64()
+            ),
+        }
+    )
+
+
+def sql_multifield_querystring() -> str:
+    """Oracle generated per query by the SAME router the engine uses
+    (multifield.route_query): per-field BM25 CTEs + most_fields sum;
+    phrases -> token-joined LIKE per field (any-field = OR, scoped =
+    that field); filters -> metadata equality; exclusions -> NOT LIKE
+    in every field."""
+    from . import multifield
+
+    tok = analyze.sql_token_array("text")
+    fields = ("text", "title")
+    q_rows = {f: [] for f in fields}
+    member_selects = []
+    jalias = {"text": "jt", "title": "jti"}
+    for qid, q in enumerate(MF_QS_SET):
+        r = multifield.route_query(q, list(fields))
+        for f in fields:
+            for t in r["field_terms"][f]:
+                q_rows[f].append(f"({qid}, '{t}')")
+        preds = []
+        for ph in r["any_phrases"]:
+            p = " ".join(ph)
+            ors = " OR ".join(f"{jalias[f]}.s LIKE '% {p} %'" for f in fields)
+            preds.append(f"({ors})")
+        for f, ph in r["field_phrases"]:
+            preds.append(f"{jalias[f]}.s LIKE '% {' '.join(ph)} %'")
+        for ph in r["excluded_phrases"]:
+            p = " ".join(ph)
+            for f in fields:
+                preds.append(f"{jalias[f]}.s NOT LIKE '% {p} %'")
+        for t in r["excluded"]:
+            for f in fields:
+                preds.append(f"{jalias[f]}.s NOT LIKE '% {t} %'")
+        for col, val in r["filters"].items():
+            preds.append(f"d.{col} = '{val}'")
+        where = (" AND " + " AND ".join(preds)) if preds else ""
+        member_selects.append(
+            f"SELECT {qid} AS query_id, d.doc_id FROM documents d "
+            f"JOIN joined_text jt ON jt.doc_id = d.doc_id "
+            f"JOIN joined_title jti ON jti.doc_id = d.doc_id WHERE TRUE{where}"
+        )
+    for f in fields:
+        if not q_rows[f]:
+            q_rows[f].append("(-1, '')")
+    members = " UNION ALL ".join(member_selects)
+    per_field = []
+    for f in fields:
+        contrib_f = scoring.sql_score_terms(
+            f"(SELECT n_docs FROM g_{f})", f"(SELECT avgdl FROM g_{f})"
+        )
+        per_field.append(f"""
+s_{f} AS (SELECT doc_id, len(t_{f})::BIGINT AS doc_len FROM f),
+g_{f} AS (SELECT count(*)::BIGINT AS n_docs,
+              sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM s_{f}),
+tf_{f} AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM (SELECT doc_id, unnest(t_{f}) AS term FROM f) GROUP BY 1, 2),
+df_{f} AS (SELECT term, count(*)::BIGINT AS df FROM tf_{f} GROUP BY 1),
+q_{f}(query_id, term) AS (VALUES {', '.join(q_rows[f])}),
+scored_{f} AS (
+  SELECT q.query_id, tf.doc_id, sum({contrib_f} ORDER BY q.term) AS score
+  FROM q_{f} q
+  JOIN tf_{f} tf ON tf.term = q.term
+  JOIN df_{f} df ON df.term = q.term
+  JOIN s_{f} stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+)""")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+f AS (SELECT doc_id, toks AS t_text, list_slice(toks, 1, 8) AS t_title FROM docs),
+{','.join(per_field)},
+joined_text AS (SELECT doc_id, ' ' || array_to_string(t_text, ' ') || ' ' AS s FROM f),
+joined_title AS (SELECT doc_id, ' ' || array_to_string(t_title, ' ') || ' ' AS s FROM f),
+base AS (
+  SELECT query_id, doc_id FROM scored_text
+  UNION
+  SELECT query_id, doc_id FROM scored_title
+),
+preds AS ({members}),
+m AS (SELECT b.query_id, b.doc_id FROM base b
+      JOIN preds p ON p.query_id = b.query_id AND p.doc_id = b.doc_id),
+total AS (
+  SELECT m.query_id, m.doc_id,
+         coalesce(st.score, CAST(0 AS DOUBLE)) + coalesce(sti.score, CAST(0 AS DOUBLE)) AS score
+  FROM m
+  LEFT JOIN scored_text st ON st.query_id = m.query_id AND st.doc_id = m.doc_id
+  LEFT JOIN scored_title sti ON sti.query_id = m.query_id AND sti.doc_id = m.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM total
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 def q_content_sha256(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
 
@@ -1298,6 +1446,7 @@ QUERIES = {
     "bm25_topk_scores": q_bm25_topk_scores,
     "bm25_filtered": q_bm25_filtered,
     "bm25_multifield": q_bm25_multifield,
+    "multifield_querystring": q_multifield_querystring,
     "phrase_search": q_phrase_search,
     "search_querystring": q_search_querystring,
     "content_sha256": q_content_sha256,
@@ -1341,6 +1490,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_scores": sql_bm25(with_scores=True),
         "bm25_filtered": sql_bm25_filtered(),
         "bm25_multifield": sql_bm25_multifield(),
+        "multifield_querystring": sql_multifield_querystring(),
         "phrase_search": sql_phrase_search(),
         "search_querystring": sql_search_querystring(),
         "content_sha256": sql_content_sha256(),

@@ -8,6 +8,9 @@ owner can switch without rewriting queries:
     error timeout            free terms (scored, OR-matched)
     "hash join"              exact phrase (required, positional match)
     lang:en source:src3      not_analyzed field filter (ES filter ctx)
+    source:"app one"         quoted filter value (spaces allowed) — or,
+                             on a multi-field index, a phrase scoped to
+                             one analyzed field (title:"hash join")
     -deprecated              exclusion (docs containing it are dropped)
     -"legacy api"            negated phrase (bool.must_not match_phrase)
 
@@ -34,9 +37,16 @@ import numpy as np
 
 from . import analyze
 
-# -"..." (negated phrase) must match BEFORE the bare \S+ branch, which
-# would otherwise capture -"foo from -"foo bar" and silently misparse
-_TOKEN_RE = re.compile(r'-"([^"]*)"|"([^"]*)"|(\S+)')
+# Quoted branches must match BEFORE the bare \S+ branch, which would
+# otherwise capture -"foo from -"foo bar" (and field:"foo from
+# field:"foo bar") and silently misparse.  Branch order: negated scoped
+# phrase (rejected with a descriptive error), scoped phrase / quoted
+# filter value, negated phrase, phrase, bare word.
+_TOKEN_RE = re.compile(
+    r'-([A-Za-z_][A-Za-z0-9_]*):"([^"]*)"'
+    r'|([A-Za-z_][A-Za-z0-9_]*):"([^"]*)"'
+    r'|-"([^"]*)"|"([^"]*)"|(\S+)'
+)
 # a word is a field filter only when it LOOKS like one: identifier
 # field, simple value (no further ':' or '/') — so URLs and times in
 # free text ("http://x", "at 3:30pm") stay ordinary scored terms
@@ -45,14 +55,28 @@ _FILTER_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):([^:/]+)$")
 
 def parse(q: str) -> dict:
     """Query string -> {terms, phrases, filters, excluded,
-    excluded_phrases}."""
+    excluded_phrases, scoped_phrases}.
+
+    ``scoped_phrases`` is the RAW ``field:"..."`` list — whether a
+    scoped clause is a phrase on an analyzed field or an exact filter
+    value on a not_analyzed column is the executor's call (the parser
+    does not know the index's field layout)."""
     terms: list[str] = []
     phrases: list[list[str]] = []
     filters: dict[str, str] = {}
     excluded: list[str] = []
     excluded_phrases: list[list[str]] = []
+    scoped_phrases: list[tuple[str, str]] = []
     for m in _TOKEN_RE.finditer(q):
-        neg_phrase, phrase, word = m.group(1), m.group(2), m.group(3)
+        neg_field, neg_val, sc_field, sc_val, neg_phrase, phrase, word = m.groups()
+        if neg_field is not None:
+            raise ValueError(
+                f'negated scoped clauses (-{neg_field}:"{neg_val}") are not '
+                "supported; negate an unscoped phrase or term instead"
+            )
+        if sc_field is not None:
+            scoped_phrases.append((sc_field, sc_val))
+            continue
         if neg_phrase is not None:
             toks = analyze.tokenize(neg_phrase)
             if toks:
@@ -77,6 +101,7 @@ def parse(q: str) -> dict:
         "filters": filters,
         "excluded": sorted(set(excluded)),
         "excluded_phrases": excluded_phrases,
+        "scoped_phrases": scoped_phrases,
     }
 
 
@@ -146,17 +171,21 @@ def execute(
             continue
         ids, _, _ = p.decode_all()
         keep &= ~np.isin(universe, ids, assume_unique=True)
-    # filter context
-    if parsed["filters"]:
+    # filter context; on a single-field index a scoped field:"..."
+    # clause can only target a not_analyzed docmeta column (exact value
+    # match — quoted so the value may contain spaces)
+    filters = dict(parsed["filters"])
+    filters.update(parsed.get("scoped_phrases", []))
+    if filters:
         if docmeta is None:
             raise ValueError(
-                f"query uses field filters {sorted(parsed['filters'])} but no "
+                f"query uses field filters {sorted(filters)} but no "
                 "docmeta table is loaded (build one with cb.docmeta)"
             )
-        unknown = sorted(set(parsed["filters"]) - set(docmeta.cols))
+        unknown = sorted(set(filters) - set(docmeta.cols))
         if unknown:
             raise ValueError(
                 f"unknown filter fields {unknown}; docmeta has {sorted(docmeta.cols)}"
             )
-        keep &= docmeta.mask(universe, parsed["filters"])
+        keep &= docmeta.mask(universe, filters)
     return rank_topk(universe[keep], acc[keep], k)

@@ -427,7 +427,7 @@ class ShardServer:
         for t, p in zip(fetched_terms, fetched):
             self.cache[t] = p
         dm = None
-        if parsed.get("filters"):
+        if parsed.get("filters") or parsed.get("scoped_phrases"):
             if self._docmeta is None:
                 self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
             dm = self._docmeta
@@ -489,7 +489,7 @@ class LocalSearcher:
 
         parsed = querylang.parse(query_string)
         dm = None
-        if parsed["filters"]:
+        if parsed["filters"] or parsed["scoped_phrases"]:
             try:
                 dm = docmeta_mod.DocMeta(self.meta.index_dir)
             except FileNotFoundError:

@@ -117,10 +117,93 @@ def test_field_scoping_changes_results(built):
 
 def test_errors(built):
     s = multifield.MultiFieldSearcher(built)
-    with pytest.raises(ValueError, match="phrase"):
-        s.search('"hash join"')
-    with pytest.raises(ValueError, match="unknown analyzed field"):
+    # a non-analyzed filter field with no docmeta table built -> error
+    with pytest.raises(ValueError, match="filter fields"):
         s.search("lang:en hash")
+    with pytest.raises(ValueError, match="negated scoped"):
+        s.search('-title:"hash join"')
+
+
+# -- phrases: unscoped (any field), field-scoped, negated ------------------
+
+def test_phrase_any_field(built):
+    s = multifield.MultiFieldSearcher(built)
+    # "hash join" adjacent in doc 11's title AND body (stop-filtered
+    # stream); nowhere else
+    assert {d for d, _ in s.search('"hash join"')} == {11}
+    # "zebra quantum" adjacent only in 33's title (55's body has them
+    # non-adjacent/reversed)
+    assert {d for d, _ in s.search('"zebra quantum"')} == {33}
+    # required phrase restricts membership; free terms still score
+    assert {d for d, _ in s.search('table "hash join"')} == {11}
+
+
+def test_phrase_scoped_field(built):
+    s = multifield.MultiFieldSearcher(built)
+    assert {d for d, _ in s.search('title:"hash join"')} == {11}
+    assert {d for d, _ in s.search('body:"hash join"')} == {11}
+    # scoped to a field where the phrase never occurs -> empty
+    assert s.search('body:"zebra quantum"') == []
+
+
+def test_phrase_negated(built):
+    s = multifield.MultiFieldSearcher(built)
+    with_table = {d for d, _ in s.search("table")}
+    assert with_table == {11, 44, 55}
+    assert {d for d, _ in s.search('table -"hash join"')} == {44, 55}
+
+
+def test_phrase_engine_parity(built):
+    s = multifield.MultiFieldSearcher(built)
+    queries = (
+        '"hash join"', 'title:"hash join"', 'table -"hash join"',
+        '"zebra quantum" table', 'body:"merge frames"',
+    )
+    for n in (1, 2, 3):
+        eng = multifield.MultiFieldEngine(built, num_servers=n)
+        try:
+            for q in queries:
+                assert eng.search(q, k=10) == s.search(q, k=10), (n, q)
+        finally:
+            eng.shutdown()
+
+
+def test_docmeta_filters(tmp_path):
+    """field:val on a NON-analyzed column -> docmeta filter context
+    (membership only), on the searcher and the doc-sharded pool."""
+    from cb.docmeta import build_from_mapping
+
+    rows = [
+        {"doc_id": i, "title": t, "body": b, "lang": ("en" if i % 2 else "de")}
+        for i, t, b in DOCS
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "idx")
+    build_from_mapping(
+        src, idx,
+        {"id": "doc_id", "analyzed": ["title", "body"], "not_analyzed": ["lang"]},
+        num_parts=4,
+    )
+    s = multifield.MultiFieldSearcher(idx)
+    unfiltered = {d for d, _ in s.search("table")}
+    assert unfiltered == {11, 44, 55}
+    en = {d for d, _ in s.search("table lang:en")}
+    assert en == {11, 55}  # odd ids are en
+    de = {d for d, _ in s.search("table lang:de")}
+    assert de == {44}
+    # filters change membership, never scores
+    all_scores = dict(s.search("table"))
+    for d, sc in s.search("table lang:en"):
+        assert sc == all_scores[d]
+    with pytest.raises(ValueError, match="unknown filter fields"):
+        s.search("table nosuch:x")
+    eng = multifield.MultiFieldEngine(idx, num_servers=2)
+    try:
+        for q in ("table lang:en", "table lang:de", 'hash "hash join" lang:en'):
+            assert eng.search(q, k=10) == s.search(q, k=10), q
+    finally:
+        eng.shutdown()
 
 
 def test_mapping_driven_multifield(tmp_path):
