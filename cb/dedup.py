@@ -86,9 +86,14 @@ def shingle_set(tokens: list[str], n: int = 3) -> list[str]:
 
 
 def _shingle_hashes(shingles: list[str]) -> np.ndarray:
+    """md5-lower-64 per shingle — the exact value DuckDB's
+    ``md5_number_lower`` returns, so the whole MinHash+LSH pipeline has
+    an exact SQL oracle (:func:`sql_minhash_neardup`)."""
+    import struct
+
     out = np.empty(len(shingles), dtype=np.uint64)
     for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+        out[i] = struct.unpack("<Q", hashlib.md5(s.encode()).digest()[8:16])[0]
     return out
 
 
@@ -353,13 +358,19 @@ def minhash_near_duplicates(
 # --------------------------------------------------------------------------
 
 def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over the token stream; token hash = md5-lower-64
+    (DuckDB ``md5_number_lower``) so :func:`sql_simhash_neardup` is an
+    exact oracle.  Bit i is set when the per-occurrence +/-1 sum over
+    that bit is strictly positive."""
     if not tokens:
         return 0
+    import struct
+
     acc = np.zeros(64, dtype=np.int64)
     from collections import Counter
 
     for tok, w in Counter(tokens).items():
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        h = struct.unpack("<Q", hashlib.md5(tok.encode()).digest()[8:16])[0]
         bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
         acc += w * (2 * bits - 1)
     out = 0
@@ -557,5 +568,128 @@ SELECT co.doc_a, co.doc_b, n_common,
        n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE AS jaccard
 FROM co JOIN sizes sa ON sa.doc_id = co.doc_a JOIN sizes sb ON sb.doc_id = co.doc_b
 WHERE n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact SQL oracles for the hash-based near-dup pipelines
+# --------------------------------------------------------------------------
+
+def sql_minhash_neardup(
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> str:
+    """Exact DuckDB mirror of :func:`minhash_near_duplicates`: same
+    shingles (stop-filtered token trigrams), same md5-lower-64 shingle
+    hash (``md5_number_lower``), same (a*x+b) mod 2^31-1 permutation
+    family (the seeded constants are inlined as a VALUES table), band
+    candidates = pairs agreeing on ALL rows of >=1 band, and the same
+    signature-estimated Jaccard filter.  The engine's crc32 band-bucket
+    key can only differ from band-value equality on a 2^-32 collision.
+    """
+    tok = analyze.sql_token_array(text_col)
+    rows_per_band = num_hashes // bands
+    a, b = _hash_params(num_hashes)
+    perm_rows = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_hashes)
+    )
+    sep = f"chr({ord(SHINGLE_SEP)})"
+    shingle = f" || {sep} || ".join(
+        f"d.toks[i.r+{j}]" if j else "d.toks[i.r]" for j in range(shingle_n)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM {table}),
+sh AS (
+  SELECT DISTINCT d.doc_id, {shingle} AS shingle
+  FROM docs d, (SELECT unnest(range(1, greatest(len(toks) - {shingle_n - 2}, 1))) AS r, doc_id
+                FROM docs) i
+  WHERE i.doc_id = d.doc_id
+),
+hx AS (SELECT doc_id, CAST(md5_number_lower(shingle) % {_MERSENNE} AS BIGINT) AS x FROM sh),
+perms(pid, pa, pb) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT doc_id, pid, min((pa * x + pb) % {_MERSENNE}) AS v
+  FROM hx CROSS JOIN perms GROUP BY doc_id, pid
+),
+bandsig AS (
+  SELECT doc_id, pid // {rows_per_band} AS band, list(v ORDER BY pid) AS bv
+  FROM sig GROUP BY doc_id, pid // {rows_per_band}
+),
+cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS n_bands
+  FROM bandsig x JOIN bandsig y
+    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+fullsig AS (SELECT doc_id, list(v ORDER BY pid) AS fs FROM sig GROUP BY doc_id)
+SELECT c.doc_a, c.doc_b, c.n_bands,
+       list_sum(list_transform(range(1, {num_hashes + 1}),
+                i -> CASE WHEN fa.fs[i] = fb.fs[i] THEN 1 ELSE 0 END))::DOUBLE
+         / {num_hashes}.0 AS est_jaccard
+FROM cand c
+JOIN fullsig fa ON fa.doc_id = c.doc_a
+JOIN fullsig fb ON fb.doc_id = c.doc_b
+WHERE list_sum(list_transform(range(1, {num_hashes + 1}),
+               i -> CASE WHEN fa.fs[i] = fb.fs[i] THEN 1 ELSE 0 END))::DOUBLE
+        / {num_hashes}.0 >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def sql_simhash_neardup(
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+) -> str:
+    """Exact DuckDB mirror of :func:`simhash_near_duplicates`: same
+    md5-lower-64 token hash, per-occurrence +/-1 bit votes (strictly
+    positive -> bit set), 4x16-bit band blocking, and bit_count(xor)
+    Hamming verify.  Works in the unsigned domain throughout (the
+    engine's signed int64 storage is a representation detail)."""
+    tok = analyze.sql_token_array(text_col)
+    return f"""
+WITH toks AS (SELECT doc_id, {tok} AS ts FROM {table}),
+occ AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+th AS (SELECT DISTINCT t, md5_number_lower(t) AS h FROM occ),
+acc AS (
+  SELECT o.doc_id, u.i,
+         sum(CASE WHEN (th.h >> u.i) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS s
+  FROM occ o JOIN th ON th.t = o.t
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) u
+  GROUP BY 1, 2
+),
+sims0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0
+                       THEN CAST(1 AS UBIGINT) << CAST(i AS INTEGER)
+                       ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS u
+  FROM acc GROUP BY doc_id
+),
+sims AS (
+  SELECT t.doc_id, coalesce(s0.u, CAST(0 AS UBIGINT)) AS u
+  FROM toks t LEFT JOIN sims0 s0 ON s0.doc_id = t.doc_id
+),
+bandrows AS (
+  SELECT doc_id, b.bnd, CAST((u >> CAST(16 * b.bnd AS INTEGER)) & 65535 AS BIGINT) AS bh
+  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd) b
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bandrows x JOIN bandrows y
+    ON x.bnd = y.bnd AND x.bh = y.bh AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       bit_count(xor(sa.u, sb.u))::BIGINT AS hamming
+FROM cand c
+JOIN sims sa ON sa.doc_id = c.doc_a
+JOIN sims sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.u, sb.u)) <= {max_hamming}
 ORDER BY doc_a, doc_b
 """

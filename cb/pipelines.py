@@ -911,6 +911,25 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
     return out.select(["query_id", "rank", "vec_id"])
 
 
+def q_ann_ivf_exact(sf_dir: str) -> pa.Table:
+    """IVF probed with nprobe = n_centroids visits EVERY cell, so the
+    result must equal exact brute-force top-k — the brute-force SQL
+    oracle applies and proves the IVF machinery (centroid assignment,
+    bucket layout, probe-read, per-bucket scoring, top-k merge) is
+    lossless; the approximate entry above then only varies nprobe."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path).sort_by("vec_id").slice(0, 5)
+    qmat = np.array(head["embedding"].to_pylist())
+    qids = head["vec_id"].to_numpy()
+    ds = ray.data.read_parquet(path)
+    key = f"{os.path.abspath(sf_dir)}|ivf-v1"
+    ivf_dir = os.path.join(
+        "/tmp", "cb_ivf_cache", hashlib.md5(key.encode()).hexdigest()[:12]
+    )
+    out = ann.ivf_topk(ds, qmat, qids, k=K, index_dir=ivf_dir, nprobe=16)
+    return out.select(["query_id", "rank", "vec_id"])
+
+
 # tau sits where the driver fixtures contain REAL pairs at every sf
 # (7 / 14 / 144 at sf0.001/0.01/0.1, nearest sim >= 1e-4 from the
 # threshold) — a threshold above the fixture's similarity ceiling would
@@ -1459,6 +1478,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "ann_cosine_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_ivf_exact": q_ann_ivf_exact,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "media_ann_topk": q_media_ann_topk,
@@ -1499,7 +1519,13 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textstats.sql_lang_id(),
         "doc_fingerprint": textstats.sql_fingerprint(),
         "ngram_jaccard_pairs": dedup.sql_ngram_jaccard(threshold=0.3),
+        # exact mirrors: same md5-lower-64 hashes, inlined permutation
+        # constants, band-equality candidates, same verify filters
+        "minhash_neardup": dedup.sql_minhash_neardup(threshold=0.7),
+        "simhash_neardup": dedup.sql_simhash_neardup(),
         "ann_cosine_topk": sql_ann_topk(),
+        # full probing (nprobe = n_centroids) is exact -> same oracle
+        "ann_ivf_exact": sql_ann_topk(),
         "embedding_neardup": sql_embedding_neardup(),
         # saturated-band config -> recall 1 at fixture scale, so the
         # exact pair join is a valid oracle for the LSH path too
@@ -1520,6 +1546,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_segment": sql_orders_by_segment(),
         "orders_lineitem_join": sql_orders_lineitem_join(),
         "pricing_summary": sql_pricing_summary(),
-        # minhash_neardup / simhash_neardup / ann_ivf_topk:
-        # non-SQL-expressible (hash/approximate) -> rows-only checks.
+        # ann_ivf_topk / media_ann_topk: approximate / stub-decode ->
+        # rows-only checks (ann_ivf_exact below proves the IVF machinery
+        # exact under full probing).
     }
