@@ -921,6 +921,44 @@ def write_global(index_dir: str, n_docs: int, total_tokens: int, num_parts: int,
     return g
 
 
+def auto_range_bits(
+    n_docs: int,
+    *,
+    min_bits: int = DEFAULT_RANGE_BITS,
+    max_bits: int = 8,
+    docs_per_bucket: int = 1 << 18,
+) -> int:
+    """Corpus-size-derived doc-range bucketing.
+
+    ``2**range_bits`` bounds BOTH the doc-sharded serving pool size and
+    the per-partition file count, so the right value grows with the
+    corpus: ~``docs_per_bucket`` (256k) docs per bucket keeps each
+    bucket file a comfortable pruned-read unit, the floor keeps tiny
+    corpora at the 16-bucket default, and the cap (256 buckets = a
+    256-server pool per index group) bounds file-count fan-out — beyond
+    that, scale serving by index GROUPS (cb.shard scale note), not more
+    buckets."""
+    import math
+
+    if n_docs <= 0:
+        return min_bits
+    bits = math.ceil(math.log2(max(1, n_docs / docs_per_bucket)))
+    return max(min_bits, min(max_bits, bits))
+
+
+def _source_row_count(path_source: str, columns=None) -> int:
+    """Parquet metadata row count (no data read)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    if os.path.isdir(path_source):
+        files = sorted(_glob.glob(os.path.join(path_source, "*.parquet")))
+    else:
+        files = [path_source]
+    return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def build_index(
     source: ray.data.Dataset | str,
     index_dir: str,
@@ -929,7 +967,7 @@ def build_index(
     id_col: str | None = None,
     columns: list[str] | None = None,
     num_parts: int = DEFAULT_NUM_PARTS,
-    range_bits: int = DEFAULT_RANGE_BITS,
+    range_bits: int | str = DEFAULT_RANGE_BITS,
     batch_size: int = 2048,
     positions: bool = True,
 ) -> IndexMeta:
@@ -938,8 +976,19 @@ def build_index(
     without shuffle recompute use :mod:`cb.resumable`.
 
     ``positions=False`` skips the positional stream (~2x faster build,
-    smaller index, no phrase queries).
+    smaller index, no phrase queries).  ``range_bits="auto"`` derives
+    the doc-range bucket count from the corpus size
+    (:func:`auto_range_bits`): free for parquet paths (metadata row
+    count); for an in-memory Dataset it costs a ``count()`` of the
+    input pipeline.
     """
+    if range_bits == "auto":
+        n = (
+            _source_row_count(source, columns)
+            if isinstance(source, str)
+            else source.count()
+        )
+        range_bits = auto_range_bits(n)
     if isinstance(source, str):
         source = ray.data.read_parquet(source, columns=columns)
     return _build_index_inner(

@@ -14,7 +14,6 @@ verification inside the group or a tiny second stage.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -114,9 +113,42 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) 
     return y.min(axis=1).astype(np.uint64)
 
 
+def _batch_shingles(batch: pa.Table, text_col: str, n: int):
+    """Vectorized batch shingling: Arrow tokenizer -> flat token array
+    -> n-gram join via ``binary_join_element_wise`` over shifted takes
+    (doc boundaries masked).  Returns (shingle strings, per-doc start
+    offsets into them, per-doc shingle counts) — duplicates within a
+    doc are KEPT (min-hash is duplicate-insensitive)."""
+    import pyarrow.compute as pc
+
+    kept = analyze.token_array(batch[text_col])
+    offsets = kept.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    starts0 = offsets[:-1] - offsets[0]
+    lens = np.diff(offsets)
+    counts = np.maximum(lens - (n - 1), 0)
+    total = int(counts.sum())
+    sh_starts = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(counts, out=sh_starts[1:])
+    if total == 0:
+        return pa.array([], type=pa.string()), sh_starts, counts
+    flat = pc.list_flatten(kept)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    # position j of doc d emits flat[start_d + j + 0..n-1]
+    base = np.repeat(starts0, counts) + (
+        np.arange(total, dtype=np.int64) - np.repeat(sh_starts[:-1], counts)
+    )
+    parts = [flat.take(pa.array(base + j)) for j in range(n)]
+    # last argument is the separator (elementwise join of the n takes)
+    return pc.binary_join_element_wise(*parts, SHINGLE_SEP), sh_starts, counts
+
+
 class MinHashStage:
     """Actor-pool stage: hash params built once per actor (__init__),
-    signatures per batch (__call__)."""
+    signatures per batch (__call__).  Fully vectorized: Arrow n-gram
+    shingling, md5 over the batch's unique-shingle vocabulary only,
+    then per-permutation segment minima (``np.minimum.reduceat``) over
+    the flat shingle-hash stream — no per-doc Python loop."""
 
     def __init__(self, num_hashes: int = 128, shingle_n: int = 3,
                  text_col: str = "text", id_col: str = "doc_id"):
@@ -127,47 +159,87 @@ class MinHashStage:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, sigs, n_shingles = [], [], []
-        for doc_id, text in zip(
-            batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
-        ):
-            toks = analyze.tokenize(text)
-            sh = shingle_set(toks, self.shingle_n)
-            sig = minhash_signature(_shingle_hashes(sh), self.a, self.b)
-            ids.append(doc_id)
-            sigs.append(sig.astype(np.int64).tolist())  # store as int64 list
-            n_shingles.append(len(sh))
+        import pyarrow.compute as pc
+
+        shingles, sh_starts, counts = _batch_shingles(
+            batch, self.text_col, self.shingle_n
+        )
+        n = len(counts)
+        sigs = np.full(
+            (n, self.num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64
+        )
+        if len(shingles):
+            enc = pc.dictionary_encode(shingles)
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            x = (_shingle_hashes(enc.dictionary.to_pylist()) % np.uint64(_MERSENNE))[
+                codes
+            ]
+            p = np.uint64(_MERSENNE)
+            nonempty = counts > 0
+            seg = sh_starts[:-1][nonempty]
+            for h in range(self.num_hashes):
+                y = self.a[h] * x + self.b[h]  # < 2^62, exact in uint64
+                y = (y >> np.uint64(31)) + (y & p)
+                y = (y >> np.uint64(31)) + (y & p)
+                y = np.where(y >= p, y - p, y)
+                sigs[nonempty, h] = np.minimum.reduceat(y, seg)
+        flat_vals = pa.array(sigs.astype(np.int64).ravel(), type=pa.int64())
+        offs = pa.array(
+            np.arange(0, (n + 1) * self.num_hashes, self.num_hashes, dtype=np.int32)
+        )
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "minhash": pa.array(sigs, type=pa.list_(pa.int64())),
-                "n_shingles": pa.array(n_shingles, type=pa.int64()),
+                "doc_id": batch[self.id_col],
+                "minhash": pa.ListArray.from_arrays(offs, flat_vals),
+                "n_shingles": pa.array(counts, type=pa.int64()),
             }
         )
 
 
 def _band_rows(batch: pa.Table, *, bands: int, rows_per_band: int) -> pa.Table:
-    """Signatures -> (band, band_hash, doc_id) rows for the LSH groupby."""
-    out_band, out_hash, out_doc = [], [], []
-    for doc_id, sig, nsh in zip(
-        batch["doc_id"].to_pylist(),
-        batch["minhash"].to_pylist(),
-        batch["n_shingles"].to_pylist(),
-    ):
-        if nsh == 0:
-            continue
-        arr = np.asarray(sig, dtype=np.int64)
-        for bnd in range(bands):
-            chunk = arr[bnd * rows_per_band : (bnd + 1) * rows_per_band]
-            h = zlib.crc32(chunk.tobytes()) ^ (bnd << 20)
-            out_band.append(bnd)
-            out_hash.append(h)
-            out_doc.append(doc_id)
+    """Signatures -> (band, band_hash, doc_id) rows for the LSH groupby.
+
+    Vectorized: the signature list column reshapes to an (n, H) matrix
+    and each band's key is a wraparound polynomial hash of its rows —
+    equal band values always collide (that is the LSH bucket), unequal
+    values collide with ~2^-64 probability (a spurious candidate the
+    verify stage then rejects).  No per-doc Python loop."""
+    import pyarrow.compute as pc
+
+    num_hashes = bands * rows_per_band
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nsh = batch["n_shingles"].to_numpy(zero_copy_only=False)
+    live = nsh > 0
+    n = int(live.sum())
+    if n == 0:
+        return pa.table(
+            {
+                "band": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+            }
+        )
+    col = batch["minhash"].combine_chunks()
+    mat = (
+        pc.list_flatten(col)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+        .reshape(len(ids), num_hashes)[live]
+        .view(np.uint64)
+    )
+    C = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier, wraparound mul
+    out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+    out_hash = np.empty(bands * n, dtype=np.uint64)
+    for bnd in range(bands):
+        h = np.full(n, np.uint64(bnd + 1), dtype=np.uint64)
+        for j in range(rows_per_band):
+            h = h * C + mat[:, bnd * rows_per_band + j]
+        out_hash[bnd * n : (bnd + 1) * n] = h
     return pa.table(
         {
             "band": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_hash, type=pa.int64()),
-            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "band_hash": pa.array(out_hash.view(np.int64), type=pa.int64()),
+            "doc_id": pa.array(np.tile(ids[live], bands), type=pa.int64()),
         }
     )
 
@@ -381,13 +453,48 @@ def simhash64(tokens: list[str]) -> int:
 
 
 def simhash_stage(batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    ids = batch[id_col].to_pylist()
-    hashes = [simhash64(analyze.tokenize(t)) for t in batch[text_col].to_pylist()]
-    signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hashes]
+    """Vectorized batch SimHash: md5 over the batch's unique-token
+    vocabulary only, bit matrix via ``np.unpackbits``, per-doc +/-1
+    votes with one ``np.add.reduceat`` — no per-doc/per-token Python
+    loop (bit-identical to :func:`simhash64`, asserted in tests)."""
+    import struct
+
+    import pyarrow.compute as pc
+
+    kept = analyze.token_array(batch[text_col])
+    offsets = kept.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    starts0 = offsets[:-1] - offsets[0]
+    lens = np.diff(offsets)
+    n = len(lens)
+    u = np.zeros(n, dtype=np.uint64)
+    total = int(lens.sum())
+    if total:
+        flat = pc.list_flatten(kept)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vocab = enc.dictionary.to_pylist()
+        H = np.empty(len(vocab), dtype=np.uint64)
+        for i, t in enumerate(vocab):
+            H[i] = struct.unpack("<Q", hashlib.md5(t.encode()).digest()[8:16])[0]
+        # (V, 64) sign matrix: column i is +/-1 for bit i (little-endian
+        # byte view + bitorder="little" puts bit 0 in column 0)
+        bits = np.unpackbits(
+            H.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int64)
+        signs = 2 * bits - 1
+        nonempty = lens > 0
+        acc = np.add.reduceat(signs[codes], starts0[nonempty], axis=0)
+        set_bits = acc > 0
+        u[nonempty] = (
+            set_bits.astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)[None, :]
+        ).sum(axis=1, dtype=np.uint64)
     return pa.table(
         {
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "simhash": pa.array(signed, type=pa.int64()),
+            "doc_id": batch[id_col],
+            "simhash": pa.array(u.view(np.int64), type=pa.int64()),
         }
     )
 
@@ -590,8 +697,9 @@ def sql_minhash_neardup(
     hash (``md5_number_lower``), same (a*x+b) mod 2^31-1 permutation
     family (the seeded constants are inlined as a VALUES table), band
     candidates = pairs agreeing on ALL rows of >=1 band, and the same
-    signature-estimated Jaccard filter.  The engine's crc32 band-bucket
-    key can only differ from band-value equality on a 2^-32 collision.
+    signature-estimated Jaccard filter.  The engine's polynomial
+    band-bucket key can only differ from band-value equality on a
+    ~2^-64 collision (a spurious candidate the verify stage rejects).
     """
     tok = analyze.sql_token_array(text_col)
     rows_per_band = num_hashes // bands

@@ -58,6 +58,75 @@ def test_minhash_near_duplicates_pipeline():
     assert not any({a, b} == {4, 6} for a, b in got)
 
 
+def test_minhash_stage_matches_scalar_reference():
+    """The vectorized MinHashStage (Arrow shingling + reduceat minima)
+    is bit-identical to the scalar per-doc path
+    shingle_set -> _shingle_hashes -> minhash_signature, including
+    empty / shorter-than-n docs (all-max sentinel) and in-doc
+    duplicate shingles (min-hash is duplicate-insensitive)."""
+    import pyarrow as pa
+
+    stage = dedup.MinHashStage(num_hashes=32, shingle_n=3)
+    texts = [BASE, NEAR, OTHER, "tiny", "", "a b c", "a b",
+             "rep rep rep rep rep", OTHER + " " + OTHER]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+    )
+    out = stage(batch)
+    for i, t in enumerate(texts):
+        ref = dedup.minhash_signature(
+            dedup._shingle_hashes(dedup.shingle_set(analyze.tokenize(t), 3)),
+            stage.a,
+            stage.b,
+        ).astype(np.int64)
+        got = np.asarray(out["minhash"][i].as_py(), dtype=np.int64)
+        assert np.array_equal(got, ref), t
+
+
+def test_simhash_stage_matches_scalar_reference():
+    """Vectorized simhash_stage == simhash64(tokenize(t)) per doc,
+    including empty docs and repeated tokens (weighted votes)."""
+    import pyarrow as pa
+
+    texts = [BASE, NEAR, OTHER, "", "x", "a a a b", "tiny"]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+    )
+    out = dedup.simhash_stage(batch)
+    for i, t in enumerate(texts):
+        ref = dedup.simhash64(analyze.tokenize(t))
+        got = out["simhash"][i].as_py() & ((1 << 64) - 1)
+        assert got == ref, t
+
+
+def test_band_rows_bucket_property():
+    """Equal band values always share a band_hash; a single differing
+    band changes only that band's hash."""
+    import pyarrow as pa
+
+    H, bands, rpb = 8, 4, 2
+    sig = list(range(100, 100 + H))
+    sig2 = list(sig)
+    sig2[5] += 1  # perturb band 2 only
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "minhash": pa.array([sig, sig, sig2], type=pa.list_(pa.int64())),
+            "n_shingles": pa.array([4, 4, 4], type=pa.int64()),
+        }
+    )
+    rows = dedup._band_rows(batch, bands=bands, rows_per_band=rpb).to_pylist()
+    key = {(r["doc_id"], r["band"]): r["band_hash"] for r in rows}
+    for bnd in range(bands):
+        assert key[(1, bnd)] == key[(2, bnd)]
+        if bnd == 2:
+            assert key[(3, bnd)] != key[(1, bnd)]
+        else:
+            assert key[(3, bnd)] == key[(1, bnd)]
+    # distinct bands of the same signature do not trivially collide
+    assert len({key[(1, b)] for b in range(bands)}) == bands
+
+
 def test_simhash_near_duplicates():
     pairs = dedup.simhash_near_duplicates(_ds(), max_hamming=6).take_all()
     got = {(r["doc_a"], r["doc_b"]) for r in pairs}

@@ -1,0 +1,73 @@
+"""Corpus-size-derived doc-range bucketing (range_bits auto-tuning) and
+doc-sharded serving beyond the old 16-bucket ceiling."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cb import build, shard
+
+
+def test_auto_range_bits_thresholds():
+    f = build.auto_range_bits
+    # floor: tiny corpora stay at the 16-bucket default
+    assert f(0) == build.DEFAULT_RANGE_BITS
+    assert f(10_000) == build.DEFAULT_RANGE_BITS
+    assert f(1 << 22) == build.DEFAULT_RANGE_BITS  # 4M / 256k = 16 buckets
+    # growth: ~256k docs per bucket
+    assert f(1 << 23) == 5
+    assert f(1 << 24) == 6
+    # cap: file-count fan-out bounded at 256 buckets
+    assert f(10**9) == 8
+    assert f(10**12) == 8
+    # monotone non-decreasing over a sweep
+    vals = [f(n) for n in (1, 10**3, 10**5, 10**7, 10**9, 10**11)]
+    assert vals == sorted(vals)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("rb")
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(60)]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab, size=rng.integers(5, 30))),
+        }
+        for i in range(400)
+    ]
+    src = str(d / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    return d, src
+
+
+def test_auto_build_small_corpus_uses_default(corpus, ray_session):
+    d, src = corpus
+    idx = str(d / "idx_auto")
+    meta = build.build_index(
+        src, idx, text_col="text", id_col="doc_id", num_parts=4, range_bits="auto"
+    )
+    assert meta.range_bits == build.DEFAULT_RANGE_BITS
+
+
+def test_wide_pool_beyond_16_servers(corpus, ray_session):
+    """range_bits=5 -> 32 doc-range buckets -> a 20-server doc-sharded
+    pool loads disjoint bucket slices and matches the in-process
+    searcher bitwise."""
+    d, src = corpus
+    idx = str(d / "idx5")
+    build.build_index(
+        src, idx, text_col="text", id_col="doc_id", num_parts=4, range_bits=5
+    )
+    s = shard.LocalSearcher(idx)
+    eng = shard.QueryEngine(idx, num_servers=20, mode="doc")
+    try:
+        for q in ("tok1 tok2", "tok10", "tok3 tok40 tok55", "absent"):
+            assert eng.query(q, k=10) == s.query(q, k=10, algo="taat"), q
+    finally:
+        eng.shutdown()
+    # the old ceiling still guards misconfiguration
+    with pytest.raises(ValueError, match="num_servers"):
+        shard.QueryEngine(idx, num_servers=33, mode="doc")
