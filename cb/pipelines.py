@@ -1453,6 +1453,110 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_asof_join(sf_dir: str) -> pa.Table:
+    """As-of join: each purchase matched to the user's latest click
+    at-or-before it (cb.joins.asof_join — hash co-partition by user,
+    per-bucket C sorted-merge; the right side is filtered to clicks
+    BEFORE the match so 'latest prior click' is exact even when a
+    later non-click event intervenes)."""
+    from . import joins
+
+    path = os.path.join(sf_dir, "events.parquet")
+    left = ray.data.read_parquet(
+        path,
+        columns=["event_id", "user_id", "ts", "value"],
+        filter=filters.compile_filter("event_type == 'purchase'"),
+    )
+    right = ray.data.read_parquet(
+        path,
+        columns=["user_id", "ts", "value"],
+        filter=filters.compile_filter("event_type == 'click'"),
+    )
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "click_ts": batch["ts"],
+                "click_value": batch["value"],
+            }
+        )
+
+    right = right.map_batches(prep_right, batch_format="pyarrow", zero_copy_batch=True)
+    out = joins.asof_join(
+        left, right, on="ts", by="user_id", direction="backward", how="inner"
+    )
+    return _collect(out)
+
+
+def sql_events_asof_join() -> str:
+    return """
+SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS click_ts, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+def q_events_interval_join(sf_dir: str) -> pa.Table:
+    """Range join: events matched to OVERLAPPING value bands (each value
+    falls in up to two [i*15, i*15+30) intervals), then aggregated per
+    band — cb.joins.interval_join (broadcast small side, one vectorized
+    comparison per batch) + integer-cent partial aggregation."""
+    from . import joins
+
+    n_bands = 24
+    i = np.arange(n_bands, dtype=np.int64)
+    bands = pa.table(
+        {
+            "band": pa.array(i, type=pa.int64()),
+            "lo": pa.array(i * 15.0, type=pa.float64()),
+            "hi": pa.array(i * 15.0 + 30.0, type=pa.float64()),
+        }
+    )
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    joined = joins.interval_join(ds, bands, on="value")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({"band": batch["band"], "cents": pa.array(cents, pa.int64())})
+        return (
+            t.group_by(["band"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+            .rename_columns(["band", "cents", "n"])
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n_events"))
+    )
+    t = _collect(agg)
+    sum_value = t["cents"].to_numpy(zero_copy_only=False) / 100.0
+    return pa.table(
+        {
+            "band": t["band"],
+            "n_events": t["n_events"].cast(pa.int64()),
+            "sum_value": pa.array(sum_value, pa.float64()),
+        }
+    )
+
+
+def sql_events_interval_join() -> str:
+    return """
+SELECT b.band, count(*)::BIGINT AS n_events,
+       sum(CAST(round(e.value * 100.0) AS BIGINT)) / 100.0 AS sum_value
+FROM events e
+JOIN (SELECT i AS band, i * 15.0 AS lo, i * 15.0 + 30.0 AS hi FROM range(0, 24) t(i)) b
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1492,6 +1596,8 @@ QUERIES = {
     "doclen_quantiles": q_doclen_quantiles,
     "filter_pushdown": q_filter_pushdown,
     "events_minute_agg": q_events_minute_agg,
+    "events_asof_join": q_events_asof_join,
+    "events_interval_join": q_events_interval_join,
     "late_events": q_late_events,
     "events_props_extract": q_events_props_extract,
     "sessionize": q_sessionize,
@@ -1532,6 +1638,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": sql_embedding_neardup(),
         "filter_pushdown": sql_filter_pushdown(),
         "events_minute_agg": sql_events_minute_agg(),
+        "events_asof_join": sql_events_asof_join(),
+        "events_interval_join": sql_events_interval_join(),
         "late_events": sql_late_events(),
         "events_props_extract": sql_events_props_extract(),
         "sessionize": sql_sessionize(),

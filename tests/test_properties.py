@@ -37,7 +37,10 @@ def test_id_delta_roundtrip(ids):
 @given(st.text(max_size=120))
 def test_querylang_parse_total(q):
     p = querylang.parse(q)
-    assert set(p) == {"terms", "phrases", "filters", "excluded", "excluded_phrases"}
+    assert set(p) == {
+        "terms", "phrases", "filters", "excluded", "excluded_phrases",
+        "scoped_phrases",
+    }
     assert all(isinstance(t, str) for t in p["terms"])
     # parsing is deterministic
     assert querylang.parse(q) == p
