@@ -228,6 +228,36 @@ def build_from_mapping(
     return meta
 
 
+def _range_mask(vals: pa.Array, want, col_name: str) -> pa.Array:
+    """Range comparison over a docmeta column slice.  Numeric columns
+    compare against float64 bounds (Arrow promotes int vs double the
+    same way DuckDB does); everything else compares as strings."""
+    numeric = pa.types.is_integer(vals.type) or pa.types.is_floating(vals.type)
+
+    def bound(v):
+        if numeric:
+            try:
+                return pa.scalar(float(v), pa.float64())
+            except ValueError:
+                raise ValueError(
+                    f"range bound {v!r} is not numeric but column "
+                    f"{col_name!r} is {vals.type}"
+                ) from None
+        return pa.scalar(str(v))
+
+    m = None
+    if want.lo is not None:
+        op = pc.greater_equal if want.lo_incl else pc.greater
+        m = op(vals, bound(want.lo))
+    if want.hi is not None:
+        op = pc.less_equal if want.hi_incl else pc.less
+        hi = op(vals, bound(want.hi))
+        m = hi if m is None else pc.and_(m, hi)
+    if m is None:  # [* TO *]: any non-null value passes
+        m = pc.is_valid(vals)
+    return m
+
+
 class DocMeta:
     """Sorted-id metadata lookup for filter evaluation.
 
@@ -266,7 +296,12 @@ class DocMeta:
 
     def mask(self, doc_ids: np.ndarray, filters: dict) -> np.ndarray:
         """Boolean mask: does each doc satisfy EVERY (col == value) /
-        (col in values) condition?  Ids absent from the table -> False."""
+        (col in values) / (col in range) condition?  Ids absent from the
+        table -> False.  Range bounds compare numerically on numeric
+        columns (the DuckDB oracle's int/double promotion), binary
+        collation on strings."""
+        from .querylang import Range
+
         doc_ids = np.asarray(doc_ids, dtype=np.int64)
         if len(self.ids) == 0:
             return np.zeros(len(doc_ids), dtype=bool)
@@ -275,7 +310,9 @@ class DocMeta:
         for c, want in filters.items():
             col = self.cols[c]
             vals = col.take(pa.array(pos))
-            if isinstance(want, (list, tuple, set, frozenset)):
+            if isinstance(want, Range):
+                m = _range_mask(vals, want, c)
+            elif isinstance(want, (list, tuple, set, frozenset)):
                 m = pc.is_in(vals, value_set=pa.array(sorted(want)))
             else:
                 m = pc.equal(vals, pa.scalar(want))

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import numpy as np
 
@@ -105,6 +106,12 @@ def route_query(query: str, fields: list[str]) -> dict:
     from . import querylang
 
     parsed = querylang.parse(query)
+    if parsed.get("expands") or parsed.get("required") or re.search(r"\^[0-9]", query):
+        raise NotImplementedError(
+            "multi-field query strings support terms / phrases / filters / "
+            "exclusions; +required, ^boosts and wildcard/fuzzy atoms are "
+            "single-field-engine features for now"
+        )
     field_terms: dict[str, set] = {f: set() for f in fields}
     filters: dict[str, str] = {}
     field_phrases: list[tuple[str, list[str]]] = []
@@ -118,6 +125,8 @@ def route_query(query: str, fields: list[str]) -> dict:
             filters[f] = raw
     for f, val in parsed["filters"].items():
         if f in field_terms:
+            if isinstance(val, querylang.Range):
+                raise ValueError(f"range filter on analyzed field {f!r}")
             field_terms[f].update(analyze.tokenize(val))
         else:
             filters[f] = val

@@ -247,7 +247,7 @@ def q_bm25_filtered(sf_dir: str) -> pa.Table:
     from . import docmeta as docmeta_mod
 
     meta = get_index(sf_dir)
-    docmeta_mod.ensure_docmeta(meta.index_dir, docs_path(sf_dir), ["lang", "source"])
+    docmeta_mod.ensure_docmeta(meta.index_dir, docs_path(sf_dir), ["lang", "source", "n_chars"])
     engine = shard.QueryEngine(meta.index_dir, num_servers=2)
     try:
         results = [
@@ -414,6 +414,18 @@ SEARCH_SET: tuple[str, ...] = (
     '"data stream" -batch',
     "customer value lang:en -row",
     'window sort -"merge sort"',
+    # v2 syntax: boosts, required terms, wildcards, fuzzy, ranges
+    "merge^2 sort",
+    "+merge sort window",
+    "mer* window",
+    "h?sh join",
+    "merg~1 table",
+    "windw~ scan",
+    "merge n_chars:[200 TO 900]",
+    "sort n_chars:>=500 lang:en",
+    '"hash join"^3 scan',
+    "merge mer*^2",
+    '+sort -"merge sort" n_chars:{100 TO 1000}',
 )
 
 
@@ -423,7 +435,7 @@ def q_search_querystring(sf_dir: str) -> pa.Table:
     from . import docmeta as docmeta_mod
 
     meta = get_index(sf_dir)
-    docmeta_mod.ensure_docmeta(meta.index_dir, docs_path(sf_dir), ["lang", "source"])
+    docmeta_mod.ensure_docmeta(meta.index_dir, docs_path(sf_dir), ["lang", "source", "n_chars"])
     engine = shard.QueryEngine(meta.index_dir, num_servers=2)
     try:
         results = [engine.search(q, k=K) for q in SEARCH_SET]
@@ -448,30 +460,81 @@ def q_search_querystring(sf_dir: str) -> pa.Table:
     )
 
 
+def _sql_range_pred(col: str, r) -> str:
+    """DuckDB predicate for a querylang.Range: bounds that parse as
+    numbers become numeric literals (int/double promotion matches the
+    engine's float64 compare on numeric docmeta columns); anything else
+    compares as a quoted string."""
+
+    def lit(v: str) -> str:
+        try:
+            float(v)
+            return v
+        except ValueError:
+            return f"'{v}'"
+
+    parts = []
+    if r.lo is not None:
+        parts.append(f"d.{col} {'>=' if r.lo_incl else '>'} {lit(r.lo)}")
+    if r.hi is not None:
+        parts.append(f"d.{col} {'<=' if r.hi_incl else '<'} {lit(r.hi)}")
+    return " AND ".join(parts) if parts else f"d.{col} IS NOT NULL"
+
+
 def sql_search_querystring() -> str:
-    """Oracle generated per query from the SAME parser the engine uses:
-    scored terms -> BM25 sum; phrases -> token-joined LIKE; filters ->
-    metadata equality; exclusions -> NOT LIKE on the token stream."""
+    """Oracle generated per query from the SAME parser the engine uses —
+    but expansion is INDEPENDENT: wildcard/fuzzy atoms ship as patterns
+    and DuckDB matches them against the corpus term table natively
+    (regexp_full_match / damerau_levenshtein), so the oracle verifies
+    the engine's vocabulary rewrite rather than echoing it.  Scored
+    terms -> boost-weighted BM25 sum (weight = ordered sum of matching
+    atom boosts); phrases / +required -> token-joined LIKE; filters ->
+    metadata equality and ranges; exclusions -> NOT LIKE."""
     from . import querylang
 
     tok = analyze.sql_token_array("text")
-    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
-    qt_rows = []
+    contrib = scoring.sql_score_terms_weighted(
+        "(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)", "q.w"
+    )
+    atom_rows = []
     member_selects = []
     for qid, q in enumerate(SEARCH_SET):
         p = querylang.parse(q)
-        score_terms = sorted(set(p["terms"]) | {t for ph in p["phrases"] for t in ph})
-        for t in score_terms:
-            qt_rows.append(f"({qid}, '{t}')")
+        aid = 0
+        # exact atoms first with the engine's parse-time summed weight,
+        # then expansion atoms in query order — the ordered SQL sum then
+        # reproduces expand()'s float accumulation order exactly
+        for t in sorted(p["weights"]):
+            atom_rows.append(
+                f"({qid}, {aid}, 'e', '{t}', 0, CAST({p['weights'][t]!r} AS DOUBLE))"
+            )
+            aid += 1
+        for atom in p["expands"]:
+            if atom["kind"] == "wildcard":
+                rx = querylang.wildcard_regex(atom["pattern"])
+                atom_rows.append(
+                    f"({qid}, {aid}, 'w', '{rx}', 0, CAST({atom['boost']!r} AS DOUBLE))"
+                )
+            else:
+                atom_rows.append(
+                    f"({qid}, {aid}, 'f', '{atom['term']}', {atom['dist']}, "
+                    f"CAST({atom['boost']!r} AS DOUBLE))"
+                )
+            aid += 1
         preds = []
         for ph in p["phrases"]:
             preds.append("j.s LIKE '% " + " ".join(ph) + " %'")
+        for t in p["required"]:
+            preds.append(f"j.s LIKE '% {t} %'")
         for ph in p["excluded_phrases"]:
             preds.append("j.s NOT LIKE '% " + " ".join(ph) + " %'")
         for t in p["excluded"]:
             preds.append(f"j.s NOT LIKE '% {t} %'")
         for col, val in p["filters"].items():
-            preds.append(f"d.{col} = '{val}'")
+            if isinstance(val, querylang.Range):
+                preds.append(_sql_range_pred(col, val))
+            else:
+                preds.append(f"d.{col} = '{val}'")
         where = (" AND " + " AND ".join(preds)) if preds else ""
         member_selects.append(
             f"SELECT {qid} AS query_id, d.doc_id FROM documents d "
@@ -487,7 +550,17 @@ tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
        FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
 df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
 joined AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s FROM docs),
-q(query_id, term) AS (VALUES {", ".join(qt_rows)}),
+qatom(query_id, atom_id, kind, pat, dist, w) AS (VALUES {", ".join(atom_rows)}),
+q AS (
+  SELECT a.query_id, df.term, sum(a.w ORDER BY a.atom_id) AS w
+  FROM qatom a JOIN df ON (
+       (a.kind = 'e' AND df.term = a.pat)
+    OR (a.kind = 'w' AND regexp_full_match(df.term, a.pat))
+    OR (a.kind = 'f' AND abs(length(df.term) - length(a.pat)) <= a.dist
+        AND damerau_levenshtein(df.term, a.pat) <= a.dist)
+  )
+  GROUP BY 1, 2
+),
 scored AS (
   SELECT q.query_id, tf.doc_id,
          sum({contrib} ORDER BY q.term) AS score

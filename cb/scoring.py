@@ -60,3 +60,20 @@ def sql_score_terms(n_docs_expr: str, avgdl_expr: str) -> str:
         f"(tf + {k1} * ({one} - {b} + {b} * doc_len / ({avgdl_expr})))"
     )
     return f"({idf_sql}) * ({u_sql})"
+
+
+def sql_score_terms_weighted(n_docs_expr: str, avgdl_expr: str, w_expr: str) -> str:
+    """Boost-weighted contribution: ``((idf * w) * u)`` — the weight
+    multiplies idf FIRST (one scalar double per term), exactly where the
+    engine applies it (querylang.execute precomputes ``idf * w``), so
+    ``w == 1`` stays bitwise identical to :func:`sql_score_terms`."""
+    k1 = f"CAST({K1} AS DOUBLE)"
+    b = f"CAST({B} AS DOUBLE)"
+    half = "CAST(0.5 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    idf_sql = f"ln({one} + (({n_docs_expr}) - df + {half}) / (df + {half}))"
+    u_sql = (
+        f"tf * ({k1} + {one}) / "
+        f"(tf + {k1} * ({one} - {b} + {b} * doc_len / ({avgdl_expr})))"
+    )
+    return f"(({idf_sql}) * ({w_expr})) * ({u_sql})"

@@ -279,6 +279,22 @@ class GlobalStats:
         self.avgdl = avgdl
 
 
+def load_vocab(meta: IndexMeta) -> list[str]:
+    """Index vocabulary: the union of the partitions' ``_termdf.parquet``
+    term columns (vocabulary-sized, NOT corpus-sized — this is the same
+    tiny summary doc-sharded servers read for corpus-global df).  Used
+    driver-side to rewrite wildcard/fuzzy query atoms into concrete
+    terms; servers never need it."""
+    cols = []
+    for p in range(meta.num_parts):
+        path = os.path.join(meta.part_dir(p), "_termdf.parquet")
+        if os.path.exists(path):
+            cols.append(pq.read_table(path, columns=["term"])["term"])
+    if not cols:
+        return []
+    return pa.chunked_array(cols).to_pylist()
+
+
 @ray.remote
 class ShardServer:
     """Owns a set of term partitions — whole lists (term-sharded) or a
@@ -339,9 +355,9 @@ class ShardServer:
                 if cp is None or cp.gdf < min_df or term in self.decoded:
                     continue
                 ids, tfs, dls = cp.decode_all()
-                idf = float(scoring.idf(cp.gdf, self.n_docs))
-                contrib = idf * scoring.u_factor(tfs, dls, self.stats.avgdl)
-                self.decoded[term] = (ids, contrib)
+                # weight-independent u-vector; idf multiplies at use
+                # (matches taat_scores' cache contract)
+                self.decoded[term] = (ids, scoring.u_factor(tfs, dls, self.stats.avgdl))
                 n += 1
         return n
 
@@ -472,6 +488,7 @@ class LocalSearcher:
         }
         self.stats = GlobalStats(self.meta.n_docs, self.meta.avgdl)
         self.tombstones = load_tombstones(index_dir)
+        self._vocab: list[str] | None = None  # lazy, for wildcard/fuzzy
 
     def get_postings(self, term: str) -> ChunkedPostings | None:
         p = term_partition(term, self.meta.num_parts)
@@ -484,10 +501,17 @@ class LocalSearcher:
 
     def search(self, query_string: str, k: int = 10) -> list[tuple[int, float]]:
         """Lucene-lite query string (terms, "phrases", field:value,
-        -exclusions) — see :mod:`cb.querylang`."""
+        -exclusions, +required, ^boosts, wildcards, fuzzy, ranges) —
+        see :mod:`cb.querylang`."""
         from . import docmeta as docmeta_mod, querylang
 
         parsed = querylang.parse(query_string)
+        if parsed.get("expands"):
+            if self._vocab is None:
+                self._vocab = load_vocab(self.meta) or sorted(
+                    {t for p in self.parts.values() for t in p.global_df}
+                )
+            parsed = querylang.expand(parsed, self._vocab)
         dm = None
         if parsed["filters"] or parsed["scoped_phrases"]:
             try:
@@ -609,6 +633,7 @@ class QueryEngine:
 
         self._results: "OrderedDict[tuple, list]" = OrderedDict()
         self._results_cap = 8192
+        self._vocab: list[str] | None = None  # lazy, for wildcard/fuzzy
 
     def warm(self, min_df: int = 0) -> int:
         """Pre-decode hot postings on every server (blocks until done)."""
@@ -725,14 +750,23 @@ class QueryEngine:
 
     def search(self, query_string: str, k: int = 10) -> list[tuple[int, float]]:
         """Lucene-lite query string via the pool (scatter-gather in doc
-        mode; ownership-routed with postings fetch in term mode)."""
+        mode; ownership-routed with postings fetch in term mode).
+        Wildcard/fuzzy atoms are rewritten ONCE here against the
+        vocabulary summary; servers receive concrete terms."""
         from . import querylang
 
         parsed = querylang.parse(query_string)
+        if parsed.get("expands"):
+            if self._vocab is None:
+                self._vocab = load_vocab(self.meta)
+            parsed = querylang.expand(parsed, self._vocab)
         involved = sorted(
-            set(parsed["terms"])
+            set(parsed.get("weights") or parsed["terms"])
             | {t for p in parsed["phrases"] for t in p}
             | set(parsed["excluded"])
+            # negated-phrase terms must ship too: a term-mode scorer
+            # missing one would silently skip the must_not clause
+            | {t for p in parsed.get("excluded_phrases", []) for t in p}
         )
         if not involved:
             return []

@@ -174,15 +174,18 @@ def taat_scores(
         return None, None
     per_term = []
     for c in cursors:
+        # the cache stores the WEIGHT-INDEPENDENT u-factor vector; idf
+        # (which carries any per-query boost) multiplies at use, so a
+        # boosted query never poisons the cache for an unboosted one
         hit = decoded_cache.get(c.term) if decoded_cache is not None else None
         if hit is not None:
-            ids, contrib = hit
+            ids, u_vec = hit
         else:
             ids, tfs, dls = c.decode_chunks()
-            contrib = c.idf * scoring.u_factor(tfs, dls, stats.avgdl)
+            u_vec = scoring.u_factor(tfs, dls, stats.avgdl)
             if decoded_cache is not None:
-                decoded_cache[c.term] = (ids, contrib)
-        per_term.append((ids, contrib))
+                decoded_cache[c.term] = (ids, u_vec)
+        per_term.append((ids, c.idf * u_vec))
     universe = np.unique(np.concatenate([ids for ids, _ in per_term]))
     acc = np.zeros(len(universe), dtype=np.float64)
     for ids, contrib in per_term:  # cursors sorted by term -> spec order

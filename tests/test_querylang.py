@@ -127,3 +127,148 @@ def test_engine_parity_both_modes(built):
                     assert engine.search(q, k=10) == s.search(q, k=10), (mode, ns, q)
             finally:
                 engine.shutdown()
+
+
+# ---------------------------------------------------------------- v2 syntax
+
+
+def test_parse_v2_atoms():
+    p = querylang.parse('+merge sort^2 mer* h?sh~ windw~1 "a b"^3 n_chars:[10 TO 20]')
+    assert p["required"] == ["merge"]
+    assert p["weights"]["merge"] == 1.0
+    assert p["weights"]["sort"] == 2.0
+    # "a b" tokenizes to [b] only (a is a stopword): phrase boost 3
+    assert p["weights"]["b"] == 3.0
+    kinds = [(a["kind"], a.get("pattern") or a.get("term")) for a in p["expands"]]
+    assert ("wildcard", "mer*") in kinds
+    # h?sh~  -> fuzzy parse wins only when the ~ suffix matches; the ?
+    # makes the base un-tokenizable to one token, so it falls through
+    # to wildcard after the ~ strip
+    assert ("wildcard", "h?sh") in kinds
+    assert {"kind": "fuzzy", "term": "windw", "dist": 1, "boost": 1.0} in p["expands"]
+    r = p["filters"]["n_chars"]
+    assert isinstance(r, querylang.Range)
+    assert (r.lo, r.hi, r.lo_incl, r.hi_incl) == ("10", "20", True, True)
+
+
+def test_parse_range_variants():
+    for q, lo, hi, li, hi_i in [
+        ("x:{1 TO 5}", "1", "5", False, False),
+        ("x:[1 TO 5}", "1", "5", True, False),
+        ("x:>=3", "3", None, True, True),
+        ("x:>3", "3", None, False, True),
+        ("x:<=3", None, "3", True, True),
+        ("x:<3", None, "3", True, False),
+        ("x:[* TO 9]", None, "9", True, True),
+    ]:
+        r = querylang.parse(q)["filters"]["x"]
+        assert isinstance(r, querylang.Range), q
+        assert (r.lo, r.hi) == (lo, hi), q
+        assert (r.lo_incl, r.hi_incl) == (li, hi_i), q
+    with pytest.raises(ValueError):
+        querylang.parse("x:[oops]")
+
+
+def test_parse_duplicate_terms_additive():
+    p = querylang.parse("merge merge sort")
+    assert p["weights"] == {"merge": 2.0, "sort": 1.0}
+
+
+def test_expand_wildcard_and_fuzzy():
+    vocab = ["merge", "merged", "mering", "sort", "marge", "msort"]
+    p = querylang.parse("mer* marge~1^2")
+    e = querylang.expand(p, vocab)
+    assert e["expands"] == []
+    # mer* -> merge, merged, mering at 1.0
+    assert e["weights"]["mering"] == 1.0
+    # marge~1 matches marge (0) and merge (1 substitution), at boost 2
+    assert e["weights"]["marge"] == 2.0
+    assert e["weights"]["merge"] == 1.0 + 2.0  # wildcard + fuzzy overlap
+
+
+def test_execute_rejects_unexpanded():
+    p = querylang.parse("mer*")
+    with pytest.raises(ValueError, match="expand"):
+        querylang.execute(p, get_postings=lambda t: None, stats=None, k=5)
+
+
+def test_damerau_levenshtein_matches_duckdb():
+    import duckdb
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    alpha = "abcde"
+    words = [
+        "".join(alpha[i] for i in rng.integers(0, len(alpha), rng.integers(0, 9)))
+        for _ in range(60)
+    ]
+    con = duckdb.connect()
+    for i in range(0, len(words) - 1, 2):
+        a, b = words[i], words[i + 1]
+        if not a or not b:
+            continue  # duckdb rejects empty strings; engine defines len
+        want = con.sql(f"select damerau_levenshtein('{a}','{b}')").fetchone()[0]
+        assert querylang.damerau_levenshtein(a, b) == want, (a, b)
+
+
+def test_boost_scales_single_term_score(built):
+    s = LocalSearcher(built)
+    base = dict(s.search("zebra", k=10))
+    boosted = dict(s.search("zebra^2.5", k=10))
+    assert set(base) == set(boosted)
+    for d in base:
+        assert boosted[d] == pytest.approx(base[d] * 2.5, rel=1e-12)
+
+
+def test_required_term_gates_membership(built):
+    s = LocalSearcher(built)
+    any_match = {d for d, _ in s.search("hash window", k=10)}
+    must = {d for d, _ in s.search("+window hash", k=10)}
+    assert any_match == {1, 2, 3, 4, 5}
+    assert must == {3}  # only doc 3 contains window
+
+
+def test_wildcard_and_fuzzy_search(built):
+    s = LocalSearcher(built)
+    got = {d for d, _ in s.search("quan*", k=10)}
+    assert got == {6}  # quantum
+    got = {d for d, _ in s.search("zebr~1", k=10)}
+    assert got == {6}
+    got = {d for d, _ in s.search("xyzzy*", k=10)}
+    assert got == set()
+
+
+def test_range_filter(tmp_path):
+    rows = [
+        {"doc_id": i, "text": f"common word{i}", "lang": "en", "n": i * 10}
+        for i in range(1, 7)
+    ]
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "i")
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=2)
+    dm.ensure_docmeta(idx, src, ["lang", "n"])
+    s = LocalSearcher(idx)
+    assert {d for d, _ in s.search("common n:[20 TO 40]", k=10)} == {2, 3, 4}
+    assert {d for d, _ in s.search("common n:{20 TO 40}", k=10)} == {3}
+    assert {d for d, _ in s.search("common n:>=50", k=10)} == {5, 6}
+    assert {d for d, _ in s.search("common n:<20 lang:en", k=10)} == {1}
+
+
+def test_engine_v2_parity_both_modes(built):
+    queries = [
+        "hash^2 join",
+        "+window merge",
+        "ha?h jo*",
+        "zebr~1 merge",
+        'mer* -deprecated lang:fr',
+    ]
+    local = LocalSearcher(built)
+    for mode in ("doc", "term"):
+        eng = QueryEngine(built, num_servers=2, mode=mode)
+        try:
+            for q in queries:
+                assert eng.search(q, k=10) == local.search(q, k=10), (mode, q)
+        finally:
+            eng.shutdown()
