@@ -294,6 +294,17 @@ class DocMeta:
                 col = tbl[c].combine_chunks()
                 self.cols[c] = col
 
+    def gather(self, doc_ids: np.ndarray, col: str) -> pa.Array:
+        """Column values aligned with ``doc_ids`` (null for ids absent
+        from the table) — the facet/stats aggregation input."""
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        if len(self.ids) == 0:
+            return pa.nulls(len(doc_ids), self.cols[col].type if col in self.cols else pa.string())
+        pos = np.clip(np.searchsorted(self.ids, doc_ids), 0, len(self.ids) - 1)
+        vals = self.cols[col].take(pa.array(pos))
+        present = pa.array(self.ids[pos] == doc_ids)
+        return pc.if_else(present, vals, pa.nulls(len(doc_ids), vals.type))
+
     def mask(self, doc_ids: np.ndarray, filters: dict) -> np.ndarray:
         """Boolean mask: does each doc satisfy EVERY (col == value) /
         (col in values) / (col in range) condition?  Ids absent from the

@@ -481,29 +481,20 @@ def _sql_range_pred(col: str, r) -> str:
     return " AND ".join(parts) if parts else f"d.{col} IS NOT NULL"
 
 
-def sql_search_querystring() -> str:
-    """Oracle generated per query from the SAME parser the engine uses —
-    but expansion is INDEPENDENT: wildcard/fuzzy atoms ship as patterns
-    and DuckDB matches them against the corpus term table natively
-    (regexp_full_match / damerau_levenshtein), so the oracle verifies
-    the engine's vocabulary rewrite rather than echoing it.  Scored
-    terms -> boost-weighted BM25 sum (weight = ordered sum of matching
-    atom boosts); phrases / +required -> token-joined LIKE; filters ->
-    metadata equality and ranges; exclusions -> NOT LIKE."""
+def _querystring_sql_parts(queries) -> tuple[list[str], list[str]]:
+    """Shared oracle scaffolding for query-string entries: per-query
+    qatom VALUES rows (exact atoms with the engine's parse-time summed
+    weight FIRST, then wildcard/fuzzy atoms in query order, so the
+    ordered SQL sum reproduces expand()'s float accumulation exactly)
+    and per-query membership SELECTs (phrases, +required, exclusions,
+    equality + range filters)."""
     from . import querylang
 
-    tok = analyze.sql_token_array("text")
-    contrib = scoring.sql_score_terms_weighted(
-        "(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)", "q.w"
-    )
     atom_rows = []
     member_selects = []
-    for qid, q in enumerate(SEARCH_SET):
+    for qid, q in enumerate(queries):
         p = querylang.parse(q)
         aid = 0
-        # exact atoms first with the engine's parse-time summed weight,
-        # then expansion atoms in query order — the ordered SQL sum then
-        # reproduces expand()'s float accumulation order exactly
         for t in sorted(p["weights"]):
             atom_rows.append(
                 f"({qid}, {aid}, 'e', '{t}', 0, CAST({p['weights'][t]!r} AS DOUBLE))"
@@ -540,6 +531,25 @@ def sql_search_querystring() -> str:
             f"SELECT {qid} AS query_id, d.doc_id FROM documents d "
             f"JOIN joined j ON j.doc_id = d.doc_id WHERE TRUE{where}"
         )
+    return atom_rows, member_selects
+
+
+def sql_search_querystring() -> str:
+    """Oracle generated per query from the SAME parser the engine uses —
+    but expansion is INDEPENDENT: wildcard/fuzzy atoms ship as patterns
+    and DuckDB matches them against the corpus term table natively
+    (regexp_full_match / damerau_levenshtein), so the oracle verifies
+    the engine's vocabulary rewrite rather than echoing it.  Scored
+    terms -> boost-weighted BM25 sum (weight = ordered sum of matching
+    atom boosts); phrases / +required -> token-joined LIKE; filters ->
+    metadata equality and ranges; exclusions -> NOT LIKE."""
+    from . import querylang
+
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms_weighted(
+        "(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)", "q.w"
+    )
+    atom_rows, member_selects = _querystring_sql_parts(SEARCH_SET)
     members = " UNION ALL ".join(member_selects)
     return f"""
 WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
@@ -580,6 +590,136 @@ SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
+
+
+FACET_SET: tuple[str, ...] = (
+    "merge sort",
+    '"hash join"',
+    "mer* -table",
+    "+sort n_chars:>=300",
+    "window lang:en",
+)
+_FACET_COLS = ["lang", "source"]
+
+
+def _facet_sql_prefix(queries) -> str:
+    """Shared facet-oracle CTEs: membership = the query-string member
+    predicates AND >=1 scored-term occurrence (qdoc) — the same match
+    set querylang.match computes, without the scoring CTEs."""
+    tok = analyze.sql_token_array("text")
+    atom_rows, member_selects = _querystring_sql_parts(queries)
+    members = " UNION ALL ".join(member_selects)
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+joined AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s FROM docs),
+qatom(query_id, atom_id, kind, pat, dist, w) AS (VALUES {", ".join(atom_rows)}),
+qt AS (
+  SELECT DISTINCT a.query_id, df.term
+  FROM qatom a JOIN df ON (
+       (a.kind = 'e' AND df.term = a.pat)
+    OR (a.kind = 'w' AND regexp_full_match(df.term, a.pat))
+    OR (a.kind = 'f' AND abs(length(df.term) - length(a.pat)) <= a.dist
+        AND damerau_levenshtein(df.term, a.pat) <= a.dist)
+  )
+),
+qdoc AS (SELECT DISTINCT qt.query_id, tf.doc_id FROM qt JOIN tf ON tf.term = qt.term),
+m AS ({members}),
+mm AS (SELECT m.query_id, m.doc_id FROM m
+       JOIN qdoc ON qdoc.query_id = m.query_id AND qdoc.doc_id = m.doc_id)
+"""
+
+
+def _facet_engine(sf_dir: str):
+    from . import docmeta as docmeta_mod
+
+    meta = get_index(sf_dir)
+    docmeta_mod.ensure_docmeta(
+        meta.index_dir, docs_path(sf_dir), ["lang", "source", "n_chars"]
+    )
+    return shard.QueryEngine(meta.index_dir, num_servers=2)
+
+
+def q_search_facets(sf_dir: str) -> pa.Table:
+    """ES terms aggregations over each query's FULL match set (not
+    top-k): per (query, facet column, value) doc counts, served by the
+    doc-sharded pool (each server counts its disjoint slice; driver
+    merge is exact addition).  Queries with zero matches emit no rows
+    (mirrors SQL GROUP BY)."""
+    engine = _facet_engine(sf_dir)
+    try:
+        per_q = [engine.facets(q, facet_cols=_FACET_COLS) for q in FACET_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "facet": [], "value": [], "cnt": []}
+    for qid, (facets, _) in enumerate(per_q):
+        for col in _FACET_COLS:
+            for v in sorted(facets.get(col, {})):
+                rows["query_id"].append(qid)
+                rows["facet"].append(col)
+                rows["value"].append(str(v))
+                rows["cnt"].append(facets[col][v])
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "facet": pa.array(rows["facet"], pa.string()),
+            "value": pa.array(rows["value"], pa.string()),
+            "cnt": pa.array(rows["cnt"], pa.int64()),
+        }
+    )
+
+
+def sql_search_facets() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    facet_selects = " UNION ALL ".join(
+        f"SELECT mm.query_id::BIGINT AS query_id, '{c}' AS facet, "
+        f"d.{c}::VARCHAR AS value, count(*)::BIGINT AS cnt "
+        f"FROM mm JOIN documents d ON d.doc_id = mm.doc_id GROUP BY 1, 3"
+        for c in _FACET_COLS
+    )
+    return f"{prefix}{facet_selects} ORDER BY query_id, facet, value"
+
+
+def q_search_facet_stats(sf_dir: str) -> pa.Table:
+    """ES stats aggregation (count/sum/min/max of a numeric docmeta
+    column) over each query's full match set; zero-match queries emit
+    no rows."""
+    engine = _facet_engine(sf_dir)
+    try:
+        per_q = [engine.facets(q, stats_cols=["n_chars"]) for q in FACET_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "n": [], "sum_n": [], "min_n": [], "max_n": []}
+    for qid, (_, stats) in enumerate(per_q):
+        n, sm, mn, mx = stats["n_chars"]
+        if n == 0:
+            continue
+        rows["query_id"].append(qid)
+        rows["n"].append(n)
+        rows["sum_n"].append(sm)
+        rows["min_n"].append(mn)
+        rows["max_n"].append(mx)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "sum_n": pa.array(rows["sum_n"], pa.int64()),
+            "min_n": pa.array(rows["min_n"], pa.int64()),
+            "max_n": pa.array(rows["max_n"], pa.int64()),
+        }
+    )
+
+
+def sql_search_facet_stats() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    return f"""{prefix}
+SELECT mm.query_id::BIGINT AS query_id, count(*)::BIGINT AS n,
+       sum(d.n_chars)::BIGINT AS sum_n,
+       min(d.n_chars)::BIGINT AS min_n, max(d.n_chars)::BIGINT AS max_n
+FROM mm JOIN documents d ON d.doc_id = mm.doc_id
+GROUP BY 1 ORDER BY 1"""
 
 
 # Multi-field query set: unscoped terms score in BOTH fields
@@ -1645,6 +1785,8 @@ QUERIES = {
     "multifield_querystring": q_multifield_querystring,
     "phrase_search": q_phrase_search,
     "search_querystring": q_search_querystring,
+    "search_facets": q_search_facets,
+    "search_facet_stats": q_search_facet_stats,
     "content_sha256": q_content_sha256,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
@@ -1692,6 +1834,8 @@ def oracle_sql() -> dict[str, str]:
         "multifield_querystring": sql_multifield_querystring(),
         "phrase_search": sql_phrase_search(),
         "search_querystring": sql_search_querystring(),
+        "search_facets": sql_search_facets(),
+        "search_facet_stats": sql_search_facet_stats(),
         "content_sha256": sql_content_sha256(),
         "dedup_exact": dedup.sql_exact_duplicates(),
         "token_stats": textstats.sql_token_stats(),

@@ -349,8 +349,35 @@ def execute(
     ``get_postings(term) -> ChunkedPostings | None``; ``docmeta`` is a
     :class:`cb.docmeta.DocMeta` (required when filters are present).
     ``parsed`` must already be expanded (no wildcard/fuzzy atoms left)."""
-    from . import phrase as phrase_mod, scoring, wand
     from .query import rank_topk
+
+    universe, acc, keep = match(
+        parsed,
+        get_postings=get_postings,
+        stats=stats,
+        docmeta=docmeta,
+        decoded_cache=decoded_cache,
+        drop_ids=drop_ids,
+    )
+    if universe is None:
+        return []
+    return rank_topk(universe[keep], acc[keep], k)
+
+
+def match(
+    parsed: dict,
+    *,
+    get_postings,
+    stats,
+    docmeta=None,
+    decoded_cache: dict | None = None,
+    drop_ids: np.ndarray | None = None,
+):
+    """Evaluate every clause and return the FULL match set:
+    ``(universe, scores, keep)`` where ``universe[keep]`` are the
+    matching doc ids — :func:`execute` ranks it; facet aggregation
+    counts over it.  ``(None, None, None)`` when nothing can match."""
+    from . import phrase as phrase_mod, scoring, wand
 
     if parsed.get("expands"):
         raise ValueError(
@@ -365,11 +392,11 @@ def execute(
         }
     score_terms = sorted(weights)
     if not score_terms:
-        return []
+        return None, None, None
     postings = {t: get_postings(t) for t in score_terms}
     live = {t: p for t, p in postings.items() if p is not None}
     if not live:
-        return []
+        return None, None, None
     # weight multiplies idf ONCE per term (scalar double), the same
     # association the SQL oracle uses: ((idf * w) * u); w == 1.0 is
     # bitwise identity, so unboosted queries score exactly as before
@@ -379,7 +406,7 @@ def execute(
     }
     universe, acc = wand.taat_scores(live, idfs, stats, decoded_cache=decoded_cache)
     if universe is None:
-        return []
+        return None, None, None
     keep = np.ones(len(universe), dtype=bool)
     if drop_ids is not None and len(drop_ids):
         # tombstoned documents (sorted id array)
@@ -389,14 +416,14 @@ def execute(
     for t in parsed.get("required", []):
         p = postings.get(t)
         if p is None:
-            return []
+            return None, None, None
         ids, _, _ = p.decode_all()
         keep &= np.isin(universe, ids, assume_unique=True)
     # required phrases: bool.must match_phrase
     for ph in parsed["phrases"]:
         ph_postings = {t: postings.get(t) or get_postings(t) for t in set(ph)}
         if any(p is None for p in ph_postings.values()):
-            return []
+            return None, None, None
         hits = phrase_mod.phrase_topk(ph, ph_postings, stats, len(universe))
         hit_ids = np.array(sorted(d for d, _ in hits), dtype=np.int64)
         keep &= np.isin(universe, hit_ids, assume_unique=True)
@@ -437,4 +464,4 @@ def execute(
                 f"unknown filter fields {unknown}; docmeta has {sorted(docmeta.cols)}"
             )
         keep &= docmeta.mask(universe, filters)
-    return rank_topk(universe[keep], acc[keep], k)
+    return universe, acc, keep

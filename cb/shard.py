@@ -279,6 +279,59 @@ class GlobalStats:
         self.avgdl = avgdl
 
 
+def _facets_over(ids, dm, facet_cols, stats_cols):
+    """Facet aggregation over one scope's matched doc ids: ES-style
+    terms aggs (value -> count) and numeric stats aggs (n/sum/min/max)
+    from the docmeta side table.  Vectorized (value_counts / sum) —
+    returns tiny dicts, so driver merges stay O(distinct values)."""
+    import pyarrow.compute as pc_
+
+    facets: dict[str, dict] = {}
+    for c in facet_cols:
+        vals = dm.gather(ids, c).drop_null()
+        vc = pc_.value_counts(vals)
+        facets[c] = {
+            row["values"]: int(row["counts"]) for row in vc.to_pylist()
+        }
+    stats: dict[str, tuple] = {}
+    for c in stats_cols:
+        vals = dm.gather(ids, c).drop_null()
+        if len(vals) == 0:
+            stats[c] = (0, 0, None, None)
+        else:
+            stats[c] = (
+                len(vals),
+                pc_.sum(vals).as_py(),
+                pc_.min(vals).as_py(),
+                pc_.max(vals).as_py(),
+            )
+    return facets, stats
+
+
+def _merge_facets(parts):
+    """Merge per-server (facets, stats) pairs: counts add, sums add,
+    min/max fold (disjoint doc slices, so addition is exact)."""
+    facets: dict[str, dict] = {}
+    stats: dict[str, tuple] = {}
+    for f, s in parts:
+        for c, d in f.items():
+            acc = facets.setdefault(c, {})
+            for v, n in d.items():
+                acc[v] = acc.get(v, 0) + n
+        for c, (n, sm, mn, mx) in s.items():
+            if c not in stats:
+                stats[c] = (n, sm, mn, mx)
+            elif n:
+                N, S, MN, MX = stats[c]
+                stats[c] = (
+                    N + n,
+                    S + sm,
+                    mn if MN is None else (MN if mn is None else min(MN, mn)),
+                    mx if MX is None else (MX if mx is None else max(MX, mx)),
+                )
+    return facets, stats
+
+
 def load_vocab(meta: IndexMeta) -> list[str]:
     """Index vocabulary: the union of the partitions' ``_termdf.parquet``
     term columns (vocabulary-sized, NOT corpus-sized — this is the same
@@ -457,6 +510,32 @@ class ShardServer:
             drop_ids=self.tombstones,
         )
 
+    def facet_counts(
+        self, parsed: dict, facet_cols: list[str], stats_cols: list[str],
+        fetched_terms: list[str] = (), *fetched,
+    ):
+        """ES-style aggregations over THIS scope's full match set of a
+        query string (not just top-k): terms facets + numeric stats from
+        docmeta.  Doc-sharded servers each aggregate their disjoint doc
+        slice; the driver merge is exact addition."""
+        from . import docmeta as docmeta_mod, querylang
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        universe, _, keep = querylang.match(
+            parsed,
+            get_postings=self._local,
+            stats=self.stats,
+            docmeta=self._docmeta,
+            decoded_cache=self.decoded,
+            drop_ids=self.tombstones,
+        )
+        if universe is None:
+            return {c: {} for c in facet_cols}, {c: (0, 0, None, None) for c in stats_cols}
+        return _facets_over(universe[keep], self._docmeta, facet_cols, stats_cols)
+
     def phrase(self, ordered_terms: list[str], k: int, fetched_terms: list[str], *fetched):
         """Exact phrase top-k (positional postings); same fetch protocol
         as :meth:`score`."""
@@ -522,6 +601,32 @@ class LocalSearcher:
             parsed, get_postings=self.get_postings, stats=self.stats, k=k, docmeta=dm,
             drop_ids=self.tombstones,
         )
+
+    def facets(
+        self, query_string: str, facet_cols=(), stats_cols=()
+    ) -> tuple[dict, dict]:
+        """In-process facet aggregation: ({col: {value: count}},
+        {col: (n, sum, min, max)}) over the query's FULL match set."""
+        from . import docmeta as docmeta_mod, querylang
+
+        parsed = querylang.parse(query_string)
+        if parsed.get("expands"):
+            if self._vocab is None:
+                self._vocab = load_vocab(self.meta) or sorted(
+                    {t for p in self.parts.values() for t in p.global_df}
+                )
+            parsed = querylang.expand(parsed, self._vocab)
+        dm = docmeta_mod.DocMeta(self.meta.index_dir)
+        universe, _, keep = querylang.match(
+            parsed, get_postings=self.get_postings, stats=self.stats,
+            docmeta=dm, drop_ids=self.tombstones,
+        )
+        if universe is None:
+            return (
+                {c: {} for c in facet_cols},
+                {c: (0, 0, None, None) for c in stats_cols},
+            )
+        return _facets_over(universe[keep], dm, list(facet_cols), list(stats_cols))
 
     def filtered_query(self, text: str, filters: dict, k: int = 10) -> list[tuple[int, float]]:
         """In-process filtered BM25 (ES bool must+filter parity)."""
@@ -783,6 +888,52 @@ class QueryEngine:
         self.seen[scorer].update(involved)
         return ray.get(
             self.servers[scorer].query_string.remote(parsed, k, fetched_terms, *refs)
+        )
+
+    def facets(
+        self, query_string: str, facet_cols=(), stats_cols=()
+    ) -> tuple[dict, dict]:
+        """Pool facet aggregation over the query's FULL match set
+        (scatter-gather + exact merge in doc mode — each server counts
+        its disjoint slice, so work and memory are ~1/S per server;
+        ownership-routed in term mode)."""
+        from . import querylang
+
+        parsed = querylang.parse(query_string)
+        if parsed.get("expands"):
+            if self._vocab is None:
+                self._vocab = load_vocab(self.meta)
+            parsed = querylang.expand(parsed, self._vocab)
+        facet_cols, stats_cols = list(facet_cols), list(stats_cols)
+        involved = sorted(
+            set(parsed.get("weights") or parsed["terms"])
+            | {t for p in parsed["phrases"] for t in p}
+            | set(parsed["excluded"])
+            | {t for p in parsed.get("excluded_phrases", []) for t in p}
+        )
+        if not involved:
+            return (
+                {c: {} for c in facet_cols},
+                {c: (0, 0, None, None) for c in stats_cols},
+            )
+        if self.mode == "doc":
+            futs = [
+                s.facet_counts.remote(parsed, facet_cols, stats_cols)
+                for s in self.servers
+            ]
+            return _merge_facets(ray.get(futs))
+        owners = {t: self._owner(t) for t in involved}
+        counts = np.bincount([owners[t] for t in involved], minlength=self.num_servers)
+        scorer = int(np.argmax(counts))
+        fetched_terms = [
+            t for t in involved if owners[t] != scorer and t not in self.seen[scorer]
+        ]
+        refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
+        self.seen[scorer].update(involved)
+        return ray.get(
+            self.servers[scorer].facet_counts.remote(
+                parsed, facet_cols, stats_cols, fetched_terms, *refs
+            )
         )
 
     def query_many(self, texts: list[str], k: int = 10, algo: str = "taat"):

@@ -272,3 +272,57 @@ def test_engine_v2_parity_both_modes(built):
                 assert eng.search(q, k=10) == local.search(q, k=10), (mode, q)
         finally:
             eng.shutdown()
+
+
+def test_facets_local(built):
+    s = LocalSearcher(built)
+    facets, stats = s.facets("hash join", facet_cols=["lang", "source"])
+    # matches docs 1,2,4,5: langs en,en,en,fr; sources s0,s1,s0,s1
+    assert facets["lang"] == {"en": 3, "fr": 1}
+    assert facets["source"] == {"s0": 2, "s1": 2}
+    assert stats == {}
+
+
+def test_facets_stats_and_no_match(tmp_path):
+    rows = [
+        {"doc_id": i, "text": f"common word{i}", "lang": "en", "n": i * 10}
+        for i in range(1, 7)
+    ]
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "i")
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=2)
+    dm.ensure_docmeta(idx, src, ["lang", "n"])
+    s = LocalSearcher(idx)
+    _, stats = s.facets("common n:[20 TO 50]", stats_cols=["n"])
+    assert stats["n"] == (4, 140, 20, 50)
+    facets, stats = s.facets("nosuchterm", facet_cols=["lang"], stats_cols=["n"])
+    assert facets == {"lang": {}}
+    assert stats == {"n": (0, 0, None, None)}
+
+
+def test_facets_engine_parity_both_modes(built):
+    local = LocalSearcher(built)
+    queries = ["hash join", '"hash join"', "mer* -deprecated", "+join lang:en"]
+    for mode in ("doc", "term"):
+        eng = QueryEngine(built, num_servers=2, mode=mode)
+        try:
+            for q in queries:
+                got = eng.facets(q, facet_cols=["lang", "source"])
+                want = local.facets(q, facet_cols=["lang", "source"])
+                assert got == want, (mode, q)
+        finally:
+            eng.shutdown()
+
+
+def test_facets_respect_tombstones(built, tmp_path):
+    import shutil
+
+    from cb.shard import delete_docs
+
+    idx2 = str(tmp_path / "idx2")
+    shutil.copytree(built, idx2)
+    delete_docs(idx2, [1, 5])
+    s = LocalSearcher(idx2)
+    facets, _ = s.facets("hash join", facet_cols=["lang"])
+    assert facets["lang"] == {"en": 2}  # docs 2 and 4 survive
