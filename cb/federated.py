@@ -1,0 +1,358 @@
+"""Federated per-day / per-type indexes + exact cross-index search.
+
+Reference parity: ConveyorBelt routes every indexed record to a
+per-day Elasticsearch index named by ``IndexNamer``
+(/root/reference/src/ConveyorBelt.Tooling/IndexNamer.cs:21-41, date
+chars sliced from the ISO timestamp, optional prefix and
+one-index-per-type mode), pushes each batch to the index of its
+``@timestamp`` (NestBatchPusher.cs:66-75), and enumerates the
+day-index set a query must span via ``MasterScheduler.GetIndexNames``
+(MasterScheduler.cs:241-259).  Here the same lifecycle is Ray-Data
+native:
+
+- ``build_federation``: ONE streaming pass over the corpus derives the
+  routing key per row (vectorized strftime on unique values through the
+  byte-parity :func:`index_name`), hive-partitions the staging write
+  (``write_parquet(partition_cols=...)``), then runs one distributed
+  index build per key — each sub-index is an ordinary ``cb.build``
+  index, so every serving/compaction/tombstone feature applies per day.
+- A final per-term-partition merge job writes federation-global df
+  summaries (``feddf/part=<p>.parquet``) — num_parts small tasks, no
+  driver-side vocabulary.
+- ``FederatedEngine``: a :class:`cb.shard.QueryEngine` per sub-index,
+  constructed with ``fed=`` so every server scores with
+  federation-global ``(N, avgdl, df)`` — ES ``dfs_query_then_fetch``.
+  Because doc ids are content-derived and each doc lives in exactly one
+  sub-index, the fan-out merge is bitwise identical to one monolithic
+  index over the union corpus (tested; SQL oracle is the monolithic
+  BM25 query).  Time-ranged queries prune to the day-indexes that
+  overlap (the ``GetIndexNames`` read path), so a "last 2 days" query
+  on a year-long federation touches 2/365ths of the postings.
+
+Scale: each sub-index build is an independent distributed job over only
+its partition's staging files; the staging write is the only full pass.
+Query fan-out collects score ObjectRefs from every selected engine and
+``ray.get``s ONCE — cross-index parallelism equals in-index
+scatter-gather parallelism.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from . import build as build_mod
+from . import manifest
+from .build import DEFAULT_NUM_PARTS, DEFAULT_RANGE_BITS
+from .shard import QueryEngine, _merge_topk
+
+KEY_COL = "_fed_key"
+
+
+def index_name(
+    time_iso: str | None,
+    type_name: str,
+    prefix: str = "",
+    one_index_per_type: bool = False,
+) -> str:
+    """Byte-parity port of ``IndexNamer.BuildName(string, string)``
+    (IndexNamer.cs:26-41): date chars [0:4]+[5:7]+[8:10] of the ISO
+    string, lowercased type name, optional prefix."""
+    type_name = type_name.lower()
+    if time_iso is None or len(time_iso) < 10:
+        return f"{prefix}{type_name}" if one_index_per_type else prefix
+    d = time_iso[0:4] + time_iso[5:7] + time_iso[8:10]
+    return f"{prefix}{type_name}-{d}" if one_index_per_type else f"{prefix}{d}"
+
+
+def get_index_names(
+    last_offset_iso: str | None,
+    type_name: str,
+    prefix: str = "",
+    one_index_per_type: bool = False,
+    days_to_go_back: int = 7,
+    today_iso: str | None = None,
+    static_name: str | None = None,
+) -> list[str]:
+    """The day-index set a query/scheduler must span —
+    ``MasterScheduler.GetIndexNames`` (MasterScheduler.cs:241-259):
+    static name short-circuits; otherwise every day from the source's
+    last offset (default ``days_to_go_back`` ago) through tomorrow.
+
+    Deviation, documented: the reference's LINQ builds every name from
+    the SAME offset date (the loop variable ``z`` is ignored —
+    MasterScheduler.cs:256-257), returning N copies of one name; this
+    implements the evident intent (one name per day)."""
+    import datetime as _dt
+
+    if static_name:
+        return [static_name]
+    today = (
+        _dt.date.fromisoformat(today_iso[:10])
+        if today_iso
+        else _dt.date.today()
+    )
+    if last_offset_iso is None:
+        start = today - _dt.timedelta(days=days_to_go_back)
+    else:
+        start = _dt.date.fromisoformat(last_offset_iso[:10])
+    days = (today + _dt.timedelta(days=1) - start).days + 1
+    if days <= 0:
+        return []
+    out = []
+    for x in range(days):
+        d = today + _dt.timedelta(days=1) - _dt.timedelta(days=x)
+        out.append(index_name(d.isoformat(), type_name, prefix, one_index_per_type))
+    return out
+
+
+def _key_column(
+    batch: pa.Table,
+    ts_col: str | None,
+    route_col: str | None,
+    type_name: str,
+    prefix: str,
+    one_index_per_type: bool,
+) -> pa.Array:
+    """Routing key per row; names derived on the batch's few UNIQUE
+    values through :func:`index_name` (byte-parity path), broadcast by
+    dictionary take — no per-row Python."""
+    if ts_col is not None:
+        iso = pc.strftime(
+            batch[ts_col].combine_chunks().cast(pa.timestamp("us")),
+            format="%Y-%m-%dT%H:%M:%S",
+        )
+        enc = pc.dictionary_encode(iso)
+        names = [
+            index_name(v, type_name, prefix, one_index_per_type)
+            for v in enc.dictionary.to_pylist()
+        ]
+    else:
+        enc = pc.dictionary_encode(batch[route_col].combine_chunks().cast(pa.string()))
+        names = [
+            index_name(None, v, prefix, one_index_per_type=True)
+            for v in enc.dictionary.to_pylist()
+        ]
+    return pc.take(pa.array(names, type=pa.string()), enc.indices)
+
+
+def fed_meta_path(fed_dir: str) -> str:
+    return os.path.join(fed_dir, "fed.json")
+
+
+def feddf_path(fed_dir: str, part: int) -> str:
+    return os.path.join(fed_dir, "feddf", f"part={part}.parquet")
+
+
+@ray.remote
+def _merge_part_df(index_dirs: list[str], part: int, out_path: str) -> int:
+    """Federation-global df for one term partition: concat every
+    sub-index's tiny ``_termdf.parquet`` summary, one Arrow group-sum.
+    num_parts of these run in parallel; each touches only summaries."""
+    tabs = []
+    for d in index_dirs:
+        f = os.path.join(d, "parts", f"part={part}", "_termdf.parquet")
+        if os.path.exists(f):
+            tabs.append(pq.read_table(f))
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if not tabs:
+        merged = pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    else:
+        t = pa.concat_tables(tabs)
+        # group_by outputs keys FIRST: (term, df_sum)
+        merged = (
+            t.group_by("term")
+            .aggregate([("df", "sum")])
+            .rename_columns(["term", "df"])
+            .sort_by("term")
+        )
+    tmp = out_path + ".tmp"
+    pq.write_table(merged, tmp)
+    os.replace(tmp, out_path)
+    return merged.num_rows
+
+
+def build_federation(
+    source: "ray.data.Dataset | str",
+    fed_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str | None = None,
+    ts_col: str | None = None,
+    route_col: str | None = None,
+    type_name: str = "doc",
+    prefix: str = "",
+    one_index_per_type: bool = False,
+    columns: list[str] | None = None,
+    num_parts: int = DEFAULT_NUM_PARTS,
+    range_bits: int = DEFAULT_RANGE_BITS,
+    positions: bool = True,
+) -> dict:
+    """Build one sub-index per routing-key value under
+    ``fed_dir/index=<name>/`` plus federation-global stats.
+
+    Exactly one of ``ts_col`` (per-day indexes, NestBatchPusher's
+    ``@timestamp`` routing) or ``route_col`` (one-index-per-type,
+    ``EsOneIndexPerType``) must be given.  ``num_parts`` is FIXED
+    across sub-indexes (the term->partition hash must agree for the
+    federation df merge); ``range_bits`` likewise passed through.
+    """
+    if (ts_col is None) == (route_col is None):
+        raise ValueError("exactly one of ts_col / route_col required")
+    if isinstance(source, str):
+        cols = columns
+        if cols is not None:
+            cols = list(dict.fromkeys(cols + [ts_col or route_col]))
+        source = ray.data.read_parquet(source, columns=cols)
+
+    def add_key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            KEY_COL,
+            _key_column(b, ts_col, route_col, type_name, prefix, one_index_per_type),
+        )
+
+    staging = os.path.join(fed_dir, "_staging")
+    source.map_batches(add_key, batch_format="pyarrow").write_parquet(
+        staging, partition_cols=[KEY_COL]
+    )
+
+    keys = sorted(
+        d[len(KEY_COL) + 1 :]
+        for d in os.listdir(staging)
+        if d.startswith(KEY_COL + "=")
+    )
+    indexes = []
+    for key in keys:
+        sub_dir = os.path.join(fed_dir, f"index={key}")
+        meta = build_mod.build_index(
+            os.path.join(staging, f"{KEY_COL}={key}"),
+            sub_dir,
+            text_col=text_col,
+            id_col=id_col,
+            columns=[c for c in (id_col, text_col) if c],
+            num_parts=num_parts,
+            range_bits=range_bits,
+            positions=positions,
+        )
+        indexes.append(
+            {
+                "name": key,
+                "dir": sub_dir,
+                "n_docs": meta.n_docs,
+                "total_tokens": meta.total_tokens,
+            }
+        )
+
+    dirs = [e["dir"] for e in indexes]
+    ray.get(
+        [
+            _merge_part_df.remote(dirs, p, feddf_path(fed_dir, p))
+            for p in range(num_parts)
+        ]
+    )
+    n_docs = sum(e["n_docs"] for e in indexes)
+    total_tokens = sum(e["total_tokens"] for e in indexes)
+    fed = {
+        "version": 1,
+        "prefix": prefix,
+        "type_name": type_name,
+        "one_index_per_type": one_index_per_type,
+        "routing": "ts" if ts_col else "type",
+        "indexes": indexes,
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        # same int-sum / float-divide as write_global: federation avgdl
+        # is BITWISE the monolithic avgdl (required for exact merge)
+        "avgdl": (float(total_tokens) / float(n_docs)) if n_docs else 0.0,
+        "num_parts": num_parts,
+        "range_bits": range_bits,
+    }
+    manifest.write_atomic(fed_meta_path(fed_dir), fed)
+    return fed
+
+
+class FederatedEngine:
+    """Cross-index search over a federation — the engine analog of one
+    ES query spanning ``logstash-*``-style day indexes.
+
+    Each sub-index gets its own :class:`QueryEngine` pool whose servers
+    score with federation-global stats (``fed=``), so per-index top-k
+    lists are globally comparable and the driver merge by
+    ``(score desc, doc_id asc)`` is exact — bitwise equal to one
+    monolithic index (dfs_query_then_fetch semantics).
+
+    ``names=`` / day-range args prune the fan-out to the sub-indexes a
+    time-bounded query can match (GetIndexNames read path)."""
+
+    def __init__(self, fed_dir: str, num_servers: int = 2, mode: str = "doc"):
+        with open(fed_meta_path(fed_dir)) as f:
+            self.meta = json.load(f)
+        self.fed_dir = fed_dir
+        self.engines: dict[str, QueryEngine] = {
+            e["name"]: QueryEngine(e["dir"], num_servers, mode, fed=fed_dir)
+            for e in self.meta["indexes"]
+        }
+
+    def _select(
+        self,
+        names: list[str] | None = None,
+        start_day: str | None = None,
+        end_day: str | None = None,
+    ) -> list[str]:
+        sel = list(self.engines) if names is None else [n for n in names if n in self.engines]
+        if start_day or end_day:
+            # day-named indexes end in YYYYMMDD: lexicographic == chronological
+            def day(n: str) -> str:
+                return n[-8:]
+
+            sel = [
+                n
+                for n in sel
+                if (start_day is None or day(n) >= start_day)
+                and (end_day is None or day(n) <= end_day)
+            ]
+        return sel
+
+    def query(
+        self,
+        text: str,
+        k: int = 10,
+        algo: str = "taat",
+        names: list[str] | None = None,
+        start_day: str | None = None,
+        end_day: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Fan out to the selected sub-indexes, ONE ``ray.get`` over
+        every server's score ref, exact merge."""
+        futs = []
+        for n in self._select(names, start_day, end_day):
+            f = self.engines[n]._dispatch(text, k, algo)
+            if f is None:
+                continue
+            futs.extend(f if isinstance(f, list) else [f])
+        if not futs:
+            return []
+        return _merge_topk(ray.get(futs), k)
+
+    def phrase_query(self, text: str, k: int = 10, **sel) -> list[tuple[int, float]]:
+        parts = [
+            self.engines[n].phrase_query(text, k) for n in self._select(**sel)
+        ]
+        return _merge_topk(parts, k) if parts else []
+
+    def query_many(self, texts: list[str], k: int = 10, algo: str = "taat"):
+        return [self.query(t, k, algo) for t in texts]
+
+    def warm(self, min_df: int = 0) -> int:
+        return sum(e.warm(min_df) for e in self.engines.values())
+
+    def shutdown(self) -> None:
+        for e in self.engines.values():
+            e.shutdown()
+        self.engines = {}

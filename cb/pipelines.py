@@ -163,6 +163,10 @@ def _run_query_set(sf_dir: str, with_scores: bool) -> pa.Table:
         results = engine.query_many(list(QUERY_SET), k=K)
     finally:
         engine.shutdown()
+    return _topk_table(results, with_scores)
+
+
+def _topk_table(results, with_scores: bool) -> pa.Table:
     rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
     for qid, res in enumerate(results):
         for rank, (doc_id, score) in enumerate(res, start=1):
@@ -193,6 +197,55 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
 
 def q_bm25_topk_scores(sf_dir: str) -> pa.Table:
     return _run_query_set(sf_dir, with_scores=True)
+
+
+FED_NDAYS = 4
+# 2026-01-05T00:00:00Z in microseconds (deterministic routing epoch)
+FED_EPOCH_US = 1_767_571_200_000_000
+
+
+def get_federation(sf_dir: str) -> str:
+    """Build (or reuse) the per-day federated index over documents.
+
+    Routing parity with the reference's ``@timestamp`` push
+    (NestBatchPusher.cs:66-75): each doc gets a deterministic timestamp
+    ``epoch + (doc_id % FED_NDAYS) days`` and flows through the
+    IndexNamer day path, yielding FED_NDAYS per-day sub-indexes."""
+    from . import federated
+
+    fed_dir = _index_dir_for(sf_dir) + "_fed"
+    if os.path.exists(federated.fed_meta_path(fed_dir)):
+        return fed_dir
+
+    def with_ts(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = FED_EPOCH_US + (ids % FED_NDAYS) * 86_400_000_000
+        return b.append_column("ts", pa.array(us).cast(pa.timestamp("us")))
+
+    ds = ray.data.read_parquet(
+        docs_path(sf_dir), columns=["doc_id", "text"]
+    ).map_batches(with_ts, batch_format="pyarrow")
+    federated.build_federation(
+        ds, fed_dir, text_col="text", id_col="doc_id", ts_col="ts", prefix="cb-"
+    )
+    return fed_dir
+
+
+def q_federated_bm25(sf_dir: str) -> pa.Table:
+    """BM25 across the per-day federation with federation-global stats
+    (ES dfs_query_then_fetch): the merged top-k is bitwise identical to
+    one monolithic index over the union corpus, so the oracle is the
+    monolithic BM25 SQL — a strong end-to-end check of the routing
+    split, the per-partition df merge, and the cross-index merge."""
+    from . import federated
+
+    fed_dir = get_federation(sf_dir)
+    eng = federated.FederatedEngine(fed_dir, num_servers=2)
+    try:
+        results = eng.query_many(list(QUERY_SET), k=K)
+    finally:
+        eng.shutdown()
+    return _topk_table(results, with_scores=True)
 
 
 def _query_terms_values() -> str:
@@ -1780,6 +1833,7 @@ QUERIES = {
     "corpus_stats": q_corpus_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_scores": q_bm25_topk_scores,
+    "federated_bm25": q_federated_bm25,
     "bm25_filtered": q_bm25_filtered,
     "bm25_multifield": q_bm25_multifield,
     "multifield_querystring": q_multifield_querystring,
@@ -1829,6 +1883,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": sql_corpus_stats(),
         "bm25_topk": sql_bm25(with_scores=False),
         "bm25_topk_scores": sql_bm25(with_scores=True),
+        # federation with dfs_query_then_fetch stats == monolithic index
+        "federated_bm25": sql_bm25(with_scores=True),
         "bm25_filtered": sql_bm25_filtered(),
         "bm25_multifield": sql_bm25_multifield(),
         "multifield_querystring": sql_multifield_querystring(),

@@ -365,11 +365,34 @@ class ShardServer:
         index_dir: str,
         parts: list[int],
         buckets: list[int] | None = None,
+        fed: str | None = None,
     ):
         meta = IndexMeta(index_dir)
         self.parts = {p: ShardPartition(meta.part_dir(p), buckets=buckets) for p in parts}
         self.stats = GlobalStats(meta.n_docs, meta.avgdl)
         self.n_docs = meta.n_docs
+        if fed is not None:
+            # federation member (cb.federated): score with the
+            # federation-global (N, avgdl) and per-term df so top-k
+            # lists merge exactly across sub-indexes
+            # (dfs_query_then_fetch).  df overlays are read per OWNED
+            # term partition from the tiny feddf summaries — never a
+            # whole-vocabulary driver object.
+            import json as _json
+
+            from . import federated as _fed
+
+            with open(_fed.fed_meta_path(fed)) as f:
+                fg = _json.load(f)
+            self.stats = GlobalStats(fg["n_docs"], fg["avgdl"])
+            self.n_docs = fg["n_docs"]
+            for p, part in self.parts.items():
+                fp = _fed.feddf_path(fed, p)
+                if os.path.exists(fp):
+                    t = pq.read_table(fp)
+                    part.global_df = dict(
+                        zip(t["term"].to_pylist(), t["df"].to_pylist())
+                    )
         self.num_parts = meta.num_parts
         self.index_dir = index_dir
         self.buckets = buckets  # doc-range subset (doc-sharded mode)
@@ -559,13 +582,28 @@ class LocalSearcher:
     """In-process searcher over a built index (tests / tiny corpora;
     production serving is the actor pool below)."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, fed: str | None = None):
         self.meta = IndexMeta(index_dir)
         self.parts = {
             p: ShardPartition(self.meta.part_dir(p))
             for p in range(self.meta.num_parts)
         }
         self.stats = GlobalStats(self.meta.n_docs, self.meta.avgdl)
+        if fed is not None:  # federation member: fed-global stats + df
+            import json as _json
+
+            from . import federated as _fed
+
+            with open(_fed.fed_meta_path(fed)) as f:
+                fg = _json.load(f)
+            self.stats = GlobalStats(fg["n_docs"], fg["avgdl"])
+            for p, part in self.parts.items():
+                fp = _fed.feddf_path(fed, p)
+                if os.path.exists(fp):
+                    t = pq.read_table(fp)
+                    part.global_df = dict(
+                        zip(t["term"].to_pylist(), t["df"].to_pylist())
+                    )
         self.tombstones = load_tombstones(index_dir)
         self._vocab: list[str] | None = None  # lazy, for wildcard/fuzzy
 
@@ -638,7 +676,7 @@ class LocalSearcher:
         postings = {t: p for t, p in postings.items() if p is not None}
         if not postings:
             return []
-        idfs = {t: float(scoring.idf(p.gdf, self.meta.n_docs)) for t, p in postings.items()}
+        idfs = {t: float(scoring.idf(p.gdf, self.stats.n_docs)) for t, p in postings.items()}
         universe, acc = wand.taat_scores(postings, idfs, self.stats)
         if universe is None:
             return []
@@ -652,7 +690,7 @@ class LocalSearcher:
         postings = {t: p for t, p in postings.items() if p is not None}
         if not postings:
             return []
-        idfs = {t: float(scoring.idf(p.gdf, self.meta.n_docs)) for t, p in postings.items()}
+        idfs = {t: float(scoring.idf(p.gdf, self.stats.n_docs)) for t, p in postings.items()}
         if len(self.tombstones):
             from .query import rank_topk
 
@@ -694,8 +732,15 @@ class QueryEngine:
       fan-out per query; replica round-robin for warm term sets.
     """
 
-    def __init__(self, index_dir: str, num_servers: int = 2, mode: str = "doc"):
+    def __init__(
+        self,
+        index_dir: str,
+        num_servers: int = 2,
+        mode: str = "doc",
+        fed: str | None = None,
+    ):
         self.meta = IndexMeta(index_dir)
+        self._fed = fed  # federation dir: servers score with fed-global stats
         self.num_servers = num_servers
         self.mode = mode
         if mode == "doc":
@@ -715,7 +760,7 @@ class QueryEngine:
             # one read of the index regardless of S, each server's share
             # is ~1/S, and no file is ever decoded twice
             self.servers = [
-                ShardServer.remote(index_dir, all_parts, buckets=assignments[s])
+                ShardServer.remote(index_dir, all_parts, buckets=assignments[s], fed=fed)
                 for s in range(num_servers)
             ]
         elif mode == "term":
@@ -723,7 +768,7 @@ class QueryEngine:
             for p in range(self.meta.num_parts):
                 assignments[p % num_servers].append(p)
             self.servers = [
-                ShardServer.remote(index_dir, assignments[s])
+                ShardServer.remote(index_dir, assignments[s], fed=fed)
                 for s in range(num_servers)
             ]
         else:

@@ -1,0 +1,180 @@
+"""Federated per-day / per-type indexes (cb.federated).
+
+Parity anchors: IndexNamer.BuildName byte cases from the reference's
+own tests (IndexNamerTests.cs:20-48), GetIndexNames enumeration
+(MasterScheduler.cs:241-259), and the core federation invariant —
+cross-index search with federation-global stats is BITWISE equal to
+one monolithic index over the union corpus (dfs_query_then_fetch)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from cb import federated
+from cb.shard import LocalSearcher, _merge_topk
+
+QUERIES = ["merge join", "hash index scan", "w3 w7", "nosuchterm", "join w1 w2 w9"]
+
+
+def _mk_corpus(path: str, n: int = 120, ndays: int = 3, seed: int = 7) -> None:
+    rng = np.random.default_rng(seed)
+    base_us = 1_767_571_200_000_000  # 2026-01-05
+    rows = []
+    for i in range(n):
+        words = " ".join(f"w{int(rng.integers(25))}" for _ in range(int(rng.integers(4, 30))))
+        extra = ["merge join", "hash index", "index scan"][i % 3]
+        rows.append(
+            {
+                "doc_id": 1 + i * 17,
+                "text": f"{extra} {words}",
+                "ts": base_us + (i % ndays) * 86_400_000_000,
+                "kind": f"Type{i % 2}",
+            }
+        )
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.timestamp("us")))
+    pq.write_table(t, path)
+
+
+def test_index_name_reference_cases():
+    # IndexNamerTests.cs:20-48 byte cases
+    iso = "1969-08-18T00:00:00"
+    assert federated.index_name(iso, "vavavoom") == "19690818"
+    assert federated.index_name(iso, "vavavoom", prefix="PREFIX-") == "PREFIX-19690818"
+    assert (
+        federated.index_name(iso, "VaVaVoom", prefix="PREFIX-", one_index_per_type=True)
+        == "PREFIX-vavavoom-19690818"
+    )
+    # null/short time: IndexNamer.cs:29-30
+    assert federated.index_name(None, "T", prefix="P-") == "P-"
+    assert federated.index_name(None, "T", prefix="P-", one_index_per_type=True) == "P-t"
+
+
+def test_get_index_names():
+    assert federated.get_index_names(None, "t", static_name="fixed") == ["fixed"]
+    names = federated.get_index_names(
+        "2026-01-05T03:00:00", "log", prefix="cb-", one_index_per_type=True,
+        today_iso="2026-01-08",
+    )
+    # offset day .. tomorrow inclusive
+    assert names[0] == "cb-log-20260109" and names[-1] == "cb-log-20260105"
+    assert len(names) == 5
+
+
+@pytest.fixture(scope="module")
+def fed_built(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fed")
+    src = str(d / "docs.parquet")
+    _mk_corpus(src)
+    mono = str(d / "mono")
+    from cb.build import build_index
+
+    build_index(src, mono, text_col="text", id_col="doc_id", num_parts=4)
+    fed_dir = str(d / "fed")
+    meta = federated.build_federation(
+        src, fed_dir, text_col="text", id_col="doc_id", ts_col="ts",
+        prefix="cb-", columns=["doc_id", "text"], num_parts=4,
+    )
+    return src, mono, fed_dir, meta
+
+
+def test_build_layout(fed_built):
+    src, mono, fed_dir, meta = fed_built
+    assert [e["name"] for e in meta["indexes"]] == [
+        "cb-20260105", "cb-20260106", "cb-20260107",
+    ]
+    # federation totals == monolithic totals (bitwise avgdl)
+    from cb.build import IndexMeta
+
+    m = IndexMeta(mono)
+    assert meta["n_docs"] == m.n_docs
+    assert meta["total_tokens"] == m.total_tokens
+    assert meta["avgdl"] == m.avgdl
+    for p in range(meta["num_parts"]):
+        assert os.path.exists(federated.feddf_path(fed_dir, p))
+
+
+def test_feddf_matches_monolithic_df(fed_built):
+    """Per-term federation df == the monolithic index's df."""
+    src, mono, fed_dir, meta = fed_built
+    mono_ls = LocalSearcher(mono)
+    for p in range(meta["num_parts"]):
+        t = pq.read_table(federated.feddf_path(fed_dir, p))
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            cp = mono_ls.get_postings(term)
+            assert cp is not None and cp.gdf == df, term
+
+
+def test_local_fed_scoring_matches_monolithic(fed_built):
+    """LocalSearcher(fed=...) per-day results merge bitwise to the
+    monolithic ranking."""
+    src, mono, fed_dir, meta = fed_built
+    mono_ls = LocalSearcher(mono)
+    day_ls = [LocalSearcher(e["dir"], fed=fed_dir) for e in meta["indexes"]]
+    for q in QUERIES:
+        expect = mono_ls.query(q, k=10, algo="taat")
+        got = _merge_topk([ls.query(q, k=10, algo="taat") for ls in day_ls], 10)
+        assert got == expect, q
+
+
+def test_engine_matches_monolithic_and_prunes(fed_built):
+    src, mono, fed_dir, meta = fed_built
+    mono_ls = LocalSearcher(mono)
+    eng = federated.FederatedEngine(fed_dir, num_servers=2, mode="doc")
+    try:
+        for q in QUERIES:
+            assert eng.query(q, k=10) == mono_ls.query(q, k=10, algo="taat"), q
+        # day-range pruning: fed-pruned top-k == the monolithic FULL
+        # ranking restricted to docs of the selected days (global stats
+        # make subset scores identical to whole-corpus scores)
+        docs = pq.read_table(src)
+        sel_days = {"cb-20260106", "cb-20260107"}
+        base_us = 1_767_571_200_000_000
+        day_of = {
+            int(i): f"cb-2026010{5 + (int(ts) - base_us) // 86_400_000_000}"
+            for i, ts in zip(
+                docs["doc_id"].to_pylist(),
+                docs["ts"].cast(pa.int64()).to_pylist(),
+            )
+        }
+        for q in QUERIES:
+            full = mono_ls.query(q, k=len(day_of), algo="taat")
+            expect = [r for r in full if day_of[r[0]] in sel_days][:5]
+            got = eng.query(q, k=5, start_day="20260106", end_day="20260107")
+            assert got == expect, q
+        # empty selection
+        assert eng.query("merge", k=5, start_day="20270101") == []
+    finally:
+        eng.shutdown()
+
+
+def test_route_by_type(fed_built, tmp_path):
+    """EsOneIndexPerType mode: one sub-index per kind value; search
+    still bitwise-monolithic."""
+    src, mono, fed_dir, meta = fed_built
+    fd = str(tmp_path / "fedtype")
+    m = federated.build_federation(
+        src, fd, text_col="text", id_col="doc_id", route_col="kind",
+        prefix="cb-", columns=["doc_id", "text"], num_parts=4,
+    )
+    assert [e["name"] for e in m["indexes"]] == ["cb-type0", "cb-type1"]
+    mono_ls = LocalSearcher(mono)
+    day_ls = [LocalSearcher(e["dir"], fed=fd) for e in m["indexes"]]
+    for q in QUERIES:
+        got = _merge_topk([ls.query(q, k=10, algo="taat") for ls in day_ls], 10)
+        assert got == mono_ls.query(q, k=10, algo="taat"), q
+
+
+def test_phrase_across_federation(fed_built):
+    src, mono, fed_dir, meta = fed_built
+    mono_ls = LocalSearcher(mono)
+    eng = federated.FederatedEngine(fed_dir, num_servers=2, mode="doc")
+    try:
+        for q in ["merge join", "index scan", "hash index"]:
+            assert eng.phrase_query(q, k=10) == mono_ls.phrase_query(q, k=10), q
+    finally:
+        eng.shutdown()
