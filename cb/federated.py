@@ -146,6 +146,25 @@ def fed_meta_path(fed_dir: str) -> str:
     return os.path.join(fed_dir, "fed.json")
 
 
+def staging_dir(fed_dir: str, name: str) -> str:
+    """The per-key slice of the routing pass — each sub-index's corpus
+    of record (kept: it carries any metadata columns staged alongside
+    id/text, so per-sub-index docmeta derives from ITS slice only)."""
+    return os.path.join(fed_dir, "_staging", f"{KEY_COL}={name}")
+
+
+def ensure_fed_docmeta(fed_dir: str, cols: list[str]) -> None:
+    """Per-sub-index docmeta side tables (filter-context search over a
+    federation): each build reads only that sub-index's staging slice —
+    no cross-index duplication, metadata shards with the docs."""
+    from . import docmeta as docmeta_mod
+
+    with open(fed_meta_path(fed_dir)) as f:
+        fg = json.load(f)
+    for e in fg["indexes"]:
+        docmeta_mod.ensure_docmeta(e["dir"], staging_dir(fed_dir, e["name"]), cols)
+
+
 def feddf_path(fed_dir: str, part: int) -> str:
     return os.path.join(fed_dir, "feddf", f"part={part}.parquet")
 
@@ -345,6 +364,40 @@ class FederatedEngine:
             self.engines[n].phrase_query(text, k) for n in self._select(**sel)
         ]
         return _merge_topk(parts, k) if parts else []
+
+    def search(self, query_string: str, k: int = 10, **sel) -> list[tuple[int, float]]:
+        """Query-string search across the federation.  Exactness notes:
+        wildcard/fuzzy atoms expand per sub-index against ITS vocab
+        (scoring_boolean — each matched term scores at the atom's boost,
+        no match-count dependence), and a term absent from a sub-index
+        can't contribute to that sub-index's disjoint docs, so the union
+        of per-index expansions scores bitwise like one monolithic
+        expansion; +required/-negated/phrase clauses are per-doc.
+        Metadata filters need docmeta built per sub-index
+        (:func:`ensure_fed_docmeta`)."""
+        parts = [
+            self.engines[n].search(query_string, k) for n in self._select(**sel)
+        ]
+        return _merge_topk(parts, k) if parts else []
+
+    def facets(
+        self, query_string: str, facet_cols=(), stats_cols=(), **sel
+    ) -> tuple[dict, dict]:
+        """ES-style aggregations over the federation-wide match set:
+        per-index (itself per-server) partials, one exact additive fold
+        — counts add, sums add, min/max fold across disjoint doc sets."""
+        from .shard import _merge_facets
+
+        names = self._select(**sel)
+        if not names:
+            return {c: {} for c in facet_cols}, {
+                c: (0, 0, None, None) for c in stats_cols
+            }
+        parts = [
+            self.engines[n].facets(query_string, facet_cols, stats_cols)
+            for n in names
+        ]
+        return _merge_facets(parts)
 
     def query_many(self, texts: list[str], k: int = 10, algo: str = "taat"):
         return [self.query(t, k, algo) for t in texts]

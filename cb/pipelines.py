@@ -213,7 +213,8 @@ def get_federation(sf_dir: str) -> str:
     IndexNamer day path, yielding FED_NDAYS per-day sub-indexes."""
     from . import federated
 
-    fed_dir = _index_dir_for(sf_dir) + "_fed"
+    # v2: staging carries docmeta columns (lang/source/n_chars)
+    fed_dir = _index_dir_for(sf_dir) + "_fed2"
     if os.path.exists(federated.fed_meta_path(fed_dir)):
         return fed_dir
 
@@ -222,8 +223,10 @@ def get_federation(sf_dir: str) -> str:
         us = FED_EPOCH_US + (ids % FED_NDAYS) * 86_400_000_000
         return b.append_column("ts", pa.array(us).cast(pa.timestamp("us")))
 
+    # metadata columns ride the staging write so each sub-index's
+    # docmeta (filter-context search) derives from ITS slice alone
     ds = ray.data.read_parquet(
-        docs_path(sf_dir), columns=["doc_id", "text"]
+        docs_path(sf_dir), columns=["doc_id", "text", "lang", "source", "n_chars"]
     ).map_batches(with_ts, batch_format="pyarrow")
     federated.build_federation(
         ds, fed_dir, text_col="text", id_col="doc_id", ts_col="ts", prefix="cb-"
@@ -243,6 +246,24 @@ def q_federated_bm25(sf_dir: str) -> pa.Table:
     eng = federated.FederatedEngine(fed_dir, num_servers=2)
     try:
         results = eng.query_many(list(QUERY_SET), k=K)
+    finally:
+        eng.shutdown()
+    return _topk_table(results, with_scores=True)
+
+
+def q_federated_querystring(sf_dir: str) -> pa.Table:
+    """The full query-string surface (boosts, +required, wildcards,
+    fuzzy, phrases, negation, metadata range filters) across the
+    per-day federation — same invariant as federated_bm25, so the
+    monolithic querystring SQL is the oracle.  Filters hit per-sub-index
+    docmeta built from each day's staging slice."""
+    from . import federated
+
+    fed_dir = get_federation(sf_dir)
+    federated.ensure_fed_docmeta(fed_dir, ["lang", "source", "n_chars"])
+    eng = federated.FederatedEngine(fed_dir, num_servers=2)
+    try:
+        results = [eng.search(q, k=K) for q in SEARCH_SET]
     finally:
         eng.shutdown()
     return _topk_table(results, with_scores=True)
@@ -1834,6 +1855,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_scores": q_bm25_topk_scores,
     "federated_bm25": q_federated_bm25,
+    "federated_querystring": q_federated_querystring,
     "bm25_filtered": q_bm25_filtered,
     "bm25_multifield": q_bm25_multifield,
     "multifield_querystring": q_multifield_querystring,
@@ -1885,6 +1907,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_scores": sql_bm25(with_scores=True),
         # federation with dfs_query_then_fetch stats == monolithic index
         "federated_bm25": sql_bm25(with_scores=True),
+        "federated_querystring": sql_search_querystring(),
         "bm25_filtered": sql_bm25_filtered(),
         "bm25_multifield": sql_bm25_multifield(),
         "multifield_querystring": sql_multifield_querystring(),

@@ -32,7 +32,7 @@ def _mk_corpus(path: str, n: int = 120, ndays: int = 3, seed: int = 7) -> None:
                 "doc_id": 1 + i * 17,
                 "text": f"{extra} {words}",
                 "ts": base_us + (i % ndays) * 86_400_000_000,
-                "kind": f"Type{i % 2}",
+                "kind": f"type{i % 2}",
             }
         )
     t = pa.Table.from_pylist(rows)
@@ -167,6 +167,41 @@ def test_route_by_type(fed_built, tmp_path):
     for q in QUERIES:
         got = _merge_topk([ls.query(q, k=10, algo="taat") for ls in day_ls], 10)
         assert got == mono_ls.query(q, k=10, algo="taat"), q
+
+
+def test_querystring_and_facets_federated(fed_built, tmp_path):
+    """Full query-string surface + ES aggregations across the
+    federation == the monolithic pool, including wildcard/fuzzy
+    expansion (per-index vocab) and docmeta filters (per-day docmeta
+    from each staging slice)."""
+    from cb import docmeta as docmeta_mod
+    from cb.shard import QueryEngine
+
+    src, mono, fed_dir, meta = fed_built
+    fd = str(tmp_path / "fedq")
+    federated.build_federation(
+        src, fd, text_col="text", id_col="doc_id", ts_col="ts",
+        prefix="cb-", num_parts=4,  # no columns arg: stage ALL (incl. kind)
+    )
+    federated.ensure_fed_docmeta(fd, ["kind"])
+    docmeta_mod.ensure_docmeta(mono, src, ["kind"])
+    mono_eng = QueryEngine(mono, num_servers=2)
+    eng = federated.FederatedEngine(fd, num_servers=2)
+    try:
+        for q in [
+            "merge join^2",
+            "+hash ind*",
+            "merge~1",
+            "merge kind:type0",
+            '-"merge join" index',
+        ]:
+            assert eng.search(q, k=10) == mono_eng.search(q, k=10), q
+        got = eng.facets("merge index", facet_cols=["kind"])
+        want = mono_eng.facets("merge index", facet_cols=["kind"])
+        assert got == want
+    finally:
+        eng.shutdown()
+        mono_eng.shutdown()
 
 
 def test_phrase_across_federation(fed_built):
