@@ -163,6 +163,11 @@ def ensure_fed_docmeta(fed_dir: str, cols: list[str]) -> None:
         fg = json.load(f)
     for e in fg["indexes"]:
         docmeta_mod.ensure_docmeta(e["dir"], staging_dir(fed_dir, e["name"]), cols)
+    if fg.get("docmeta_cols") != cols:
+        # recorded so refresh_federation re-ensures docmeta for the
+        # sub-indexes it rebuilds
+        fg["docmeta_cols"] = cols
+        manifest.write_atomic(fed_meta_path(fed_dir), fg)
 
 
 def feddf_path(fed_dir: str, part: int) -> str:
@@ -197,6 +202,111 @@ def _merge_part_df(index_dirs: list[str], part: int, out_path: str) -> int:
     return merged.num_rows
 
 
+def _stage(source, fed_dir: str, cfg: dict, columns: list[str] | None = None) -> None:
+    """Routing pass: derive the key per row, hive-partition into
+    ``_staging/`` (parquet write mode defaults to append — incremental
+    refreshes stage ONLY the new records, old files untouched)."""
+    ts_col, route_col = cfg.get("ts_col"), cfg.get("route_col")
+    if isinstance(source, (str, list, tuple)):
+        cols = columns
+        if cols is not None:
+            cols = list(dict.fromkeys(cols + [ts_col or route_col]))
+        source = ray.data.read_parquet(source, columns=cols)
+
+    def add_key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            KEY_COL,
+            _key_column(
+                b, ts_col, route_col, cfg["type_name"], cfg["prefix"],
+                cfg["one_index_per_type"],
+            ),
+        )
+
+    source.map_batches(add_key, batch_format="pyarrow").write_parquet(
+        os.path.join(fed_dir, "_staging"), partition_cols=[KEY_COL]
+    )
+
+
+def _staging_lineage(fed_dir: str) -> dict[str, list]:
+    """key -> sorted (file, size) list of its staging slice — the
+    change signal for incremental refresh."""
+    staging = os.path.join(fed_dir, "_staging")
+    out: dict[str, list] = {}
+    if not os.path.isdir(staging):
+        return out
+    for d in os.listdir(staging):
+        if not d.startswith(KEY_COL + "="):
+            continue
+        kdir = os.path.join(staging, d)
+        out[d[len(KEY_COL) + 1 :]] = sorted(
+            (f, os.path.getsize(os.path.join(kdir, f)))
+            for f in os.listdir(kdir)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _build_one(fed_dir: str, key: str, cfg: dict, swap: bool = False) -> dict:
+    """(Re)build one sub-index from its FULL staging slice.  With
+    ``swap`` the build lands in ``index=<key>.new`` and replaces the
+    old dir only when complete — a crashed refresh leaves the old index
+    serving and a re-run rebuilds from scratch."""
+    sub_dir = os.path.join(fed_dir, f"index={key}")
+    target = sub_dir + ".new" if swap else sub_dir
+    if swap and os.path.isdir(target):
+        import shutil
+
+        shutil.rmtree(target)  # leftover from a crashed refresh
+    meta = build_mod.build_index(
+        staging_dir(fed_dir, key),
+        target,
+        text_col=cfg["text_col"],
+        id_col=cfg["id_col"],
+        columns=[c for c in (cfg["id_col"], cfg["text_col"]) if c],
+        num_parts=cfg["num_parts"],
+        range_bits=cfg["range_bits"],
+        positions=cfg["positions"],
+    )
+    if swap:
+        import shutil
+
+        if os.path.isdir(sub_dir):
+            shutil.rmtree(sub_dir)
+        os.rename(target, sub_dir)
+    return {
+        "name": key,
+        "dir": sub_dir,
+        "n_docs": meta.n_docs,
+        "total_tokens": meta.total_tokens,
+    }
+
+
+def _publish(fed_dir: str, cfg: dict, indexes: list[dict]) -> dict:
+    """feddf merge + fed.json — LAST, so readers only ever see a
+    manifest whose indexes and stats are complete."""
+    dirs = [e["dir"] for e in indexes]
+    ray.get(
+        [
+            _merge_part_df.remote(dirs, p, feddf_path(fed_dir, p))
+            for p in range(cfg["num_parts"])
+        ]
+    )
+    n_docs = sum(e["n_docs"] for e in indexes)
+    total_tokens = sum(e["total_tokens"] for e in indexes)
+    fed = {
+        "version": 1,
+        **cfg,
+        "indexes": indexes,
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        # same int-sum / float-divide as write_global: federation avgdl
+        # is BITWISE the monolithic avgdl (required for exact merge)
+        "avgdl": (float(total_tokens) / float(n_docs)) if n_docs else 0.0,
+    }
+    manifest.write_atomic(fed_meta_path(fed_dir), fed)
+    return fed
+
+
 def build_federation(
     source: "ray.data.Dataset | str",
     fed_dir: str,
@@ -221,78 +331,211 @@ def build_federation(
     ``EsOneIndexPerType``) must be given.  ``num_parts`` is FIXED
     across sub-indexes (the term->partition hash must agree for the
     federation df merge); ``range_bits`` likewise passed through.
+    The routing/build config is recorded in ``fed.json`` so
+    :func:`refresh_federation` is self-contained.
     """
     if (ts_col is None) == (route_col is None):
         raise ValueError("exactly one of ts_col / route_col required")
-    if isinstance(source, str):
-        cols = columns
-        if cols is not None:
-            cols = list(dict.fromkeys(cols + [ts_col or route_col]))
-        source = ray.data.read_parquet(source, columns=cols)
-
-    def add_key(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            KEY_COL,
-            _key_column(b, ts_col, route_col, type_name, prefix, one_index_per_type),
-        )
-
-    staging = os.path.join(fed_dir, "_staging")
-    source.map_batches(add_key, batch_format="pyarrow").write_parquet(
-        staging, partition_cols=[KEY_COL]
-    )
-
-    keys = sorted(
-        d[len(KEY_COL) + 1 :]
-        for d in os.listdir(staging)
-        if d.startswith(KEY_COL + "=")
-    )
-    indexes = []
-    for key in keys:
-        sub_dir = os.path.join(fed_dir, f"index={key}")
-        meta = build_mod.build_index(
-            os.path.join(staging, f"{KEY_COL}={key}"),
-            sub_dir,
-            text_col=text_col,
-            id_col=id_col,
-            columns=[c for c in (id_col, text_col) if c],
-            num_parts=num_parts,
-            range_bits=range_bits,
-            positions=positions,
-        )
-        indexes.append(
-            {
-                "name": key,
-                "dir": sub_dir,
-                "n_docs": meta.n_docs,
-                "total_tokens": meta.total_tokens,
-            }
-        )
-
-    dirs = [e["dir"] for e in indexes]
-    ray.get(
-        [
-            _merge_part_df.remote(dirs, p, feddf_path(fed_dir, p))
-            for p in range(num_parts)
-        ]
-    )
-    n_docs = sum(e["n_docs"] for e in indexes)
-    total_tokens = sum(e["total_tokens"] for e in indexes)
-    fed = {
-        "version": 1,
+    cfg = {
         "prefix": prefix,
         "type_name": type_name,
         "one_index_per_type": one_index_per_type,
         "routing": "ts" if ts_col else "type",
-        "indexes": indexes,
-        "n_docs": n_docs,
-        "total_tokens": total_tokens,
-        # same int-sum / float-divide as write_global: federation avgdl
-        # is BITWISE the monolithic avgdl (required for exact merge)
-        "avgdl": (float(total_tokens) / float(n_docs)) if n_docs else 0.0,
+        "ts_col": ts_col,
+        "route_col": route_col,
+        "text_col": text_col,
+        "id_col": id_col,
         "num_parts": num_parts,
         "range_bits": range_bits,
+        "positions": positions,
     }
-    manifest.write_atomic(fed_meta_path(fed_dir), fed)
+    _stage(source, fed_dir, cfg, columns)
+    indexes = [
+        _build_one(fed_dir, key, cfg) for key in sorted(_staging_lineage(fed_dir))
+    ]
+    return _publish(fed_dir, cfg, indexes)
+
+
+def init_federation(
+    fed_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str | None = None,
+    ts_col: str | None = None,
+    route_col: str | None = None,
+    type_name: str = "doc",
+    prefix: str = "",
+    one_index_per_type: bool = False,
+    num_parts: int = DEFAULT_NUM_PARTS,
+    range_bits: int = DEFAULT_RANGE_BITS,
+    positions: bool = True,
+) -> dict:
+    """An EMPTY federation (no sub-indexes yet) — the bootstrap for a
+    purely streaming-fed lifecycle: ``init_federation`` once, then every
+    record arrives via :func:`ingest_new_shards` ticks.  Keeps the whole
+    corpus on the idempotent deterministic staging path (mixing the bulk
+    append-mode staging with shard re-staging would duplicate rows on
+    crash replay)."""
+    if (ts_col is None) == (route_col is None):
+        raise ValueError("exactly one of ts_col / route_col required")
+    cfg = {
+        "prefix": prefix,
+        "type_name": type_name,
+        "one_index_per_type": one_index_per_type,
+        "routing": "ts" if ts_col else "type",
+        "ts_col": ts_col,
+        "route_col": route_col,
+        "text_col": text_col,
+        "id_col": id_col,
+        "num_parts": num_parts,
+        "range_bits": range_bits,
+        "positions": positions,
+    }
+    return _publish(fed_dir, cfg, [])
+
+
+def refresh_federation(source: "ray.data.Dataset | str", fed_dir: str) -> dict:
+    """Incremental federation maintenance — the continuous-ingest loop
+    of the reference (EventHub drain -> parse -> push to TODAY's index,
+    Worker/WorkerRole + NestBatchPusher): ``source`` holds ONLY new
+    records (e.g. a StreamConsumer drain directory); they are routed and
+    appended to staging, and ONLY the sub-indexes whose slice changed
+    are rebuilt (bounded by those days' data — historical day-indexes
+    are untouched bytes on disk).  feddf + fed.json republish last;
+    docmeta (if built via :func:`ensure_fed_docmeta`) refreshes for
+    changed keys.  Running engines keep serving the OLD federation;
+    construct a new :class:`FederatedEngine` to pick up the refresh
+    (same contract as delete_docs/compaction)."""
+    with open(fed_meta_path(fed_dir)) as f:
+        fg = json.load(f)
+    cfg = {
+        k: fg[k]
+        for k in (
+            "prefix", "type_name", "one_index_per_type", "routing", "ts_col",
+            "route_col", "text_col", "id_col", "num_parts", "range_bits",
+            "positions",
+        )
+    }
+    before = _staging_lineage(fed_dir)
+    _stage(source, fed_dir, cfg)
+    after = _staging_lineage(fed_dir)
+    changed = sorted(k for k in after if after[k] != before.get(k))
+    entries = {e["name"]: e for e in fg["indexes"]}
+    for key in changed:
+        entries[key] = _build_one(fed_dir, key, cfg, swap=True)
+        cols = fg.get("docmeta_cols")
+        if cols:
+            from . import docmeta as docmeta_mod
+
+            docmeta_mod.ensure_docmeta(
+                entries[key]["dir"], staging_dir(fed_dir, key), cols
+            )
+    fed = _publish(fed_dir, cfg, [entries[k] for k in sorted(entries)])
+    if fg.get("docmeta_cols"):
+        fed["docmeta_cols"] = fg["docmeta_cols"]
+        manifest.write_atomic(fed_meta_path(fed_dir), fed)
+    fed["changed"] = changed
+    return fed
+
+
+@ray.remote
+def _stage_shard(shard_path: str, fed_dir: str, cfg: dict) -> list[str]:
+    """Route ONE immutable stream shard into staging with DETERMINISTIC
+    per-(shard, key) filenames — a retried/crashed ingest overwrites the
+    same files instead of appending duplicates (idempotent, unlike the
+    bulk append-mode staging).  One task per shard; shards are consumer
+    drain ranges, so they're small and many — task-parallel."""
+    t = pq.read_table(shard_path)
+    t = t.append_column(
+        KEY_COL,
+        _key_column(
+            t, cfg.get("ts_col"), cfg.get("route_col"), cfg["type_name"],
+            cfg["prefix"], cfg["one_index_per_type"],
+        ),
+    )
+    import pyarrow.compute as pc
+
+    base = os.path.basename(shard_path)[: -len(".parquet")]
+    keys = sorted(set(t[KEY_COL].to_pylist()))
+    for key in keys:
+        sub = t.filter(pc.equal(t[KEY_COL], key)).drop_columns([KEY_COL])
+        kdir = os.path.join(fed_dir, "_staging", f"{KEY_COL}={key}")
+        os.makedirs(kdir, exist_ok=True)
+        out = os.path.join(kdir, f"ingest-{base}.parquet")
+        tmp = out + ".tmp"
+        pq.write_table(sub, tmp)
+        os.replace(tmp, out)
+    return keys
+
+
+def _ingest_state_path(fed_dir: str) -> str:
+    return os.path.join(fed_dir, "_ingest.json")
+
+
+def ingest_new_shards(shard_dir: str, fed_dir: str) -> dict:
+    """Close the streaming loop: route a StreamConsumer drain
+    directory's NEW shard files into the federation (the reference's
+    EventHub -> parse -> today's-ES-index path, EventHubConsumer.cs +
+    NestBatchPusher.cs).
+
+    Crash-safe by construction: shards are immutable once published
+    (write-audit-publish), staging filenames are deterministic per
+    (shard, key) so re-staging overwrites rather than duplicates, and
+    ``_ingest.json`` records (ingested, dirty-keys) AFTER staging —
+    a crash at any point re-runs to the same state.  Only the
+    sub-indexes whose keys went dirty are rebuilt."""
+    state = {"ingested": [], "dirty": []}
+    if os.path.exists(_ingest_state_path(fed_dir)):
+        with open(_ingest_state_path(fed_dir)) as f:
+            state = json.load(f)
+    with open(fed_meta_path(fed_dir)) as f:
+        fg = json.load(f)
+    cfg = {
+        k: fg[k]
+        for k in (
+            "prefix", "type_name", "one_index_per_type", "routing", "ts_col",
+            "route_col", "text_col", "id_col", "num_parts", "range_bits",
+            "positions",
+        )
+    }
+    seen = set(state["ingested"])
+    new = sorted(
+        f
+        for f in os.listdir(shard_dir)
+        if f.endswith(".parquet") and f not in seen
+    )
+    dirty = set(state["dirty"])
+    if new:
+        touched = ray.get(
+            [
+                _stage_shard.remote(os.path.join(shard_dir, f), fed_dir, cfg)
+                for f in new
+            ]
+        )
+        dirty |= {k for ks in touched for k in ks}
+        state = {"ingested": sorted(seen | set(new)), "dirty": sorted(dirty)}
+        manifest.write_atomic(_ingest_state_path(fed_dir), state)
+    if not dirty:
+        fg["changed"] = []
+        return fg
+    entries = {e["name"]: e for e in fg["indexes"]}
+    for key in sorted(dirty):
+        entries[key] = _build_one(fed_dir, key, cfg, swap=True)
+        cols = fg.get("docmeta_cols")
+        if cols:
+            from . import docmeta as docmeta_mod
+
+            docmeta_mod.ensure_docmeta(
+                entries[key]["dir"], staging_dir(fed_dir, key), cols
+            )
+    fed = _publish(fed_dir, cfg, [entries[k] for k in sorted(entries)])
+    if fg.get("docmeta_cols"):
+        fed["docmeta_cols"] = fg["docmeta_cols"]
+        manifest.write_atomic(fed_meta_path(fed_dir), fed)
+    manifest.write_atomic(
+        _ingest_state_path(fed_dir), {"ingested": state["ingested"], "dirty": []}
+    )
+    fed["changed"] = sorted(dirty)
     return fed
 
 

@@ -6,6 +6,7 @@ own tests (IndexNamerTests.cs:20-48), GetIndexNames enumeration
 cross-index search with federation-global stats is BITWISE equal to
 one monolithic index over the union corpus (dfs_query_then_fetch)."""
 
+import json
 import os
 
 import numpy as np
@@ -202,6 +203,183 @@ def test_querystring_and_facets_federated(fed_built, tmp_path):
     finally:
         eng.shutdown()
         mono_eng.shutdown()
+
+
+def _dir_state(d):
+    """(relpath, sha) of every file under d — byte-identity probe."""
+    import hashlib
+
+    out = []
+    for root, _, files in os.walk(d):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            with open(p, "rb") as fh:
+                out.append((os.path.relpath(p, d), hashlib.sha256(fh.read()).hexdigest()))
+    return sorted(out)
+
+
+def test_incremental_refresh_rebuilds_only_changed_days(tmp_path):
+    from cb.build import build_index
+
+    d = tmp_path
+    base_us = 1_767_571_200_000_000
+    rng = np.random.default_rng(3)
+
+    def docs(day, start, n):
+        return [
+            {
+                "doc_id": 1 + start + i,
+                "text": "alpha beta " + " ".join(
+                    f"w{int(rng.integers(20))}" for _ in range(10)
+                ),
+                "ts": base_us + day * 86_400_000_000,
+            }
+            for i in range(n)
+        ]
+
+    def write(rows, p):
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.timestamp("us"))
+        )
+        pq.write_table(t, p)
+
+    initial = docs(0, 0, 30) + docs(1, 100, 30)
+    write(initial, str(d / "initial.parquet"))
+    fed_dir = str(d / "fed")
+    federated.build_federation(
+        str(d / "initial.parquet"), fed_dir, text_col="text", id_col="doc_id",
+        ts_col="ts", prefix="cb-", num_parts=4,
+    )
+    day0_dir = os.path.join(fed_dir, "index=cb-20260105")
+    before = _dir_state(day0_dir)
+
+    new_rows = docs(1, 200, 20) + docs(2, 300, 20)  # day1 grows, day2 is new
+    write(new_rows, str(d / "new.parquet"))
+    fed = federated.refresh_federation(str(d / "new.parquet"), fed_dir)
+    assert fed["changed"] == ["cb-20260106", "cb-20260107"]
+    assert _dir_state(day0_dir) == before  # untouched day: bitwise identical
+
+    # correctness: federation == monolithic over the union corpus
+    write(initial + new_rows, str(d / "union.parquet"))
+    mono = str(d / "mono")
+    build_index(str(d / "union.parquet"), mono, text_col="text", id_col="doc_id", num_parts=4)
+    mono_ls = LocalSearcher(mono)
+    day_ls = [LocalSearcher(e["dir"], fed=fed_dir) for e in fed["indexes"]]
+    for q in ["alpha w3", "beta w7 w1", "alpha beta w15"]:
+        got = _merge_topk([ls.query(q, k=10, algo="taat") for ls in day_ls], 10)
+        assert got == mono_ls.query(q, k=10, algo="taat"), q
+
+
+def test_streaming_ingest_loop(tmp_path):
+    """EventHub-parity loop: push -> checkpointed drain -> ingest ticks
+    rebuild only the touched day-indexes; a no-news tick is a no-op and
+    a re-run after simulated crash state converges without duplicates."""
+    from cb import streaming
+    from cb.build import build_index
+
+    base_us = 1_767_571_200_000_000
+
+    def msgs(day, start, n):
+        return [
+            {
+                "doc_id": 1 + start + i,
+                "text": f"stream alpha beta gamma m{start + i % 7}",
+                "ts": base_us + day * 86_400_000_000,
+            }
+            for i in range(n)
+        ]
+
+    buf = streaming.StreamBuffer.remote(num_partitions=1)
+    try:
+        drain = str(tmp_path / "drain")
+        c = streaming.StreamConsumer(buf, drain, batch_max=64)
+        fed_dir = str(tmp_path / "fed")
+        federated.init_federation(
+            fed_dir, text_col="text", id_col="doc_id", ts_col="ts",
+            prefix="cb-", num_parts=4,
+        )
+
+        # bootstrap tick: day-0 messages through the stream
+        ray.get(buf.push.remote(0, msgs(0, 0, 25)))
+        c.tick()
+        fed0 = federated.ingest_new_shards(drain, fed_dir)
+        assert fed0["changed"] == ["cb-20260105"]
+
+        # live tick: new messages land in day 1 only
+        ray.get(buf.push.remote(0, msgs(1, 100, 30)))
+        c.tick()
+        day0_before = _dir_state(os.path.join(fed_dir, "index=cb-20260105"))
+        fed = federated.ingest_new_shards(drain, fed_dir)
+        assert fed["changed"] == ["cb-20260106"]
+        assert _dir_state(os.path.join(fed_dir, "index=cb-20260105")) == day0_before
+
+        # no-op tick
+        fed2 = federated.ingest_new_shards(drain, fed_dir)
+        assert fed2["changed"] == []
+
+        # crash window A (before state write): a shard re-staged by a
+        # dying ingest overwrites its deterministic files -> staging
+        # row-count unchanged after a manual re-stage
+        import cb.manifest as manifest
+
+        with open(federated.fed_meta_path(fed_dir)) as f:
+            fg = json.load(f)
+        cfg = {k: fg[k] for k in (
+            "prefix", "type_name", "one_index_per_type", "routing", "ts_col",
+            "route_col", "text_col", "id_col", "num_parts", "range_bits",
+            "positions",
+        )}
+        shard0 = sorted(
+            f for f in os.listdir(drain) if f.endswith(".parquet")
+        )[0]
+        day0_staging = federated.staging_dir(fed_dir, "cb-20260105")
+        rows_before = sum(
+            pq.read_table(os.path.join(day0_staging, f)).num_rows
+            for f in os.listdir(day0_staging)
+            if f.endswith(".parquet")
+        )
+        ray.get(
+            federated._stage_shard.remote(
+                os.path.join(drain, shard0), fed_dir, cfg
+            )
+        )
+        rows_after = sum(
+            pq.read_table(os.path.join(day0_staging, f)).num_rows
+            for f in os.listdir(day0_staging)
+            if f.endswith(".parquet")
+        )
+        assert rows_after == rows_before  # overwrite, never append
+
+        # crash window B (after state write, before rebuild): dirty keys
+        # persisted -> the next ingest call completes the rebuild even
+        # with no new shards
+        with open(federated._ingest_state_path(fed_dir)) as f:
+            st = json.load(f)
+        manifest.write_atomic(
+            federated._ingest_state_path(fed_dir),
+            {"ingested": st["ingested"], "dirty": ["cb-20260105"]},
+        )
+        fed3 = federated.ingest_new_shards(drain, fed_dir)
+        assert fed3["changed"] == ["cb-20260105"]
+
+        # correctness vs monolithic over everything consumed
+        union = str(tmp_path / "union.parquet")
+        tabs = [
+            pq.read_table(os.path.join(drain, f))
+            for f in sorted(os.listdir(drain))
+            if f.endswith(".parquet")
+        ]
+        pq.write_table(pa.concat_tables(tabs), union)
+        mono = str(tmp_path / "mono")
+        build_index(union, mono, text_col="text", id_col="doc_id", num_parts=4)
+        mono_ls = LocalSearcher(mono)
+        day_ls = [LocalSearcher(e["dir"], fed=fed_dir) for e in fed3["indexes"]]
+        for q in ["alpha m3", "gamma m1 m5"]:
+            got = _merge_topk([ls.query(q, k=10, algo="taat") for ls in day_ls], 10)
+            assert got == mono_ls.query(q, k=10, algo="taat"), q
+    finally:
+        ray.kill(buf)
 
 
 def test_phrase_across_federation(fed_built):
