@@ -539,6 +539,77 @@ def ingest_new_shards(shard_dir: str, fed_dir: str) -> dict:
     return fed
 
 
+@ray.remote
+def _delete_in_index(index_dir: str, ids: list[int]) -> int:
+    """Tombstone the subset of ``ids`` this sub-index actually holds
+    (docstats intersection) — per-index tombstone lists stay
+    proportional to deletes ROUTED there, not to federation-wide
+    deletes.  Returns how many of ``ids`` matched."""
+    import numpy as np
+
+    from .shard import DocStats, delete_docs
+
+    ds = DocStats.load(index_dir)
+    arr = np.array(sorted(set(int(i) for i in ids)), dtype=np.int64)
+    if len(ds.ids) == 0 or len(arr) == 0:
+        return 0
+    pos = np.clip(np.searchsorted(ds.ids, arr), 0, len(ds.ids) - 1)
+    hit = ds.ids[pos] == arr
+    if not hit.any():
+        return 0
+    delete_docs(index_dir, arr[hit].tolist())
+    return int(hit.sum())
+
+
+def delete_docs_federated(fed_dir: str, doc_ids) -> dict[str, int]:
+    """ES DELETE-by-id across a federation: one task per sub-index
+    intersects the id list with its own docstats and tombstones only
+    matches.  Query paths mask tombstones at ranking time;
+    :func:`compact_federation` physically drops them."""
+    with open(fed_meta_path(fed_dir)) as f:
+        fg = json.load(f)
+    ids = list(doc_ids)
+    counts = ray.get(
+        [_delete_in_index.remote(e["dir"], ids) for e in fg["indexes"]]
+    )
+    return {
+        e["name"]: c for e, c in zip(fg["indexes"], counts) if c
+    }
+
+
+def compact_federation(fed_dir: str) -> dict:
+    """Compact every sub-index (each its own partition-parallel Ray
+    pass), then republish feddf + fed.json — N/avgdl/df all shrink to
+    the survivor corpus, so post-compaction federated scores are
+    bitwise a fresh federation over the survivors."""
+    with open(fed_meta_path(fed_dir)) as f:
+        fg = json.load(f)
+    cfg = {
+        k: fg[k]
+        for k in (
+            "prefix", "type_name", "one_index_per_type", "routing", "ts_col",
+            "route_col", "text_col", "id_col", "num_parts", "range_bits",
+            "positions",
+        )
+    }
+    entries = []
+    for e in fg["indexes"]:
+        meta = build_mod.compact_index(e["dir"])
+        entries.append(
+            {
+                "name": e["name"],
+                "dir": e["dir"],
+                "n_docs": meta.n_docs,
+                "total_tokens": meta.total_tokens,
+            }
+        )
+    fed = _publish(fed_dir, cfg, entries)
+    if fg.get("docmeta_cols"):
+        fed["docmeta_cols"] = fg["docmeta_cols"]
+        manifest.write_atomic(fed_meta_path(fed_dir), fed)
+    return fed
+
+
 class FederatedEngine:
     """Cross-index search over a federation — the engine analog of one
     ES query spanning ``logstash-*``-style day indexes.

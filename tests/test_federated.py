@@ -382,6 +382,65 @@ def test_streaming_ingest_loop(tmp_path):
         ray.kill(buf)
 
 
+def test_delete_and_compact_federation(fed_built, tmp_path):
+    """Fed-level deletes route to the owning day-index only; ranking
+    masks them identically to a monolithic index with the same
+    tombstones; compaction shrinks fed stats to the survivor corpus."""
+    from cb.build import build_index
+    from cb.shard import delete_docs
+
+    src, _, _, _ = fed_built
+    fd = str(tmp_path / "fed")
+    fed = federated.build_federation(
+        src, fd, text_col="text", id_col="doc_id", ts_col="ts",
+        prefix="cb-", columns=["doc_id", "text"], num_parts=4,
+    )
+    mono = str(tmp_path / "mono")
+    build_index(src, mono, text_col="text", id_col="doc_id", num_parts=4)
+
+    # doc_id = 1 + i*17, day = i % 3: i=0 -> day0, i=1 -> day1
+    dead = [1, 18]
+    routed = federated.delete_docs_federated(fd, dead + [999_983])
+    assert routed == {"cb-20260105": 1, "cb-20260106": 1}
+    assert not os.path.exists(
+        os.path.join(fd, "index=cb-20260107", "_tombstones.json")
+    )
+
+    delete_docs(mono, dead)
+    mono_ls = LocalSearcher(mono)
+    day_ls = [LocalSearcher(e["dir"], fed=fd) for e in fed["indexes"]]
+    for q in QUERIES:
+        got = _merge_topk([ls.query(q, k=10, algo="taat") for ls in day_ls], 10)
+        assert got == mono_ls.query(q, k=10, algo="taat"), q
+        assert not ({r[0] for r in got} & set(dead))
+
+    fed2 = federated.compact_federation(fd)
+    # survivors-only monolithic build == compacted federation
+    docs = pq.read_table(src)
+    import pyarrow.compute as pc
+
+    surv = str(tmp_path / "surv.parquet")
+    pq.write_table(
+        docs.filter(
+            pc.invert(pc.is_in(docs["doc_id"], value_set=pa.array(dead)))
+        ),
+        surv,
+    )
+    mono2 = str(tmp_path / "mono2")
+    build_index(surv, mono2, text_col="text", id_col="doc_id", num_parts=4)
+    from cb.build import IndexMeta
+
+    m2 = IndexMeta(mono2)
+    assert fed2["n_docs"] == m2.n_docs
+    assert fed2["total_tokens"] == m2.total_tokens
+    assert fed2["avgdl"] == m2.avgdl
+    mono2_ls = LocalSearcher(mono2)
+    day_ls2 = [LocalSearcher(e["dir"], fed=fd) for e in fed2["indexes"]]
+    for q in QUERIES:
+        got = _merge_topk([ls.query(q, k=10, algo="taat") for ls in day_ls2], 10)
+        assert got == mono2_ls.query(q, k=10, algo="taat"), q
+
+
 def test_phrase_across_federation(fed_built):
     src, mono, fed_dir, meta = fed_built
     mono_ls = LocalSearcher(mono)
