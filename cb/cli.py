@@ -163,6 +163,70 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_fed(args) -> int:
+    """Federation lifecycle (per-day/per-type indexes): build / init /
+    refresh / ingest / search / delete / compact."""
+    ray = _init_ray()
+    from . import federated
+
+    if args.action == "build":
+        fed = federated.build_federation(
+            args.input, args.fed, text_col=args.text_col, id_col=args.id_col,
+            ts_col=args.ts_col, route_col=args.route_col, prefix=args.prefix,
+            one_index_per_type=args.one_index_per_type,
+            num_parts=args.num_parts,
+        )
+        print(json.dumps({
+            "fed": args.fed, "indexes": [e["name"] for e in fed["indexes"]],
+            "n_docs": fed["n_docs"], "avgdl": fed["avgdl"],
+        }))
+    elif args.action == "init":
+        fed = federated.init_federation(
+            args.fed, text_col=args.text_col, id_col=args.id_col,
+            ts_col=args.ts_col, route_col=args.route_col, prefix=args.prefix,
+            one_index_per_type=args.one_index_per_type,
+            num_parts=args.num_parts,
+        )
+        print(json.dumps({"fed": args.fed, "indexes": []}))
+    elif args.action == "refresh":
+        fed = federated.refresh_federation(args.input, args.fed)
+        print(json.dumps({"fed": args.fed, "changed": fed["changed"]}))
+    elif args.action == "ingest":
+        fed = federated.ingest_new_shards(args.input, args.fed)
+        print(json.dumps({"fed": args.fed, "changed": fed["changed"]}))
+    elif args.action == "delete":
+        routed = federated.delete_docs_federated(
+            args.fed, [int(d) for d in args.doc_ids]
+        )
+        print(json.dumps({"fed": args.fed, "tombstoned": routed}))
+    elif args.action == "compact":
+        fed = federated.compact_federation(args.fed)
+        print(json.dumps({
+            "fed": args.fed, "n_docs": fed["n_docs"], "avgdl": fed["avgdl"],
+        }))
+    elif args.action == "search":
+        eng = federated.FederatedEngine(args.fed, num_servers=args.servers)
+        try:
+            if args.qstring:
+                res = eng.search(
+                    args.query, k=args.k,
+                    start_day=args.start_day, end_day=args.end_day,
+                )
+            else:
+                res = eng.query(
+                    args.query, k=args.k,
+                    start_day=args.start_day, end_day=args.end_day,
+                )
+            print(json.dumps({
+                "query": args.query,
+                "results": [{"doc_id": d, "score": s} for d, s in res],
+            }))
+        finally:
+            eng.shutdown()
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="cb")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -216,6 +280,32 @@ def main(argv=None) -> int:
     dl.add_argument("--index", required=True)
     dl.add_argument("doc_ids", nargs="+", help="doc ids to tombstone")
     dl.set_defaults(fn=cmd_delete)
+
+    fd = sub.add_parser(
+        "fed",
+        help="federated per-day/per-type indexes: build/init/refresh/ingest/search/delete/compact",
+    )
+    fd.add_argument("action", choices=[
+        "build", "init", "refresh", "ingest", "search", "delete", "compact",
+    ])
+    fd.add_argument("--fed", required=True, help="federation dir")
+    fd.add_argument("--input", default=None,
+                    help="corpus parquet (build/refresh) or drain dir (ingest)")
+    fd.add_argument("--text-col", default="content")
+    fd.add_argument("--id-col", default=None)
+    fd.add_argument("--ts-col", default=None, help="timestamp column (per-day routing)")
+    fd.add_argument("--route-col", default=None, help="type column (one index per type)")
+    fd.add_argument("--prefix", default="")
+    fd.add_argument("--one-index-per-type", action="store_true")
+    fd.add_argument("--num-parts", type=int, default=8)
+    fd.add_argument("--query", default=None)
+    fd.add_argument("--qstring", action="store_true", help="Lucene-lite query string")
+    fd.add_argument("-k", type=int, default=10)
+    fd.add_argument("--servers", type=int, default=2, help="servers per sub-index")
+    fd.add_argument("--start-day", default=None, help="prune: first day YYYYMMDD")
+    fd.add_argument("--end-day", default=None, help="prune: last day YYYYMMDD")
+    fd.add_argument("doc_ids", nargs="*", help="doc ids (delete)")
+    fd.set_defaults(fn=cmd_fed)
 
     for name in ("query", "query-file", "phrase", "filtered-query", "search"):
         q = sub.add_parser(name, help="top-k BM25 query")

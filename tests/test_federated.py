@@ -27,7 +27,9 @@ def _mk_corpus(path: str, n: int = 120, ndays: int = 3, seed: int = 7) -> None:
     rows = []
     for i in range(n):
         words = " ".join(f"w{int(rng.integers(25))}" for _ in range(int(rng.integers(4, 30))))
-        extra = ["merge join", "hash index", "index scan"][i % 3]
+        # (i // 3) decorrelates phrase from day (= i % ndays): every
+        # day-index holds every phrase
+        extra = ["merge join", "hash index", "index scan"][(i // 3) % 3]
         rows.append(
             {
                 "doc_id": 1 + i * 17,
@@ -439,6 +441,37 @@ def test_delete_and_compact_federation(fed_built, tmp_path):
     for q in QUERIES:
         got = _merge_topk([ls.query(q, k=10, algo="taat") for ls in day_ls2], 10)
         assert got == mono2_ls.query(q, k=10, algo="taat"), q
+
+
+def test_fed_cli(tmp_path):
+    """fed build + day-pruned search through the CLI (subprocess: the
+    CLI owns its own Ray session)."""
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "docs.parquet")
+    _mk_corpus(src, n=60)
+    fd = str(tmp_path / "fed")
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "fed", "build", "--fed", fd,
+         "--input", src, "--text-col", "text", "--id-col", "doc_id",
+         "--ts-col", "ts", "--prefix", "cb-", "--num-parts", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["indexes"] == ["cb-20260105", "cb-20260106", "cb-20260107"]
+    assert info["n_docs"] == 60
+
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "fed", "search", "--fed", fd,
+         "--query", "merge join", "-k", "5",
+         "--start-day", "20260106", "--end-day", "20260107"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert 0 < len(out["results"]) <= 5
 
 
 def test_phrase_across_federation(fed_built):
