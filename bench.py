@@ -236,6 +236,64 @@ def run_bench() -> dict:
         extras["compact_tombstones"] = float(len(dead))
         extras["compact_posting_rows"] = float(n_rows)
 
+    # phase 6 (extras): federation — per-day split of the documents
+    # table, federation-global-exact cross-index search, and the
+    # day-pruning payoff (the GetIndexNames read path).
+    if not skip_extras:
+        from cb import federated
+        from cb.pipelines import FED_EPOCH_US, FED_NDAYS
+
+        import numpy as np
+        import pyarrow as pa
+
+        def with_ts(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            us = FED_EPOCH_US + (ids % FED_NDAYS) * 86_400_000_000
+            return b.append_column("ts", pa.array(us).cast(pa.timestamp("us")))
+
+        fed_dir = "/tmp/cb_bench/fed"
+        shutil.rmtree(fed_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        federated.build_federation(
+            ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+                with_ts, batch_format="pyarrow"
+            ),
+            fed_dir, text_col="text", id_col="doc_id", ts_col="ts", prefix="cb-",
+        )
+        extras["fed_build_sec"] = time.perf_counter() - t0
+        fed_queries = [
+            " ".join(c)
+            for c in itertools.islice(
+                itertools.combinations(
+                    sorted({w for q in QUERY_SET for w in q.split()}), 2
+                ),
+                150,
+            )
+        ]
+        feng = federated.FederatedEngine(fed_dir, num_servers=2)
+        # disjoint query halves: server-side result caches from one
+        # measurement must not serve the other.  Warm first so both
+        # legs measure steady-state scoring (first-touch decode
+        # otherwise lands entirely on the full-fan-out leg and
+        # inflates the prune ratio).
+        feng.warm(min_df=0)
+        half = len(fed_queries) // 2
+        try:
+            t0 = time.perf_counter()
+            feng.query_many(fed_queries[:half], k=10)
+            full = time.perf_counter() - t0
+            extras["fed_queries_per_sec"] = half / full
+            t0 = time.perf_counter()
+            feng.query_many(
+                fed_queries[half:], k=10,
+                start_day="20260106", end_day="20260106",
+            )
+            pruned = time.perf_counter() - t0
+            # >1: a 1-of-N-days query costs ~1/N of the unbounded fan-out
+            extras["fed_day_prune_speedup"] = full / pruned
+        finally:
+            feng.shutdown()
+
     extras["calib_end_sec"] = _calibrate()
     total = sum(timings.values())
     out = {

@@ -713,8 +713,32 @@ class FederatedEngine:
         ]
         return _merge_facets(parts)
 
-    def query_many(self, texts: list[str], k: int = 10, algo: str = "taat"):
-        return [self.query(t, k, algo) for t in texts]
+    def query_many(self, texts: list[str], k: int = 10, algo: str = "taat", **sel_kwargs):
+        """Batched federation fan-out: in doc mode every server of every
+        selected sub-index gets ONE score_many RPC covering all queries
+        (the same round-trip amortization as QueryEngine.query_many,
+        across the whole federation); exact because every
+        (engine, server) scope is a disjoint doc set.  Falls back to
+        per-query dispatch when any engine is term-sharded."""
+        from . import analyze
+
+        sel = self._select(**sel_kwargs)
+        if any(self.engines[n].mode != "doc" for n in sel):
+            return [self.query(t, k, algo, **sel_kwargs) for t in texts]
+        term_lists = [sorted(set(analyze.tokenize(t))) for t in texts]
+        live = [i for i, terms in enumerate(term_lists) if terms]
+        servers = [s for n in sel for s in self.engines[n].servers]
+        if not servers:
+            return [[] for _ in texts]
+        futs = [
+            s.score_many.remote([term_lists[i] for i in live], k, algo=algo)
+            for s in servers
+        ]
+        per_server = ray.get(futs)
+        results: list = [[] for _ in texts]
+        for j, i in enumerate(live):
+            results[i] = _merge_topk([ps[j] for ps in per_server], k)
+        return results
 
     def warm(self, min_df: int = 0) -> int:
         return sum(e.warm(min_df) for e in self.engines.values())

@@ -172,6 +172,25 @@ def test_route_by_type(fed_built, tmp_path):
         assert got == mono_ls.query(q, k=10, algo="taat"), q
 
 
+def test_query_many_batched_parity(fed_built):
+    """Batched score_many fan-out == per-query dispatch, with and
+    without day pruning."""
+    src, mono, fed_dir, meta = fed_built
+    eng = federated.FederatedEngine(fed_dir, num_servers=2, mode="doc")
+    try:
+        batched = eng.query_many(QUERIES, k=10)
+        singles = [eng.query(q, k=10) for q in QUERIES]
+        assert batched == singles
+        batched_p = eng.query_many(QUERIES, k=10, start_day="20260106")
+        singles_p = [eng.query(q, k=10, start_day="20260106") for q in QUERIES]
+        assert batched_p == singles_p
+        assert eng.query_many(QUERIES, k=10, start_day="20270101") == [
+            [] for _ in QUERIES
+        ]
+    finally:
+        eng.shutdown()
+
+
 def test_querystring_and_facets_federated(fed_built, tmp_path):
     """Full query-string surface + ES aggregations across the
     federation == the monolithic pool, including wildcard/fuzzy
