@@ -380,3 +380,63 @@ def sql_pii_redact(table: str = "documents", text_col: str = "text") -> str:
         pat_sql = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{pat_sql}', '{rep}', 'g')"
     return f"SELECT doc_id, {expr} AS text_redacted FROM {table} ORDER BY doc_id"
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split (salted content hash)
+# --------------------------------------------------------------------------
+
+def dataset_split(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "cb",
+    cuts: tuple[int, int] = (80, 90),
+) -> ray.data.Dataset:
+    """Assign every doc to train/val/test by ``md5(salt + id) % 100``
+    (salted so re-splitting with a new salt is independent of the old
+    one, unlike raw ``id % 100``).  Deterministic, resume-stable, and
+    embarrassingly parallel — membership never depends on which shard
+    or batch a doc arrived in, so a re-run or a grown corpus keeps every
+    existing doc's split.  The md5 loop is per-row but row-proportional
+    C work (hashlib), no shuffle anywhere."""
+    import hashlib
+    import struct
+
+    lo, hi = cuts
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = np.array(
+            [
+                struct.unpack(
+                    "<Q", hashlib.md5(f"{salt}{i}".encode()).digest()[8:16]
+                )[0]
+                for i in ids
+            ],
+            dtype=np.uint64,
+        ) % np.uint64(100)
+        split = np.where(h < lo, "train", np.where(h < hi, "val", "test"))
+        return pa.table(
+            {id_col: batch[id_col], "split": pa.array(split.tolist(), type=pa.string())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_dataset_split(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    salt: str = "cb",
+    cuts: tuple[int, int] = (80, 90),
+) -> str:
+    """Exact mirror: DuckDB's ``md5_number_lower`` is the same
+    little-endian lower-8-bytes of the md5 digest."""
+    h = f"md5_number_lower(concat('{salt}', {id_col}::VARCHAR)) % 100"
+    return f"""
+SELECT {id_col},
+       CASE WHEN {h} < {cuts[0]} THEN 'train'
+            WHEN {h} < {cuts[1]} THEN 'val'
+            ELSE 'test' END AS split
+FROM {table} ORDER BY {id_col}
+"""

@@ -1133,6 +1133,20 @@ def q_lang_id(sf_dir: str) -> pa.Table:
     return _collect(ds.map_batches(textstats.lang_id, batch_format="pyarrow"))
 
 
+def q_repetition_stats(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition quality signals per doc."""
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(
+        ds.map_batches(textstats.repetition_stats, batch_format="pyarrow")
+    )
+
+
+def q_dataset_split(sf_dir: str) -> pa.Table:
+    """Deterministic salted-hash train/val/test assignment."""
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id"])
+    return _collect(curation.dataset_split(ds))
+
+
 def q_fingerprint(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
     return _collect(ds.map_batches(textstats.fingerprint, batch_format="pyarrow"))
@@ -1867,6 +1881,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
+    "repetition_stats": q_repetition_stats,
+    "dataset_split": q_dataset_split,
     "doc_fingerprint": q_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "minhash_neardup": q_minhash_neardup,
@@ -1919,6 +1935,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.sql_exact_duplicates(),
         "token_stats": textstats.sql_token_stats(),
         "lang_id": textstats.sql_lang_id(),
+        "repetition_stats": textstats.sql_repetition_stats(),
+        "dataset_split": curation.sql_dataset_split(),
         "doc_fingerprint": textstats.sql_fingerprint(),
         "ngram_jaccard_pairs": dedup.sql_ngram_jaccard(threshold=0.3),
         # exact mirrors: same md5-lower-64 hashes, inlined permutation

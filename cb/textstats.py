@@ -243,3 +243,96 @@ SELECT doc_id,
        )::BIGINT AS fingerprint
 FROM {table} ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Repetition quality stats (Gopher-style filters)
+# --------------------------------------------------------------------------
+
+def repetition_stats(
+    batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-doc repetition signals used by web-corpus quality filters
+    (duplicate-line fraction; most-frequent-word-bigram fraction).
+    Fully columnar: lines via one split kernel, per-doc distinct counts
+    and bigram max-counts via Arrow group_by — no per-doc Python."""
+    n = batch.num_rows
+    texts = batch[text_col].combine_chunks()
+
+    # duplicate-line fraction: 1 - distinct_lines / lines
+    lines = pc.split_pattern(texts, pattern="\n")
+    loff = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    llens = np.diff(loff)
+    ldi = np.repeat(np.arange(n, dtype=np.int64), llens)
+    lt = pa.table({"di": ldi, "v": pc.list_flatten(lines)})
+    pairs = lt.group_by(["di", "v"]).aggregate([("v", "count")])
+    dcounts = pairs.group_by("di").aggregate([("v_count", "count")])
+    uniq = np.zeros(n, dtype=np.int64)
+    uniq[dcounts["di"].to_numpy(zero_copy_only=False)] = dcounts[
+        "v_count_count"
+    ].to_numpy(zero_copy_only=False)
+    dup_line = np.where(llens > 0, 1.0 - uniq / np.maximum(llens, 1), 0.0)
+
+    # top-bigram fraction: max bigram count / total bigrams (engine
+    # tokenizer, so the SQL mirror shares the token stream)
+    toks = analyze.token_array(texts)
+    toff = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    tlens = np.diff(toff)
+    flat = pc.list_flatten(toks)
+    starts0 = toff[:-1] - toff[0]
+    total = int(toff[-1] - toff[0])
+    top_bg = np.zeros(n, dtype=np.float64)
+    if total:
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts0, tlens)
+        keep = within < np.repeat(tlens, tlens) - 1  # not last token of doc
+        idx = np.flatnonzero(keep)
+        if len(idx):
+            left = flat.take(pa.array(idx))
+            right = flat.take(pa.array(idx + 1))
+            bg = pc.binary_join_element_wise(left, right, " ")
+            bdi = np.repeat(np.arange(n, dtype=np.int64), np.maximum(tlens - 1, 0))
+            bt = pa.table({"di": bdi, "g": bg})
+            bc = bt.group_by(["di", "g"]).aggregate([("g", "count")])
+            bmax = bc.group_by("di").aggregate([("g_count", "max")])
+            mx = np.zeros(n, dtype=np.float64)
+            mx[bmax["di"].to_numpy(zero_copy_only=False)] = bmax[
+                "g_count_max"
+            ].to_numpy(zero_copy_only=False)
+            nbg = np.maximum(tlens - 1, 0).astype(np.float64)
+            top_bg = np.where(nbg > 0, mx / np.maximum(nbg, 1.0), 0.0)
+
+    return pa.table(
+        {
+            "doc_id": batch[id_col],
+            "n_lines": pa.array(llens, type=pa.int64()),
+            "dup_line_frac": pa.array(np.round(dup_line, 6), type=pa.float64()),
+            "top_bigram_frac": pa.array(np.round(top_bg, 6), type=pa.float64()),
+        }
+    )
+
+
+def sql_repetition_stats(table: str = "documents", text_col: str = "text") -> str:
+    """Exact mirror: same line split, same tokenizer, same double
+    divisions, round(6) both sides."""
+    tok = analyze.sql_token_array(text_col)
+    return f"""
+WITH docs AS (SELECT doc_id, {text_col} AS text, {tok} AS toks FROM {table}),
+lines AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+lstats AS (SELECT doc_id, len(ls)::BIGINT AS n_lines,
+                  len(list_distinct(ls))::BIGINT AS n_uniq FROM lines),
+t AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM docs),
+bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS g
+       FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+bgc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+bstats AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc GROUP BY 1)
+SELECT d.doc_id,
+       l.n_lines,
+       round(CASE WHEN l.n_lines > 0
+             THEN 1.0 - l.n_uniq::DOUBLE / l.n_lines::DOUBLE
+             ELSE 0.0 END, 6) AS dup_line_frac,
+       round(coalesce(b.mx::DOUBLE / b.tot::DOUBLE, 0.0), 6) AS top_bigram_frac
+FROM docs d
+JOIN lstats l USING (doc_id)
+LEFT JOIN bstats b USING (doc_id)
+ORDER BY d.doc_id
+"""

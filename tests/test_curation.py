@@ -102,3 +102,58 @@ def test_pii_redact_patterns():
     ).take_all()}
     assert out[1] == "contact me at <EMAIL> or <IP> ref <NUM>"
     assert out[2] == "nothing sensitive here 1234"
+
+
+def test_dataset_split_deterministic_and_salted():
+    import numpy as np
+
+    rows = [{"doc_id": i} for i in range(1, 501)]
+    ds = ray.data.from_items(rows)
+    out = {r["doc_id"]: r["split"] for r in curation.dataset_split(ds).take_all()}
+    assert set(out.values()) == {"train", "val", "test"}
+    # ~80/10/10 within loose bounds
+    counts = {s: sum(1 for v in out.values() if v == s) for s in ("train", "val", "test")}
+    assert 330 <= counts["train"] <= 470
+    # deterministic across runs and batch layouts
+    again = {
+        r["doc_id"]: r["split"]
+        for r in curation.dataset_split(
+            ray.data.from_items(rows).repartition(7)
+        ).take_all()
+    }
+    assert again == out
+    # a different salt re-deals membership
+    other = {
+        r["doc_id"]: r["split"]
+        for r in curation.dataset_split(ds, salt="v2").take_all()
+    }
+    assert other != out
+
+
+def test_repetition_stats_signals():
+    import pyarrow as pa
+
+    from cb import textstats
+
+    batch = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "same line\nsame line\nsame line\nunique one",
+                "spark spark spark spark words here",
+                "alpha",
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.repetition_stats(batch).to_pylist()
+    }
+    assert out[1]["n_lines"] == 4
+    assert out[1]["dup_line_frac"] == 0.5  # 2 distinct of 4
+    # "spark spark" bigram dominates: 3 of 5 bigrams
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == 0.6
+    # single-token doc: no bigrams, one unique line
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[3]["dup_line_frac"] == 0.0
