@@ -59,6 +59,7 @@ def _register_builtins() -> None:
     from . import sources
 
     register("source", "sql", sources.read_sql_shard)
+    register("source", "minute_shards", sources.read_minute_shards)
 
     from . import streaming
 

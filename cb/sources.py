@@ -44,3 +44,45 @@ def read_sql_shard(
     else:
         sql = query_or_table
     return ray.data.read_sql(sql, connection_factory)
+
+
+def read_minute_shards(
+    table: str,
+    connection_factory,
+    *,
+    shard_field: str,
+    last_offset_iso: str | None,
+    strategy: str = "minute",
+    grace_minutes: int = 3,
+    max_items: int | None = None,
+    now=None,
+) -> tuple["ray.data.Dataset | None", str]:
+    """The scheduler->reader loop in one call (the reference's
+    MinuteTableShardScheduler emitting ShardKeyArrived events consumed
+    by ShardKeyActor, Scheduling/MinuteTableShardScheduler.cs:20-47 +
+    Actors/ShardKeyActor.cs): enumerate every due minute's shard keys
+    since ``last_offset_iso`` (grace-window + max-items semantics from
+    :func:`cb.shardkeys.minute_schedule`), read all of them as ONE
+    union Dataset (one pushed-down SQL read per key — keys are
+    point-partition predicates, so each read touches one shard), and
+    return the new offset to persist.  Returns ``(None, offset)`` when
+    nothing is due."""
+    from . import shardkeys
+
+    events, new_offset = shardkeys.minute_schedule(
+        last_offset_iso, grace_minutes=grace_minutes, max_items=max_items,
+        strategy=strategy, now=now,
+    )
+    keys = [k for e in events for k in e["shard_keys"]]
+    if not keys:
+        return None, new_offset
+    parts = [
+        read_sql_shard(
+            table, connection_factory, shard_field=shard_field, shard_value=k
+        )
+        for k in keys
+    ]
+    ds = parts[0]
+    if len(parts) > 1:
+        ds = ds.union(*parts[1:])
+    return ds, new_offset
