@@ -41,7 +41,6 @@ import pyarrow as pa
 RESERVED = ("@timestamp", "PartitionKey", "RowKey")
 
 _SORTABLE = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}$")
-_TIME_RE = re.compile(r"^\d{2}:\d{2}:\d{2}")
 _REDACT = re.compile(r"(?i)(password|user id)=([^;,\s]+)")
 
 
@@ -66,7 +65,6 @@ def parse_iis_w3c(filename: str, content: str) -> list[dict]:
     fields: list[str] | None = None
     offset = 0
     for raw in content.splitlines(keepends=True):
-        line_off = offset
         offset += len(raw)
         line = raw.rstrip("\r\n")
         if line.startswith("#"):
@@ -106,7 +104,9 @@ def parse_iis_w3c(filename: str, content: str) -> list[dict]:
         uri = doc.get("cs-uri-stem", "")
         segs = [s for s in uri.split("/") if s]
         doc["PartitionKey"] = segs[0] if segs else stem
-        doc["RowKey"] = f"{stem}_{line_off}"
+        # END-of-line byte offset (the resume position a ParseCursor
+        # would continue from) — IisLogTests.cs GetRowKey semantics
+        doc["RowKey"] = f"{stem}_{offset}"
         docs.append(doc)
     return docs
 
@@ -133,6 +133,18 @@ def _redact(msg: str) -> str:
     return _REDACT.sub(lambda m: f"{m.group(1)}=*****", msg)
 
 
+# Entry shape (SitecoreLogLineParser.cs:13-28 semantics): scan for the
+# FIRST hh:mm:ss token; everything before it is the event source (which
+# may contain spaces — "ManagedPoolThread #0"), the next token is the
+# level, the rest (leading whitespace skipped, inner spacing kept) is
+# the message.  Deviation, documented: the level is whitelisted (the
+# reference accepts any token there), which doubles as the junk guard.
+_SC_ENTRY = re.compile(
+    r"^(?P<src>.*?)[ \t]+(?P<time>\d{2}:\d{2}:\d{2})(?:\.\d+)?[ \t]+"
+    r"(?P<level>" + "|".join(_SC_LEVELS) + r")(?:[ \t]+(?P<msg>.*))?$"
+)
+
+
 def parse_sitecore(filename: str, content: str) -> list[dict]:
     base = os.path.basename(filename)
     m = _SC_FNAME_DATE.search(base)
@@ -145,22 +157,15 @@ def parse_sitecore(filename: str, content: str) -> list[dict]:
         stripped = line.strip()
         if not stripped or set(stripped) == {"*"}:
             continue  # junk line
-        parts = line.split(" ", 3)
-        is_entry = (
-            len(parts) >= 3
-            and _TIME_RE.match(parts[1] if len(parts) > 1 else "")
-            and (parts[2] in _SC_LEVELS if len(parts) > 2 else False)
-        )
-        if is_entry:
+        em = _SC_ENTRY.match(stripped)
+        if em:
             if cur is not None and cur["message"].strip():
                 docs.append(cur)
-            source, time_s, level = parts[0], parts[1][:8], parts[2]
-            msg = parts[3] if len(parts) > 3 else ""
             cur = {
-                "source": source,
-                "level": level,
-                "message": _redact(msg),
-                "@timestamp": f"{date_iso} {time_s}",
+                "source": em.group("src"),
+                "level": em.group("level"),
+                "message": _redact(em.group("msg") or ""),
+                "@timestamp": f"{date_iso} {em.group('time')}",
                 "PartitionKey": date_s,
                 "RowKey": f"{stem}_{lineno}",
             }
@@ -235,8 +240,12 @@ def parse_insight_metrics(filename: str, content: str) -> list[dict]:
     for rec in data.get("records", []):
         ts = _try_parse_ts(str(rec.get("time", "")))
         resource = str(rec.get("resourceId", ""))
-        segs = [s for s in resource.split("/") if s]
-        pk = "_".join(segs[-2:] + [str(rec.get("metricName", ""))])
+        # reference PK (InsightMetricsParser.cs:41-42):
+        # {subscription-guid-first-part}_{last 3 path segments, reversed}_{metric}
+        parts = resource.split("/")
+        sub = parts[2].split("-")[0] if len(parts) > 2 else ""
+        rev3 = "_".join(parts[::-1][:3])
+        pk = f"{sub}_{rev3}_{rec.get('metricName', '')}"
         doc = {k: _stringify(v) for k, v in rec.items()}
         if ts:
             doc["@timestamp"] = ts.strftime("%Y-%m-%d %H:%M:%S")

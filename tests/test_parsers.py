@@ -95,7 +95,8 @@ def test_insight_metrics():
     )
     docs = parsers.parse_insight_metrics("m.json", content)
     assert docs[0]["RowKey"] == "20240203040506"
-    assert docs[0]["PartitionKey"] == "rg_y_cpu"
+    # reference formula: guid-first-part _ last-3-segments-reversed _ metric
+    assert docs[0]["PartitionKey"] == "x_y_rg_x_cpu"
     assert docs[0]["average"] == "2.5"
 
 
