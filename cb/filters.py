@@ -17,7 +17,24 @@ import re
 
 import pyarrow.dataset as pads
 
-_OP_RE = re.compile(r"^\s*(\w+)\s*(>=|<=|==|!=|>|<)\s*(.+?)\s*$")
+# Reference validity rules (SimpleFilter.cs:12-21 + ParseExpression):
+# operators are SPACE-DELIMITED (" > ", not ">") and an expression
+# containing more than one distinct operator symbol is invalid.
+_SPACED_OPS = (" >= ", " <= ", " != ", " == ", " > ", " < ")
+
+
+def _parse_clause(alt: str) -> tuple[str, str, str]:
+    """One ``"Field op value"`` clause -> (field, op, raw_value);
+    raises ValueError on the reference's invalid shapes."""
+    symbols = [s for s in _SPACED_OPS if s in alt]
+    if len(symbols) != 1:
+        raise ValueError(f"bad filter clause: {alt!r}")
+    op = symbols[0]
+    field, raw = alt.split(op, 1)
+    field, raw = field.strip(), raw.strip()
+    if not re.fullmatch(r"\w+", field) or not raw:
+        raise ValueError(f"bad filter clause: {alt!r}")
+    return field, op.strip(), raw
 
 
 def _parse_value(raw: str):
@@ -49,10 +66,7 @@ def compile_filter(expr: str) -> pads.Expression:
         raise ValueError(f"empty filter expression: {expr!r}")
     out = None
     for alt in alts:
-        m = _OP_RE.match(alt)
-        if not m:
-            raise ValueError(f"bad filter clause: {alt!r}")
-        field, op, raw = m.groups()
+        field, op, raw = _parse_clause(alt)
         val = _parse_value(raw)
         f = pads.field(field)
         clause = {
@@ -73,10 +87,7 @@ def to_sql(expr: str) -> str:
     for alt in expr.split("|"):
         if not alt.strip():
             continue
-        m = _OP_RE.match(alt)
-        if not m:
-            raise ValueError(f"bad filter clause: {alt!r}")
-        field, op, raw = m.groups()
+        field, op, raw = _parse_clause(alt)
         val = _parse_value(raw)
         sql_op = {"==": "=", "!=": "<>"}.get(op, op)
         lit = f"'{val}'" if isinstance(val, str) else str(val)
