@@ -269,6 +269,155 @@ def q_federated_querystring(sf_dir: str) -> pa.Table:
     return _topk_table(results, with_scores=True)
 
 
+def q_bm25_page2(sf_dir: str) -> pa.Table:
+    """ES search_after pagination: ranks K+1..2K of every query,
+    continued from page 1's (score, doc_id) cursor — exact because the
+    cursor comparison runs on bitwise-deterministic scores."""
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    try:
+        for qid, q in enumerate(QUERY_SET):
+            page1 = engine.query(q, k=K)
+            if len(page1) < K:
+                continue  # no second page
+            page2 = engine.search_after(
+                q, k=K, after=(page1[-1][1], page1[-1][0])
+            )
+            for i, (doc_id, score) in enumerate(page2):
+                rows["query_id"].append(qid)
+                rows["rank"].append(K + 1 + i)
+                rows["doc_id"].append(doc_id)
+                rows["score"].append(score)
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_bm25_page2() -> str:
+    """Monolithic BM25 ranking, ranks K+1..2K, only for queries whose
+    first page was full (>= K results)."""
+    base = sql_bm25(with_scores=True)
+    # swap the final cut: rank in (K, 2K], restricted to queries with a
+    # full first page
+    return base.replace(
+        f"FROM ranked WHERE rank <= {K} ORDER BY query_id, rank",
+        f"""FROM ranked
+WHERE rank > {K} AND rank <= {2 * K}
+  AND query_id IN (SELECT query_id FROM ranked GROUP BY 1 HAVING count(*) > {K})
+ORDER BY query_id, rank""",
+    )
+
+
+MLT_MAX_TERMS = 15
+MLT_TARGETS = 3
+
+
+def q_more_like_this(sf_dir: str) -> pa.Table:
+    """ES ``more_like_this``: for the MLT_TARGETS lowest doc ids, select
+    the doc's top tf*idf terms (df from the index's summary tables, no
+    postings decode) and rank the corpus by BM25 with them, excluding
+    the source doc."""
+    import pyarrow.parquet as _pq
+
+    meta = get_index(sf_dir)
+    ids = _pq.read_table(docs_path(sf_dir), columns=["doc_id"])["doc_id"].to_pylist()
+    targets = sorted(ids)[:MLT_TARGETS]
+    tbl = _pq.read_table(
+        docs_path(sf_dir), columns=["doc_id", "text"],
+        filters=[("doc_id", "in", targets)],
+    )
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = [
+            engine.more_like_this(
+                texts[t], k=K, max_terms=MLT_MAX_TERMS, exclude=t
+            )
+            for t in targets
+        ]
+    finally:
+        engine.shutdown()
+    rows = {"target_id": [], "rank": [], "doc_id": [], "score": []}
+    for t, res in zip(targets, results):
+        for rank, (doc_id, score) in enumerate(res, start=1):
+            rows["target_id"].append(t)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+    return pa.table(
+        {
+            "target_id": pa.array(rows["target_id"], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_more_like_this() -> str:
+    """Full mirror: same tokenizer, same BM25 idf in the term-selection
+    score, same (tf*idf desc, term asc) cut, same scoring sum order."""
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    half = "CAST(0.5 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    sel_idf = f"ln({one} + ((SELECT n_docs FROM g) - df.df + {half}) / (df.df + {half}))"
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+targets AS (SELECT doc_id AS target_id FROM documents
+            ORDER BY doc_id LIMIT {MLT_TARGETS}),
+seltf AS (
+  SELECT t.target_id, tf.term,
+         row_number() OVER (
+           PARTITION BY t.target_id
+           ORDER BY tf.tf * ({sel_idf}) DESC, tf.term ASC
+         ) AS rn
+  FROM targets t
+  JOIN tf ON tf.doc_id = t.target_id
+  JOIN df ON df.term = tf.term
+),
+q AS (SELECT target_id, term FROM seltf WHERE rn <= {MLT_MAX_TERMS}),
+scored AS (
+  SELECT q.target_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  WHERE tf.doc_id != q.target_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT target_id, doc_id, score,
+         row_number() OVER (PARTITION BY target_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT target_id, rank::BIGINT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY target_id, rank
+"""
+
+
 def _query_terms_values() -> str:
     """(query_id, term) VALUES rows: tokenized like the engine."""
     rows = []
@@ -1870,6 +2019,8 @@ QUERIES = {
     "bm25_topk_scores": q_bm25_topk_scores,
     "federated_bm25": q_federated_bm25,
     "federated_querystring": q_federated_querystring,
+    "more_like_this": q_more_like_this,
+    "bm25_page2": q_bm25_page2,
     "bm25_filtered": q_bm25_filtered,
     "bm25_multifield": q_bm25_multifield,
     "multifield_querystring": q_multifield_querystring,
@@ -1924,6 +2075,8 @@ def oracle_sql() -> dict[str, str]:
         # federation with dfs_query_then_fetch stats == monolithic index
         "federated_bm25": sql_bm25(with_scores=True),
         "federated_querystring": sql_search_querystring(),
+        "more_like_this": sql_more_like_this(),
+        "bm25_page2": sql_bm25_page2(),
         "bm25_filtered": sql_bm25_filtered(),
         "bm25_multifield": sql_bm25_multifield(),
         "multifield_querystring": sql_multifield_querystring(),

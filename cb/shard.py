@@ -577,6 +577,19 @@ class ShardServer:
             self.score(terms, k, [], algo=algo) for terms in term_lists
         ]
 
+    def get_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Corpus-global df per term from the partition ``_termdf``
+        summaries — NO postings decode (powers more_like_this term
+        selection)."""
+        out = {}
+        for t in terms:
+            part = self.parts.get(term_partition(t, self.num_parts))
+            if part is not None:
+                df = part.global_df.get(t)
+                if df:
+                    out[t] = int(df)
+        return out
+
 
 class LocalSearcher:
     """In-process searcher over a built index (tests / tiny corpora;
@@ -800,7 +813,9 @@ class QueryEngine:
         return term_partition(term, self.meta.num_parts) % self.num_servers
 
     def _dispatch(self, text: str, k: int, algo: str):
-        terms = sorted(set(analyze.tokenize(text)))
+        return self._dispatch_terms(sorted(set(analyze.tokenize(text))), k, algo)
+
+    def _dispatch_terms(self, terms: list[str], k: int, algo: str):
         if not terms:
             return None
         if self.mode == "doc":
@@ -980,6 +995,88 @@ class QueryEngine:
                 parsed, facet_cols, stats_cols, fetched_terms, *refs
             )
         )
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Corpus-global df per term via the tiny ``_termdf`` summaries
+        (no postings decode).  Doc mode: every server holds every
+        partition's summary — one RPC; term mode: terms batched to
+        their owners."""
+        terms = sorted(set(terms))
+        if not terms:
+            return {}
+        if self.mode == "doc":
+            return ray.get(self.servers[0].get_dfs.remote(terms))
+        by_owner: dict[int, list[str]] = {}
+        for t in terms:
+            by_owner.setdefault(self._owner(t), []).append(t)
+        futs = [self.servers[s].get_dfs.remote(ts) for s, ts in by_owner.items()]
+        out: dict[str, int] = {}
+        for d in ray.get(futs):
+            out.update(d)
+        return out
+
+    def query_terms(self, terms: list[str], k: int = 10, algo: str = "taat"):
+        """Top-k over an explicit (pre-analyzed) term set."""
+        fut = self._dispatch_terms(sorted(set(terms)), k, algo)
+        if fut is None:
+            return []
+        if isinstance(fut, list):
+            return _merge_topk(ray.get(fut), k)
+        return ray.get(fut)
+
+    def more_like_this(
+        self,
+        doc_text: str,
+        k: int = 10,
+        max_terms: int = 15,
+        exclude: int | None = None,
+        algo: str = "taat",
+    ) -> list[tuple[int, float]]:
+        """ES ``more_like_this`` (docs-as-query): pick the document's
+        ``max_terms`` highest tf*idf terms (idf = the BM25 idf, df from
+        the summary tables; ties broken by term asc for determinism),
+        run a standard BM25 query with them, and drop the source doc
+        (``exclude``) from the ranking."""
+        import collections
+
+        tf = collections.Counter(analyze.tokenize(doc_text))
+        dfs = self.term_dfs(list(tf))
+        n = self.meta.n_docs
+        scored = [
+            (t, tf[t] * float(scoring.idf(dfs[t], n))) for t in tf if t in dfs
+        ]
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        terms = [t for t, _ in scored[:max_terms]]
+        res = self.query_terms(terms, k + (1 if exclude is not None else 0), algo)
+        if exclude is not None:
+            res = [r for r in res if r[0] != exclude][:k]
+        return res
+
+    def search_after(
+        self,
+        text: str,
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+        algo: str = "taat",
+    ) -> list[tuple[int, float]]:
+        """ES ``search_after`` parity: the next ``k`` results strictly
+        after the ``(score, doc_id)`` cursor in (score desc, id asc)
+        order.  Deep pages re-rank through the driver result LRU with a
+        doubling fetch — exact because scores are bitwise-deterministic
+        for an immutable index, so cursor equality is safe."""
+        if after is None:
+            return self.query(text, k=k, algo=algo)
+        fetch = max(2 * k, 32)
+        while True:
+            res = self.query(text, k=fetch, algo=algo)
+            out = [
+                r
+                for r in res
+                if r[1] < after[0] or (r[1] == after[0] and r[0] > after[1])
+            ]
+            if len(out) >= k or len(res) < fetch:
+                return out[:k]
+            fetch *= 2
 
     def query_many(self, texts: list[str], k: int = 10, algo: str = "taat"):
         """Batched fan-out: queries are tokenized on the driver, chunked

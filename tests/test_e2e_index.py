@@ -145,3 +145,43 @@ def test_manifests_written(built):
             assert m["partition"] == p
             found += 1
     assert found >= 1
+
+
+def test_search_after_pages_tile_the_ranking(built):
+    """Pages concatenated == the full ranking, no gaps or overlaps."""
+    idx_dir, meta, oracle = built
+    engine = shard_mod.QueryEngine(idx_dir, num_servers=2)
+    try:
+        q = "import return value"
+        full = engine.query(q, k=40)
+        pages, after = [], None
+        while True:
+            page = engine.search_after(q, k=7, after=after)
+            if not page:
+                break
+            pages.extend(page)
+            after = (page[-1][1], page[-1][0])
+            if len(pages) >= len(full):
+                break
+        assert pages[: len(full)] == full
+    finally:
+        engine.shutdown()
+
+
+def test_more_like_this_excludes_source_and_is_deterministic(built):
+    idx_dir, meta, oracle = built
+    engine = shard_mod.QueryEngine(idx_dir, num_servers=2)
+    try:
+        target_id = oracle.doc_ids[0]
+        # tokenizer output is idempotent: re-joined tokens re-tokenize
+        # to the same multiset, so this is the doc's term vector
+        text = " ".join(oracle.tokens[0])
+        res = engine.more_like_this(text, k=10, exclude=target_id)
+        assert res and all(d != target_id for d, _ in res)
+        assert res == engine.more_like_this(text, k=10, exclude=target_id)
+        # without exclusion the source doc itself dominates (it matches
+        # its own top terms best or near-best)
+        incl = engine.more_like_this(text, k=3)
+        assert target_id in {d for d, _ in incl}
+    finally:
+        engine.shutdown()
