@@ -713,6 +713,18 @@ class FederatedEngine:
         ]
         return _merge_facets(parts)
 
+    def histogram(self, query_string: str, histos: dict, **sel) -> dict:
+        """Histogram aggregation across the federation (exact additive
+        fold over disjoint sub-index match sets)."""
+        from .shard import _merge_hists
+
+        names = self._select(**sel)
+        if not names:
+            return {c: {} for c in histos}
+        return _merge_hists(
+            [self.engines[n].histogram(query_string, histos) for n in names]
+        )
+
     def query_many(self, texts: list[str], k: int = 10, algo: str = "taat", **sel_kwargs):
         """Batched federation fan-out: in doc mode every server of every
         selected sub-index gets ONE score_many RPC covering all queries

@@ -905,6 +905,47 @@ def sql_search_facets() -> str:
     return f"{prefix}{facet_selects} ORDER BY query_id, facet, value"
 
 
+HIST_INTERVAL = 200  # n_chars bucket width
+
+
+def q_search_histogram(sf_dir: str) -> pa.Table:
+    """ES histogram aggregation (the fixed-interval core of Kibana's
+    date_histogram) over each query's FULL match set: doc counts per
+    ``floor(n_chars / 200) * 200`` bucket, additively merged across the
+    doc-sharded pool."""
+    engine = _facet_engine(sf_dir)
+    try:
+        per_q = [
+            engine.histogram(q, {"n_chars": HIST_INTERVAL}) for q in FACET_SET
+        ]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "bucket": [], "cnt": []}
+    for qid, h in enumerate(per_q):
+        for b in sorted(h.get("n_chars", {})):
+            rows["query_id"].append(qid)
+            rows["bucket"].append(b)
+            rows["cnt"].append(h["n_chars"][b])
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "bucket": pa.array(rows["bucket"], pa.int64()),
+            "cnt": pa.array(rows["cnt"], pa.int64()),
+        }
+    )
+
+
+def sql_search_histogram() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    return f"""{prefix}
+SELECT mm.query_id::BIGINT AS query_id,
+       (floor(d.n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL})::BIGINT AS bucket,
+       count(*)::BIGINT AS cnt
+FROM mm JOIN documents d ON d.doc_id = mm.doc_id
+GROUP BY 1, 2 ORDER BY query_id, bucket
+"""
+
+
 def q_search_facet_stats(sf_dir: str) -> pa.Table:
     """ES stats aggregation (count/sum/min/max of a numeric docmeta
     column) over each query's full match set; zero-match queries emit
@@ -2028,6 +2069,7 @@ QUERIES = {
     "search_querystring": q_search_querystring,
     "search_facets": q_search_facets,
     "search_facet_stats": q_search_facet_stats,
+    "search_histogram": q_search_histogram,
     "content_sha256": q_content_sha256,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
@@ -2084,6 +2126,7 @@ def oracle_sql() -> dict[str, str]:
         "search_querystring": sql_search_querystring(),
         "search_facets": sql_search_facets(),
         "search_facet_stats": sql_search_facet_stats(),
+        "search_histogram": sql_search_histogram(),
         "content_sha256": sql_content_sha256(),
         "dedup_exact": dedup.sql_exact_duplicates(),
         "token_stats": textstats.sql_token_stats(),

@@ -308,6 +308,43 @@ def _facets_over(ids, dm, facet_cols, stats_cols):
     return facets, stats
 
 
+def _histos_over(ids, dm, histos: dict) -> dict:
+    """ES histogram aggregation over one scope's matched ids:
+    ``col -> {floor(value/interval)*interval: count}`` (int buckets) —
+    the fixed-interval histogram Kibana's date_histogram specializes."""
+    import pyarrow.compute as pc_
+
+    out: dict[str, dict] = {}
+    for c, interval in histos.items():
+        vals = dm.gather(ids, c).drop_null()
+        if len(vals) == 0:
+            out[c] = {}
+            continue
+        b = pc_.cast(
+            pc_.multiply(
+                pc_.floor(pc_.divide(pc_.cast(vals, pa.float64()), float(interval))),
+                float(interval),
+            ),
+            pa.int64(),
+        )
+        out[c] = {
+            int(row["values"]): int(row["counts"])
+            for row in pc_.value_counts(b).to_pylist()
+        }
+    return out
+
+
+def _merge_hists(parts: list[dict]) -> dict:
+    """Additive fold of per-scope histogram dicts (disjoint doc sets)."""
+    out: dict[str, dict] = {}
+    for h in parts:
+        for c, d in h.items():
+            acc = out.setdefault(c, {})
+            for v, n in d.items():
+                acc[v] = acc.get(v, 0) + n
+    return out
+
+
 def _merge_facets(parts):
     """Merge per-server (facets, stats) pairs: counts add, sums add,
     min/max fold (disjoint doc slices, so addition is exact)."""
@@ -558,6 +595,29 @@ class ShardServer:
         if universe is None:
             return {c: {} for c in facet_cols}, {c: (0, 0, None, None) for c in stats_cols}
         return _facets_over(universe[keep], self._docmeta, facet_cols, stats_cols)
+
+    def histogram(
+        self, parsed: dict, histos: dict, fetched_terms: list[str] = (), *fetched
+    ) -> dict:
+        """Histogram aggregation over THIS scope's full match set of a
+        query string (same match plumbing as facet_counts)."""
+        from . import docmeta as docmeta_mod, querylang
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        universe, _, keep = querylang.match(
+            parsed,
+            get_postings=self._local,
+            stats=self.stats,
+            docmeta=self._docmeta,
+            decoded_cache=self.decoded,
+            drop_ids=self.tombstones,
+        )
+        if universe is None:
+            return {c: {} for c in histos}
+        return _histos_over(universe[keep], self._docmeta, histos)
 
     def phrase(self, ordered_terms: list[str], k: int, fetched_terms: list[str], *fetched):
         """Exact phrase top-k (positional postings); same fetch protocol
@@ -1077,6 +1137,43 @@ class QueryEngine:
             if len(out) >= k or len(res) < fetch:
                 return out[:k]
             fetch *= 2
+
+    def histogram(self, query_string: str, histos: dict) -> dict:
+        """ES histogram aggregation over the query's FULL match set:
+        ``{col: interval}`` -> ``{col: {bucket_lo: count}}`` (doc mode:
+        scatter-gather + exact additive merge; term mode:
+        ownership-routed, same protocol as facets)."""
+        from . import querylang
+
+        parsed = querylang.parse(query_string)
+        if parsed.get("expands"):
+            if self._vocab is None:
+                self._vocab = load_vocab(self.meta)
+            parsed = querylang.expand(parsed, self._vocab)
+        involved = sorted(
+            set(parsed.get("weights") or parsed["terms"])
+            | {t for p in parsed["phrases"] for t in p}
+            | set(parsed["excluded"])
+            | {t for p in parsed.get("excluded_phrases", []) for t in p}
+        )
+        if not involved:
+            return {c: {} for c in histos}
+        if self.mode == "doc":
+            futs = [s.histogram.remote(parsed, histos) for s in self.servers]
+            return _merge_hists(ray.get(futs))
+        owners = {t: self._owner(t) for t in involved}
+        counts = np.bincount([owners[t] for t in involved], minlength=self.num_servers)
+        scorer = int(np.argmax(counts))
+        fetched_terms = [
+            t for t in involved if owners[t] != scorer and t not in self.seen[scorer]
+        ]
+        refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
+        self.seen[scorer].update(involved)
+        return ray.get(
+            self.servers[scorer].histogram.remote(
+                parsed, histos, fetched_terms, *refs
+            )
+        )
 
     def query_many(self, texts: list[str], k: int = 10, algo: str = "taat"):
         """Batched fan-out: queries are tokenized on the driver, chunked

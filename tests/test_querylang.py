@@ -326,3 +326,34 @@ def test_facets_respect_tombstones(built, tmp_path):
     s = LocalSearcher(idx2)
     facets, _ = s.facets("hash join", facet_cols=["lang"])
     assert facets["lang"] == {"en": 2}  # docs 2 and 4 survive
+
+
+def test_histogram_modes_agree_and_sum_matches_stats(tmp_path):
+    rows = [
+        {"doc_id": i, "text": f"common word{i}", "lang": "en", "n": i * 10}
+        for i in range(1, 7)
+    ]
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "i")
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=2)
+    dm.ensure_docmeta(idx, src, ["lang", "n"])
+    queries = ["common", "common n:[20 TO 50]", "nosuchterm"]
+    results = {}
+    for mode in ("doc", "term"):
+        eng = QueryEngine(idx, num_servers=2, mode=mode)
+        try:
+            results[mode] = [eng.histogram(q, {"n": 25}) for q in queries]
+            if mode == "doc":
+                for q, h in zip(queries, results[mode]):
+                    _, stats = eng.facets(q, stats_cols=["n"])
+                    # total histogram mass == the stats agg's count,
+                    # buckets interval-aligned
+                    assert sum(h["n"].values()) == stats["n"][0], q
+                    assert all(b % 25 == 0 for b in h["n"]), q
+        finally:
+            eng.shutdown()
+    assert results["doc"] == results["term"]
+    # n = 10..60, interval 25 -> buckets 0 (10,20), 25 (30,40), 50 (50,60)
+    assert results["doc"][0] == {"n": {0: 2, 25: 2, 50: 2}}
+    assert results["doc"][2] == {"n": {}}  # no match -> empty histogram
