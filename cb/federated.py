@@ -688,11 +688,18 @@ class FederatedEngine:
         of per-index expansions scores bitwise like one monolithic
         expansion; +required/-negated/phrase clauses are per-doc.
         Metadata filters need docmeta built per sub-index
-        (:func:`ensure_fed_docmeta`)."""
-        parts = [
-            self.engines[n].search(query_string, k) for n in self._select(**sel)
-        ]
-        return _merge_topk(parts, k) if parts else []
+        (:func:`ensure_fed_docmeta`).  Refs are collected from every
+        selected engine before ONE ray.get — cross-index latency is
+        max(sub-index), not sum."""
+        futs = []
+        for n in self._select(**sel):
+            f = self.engines[n]._dispatch_search(query_string, k)
+            if f is None:
+                continue
+            futs.extend(f if isinstance(f, list) else [f])
+        if not futs:
+            return []
+        return _merge_topk(ray.get(futs), k)
 
     def facets(
         self, query_string: str, facet_cols=(), stats_cols=(), **sel

@@ -973,11 +973,11 @@ class QueryEngine:
             self.servers[scorer].phrase.remote(ordered, k, fetched_terms, *refs)
         )
 
-    def search(self, query_string: str, k: int = 10) -> list[tuple[int, float]]:
-        """Lucene-lite query string via the pool (scatter-gather in doc
-        mode; ownership-routed with postings fetch in term mode).
-        Wildcard/fuzzy atoms are rewritten ONCE here against the
-        vocabulary summary; servers receive concrete terms."""
+    def _dispatch_search(self, query_string: str, k: int):
+        """Query-string dispatch WITHOUT the final ray.get: returns a
+        list of per-server refs (doc mode) or one ref (term mode), or
+        None for an empty query — lets federations collect refs across
+        sub-indexes and block once."""
         from . import querylang
 
         parsed = querylang.parse(query_string)
@@ -994,10 +994,9 @@ class QueryEngine:
             | {t for p in parsed.get("excluded_phrases", []) for t in p}
         )
         if not involved:
-            return []
+            return None
         if self.mode == "doc":
-            futs = [s.query_string.remote(parsed, k) for s in self.servers]
-            return _merge_topk(ray.get(futs), k)
+            return [s.query_string.remote(parsed, k) for s in self.servers]
         owners = {t: self._owner(t) for t in involved}
         counts = np.bincount([owners[t] for t in involved], minlength=self.num_servers)
         scorer = int(np.argmax(counts))
@@ -1006,9 +1005,19 @@ class QueryEngine:
         ]
         refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
         self.seen[scorer].update(involved)
-        return ray.get(
-            self.servers[scorer].query_string.remote(parsed, k, fetched_terms, *refs)
-        )
+        return self.servers[scorer].query_string.remote(parsed, k, fetched_terms, *refs)
+
+    def search(self, query_string: str, k: int = 10) -> list[tuple[int, float]]:
+        """Lucene-lite query string via the pool (scatter-gather in doc
+        mode; ownership-routed with postings fetch in term mode).
+        Wildcard/fuzzy atoms are rewritten ONCE here against the
+        vocabulary summary; servers receive concrete terms."""
+        fut = self._dispatch_search(query_string, k)
+        if fut is None:
+            return []
+        if isinstance(fut, list):
+            return _merge_topk(ray.get(fut), k)
+        return ray.get(fut)
 
     def facets(
         self, query_string: str, facet_cols=(), stats_cols=()
