@@ -319,6 +319,110 @@ ORDER BY query_id, rank""",
     )
 
 
+def q_highlight_snippets(sf_dir: str) -> pa.Table:
+    """ES-highlighter parity: the best WIDTH-token window (max distinct
+    query terms, hit-anchored, ties to the earliest anchor) for every
+    top-K hit of the query set.  Candidate-proportional: the snippet
+    stage runs only over the (query, top-k doc) pairs."""
+    import pyarrow.parquet as _pq
+
+    from . import highlight
+
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = engine.query_many(list(QUERY_SET), k=K)
+    finally:
+        engine.shutdown()
+    pairs = [(qid, d) for qid, res in enumerate(results) for d, _ in res]
+    if not pairs:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+             "anchor": pa.array([], pa.int64()), "n_terms": pa.array([], pa.int64()),
+             "snippet": pa.array([], pa.string())}
+        )
+    wanted = sorted({d for _, d in pairs})
+    tbl = _pq.read_table(
+        docs_path(sf_dir), columns=["doc_id", "text"],
+        filters=[("doc_id", "in", wanted)],
+    )
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    cand = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in pairs], pa.int64()),
+            "doc_id": pa.array([d for _, d in pairs], pa.int64()),
+            "text": pa.array([texts[d] for _, d in pairs], pa.string()),
+        }
+    )
+    qt = {qid: sorted(set(analyze.tokenize(q))) for qid, q in enumerate(QUERY_SET)}
+    out = _collect(
+        ray.data.from_arrow(cand).map_batches(
+            highlight.snippet_stage(qt), batch_format="pyarrow"
+        )
+    )
+    return out.sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+
+
+def sql_highlight_snippets() -> str:
+    """Mirror: same analyzer token stream (1-based subscripts), same
+    hit-anchored window, same (count desc, anchor asc) pick, same
+    inclusive list slice."""
+    from .highlight import WIDTH
+
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_query_terms_values()}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+),
+topd AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {K}),
+t AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM docs),
+hits AS (
+  SELECT td.query_id, td.doc_id, t.i, t.w
+  FROM topd td
+  JOIN t ON t.doc_id = td.doc_id
+  JOIN q ON q.query_id = td.query_id AND q.term = t.w
+),
+wnd AS (
+  SELECT h1.query_id, h1.doc_id, h1.i AS anchor, count(DISTINCT h2.w)::BIGINT AS c
+  FROM hits h1
+  JOIN hits h2 ON h2.query_id = h1.query_id AND h2.doc_id = h1.doc_id
+              AND h2.i >= h1.i AND h2.i < h1.i + {WIDTH}
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT query_id, doc_id, anchor, c,
+         row_number() OVER (PARTITION BY query_id, doc_id
+                            ORDER BY c DESC, anchor ASC) AS rn
+  FROM wnd
+)
+SELECT b.query_id::BIGINT AS query_id, b.doc_id, b.anchor::BIGINT AS anchor,
+       b.c AS n_terms,
+       array_to_string(d.toks[b.anchor : b.anchor + {WIDTH - 1}], ' ') AS snippet
+FROM best b JOIN docs d ON d.doc_id = b.doc_id
+WHERE b.rn = 1 ORDER BY b.query_id, b.doc_id
+"""
+
+
 MLT_MAX_TERMS = 15
 MLT_TARGETS = 3
 
@@ -2062,6 +2166,7 @@ QUERIES = {
     "federated_querystring": q_federated_querystring,
     "more_like_this": q_more_like_this,
     "bm25_page2": q_bm25_page2,
+    "highlight_snippets": q_highlight_snippets,
     "bm25_filtered": q_bm25_filtered,
     "bm25_multifield": q_bm25_multifield,
     "multifield_querystring": q_multifield_querystring,
@@ -2119,6 +2224,7 @@ def oracle_sql() -> dict[str, str]:
         "federated_querystring": sql_search_querystring(),
         "more_like_this": sql_more_like_this(),
         "bm25_page2": sql_bm25_page2(),
+        "highlight_snippets": sql_highlight_snippets(),
         "bm25_filtered": sql_bm25_filtered(),
         "bm25_multifield": sql_bm25_multifield(),
         "multifield_querystring": sql_multifield_querystring(),
