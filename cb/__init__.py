@@ -29,6 +29,17 @@ Modules:
   resumable  checkpointed build + incremental ingest
   pipelines  named pipelines + DuckDB oracle SQL (driver contract)
   cli        ray-job-submit entry points
+  querylang  Lucene-lite query strings (boosts/wildcards/fuzzy/ranges)
+  docmeta    not_analyzed metadata side tables for filtered search
+  multifield multi-field analyzed indexes (most_fields scoring)
+  streaming  checkpointed partitioned stream consumer
+  catalog    durable source catalog (pause/resume/stop_after)
+  federated  per-day/per-type index federation + streaming ingest
+  shardkeys  minute shard-key schedulers (ticks/reverse/modulo10)
+  curation   quality gate, sampling, decontamination, PII, packing, splits
+  highlight  hit-anchored best-window snippet extraction
+  phrase     positional phrase queries
+  scoring    BM25 float64 math (single source of truth + SQL mirror)
 """
 
 __version__ = "0.1.0"
