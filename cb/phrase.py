@@ -38,16 +38,40 @@ def _decode_with_positions(chunked):
     return ids, tfs, dls, pflat, occ_offsets
 
 
+def _matches_with_slop(ordered_terms, positions_for, doc: int, slop: int) -> bool:
+    """Ordered proximity: positions p1 < p2 < ... < pn exist with total
+    extra gap ``(pn - p1) - (n-1) <= slop``.  Greedy earliest-next per
+    start minimizes pn for each p1, so the vectorized greedy chain is
+    exact for the existence question."""
+    starts = positions_for(ordered_terms[0], doc)
+    if len(starts) == 0:
+        return False
+    cur = starts
+    for t in ordered_terms[1:]:
+        nxt = positions_for(t, doc)
+        if len(nxt) == 0:
+            return False
+        j = np.searchsorted(nxt, cur, side="right")  # smallest pos > cur
+        ok = j < len(nxt)
+        starts, j = starts[ok], j[ok]
+        if len(starts) == 0:
+            return False
+        cur = nxt[j]
+    return bool(np.any(cur - starts - (len(ordered_terms) - 1) <= slop))
+
+
 def phrase_topk(
     ordered_terms: list[str],
     postings: dict,
     stats,
     k: int,
+    slop: int = 0,
 ) -> list[tuple[int, float]]:
-    """Top-k docs containing the exact token sequence ``ordered_terms``.
-
-    ``postings`` must contain every unique term (None -> no matches).
-    """
+    """Top-k docs containing the token sequence ``ordered_terms`` —
+    adjacent when ``slop == 0`` (ES match_phrase), else in order within
+    ``slop`` total extra gaps (the deterministic ordered flavor of ES's
+    slop).  ``postings`` must contain every unique term (None -> no
+    matches)."""
     if k <= 0 or not ordered_terms:
         return []
     uniq = sorted(set(ordered_terms))
@@ -69,6 +93,10 @@ def phrase_topk(
 
     matches = []
     for doc in cand:
+        if slop > 0:
+            if _matches_with_slop(ordered_terms, positions_for, int(doc), slop):
+                matches.append(int(doc))
+            continue
         chain = positions_for(ordered_terms[0], int(doc))
         ok = True
         for t in ordered_terms[1:]:

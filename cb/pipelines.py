@@ -319,6 +319,89 @@ ORDER BY query_id, rank""",
     )
 
 
+SLOP_SET: tuple[tuple[str, int], ...] = (
+    ("merge sort", 2),
+    ("hash join", 3),
+    ("sort merge window", 4),
+    ("table scan", 1),
+    ("data stream", 5),
+    ("group order", 3),
+    ("the fast query", 2),
+)
+
+
+def q_phrase_slop_search(sf_dir: str) -> pa.Table:
+    """Proximity phrases (ES match_phrase slop, ordered flavor): terms
+    in order within ``slop`` total extra gaps, ranked by BM25 of the
+    phrase's unique terms."""
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = [engine.phrase_query(p, k=K, slop=s) for p, s in SLOP_SET]
+    finally:
+        engine.shutdown()
+    return _topk_table(results, with_scores=True)
+
+
+def sql_phrase_slop_search() -> str:
+    """Membership mirror: one n-way position self-join per phrase —
+    strictly increasing subscripts, total span ``<= slop + n - 1``
+    (existence-equivalent to the engine's greedy earliest-next chain)."""
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    members, qt_rows = [], []
+    for qid, (p, slop) in enumerate(SLOP_SET):
+        toks = analyze.tokenize(p)
+        if not toks:
+            continue
+        for t in sorted(set(toks)):
+            qt_rows.append(f"({qid}, '{t}')")
+        joins = []
+        for i in range(2, len(toks) + 1):
+            joins.append(
+                f"JOIN t p{i} ON p{i}.doc_id = p1.doc_id AND p{i}.w = '{toks[i-1]}' "
+                f"AND p{i}.i > p{i-1}.i"
+            )
+        n = len(toks)
+        span = (
+            f"AND p{n}.i - p1.i - {n - 1} <= {slop}" if n > 1 else ""
+        )
+        members.append(
+            f"SELECT DISTINCT {qid} AS query_id, p1.doc_id FROM t p1 "
+            + " ".join(joins)
+            + f" WHERE p1.w = '{toks[0]}' {span}"
+        )
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+t AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM docs),
+qt(query_id, term) AS (VALUES {', '.join(qt_rows)}),
+mdocs AS ({' UNION ALL '.join(members)}),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum({contrib} ORDER BY qt.term) AS score
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT m.query_id, m.doc_id, s.score,
+         row_number() OVER (PARTITION BY m.query_id ORDER BY s.score DESC, m.doc_id ASC) AS rank
+  FROM mdocs m JOIN scored s ON s.query_id = m.query_id AND s.doc_id = m.doc_id
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 def q_highlight_snippets(sf_dir: str) -> pa.Table:
     """ES-highlighter parity: the best WIDTH-token window (max distinct
     query terms, hit-anchored, ties to the earliest anchor) for every
@@ -2171,6 +2254,7 @@ QUERIES = {
     "bm25_multifield": q_bm25_multifield,
     "multifield_querystring": q_multifield_querystring,
     "phrase_search": q_phrase_search,
+    "phrase_slop_search": q_phrase_slop_search,
     "search_querystring": q_search_querystring,
     "search_facets": q_search_facets,
     "search_facet_stats": q_search_facet_stats,
@@ -2229,6 +2313,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_multifield": sql_bm25_multifield(),
         "multifield_querystring": sql_multifield_querystring(),
         "phrase_search": sql_phrase_search(),
+        "phrase_slop_search": sql_phrase_slop_search(),
         "search_querystring": sql_search_querystring(),
         "search_facets": sql_search_facets(),
         "search_facet_stats": sql_search_facet_stats(),

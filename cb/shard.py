@@ -244,7 +244,7 @@ def _live_mask(ids: np.ndarray, tomb: np.ndarray) -> np.ndarray:
     return tomb[pos] != ids
 
 
-def _phrase_topk_live(ordered_terms, postings, stats, k, tomb):
+def _phrase_topk_live(ordered_terms, postings, stats, k, tomb, slop=0):
     """Tombstone-aware phrase top-k: over-fetch ADAPTIVELY (start at
     k + min(|tomb|, 64), escalate to the exact k + |tomb| bound only
     when the first cut might have truncated survivors), then drop dead
@@ -252,14 +252,14 @@ def _phrase_topk_live(ordered_terms, postings, stats, k, tomb):
     array — per-query cost no longer grows linearly with the total
     number of deletes ever issued."""
     if len(tomb) == 0:
-        return phrase_mod.phrase_topk(ordered_terms, postings, stats, k)
+        return phrase_mod.phrase_topk(ordered_terms, postings, stats, k, slop=slop)
     probe = k + min(len(tomb), 64)
-    res = phrase_mod.phrase_topk(ordered_terms, postings, stats, probe)
+    res = phrase_mod.phrase_topk(ordered_terms, postings, stats, probe, slop=slop)
     ids = np.fromiter((d for d, _ in res), dtype=np.int64, count=len(res))
     keep = _live_mask(ids, tomb)
     if int(keep.sum()) < k and len(res) == probe and probe < k + len(tomb):
         # possibly truncated: retry with the exact worst-case bound
-        res = phrase_mod.phrase_topk(ordered_terms, postings, stats, k + len(tomb))
+        res = phrase_mod.phrase_topk(ordered_terms, postings, stats, k + len(tomb), slop=slop)
         ids = np.fromiter((d for d, _ in res), dtype=np.int64, count=len(res))
         keep = _live_mask(ids, tomb)
     return [r for r, ok in zip(res, keep) if ok][:k]
@@ -619,7 +619,7 @@ class ShardServer:
             return {c: {} for c in histos}
         return _histos_over(universe[keep], self._docmeta, histos)
 
-    def phrase(self, ordered_terms: list[str], k: int, fetched_terms: list[str], *fetched):
+    def phrase(self, ordered_terms: list[str], k: int, fetched_terms: list[str], *fetched, slop: int = 0):
         """Exact phrase top-k (positional postings); same fetch protocol
         as :meth:`score`."""
         postings = dict(zip(fetched_terms, fetched))
@@ -628,7 +628,7 @@ class ShardServer:
         for t in set(ordered_terms):
             if t not in postings:
                 postings[t] = self._local(t)
-        return _phrase_topk_live(ordered_terms, postings, self.stats, k, self.tombstones)
+        return _phrase_topk_live(ordered_terms, postings, self.stats, k, self.tombstones, slop=slop)
 
     def score_many(self, term_lists: list[list[str]], k: int, algo: str = "taat"):
         """Batched scoring of pre-tokenized queries whose terms this
@@ -684,10 +684,12 @@ class LocalSearcher:
         p = term_partition(term, self.meta.num_parts)
         return self.parts[p].get(term)
 
-    def phrase_query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+    def phrase_query(
+        self, text: str, k: int = 10, slop: int = 0
+    ) -> list[tuple[int, float]]:
         ordered = analyze.tokenize(text)
         postings = {t: self.get_postings(t) for t in set(ordered)}
-        return _phrase_topk_live(ordered, postings, self.stats, k, self.tombstones)
+        return _phrase_topk_live(ordered, postings, self.stats, k, self.tombstones, slop=slop)
 
     def search(self, query_string: str, k: int = 10) -> list[tuple[int, float]]:
         """Lucene-lite query string (terms, "phrases", field:value,
@@ -951,14 +953,17 @@ class QueryEngine:
             )
         )
 
-    def phrase_query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
-        """Exact phrase top-k via the pool (scatter-gather in doc mode,
-        ownership-routed in term mode)."""
+    def phrase_query(
+        self, text: str, k: int = 10, slop: int = 0
+    ) -> list[tuple[int, float]]:
+        """Phrase top-k via the pool (scatter-gather in doc mode,
+        ownership-routed in term mode); ``slop`` = total extra gaps
+        allowed between the in-order terms (0 = exact adjacency)."""
         ordered = analyze.tokenize(text)
         if not ordered:
             return []
         if self.mode == "doc":
-            futs = [s.phrase.remote(ordered, k, []) for s in self.servers]
+            futs = [s.phrase.remote(ordered, k, [], slop=slop) for s in self.servers]
             return _merge_topk(ray.get(futs), k)
         uniq = sorted(set(ordered))
         owners = {t: self._owner(t) for t in uniq}
@@ -970,7 +975,9 @@ class QueryEngine:
         refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
         self.seen[scorer].update(uniq)
         return ray.get(
-            self.servers[scorer].phrase.remote(ordered, k, fetched_terms, *refs)
+            self.servers[scorer].phrase.remote(
+                ordered, k, fetched_terms, *refs, slop=slop
+            )
         )
 
     def _dispatch_search(self, query_string: str, k: int):

@@ -96,3 +96,33 @@ def test_phrase_actor_path(built):
             assert engine.phrase_query(q, 10) == oracle.phrase_topk(q, 10), q
     finally:
         engine.shutdown()
+
+
+def test_slop_widens_matches_and_zero_is_adjacent():
+    import numpy as np
+
+    from cb.phrase import _matches_with_slop, phrase_topk
+
+    pos = {
+        # doc 1: "a x b" -> gap 1;  doc 2: "a b" adjacent; doc 3: "b a"
+        ("a", 1): [1], ("b", 1): [3],
+        ("a", 2): [1], ("b", 2): [2],
+        ("a", 3): [2], ("b", 3): [1],
+    }
+
+    def pf(term, doc):
+        return np.array(pos.get((term, doc), []), dtype=np.int64)
+
+    assert not _matches_with_slop(["a", "b"], pf, 1, 0)
+    assert _matches_with_slop(["a", "b"], pf, 1, 1)
+    assert _matches_with_slop(["a", "b"], pf, 2, 0)
+    # out of order never matches, any slop
+    assert not _matches_with_slop(["a", "b"], pf, 3, 5)
+    # greedy chain: 3 terms, budget spans the total extra gap
+    pos3 = {("a", 9): [1], ("b", 9): [4], ("c", 9): [6]}
+
+    def pf3(term, doc):
+        return np.array(pos3.get((term, doc), []), dtype=np.int64)
+
+    assert _matches_with_slop(["a", "b", "c"], pf3, 9, 3)   # extra = 3
+    assert not _matches_with_slop(["a", "b", "c"], pf3, 9, 2)
