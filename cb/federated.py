@@ -720,6 +720,68 @@ class FederatedEngine:
         ]
         return _merge_facets(parts)
 
+    def more_like_this(
+        self,
+        doc_text: str,
+        k: int = 10,
+        max_terms: int = 15,
+        exclude: int | None = None,
+        algo: str = "taat",
+        **sel,
+    ) -> list[tuple[int, float]]:
+        """Federation-exact more_like_this: the feddf overlay makes ANY
+        sub-engine's term_dfs federation-global (the merged summaries
+        include terms a sub-index never saw), and the fed.json N feeds
+        the selection idf — so term selection and ranking are bitwise
+        the monolithic more_like_this."""
+        import collections
+
+        from . import analyze, scoring
+
+        toks = collections.Counter(analyze.tokenize(doc_text))
+        if not toks or not self.engines:
+            return []
+        dfs = next(iter(self.engines.values())).term_dfs(list(toks))
+        n = self.meta["n_docs"]
+        scored = [
+            (t, toks[t] * float(scoring.idf(dfs[t], n))) for t in toks if t in dfs
+        ]
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        terms = sorted(t for t, _ in scored[:max_terms])
+        # tokenizer is idempotent on its own output: joined terms
+        # re-tokenize to exactly this term set
+        res = self.query(
+            " ".join(terms), k + (1 if exclude is not None else 0), algo, **sel
+        )
+        if exclude is not None:
+            res = [r for r in res if r[0] != exclude][:k]
+        return res
+
+    def search_after(
+        self,
+        text: str,
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+        algo: str = "taat",
+        **sel,
+    ) -> list[tuple[int, float]]:
+        """Cursor pagination across the federation (same doubling
+        re-rank as QueryEngine.search_after; sub-engines' server-side
+        result caches absorb the repeats)."""
+        if after is None:
+            return self.query(text, k=k, algo=algo, **sel)
+        fetch = max(2 * k, 32)
+        while True:
+            res = self.query(text, k=fetch, algo=algo, **sel)
+            out = [
+                r
+                for r in res
+                if r[1] < after[0] or (r[1] == after[0] and r[0] > after[1])
+            ]
+            if len(out) >= k or len(res) < fetch:
+                return out[:k]
+            fetch *= 2
+
     def histogram(self, query_string: str, histos: dict, **sel) -> dict:
         """Histogram aggregation across the federation (exact additive
         fold over disjoint sub-index match sets)."""

@@ -502,3 +502,37 @@ def test_phrase_across_federation(fed_built):
             assert eng.phrase_query(q, k=10) == mono_ls.phrase_query(q, k=10), q
     finally:
         eng.shutdown()
+
+
+def test_mlt_and_pagination_federated(fed_built):
+    """Federated more_like_this == monolithic (feddf overlay gives
+    fed-global dfs from any sub-engine); fed search_after pages tile
+    the fed ranking."""
+    from cb.shard import QueryEngine
+
+    src, mono, fed_dir, meta = fed_built
+    docs = pq.read_table(src)
+    target_id = docs["doc_id"][0].as_py()
+    text = docs["text"][0].as_py()
+    mono_eng = QueryEngine(mono, num_servers=2)
+    eng = federated.FederatedEngine(fed_dir, num_servers=2)
+    try:
+        got = eng.more_like_this(text, k=10, exclude=target_id)
+        want = mono_eng.more_like_this(text, k=10, exclude=target_id)
+        assert got == want and got
+        # pagination tiles the federated ranking
+        q = "merge join w3"
+        full = eng.query(q, k=40)
+        pages, after = [], None
+        while True:
+            page = eng.search_after(q, k=6, after=after)
+            if not page:
+                break
+            pages.extend(page)
+            after = (page[-1][1], page[-1][0])
+            if len(pages) >= len(full):
+                break
+        assert pages[: len(full)] == full
+    finally:
+        eng.shutdown()
+        mono_eng.shutdown()
