@@ -35,6 +35,7 @@ import os
 from . import build, manifest, resumable
 
 _SOURCE_DEFAULTS = {
+    "kind": "index",  # or "federation": input_dir = drain dir of shards
     "text_col": "content",
     "id_col": None,
     "num_parts": build.DEFAULT_NUM_PARTS,
@@ -128,6 +129,21 @@ def watch_catalog(
                 metas.setdefault(s["name"], None)
                 if not s.get("active", True):
                     continue  # paused: skip scheduling, keep its state
+                if s.get("kind", "index") == "federation":
+                    # federated source: input_dir is a StreamConsumer
+                    # drain dir, index_dir the federation root — one
+                    # crash-safe ingest tick (only dirty day-indexes
+                    # rebuild); pause/stop_indexing/stop_after behave
+                    # exactly as for plain index sources
+                    from . import federated
+
+                    fed = federated.ingest_new_shards(
+                        s["input_dir"], s["index_dir"],
+                        stop_after=s.get("stop_after"),
+                    )
+                    if fed.get("changed"):
+                        metas[s["name"]] = fed
+                    continue
                 meta, sigs[s["name"]] = resumable.watch_tick(
                     s["input_dir"], s["index_dir"], sigs.get(s["name"]),
                     text_col=s.get("text_col", "content"),

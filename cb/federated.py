@@ -472,7 +472,9 @@ def _ingest_state_path(fed_dir: str) -> str:
     return os.path.join(fed_dir, "_ingest.json")
 
 
-def ingest_new_shards(shard_dir: str, fed_dir: str) -> dict:
+def ingest_new_shards(
+    shard_dir: str, fed_dir: str, stop_after: str | None = None
+) -> dict:
     """Close the streaming loop: route a StreamConsumer drain
     directory's NEW shard files into the federation (the reference's
     EventHub -> parse -> today's-ES-index path, EventHubConsumer.cs +
@@ -502,7 +504,11 @@ def ingest_new_shards(shard_dir: str, fed_dir: str) -> dict:
     new = sorted(
         f
         for f in os.listdir(shard_dir)
-        if f.endswith(".parquet") and f not in seen
+        if f.endswith(".parquet")
+        and f not in seen
+        # stop-offset guard (F3 parity): shards sorting after the bound
+        # are never scheduled
+        and (stop_after is None or f <= stop_after)
     )
     dirty = set(state["dirty"])
     if new:

@@ -152,3 +152,58 @@ def test_catalog_cli_roundtrip(tmp_path, capsys):
     assert catalog.load_catalog(cat)["sources"][0]["active"] is True
     with pytest.raises(ValueError):
         catalog.set_active(cat, "nope", True)
+
+
+def test_federation_source_kind(tmp_path):
+    """A catalog source with kind=federation drives ingest_new_shards:
+    new drain shards rebuild only their day-indexes per tick; pausing
+    stops ingest; resuming catches up."""
+    from cb import federated
+
+    base_us = 1_767_571_200_000_000
+
+    def shard_rows(day, start, n):
+        return [
+            {
+                "doc_id": 1 + start + i,
+                "text": f"stream alpha beta m{start + i % 5}",
+                "ts": base_us + day * 86_400_000_000,
+            }
+            for i in range(n)
+        ]
+
+    def write_ts_shard(name, rows):
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.timestamp("us"))
+        )
+        pq.write_table(t, os.path.join(drain, name))
+
+    drain = str(tmp_path / "drain")
+    os.makedirs(drain)
+    fed_dir = str(tmp_path / "fed")
+    federated.init_federation(
+        fed_dir, text_col="text", id_col="doc_id", ts_col="ts",
+        prefix="cb-", num_parts=4,
+    )
+    cat_path = str(tmp_path / "sources.json")
+    catalog.add_source(
+        cat_path, "stream", drain, fed_dir, kind="federation",
+    )
+
+    write_ts_shard("part=0-off=0-20.parquet", shard_rows(0, 0, 20))
+    metas = catalog.watch_catalog(cat_path, max_ticks=1, sleep_fn=lambda s: None)
+    assert metas["stream"]["changed"] == ["cb-20260105"]
+
+    # pause -> new day-1 shard ignored
+    catalog.set_active(cat_path, "stream", False)
+    write_ts_shard("part=0-off=20-35.parquet", shard_rows(1, 100, 15))
+    metas = catalog.watch_catalog(cat_path, max_ticks=1, sleep_fn=lambda s: None)
+    assert metas["stream"] is None or metas["stream"]["changed"] == ["cb-20260105"]
+    assert not os.path.isdir(os.path.join(fed_dir, "index=cb-20260106"))
+
+    # resume -> catches up on the next tick
+    catalog.set_active(cat_path, "stream", True)
+    metas = catalog.watch_catalog(cat_path, max_ticks=1, sleep_fn=lambda s: None)
+    assert metas["stream"]["changed"] == ["cb-20260106"]
+    assert os.path.isdir(os.path.join(fed_dir, "index=cb-20260106"))
