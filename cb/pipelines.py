@@ -518,6 +518,9 @@ def q_more_like_this(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as _pq
 
     meta = get_index(sf_dir)
+    # production callers pass explicit target ids; the entry derives a
+    # deterministic set (lowest MLT_TARGETS ids) so the SQL oracle can
+    # mirror it — a single-column pruned read, driver-side only here
     ids = _pq.read_table(docs_path(sf_dir), columns=["doc_id"])["doc_id"].to_pylist()
     targets = sorted(ids)[:MLT_TARGETS]
     tbl = _pq.read_table(
