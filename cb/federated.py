@@ -679,9 +679,12 @@ class FederatedEngine:
             return []
         return _merge_topk(ray.get(futs), k)
 
-    def phrase_query(self, text: str, k: int = 10, **sel) -> list[tuple[int, float]]:
+    def phrase_query(
+        self, text: str, k: int = 10, slop: int = 0, **sel
+    ) -> list[tuple[int, float]]:
         parts = [
-            self.engines[n].phrase_query(text, k) for n in self._select(**sel)
+            self.engines[n].phrase_query(text, k, slop=slop)
+            for n in self._select(**sel)
         ]
         return _merge_topk(parts, k) if parts else []
 
