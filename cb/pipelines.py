@@ -1095,6 +1095,76 @@ def sql_search_facets() -> str:
     return f"{prefix}{facet_selects} ORDER BY query_id, facet, value"
 
 
+SIG_TOP_N = 10
+SIG_MIN_DF = 2
+
+
+def q_significant_terms(sf_dir: str) -> pa.Table:
+    """ES significant_terms over each query's full match set: terms
+    overrepresented vs the corpus, JLH-scored, top-N per query."""
+    engine = _facet_engine(sf_dir)
+    engine.warm(min_df=SIG_MIN_DF)  # vocab walk uses warmed decodes
+    rows = {"query_id": [], "rank": [], "term": [], "fg": [], "df": [], "score": []}
+    try:
+        for qid, q in enumerate(FACET_SET):
+            for rank, (t, fg, df_, s) in enumerate(
+                engine.significant_terms(q, top_n=SIG_TOP_N, min_df=SIG_MIN_DF),
+                start=1,
+            ):
+                rows["query_id"].append(qid)
+                rows["rank"].append(rank)
+                rows["term"].append(t)
+                rows["fg"].append(fg)
+                rows["df"].append(df_)
+                rows["score"].append(s)
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "term": pa.array(rows["term"], pa.string()),
+            "fg": pa.array(rows["fg"], pa.int64()),
+            "df": pa.array(rows["df"], pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_significant_terms() -> str:
+    """Mirror: same match set (facet prefix), same JLH expression tree,
+    same (score desc, term asc) cut, df >= min_df."""
+    prefix = _facet_sql_prefix(FACET_SET)
+    n = "(SELECT count(*) FROM docs)"
+    jlh = (
+        "((f.fg::DOUBLE / t.m::DOUBLE) - (df.df::DOUBLE / {n}::DOUBLE)) * "
+        "((f.fg::DOUBLE / t.m::DOUBLE) / (df.df::DOUBLE / {n}::DOUBLE))"
+    ).format(n=n)
+    return f"""{prefix},
+fg AS (SELECT mm.query_id, tf.term, count(*)::BIGINT AS fg
+       FROM mm JOIN tf ON tf.doc_id = mm.doc_id GROUP BY 1, 2),
+tot AS (SELECT query_id, count(*)::BIGINT AS m FROM mm GROUP BY 1),
+scoredt AS (
+  SELECT f.query_id, f.term, f.fg, df.df, {jlh} AS s
+  FROM fg f
+  JOIN df ON df.term = f.term
+  JOIN tot t ON t.query_id = f.query_id
+  WHERE df.df >= {SIG_MIN_DF}
+),
+rankedt AS (
+  SELECT query_id, term, fg, df, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, term ASC) AS rank
+  FROM scoredt
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, term, fg, df,
+       round(s, 6) AS score
+FROM rankedt WHERE rank <= {SIG_TOP_N} ORDER BY query_id, rank
+"""
+
+
 HIST_INTERVAL = 200  # n_chars bucket width
 
 
@@ -2262,6 +2332,7 @@ QUERIES = {
     "search_facets": q_search_facets,
     "search_facet_stats": q_search_facet_stats,
     "search_histogram": q_search_histogram,
+    "significant_terms": q_significant_terms,
     "content_sha256": q_content_sha256,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
@@ -2321,6 +2392,7 @@ def oracle_sql() -> dict[str, str]:
         "search_facets": sql_search_facets(),
         "search_facet_stats": sql_search_facet_stats(),
         "search_histogram": sql_search_histogram(),
+        "significant_terms": sql_significant_terms(),
         "content_sha256": sql_content_sha256(),
         "dedup_exact": dedup.sql_exact_duplicates(),
         "token_stats": textstats.sql_token_stats(),

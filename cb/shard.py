@@ -619,6 +619,58 @@ class ShardServer:
             return {c: {} for c in histos}
         return _histos_over(universe[keep], self._docmeta, histos)
 
+    def significant(
+        self, parsed: dict, min_df: int = 2, fetched_terms: list[str] = (), *fetched
+    ) -> tuple[dict, int]:
+        """Foreground term counts over THIS scope's match set (the
+        per-server half of ES significant_terms): for every owned term
+        with corpus df >= min_df, |postings(term) ∩ matched| via one
+        vectorized searchsorted.  Without stored per-doc term vectors
+        this walks the owned vocabulary once per query — warmed decodes
+        (``warm``) make it a pure numpy pass; scopes are disjoint doc
+        slices so the driver merge is exact addition."""
+        from . import docmeta as docmeta_mod, querylang
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        dm = None
+        if parsed.get("filters") or parsed.get("scoped_phrases"):
+            if self._docmeta is None:
+                self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+            dm = self._docmeta
+        universe, _, keep = querylang.match(
+            parsed,
+            get_postings=self._local,
+            stats=self.stats,
+            docmeta=dm,
+            decoded_cache=self.decoded,
+            drop_ids=self.tombstones,
+        )
+        if universe is None:
+            return {}, 0
+        matched = np.sort(universe[keep])
+        if len(matched) == 0:
+            return {}, 0
+        counts: dict[str, int] = {}
+        for part in self.parts.values():
+            if part.table is None:
+                continue
+            for term in part.offsets:
+                if part.global_df.get(term, 0) < min_df:
+                    continue
+                if term in self.decoded:
+                    ids = self.decoded[term][0]
+                else:
+                    cp = self._local(term)
+                    if cp is None:
+                        continue
+                    ids = cp.decode_all()[0]
+                pos = np.clip(np.searchsorted(matched, ids), 0, len(matched) - 1)
+                c = int(np.sum(matched[pos] == ids))
+                if c:
+                    counts[term] = c
+        return counts, int(len(matched))
+
     def phrase(self, ordered_terms: list[str], k: int, fetched_terms: list[str], *fetched, slop: int = 0):
         """Exact phrase top-k (positional postings); same fetch protocol
         as :meth:`score`."""
@@ -1153,6 +1205,78 @@ class QueryEngine:
             if len(out) >= k or len(res) < fetch:
                 return out[:k]
             fetch *= 2
+
+    def significant_terms(
+        self, query_string: str, top_n: int = 10, min_df: int = 2
+    ) -> list[tuple[str, int, int, float]]:
+        """ES significant_terms: terms overrepresented in the query's
+        match set vs the corpus, scored by JLH
+        ``(fg/m - df/N) * ((fg/m) / (df/N))`` — returns
+        ``[(term, fg, df, score)]`` top_n by (score desc, term asc).
+        Doc mode: per-server slice counts add; term mode: per-server
+        owned-vocab counts union (disjoint terms), every server sees
+        the same match total."""
+        from . import querylang
+
+        parsed = querylang.parse(query_string)
+        if parsed.get("expands"):
+            if self._vocab is None:
+                self._vocab = load_vocab(self.meta)
+            parsed = querylang.expand(parsed, self._vocab)
+        involved = sorted(
+            set(parsed.get("weights") or parsed["terms"])
+            | {t for p in parsed["phrases"] for t in p}
+            | set(parsed["excluded"])
+            | {t for p in parsed.get("excluded_phrases", []) for t in p}
+        )
+        if not involved:
+            return []
+        if self.mode == "doc":
+            parts = ray.get(
+                [s.significant.remote(parsed, min_df) for s in self.servers]
+            )
+            fg: dict[str, int] = {}
+            for d, _ in parts:
+                for t, c in d.items():
+                    fg[t] = fg.get(t, 0) + c
+            m = sum(mm for _, mm in parts)
+        else:
+            owners = {t: self._owner(t) for t in involved}
+            futs = []
+            for s in range(self.num_servers):
+                fetched_terms = [
+                    t for t in involved
+                    if owners[t] != s and t not in self.seen[s]
+                ]
+                refs = [
+                    self.servers[owners[t]].get_postings.remote(t)
+                    for t in fetched_terms
+                ]
+                self.seen[s].update(involved)
+                futs.append(
+                    self.servers[s].significant.remote(
+                        parsed, min_df, fetched_terms, *refs
+                    )
+                )
+            parts = ray.get(futs)
+            fg = {}
+            for d, _ in parts:
+                fg.update(d)  # disjoint term ownership
+            m = max((mm for _, mm in parts), default=0)
+        if not m:
+            return []
+        dfs = self.term_dfs(sorted(fg))
+        n = self.meta.n_docs
+        out = []
+        for t, c in fg.items():
+            df = dfs.get(t)
+            if not df:
+                continue
+            fgp = c / m
+            bgp = df / n
+            out.append((t, c, df, (fgp - bgp) * (fgp / bgp)))
+        out.sort(key=lambda r: (-r[3], r[0]))
+        return out[:top_n]
 
     def histogram(self, query_string: str, histos: dict) -> dict:
         """ES histogram aggregation over the query's FULL match set:

@@ -357,3 +357,20 @@ def test_histogram_modes_agree_and_sum_matches_stats(tmp_path):
     # n = 10..60, interval 25 -> buckets 0 (10,20), 25 (30,40), 50 (50,60)
     assert results["doc"][0] == {"n": {0: 2, 25: 2, 50: 2}}
     assert results["doc"][2] == {"n": {}}  # no match -> empty histogram
+
+
+def test_significant_terms_modes_agree(built):
+    for q in ["hash join", "mer* -deprecated"]:
+        results = {}
+        for mode in ("doc", "term"):
+            eng = QueryEngine(built, num_servers=2, mode=mode)
+            try:
+                results[mode] = eng.significant_terms(q, top_n=5, min_df=1)
+            finally:
+                eng.shutdown()
+        assert results["doc"] == results["term"], q
+        assert results["doc"], q  # non-vacuous
+        # scores descend; fg <= df always
+        scores = [s for _, _, _, s in results["doc"]]
+        assert scores == sorted(scores, reverse=True)
+        assert all(fg <= df for _, fg, df, _ in results["doc"])
