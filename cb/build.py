@@ -549,6 +549,30 @@ def read_partition_table(index_dir: str, part: int) -> pa.Table:
     return tbl.sort_by([("term", "ascending"), ("bucket", "ascending")]).combine_chunks()
 
 
+def _write_termdf(pdir: str, tbl: pa.Table) -> pa.Table:
+    """Atomic ``_termdf.parquet`` from a (term, df, ...) posting-row
+    table — shared by the full-partition write and the per-bucket
+    compaction finalize so both produce identical bytes for identical
+    content (input chunking normalized before the group)."""
+    if tbl.num_rows:
+        termdf = (
+            tbl.select(["term", "df"])
+            .combine_chunks()
+            .group_by("term")
+            .aggregate([("df", "sum")])
+            .rename_columns(["term", "df"])
+            .sort_by("term")
+        )
+    else:
+        termdf = pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+    tpath = os.path.join(pdir, "_termdf.parquet")
+    pq.write_table(termdf, tpath + ".tmp")
+    os.replace(tpath + ".tmp", tpath)
+    return termdf
+
+
 def write_partition(
     tbl: pa.Table, index_dir: str, part: int, avgdl: float | None, lineage: str
 ) -> dict:
@@ -592,19 +616,7 @@ def write_partition(
             os.remove(f)
     # per-term corpus df totals: the gdf source for bucket-sliced
     # loaders (corpus-exact idf without reading other buckets)
-    if tbl.num_rows:
-        termdf = (
-            tbl.select(["term", "df"])
-            .group_by("term")
-            .aggregate([("df", "sum")])
-            .rename_columns(["term", "df"])
-            .sort_by("term")
-        )
-    else:
-        termdf = pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
-    tpath = os.path.join(pdir, "_termdf.parquet")
-    pq.write_table(termdf, tpath + ".tmp")
-    os.replace(tpath + ".tmp", tpath)
+    termdf = _write_termdf(pdir, tbl)
     m = {
         "partition": part,
         "status": "done",
@@ -805,17 +817,22 @@ def compact_index(index_dir: str) -> "IndexMeta":
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     tomb_ref = __import__("ray").put(tomb)
 
-    def compact_partition(batch: pa.Table, *, index_dir: str, avgdl: float) -> pa.Table:
+    # pass 2a: PER-BUCKET rewrite — one task per (partition, bucket)
+    # FILE, so task memory is bounded by a bucket file (not a whole
+    # partition) and parallelism is num_parts x buckets.  Every bucket
+    # re-encodes even without local tombstones: block-max umax depends
+    # on the corpus avgdl, which compaction changes.
+    def compact_bucket(batch: pa.Table, *, index_dir: str, avgdl: float) -> pa.Table:
+        import hashlib
+
         import ray as _ray
 
         tombs = _ray.get(tomb_ref)
-        rows_out = []
-        for p in batch["part"].to_pylist():
-            tbl = read_partition_table(index_dir, int(p))
-            if tbl.num_rows == 0:
-                continue
+        out = {"part": [], "bucket": [], "sha": [], "n_rows": [], "n_postings": []}
+        for p, b in zip(batch["part"].to_pylist(), batch["bucket"].to_pylist()):
+            fpath = _bucket_file(os.path.join(index_dir, "parts", f"part={p}"), int(b))
+            tbl = pq.read_table(fpath)
             flat, store_positions = _decode_partition_flat(tbl)
-            # survivor mask over ALL postings of the partition at once
             keep = np.ones(len(flat["doc_ids"]), dtype=bool)
             if len(flat["doc_ids"]):
                 pos_ = np.clip(np.searchsorted(tombs, flat["doc_ids"]), 0, len(tombs) - 1)
@@ -833,17 +850,88 @@ def compact_index(index_dir: str) -> "IndexMeta":
             # fully-deleted term rows vanish on their own: row boundaries
             # are re-derived from the surviving (code, bucket) runs
             new_tbl = encode_partition_rows(flat, avgdl, store_positions=store_positions)
-            rows_out.append(write_partition(new_tbl, index_dir, int(p), avgdl, "compacted"))
-        if not rows_out:
-            return pa.Table.from_pylist([], schema=_manifest_schema())
-        return pa.concat_tables([pa.table(r) for r in rows_out])
+            if new_tbl.num_rows == 0:
+                os.remove(fpath)  # fresh build writes no file for an empty bucket
+                sha = ""
+                npost = 0
+            else:
+                sub = _canonical_parquet(new_tbl)
+                pq.write_table(sub, fpath + ".tmp")
+                os.replace(fpath + ".tmp", fpath)
+                with open(fpath, "rb") as f:
+                    sha = hashlib.sha256(f.read()).hexdigest()
+                npost = int(pc.sum(new_tbl["df"]).as_py() or 0)
+            out["part"].append(int(p))
+            out["bucket"].append(int(b))
+            out["sha"].append(sha)
+            out["n_rows"].append(new_tbl.num_rows)
+            out["n_postings"].append(npost)
+        return pa.table(out)
 
-    parts_ds = ray.data.from_items([{"part": p} for p in range(meta.num_parts)])
-    parts_ds.map_batches(
-        partial(compact_partition, index_dir=index_dir, avgdl=avgdl),
-        batch_format="pyarrow",
-        batch_size=1,
-    ).materialize()
+    import glob as _glob
+
+    items = []
+    for p in range(meta.num_parts):
+        pdir = os.path.join(index_dir, "parts", f"part={p}")
+        for f in _glob.glob(os.path.join(pdir, "bucket=*.parquet")):
+            items.append(
+                {"part": p, "bucket": int(os.path.basename(f)[len("bucket=") : -len(".parquet")])}
+            )
+    stats: dict[int, list[dict]] = {p: [] for p in range(meta.num_parts)}
+    if items:
+        res = (
+            ray.data.from_items(items)
+            .map_batches(
+                partial(compact_bucket, index_dir=index_dir, avgdl=avgdl),
+                batch_format="pyarrow",
+                batch_size=1,
+            )
+            .take_all()
+        )
+        for r in res:
+            stats[r["part"]].append(r)
+
+    # pass 2b: per-partition finalize — _termdf from a (term, df)-pruned
+    # read of the surviving bucket files (shared writer => same bytes as
+    # a fresh build), manifest counters from the per-bucket stats
+    import hashlib as _hashlib
+
+    for p in range(meta.num_parts):
+        brows = stats[p]
+        if not brows:
+            continue  # partition had no bucket files before compaction
+        pdir = os.path.join(index_dir, "parts", f"part={p}")
+        live = sorted(
+            (r for r in brows if r["n_rows"] > 0), key=lambda r: r["bucket"]
+        )
+        if live:
+            termdf_src = pa.concat_tables(
+                [
+                    pq.read_table(_bucket_file(pdir, r["bucket"]), columns=["term", "df"])
+                    for r in live
+                ]
+            )
+        else:
+            termdf_src = pa.Table.from_pylist([], schema=pa.schema(
+                [("term", pa.string()), ("df", pa.int64())]
+            ))
+        termdf = _write_termdf(pdir, termdf_src)
+        m = {
+            "partition": p,
+            "status": "done",
+            "lineage": "compacted",
+            "n_rows": int(sum(r["n_rows"] for r in brows)),
+            "n_terms": termdf.num_rows,
+            "n_postings": int(sum(r["n_postings"] for r in brows)),
+            "n_docs": 0,
+            "total_tokens": 0,
+            "avgdl": avgdl,
+            "file_sha256": _hashlib.sha256(
+                "".join(r["sha"] for r in live).encode()
+            ).hexdigest(),
+        }
+        manifest.write_atomic(os.path.join(pdir, "manifest.json"), m)
+
     os.remove(os.path.join(index_dir, "_tombstones.json"))
     os.remove(sentinel)
     return IndexMeta(index_dir)
