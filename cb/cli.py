@@ -166,6 +166,10 @@ def cmd_query(args) -> int:
 def cmd_fed(args) -> int:
     """Federation lifecycle (per-day/per-type indexes): build / init /
     refresh / ingest / search / delete / compact."""
+    if args.action in ("build", "refresh", "ingest") and not args.input:
+        raise SystemExit(f"fed {args.action} requires --input")
+    if args.action == "search" and not args.query:
+        raise SystemExit("fed search requires --query")
     ray = _init_ray()
     from . import federated
 

@@ -136,7 +136,10 @@ def _key_column(
     else:
         enc = pc.dictionary_encode(batch[route_col].combine_chunks().cast(pa.string()))
         names = [
-            index_name(None, v, prefix, one_index_per_type=True)
+            # null route value -> the bare prefix index, mirroring how a
+            # null @timestamp routes in date mode (IndexNamer.cs:29-30)
+            # rather than wedging the whole ingest tick on one record
+            index_name(None, v if v is not None else "", prefix, one_index_per_type=True)
             for v in enc.dictionary.to_pylist()
         ]
     return pc.take(pa.array(names, type=pa.string()), enc.indices)
@@ -161,8 +164,15 @@ def ensure_fed_docmeta(fed_dir: str, cols: list[str]) -> None:
 
     with open(fed_meta_path(fed_dir)) as f:
         fg = json.load(f)
+    if not fg.get("id_col"):
+        raise ValueError(
+            "fed docmeta needs an explicit id_col (build_federation "
+            "derived ids cannot be joined back to staging rows)"
+        )
     for e in fg["indexes"]:
-        docmeta_mod.ensure_docmeta(e["dir"], staging_dir(fed_dir, e["name"]), cols)
+        docmeta_mod.ensure_docmeta(
+            e["dir"], staging_dir(fed_dir, e["name"]), cols, id_col=fg["id_col"]
+        )
     if fg.get("docmeta_cols") != cols:
         # recorded so refresh_federation re-ensures docmeta for the
         # sub-indexes it rebuilds
@@ -270,9 +280,16 @@ def _build_one(fed_dir: str, key: str, cfg: dict, swap: bool = False) -> dict:
     if swap:
         import shutil
 
+        old = sub_dir + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        # two renames, never a window with NO index dir: a crash
+        # between them leaves .old (re-run rebuilds .new and finishes)
         if os.path.isdir(sub_dir):
-            shutil.rmtree(sub_dir)
+            os.rename(sub_dir, old)
         os.rename(target, sub_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
     return {
         "name": key,
         "dir": sub_dir,
@@ -428,7 +445,8 @@ def refresh_federation(source: "ray.data.Dataset | str", fed_dir: str) -> dict:
             from . import docmeta as docmeta_mod
 
             docmeta_mod.ensure_docmeta(
-                entries[key]["dir"], staging_dir(fed_dir, key), cols
+                entries[key]["dir"], staging_dir(fed_dir, key), cols,
+                id_col=fg["id_col"],
             )
     fed = _publish(fed_dir, cfg, [entries[k] for k in sorted(entries)])
     if fg.get("docmeta_cols"):
@@ -532,7 +550,8 @@ def ingest_new_shards(
             from . import docmeta as docmeta_mod
 
             docmeta_mod.ensure_docmeta(
-                entries[key]["dir"], staging_dir(fed_dir, key), cols
+                entries[key]["dir"], staging_dir(fed_dir, key), cols,
+                id_col=fg["id_col"],
             )
     fed = _publish(fed_dir, cfg, [entries[k] for k in sorted(entries)])
     if fg.get("docmeta_cols"):
@@ -682,11 +701,17 @@ class FederatedEngine:
     def phrase_query(
         self, text: str, k: int = 10, slop: int = 0, **sel
     ) -> list[tuple[int, float]]:
-        parts = [
-            self.engines[n].phrase_query(text, k, slop=slop)
-            for n in self._select(**sel)
-        ]
-        return _merge_topk(parts, k) if parts else []
+        """Phrase fan-out: refs collected across every selected engine,
+        ONE ray.get (cross-index latency = max, not sum)."""
+        futs = []
+        for n in self._select(**sel):
+            f = self.engines[n]._dispatch_phrase(text, k, slop)
+            if f is None:
+                continue
+            futs.extend(f if isinstance(f, list) else [f])
+        if not futs:
+            return []
+        return _merge_topk(ray.get(futs), k)
 
     def search(self, query_string: str, k: int = 10, **sel) -> list[tuple[int, float]]:
         """Query-string search across the federation.  Exactness notes:
@@ -714,20 +739,22 @@ class FederatedEngine:
         self, query_string: str, facet_cols=(), stats_cols=(), **sel
     ) -> tuple[dict, dict]:
         """ES-style aggregations over the federation-wide match set:
-        per-index (itself per-server) partials, one exact additive fold
-        — counts add, sums add, min/max fold across disjoint doc sets."""
+        per-server partials collected across every selected engine, one
+        ray.get, one exact additive fold — counts add, sums add,
+        min/max fold across disjoint doc sets."""
         from .shard import _merge_facets
 
-        names = self._select(**sel)
-        if not names:
+        futs = []
+        for n in self._select(**sel):
+            f = self.engines[n]._dispatch_facets(query_string, facet_cols, stats_cols)
+            if f is None:
+                continue
+            futs.extend(f if isinstance(f, list) else [f])
+        if not futs:
             return {c: {} for c in facet_cols}, {
                 c: (0, 0, None, None) for c in stats_cols
             }
-        parts = [
-            self.engines[n].facets(query_string, facet_cols, stats_cols)
-            for n in names
-        ]
-        return _merge_facets(parts)
+        return _merge_facets(ray.get(futs))
 
     def more_like_this(
         self,
@@ -792,16 +819,19 @@ class FederatedEngine:
             fetch *= 2
 
     def histogram(self, query_string: str, histos: dict, **sel) -> dict:
-        """Histogram aggregation across the federation (exact additive
-        fold over disjoint sub-index match sets)."""
+        """Histogram aggregation across the federation (per-server
+        partials, one ray.get, exact additive fold)."""
         from .shard import _merge_hists
 
-        names = self._select(**sel)
-        if not names:
+        futs = []
+        for n in self._select(**sel):
+            f = self.engines[n]._dispatch_histogram(query_string, histos)
+            if f is None:
+                continue
+            futs.extend(f if isinstance(f, list) else [f])
+        if not futs:
             return {c: {} for c in histos}
-        return _merge_hists(
-            [self.engines[n].histogram(query_string, histos) for n in names]
-        )
+        return _merge_hists(ray.get(futs))
 
     def query_many(self, texts: list[str], k: int = 10, algo: str = "taat", **sel_kwargs):
         """Batched federation fan-out: in doc mode every server of every

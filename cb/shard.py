@@ -408,6 +408,11 @@ class ShardServer:
         self.parts = {p: ShardPartition(meta.part_dir(p), buckets=buckets) for p in parts}
         self.stats = GlobalStats(meta.n_docs, meta.avgdl)
         self.n_docs = meta.n_docs
+        # block-max umax annotations were computed with the BUILD-time
+        # avgdl; a federation override changes avgdl, so WAND's pruning
+        # bounds would be invalid (u grows with avgdl) — fed members
+        # route every wand request through exact TAAT instead
+        self._fed_override = fed is not None
         if fed is not None:
             # federation member (cb.federated): score with the
             # federation-global (N, avgdl) and per-term df so top-k
@@ -482,6 +487,8 @@ class ShardServer:
         in-memory postings); ``algo="wand"`` selects block-max WAND —
         rank-identical by construction and by test.
         """
+        if algo == "wand" and self._fed_override:
+            algo = "taat"  # stored umax bounds are sub-index-avgdl-based
         key = (tuple(terms), k, algo)
         hit = self.results.get(key)
         if hit is not None:
@@ -714,6 +721,7 @@ class LocalSearcher:
             for p in range(self.meta.num_parts)
         }
         self.stats = GlobalStats(self.meta.n_docs, self.meta.avgdl)
+        self._fed_override = fed is not None  # see ShardServer: wand->taat
         if fed is not None:  # federation member: fed-global stats + df
             import json as _json
 
@@ -812,6 +820,11 @@ class LocalSearcher:
         return rank_topk(universe[keep], acc[keep], k)
 
     def query(self, text: str, k: int = 10, algo: str = "wand") -> list[tuple[int, float]]:
+        if algo == "wand" and self._fed_override:
+            # stored block-max umax used the sub-index avgdl; the fed
+            # avgdl can exceed it, invalidating WAND's bounds — exact
+            # TAAT is rank-identical and always safe
+            algo = "taat"
         terms = sorted(set(analyze.tokenize(text)))
         postings = {t: self.get_postings(t) for t in terms}
         postings = {t: p for t, p in postings.items() if p is not None}
@@ -868,6 +881,16 @@ class QueryEngine:
     ):
         self.meta = IndexMeta(index_dir)
         self._fed = fed  # federation dir: servers score with fed-global stats
+        # N for driver-side idf/JLH must match the df scale term_dfs
+        # returns (fed-global when fed= is set)
+        self._n_docs = self.meta.n_docs
+        if fed is not None:
+            import json as _json
+
+            from . import federated as _fed_mod
+
+            with open(_fed_mod.fed_meta_path(fed)) as f:
+                self._n_docs = _json.load(f)["n_docs"]
         self.num_servers = num_servers
         self.mode = mode
         if mode == "doc":
@@ -1005,18 +1028,14 @@ class QueryEngine:
             )
         )
 
-    def phrase_query(
-        self, text: str, k: int = 10, slop: int = 0
-    ) -> list[tuple[int, float]]:
-        """Phrase top-k via the pool (scatter-gather in doc mode,
-        ownership-routed in term mode); ``slop`` = total extra gaps
-        allowed between the in-order terms (0 = exact adjacency)."""
+    def _dispatch_phrase(self, text: str, k: int, slop: int = 0):
+        """Phrase dispatch without the final ray.get (federation
+        fan-out protocol; see _dispatch_search)."""
         ordered = analyze.tokenize(text)
         if not ordered:
-            return []
+            return None
         if self.mode == "doc":
-            futs = [s.phrase.remote(ordered, k, [], slop=slop) for s in self.servers]
-            return _merge_topk(ray.get(futs), k)
+            return [s.phrase.remote(ordered, k, [], slop=slop) for s in self.servers]
         uniq = sorted(set(ordered))
         owners = {t: self._owner(t) for t in uniq}
         counts = np.bincount([owners[t] for t in uniq], minlength=self.num_servers)
@@ -1026,11 +1045,22 @@ class QueryEngine:
         ]
         refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
         self.seen[scorer].update(uniq)
-        return ray.get(
-            self.servers[scorer].phrase.remote(
-                ordered, k, fetched_terms, *refs, slop=slop
-            )
+        return self.servers[scorer].phrase.remote(
+            ordered, k, fetched_terms, *refs, slop=slop
         )
+
+    def phrase_query(
+        self, text: str, k: int = 10, slop: int = 0
+    ) -> list[tuple[int, float]]:
+        """Phrase top-k via the pool (scatter-gather in doc mode,
+        ownership-routed in term mode); ``slop`` = total extra gaps
+        allowed between the in-order terms (0 = exact adjacency)."""
+        fut = self._dispatch_phrase(text, k, slop)
+        if fut is None:
+            return []
+        if isinstance(fut, list):
+            return _merge_topk(ray.get(fut), k)
+        return ray.get(fut)
 
     def _dispatch_search(self, query_string: str, k: int):
         """Query-string dispatch WITHOUT the final ray.get: returns a
@@ -1078,13 +1108,7 @@ class QueryEngine:
             return _merge_topk(ray.get(fut), k)
         return ray.get(fut)
 
-    def facets(
-        self, query_string: str, facet_cols=(), stats_cols=()
-    ) -> tuple[dict, dict]:
-        """Pool facet aggregation over the query's FULL match set
-        (scatter-gather + exact merge in doc mode — each server counts
-        its disjoint slice, so work and memory are ~1/S per server;
-        ownership-routed in term mode)."""
+    def _parsed_and_involved(self, query_string: str):
         from . import querylang
 
         parsed = querylang.parse(query_string)
@@ -1092,24 +1116,23 @@ class QueryEngine:
             if self._vocab is None:
                 self._vocab = load_vocab(self.meta)
             parsed = querylang.expand(parsed, self._vocab)
-        facet_cols, stats_cols = list(facet_cols), list(stats_cols)
         involved = sorted(
             set(parsed.get("weights") or parsed["terms"])
             | {t for p in parsed["phrases"] for t in p}
             | set(parsed["excluded"])
             | {t for p in parsed.get("excluded_phrases", []) for t in p}
         )
-        if not involved:
-            return (
-                {c: {} for c in facet_cols},
-                {c: (0, 0, None, None) for c in stats_cols},
-            )
+        return parsed, involved
+
+    def _route_agg(self, method: str, parsed: dict, involved: list[str], *args):
+        """Aggregation dispatch without the final ray.get: list of
+        per-server refs (doc mode) or one ref (term mode).  ``method``
+        is the ShardServer method name; ``args`` its extra positional
+        args before the fetch protocol."""
         if self.mode == "doc":
-            futs = [
-                s.facet_counts.remote(parsed, facet_cols, stats_cols)
-                for s in self.servers
+            return [
+                getattr(s, method).remote(parsed, *args) for s in self.servers
             ]
-            return _merge_facets(ray.get(futs))
         owners = {t: self._owner(t) for t in involved}
         counts = np.bincount([owners[t] for t in involved], minlength=self.num_servers)
         scorer = int(np.argmax(counts))
@@ -1118,11 +1141,34 @@ class QueryEngine:
         ]
         refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
         self.seen[scorer].update(involved)
-        return ray.get(
-            self.servers[scorer].facet_counts.remote(
-                parsed, facet_cols, stats_cols, fetched_terms, *refs
-            )
+        return getattr(self.servers[scorer], method).remote(
+            parsed, *args, fetched_terms, *refs
         )
+
+    def _dispatch_facets(self, query_string: str, facet_cols, stats_cols):
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return None
+        return self._route_agg(
+            "facet_counts", parsed, involved, list(facet_cols), list(stats_cols)
+        )
+
+    def facets(
+        self, query_string: str, facet_cols=(), stats_cols=()
+    ) -> tuple[dict, dict]:
+        """Pool facet aggregation over the query's FULL match set
+        (scatter-gather + exact merge in doc mode — each server counts
+        its disjoint slice, so work and memory are ~1/S per server;
+        ownership-routed in term mode)."""
+        fut = self._dispatch_facets(query_string, facet_cols, stats_cols)
+        if fut is None:
+            return (
+                {c: {} for c in facet_cols},
+                {c: (0, 0, None, None) for c in stats_cols},
+            )
+        if isinstance(fut, list):
+            return _merge_facets(ray.get(fut))
+        return ray.get(fut)
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Corpus-global df per term via the tiny ``_termdf`` summaries
@@ -1169,7 +1215,7 @@ class QueryEngine:
 
         tf = collections.Counter(analyze.tokenize(doc_text))
         dfs = self.term_dfs(list(tf))
-        n = self.meta.n_docs
+        n = self._n_docs
         scored = [
             (t, tf[t] * float(scoring.idf(dfs[t], n))) for t in tf if t in dfs
         ]
@@ -1266,7 +1312,7 @@ class QueryEngine:
         if not m:
             return []
         dfs = self.term_dfs(sorted(fg))
-        n = self.meta.n_docs
+        n = self._n_docs
         out = []
         for t, c in fg.items():
             df = dfs.get(t)
@@ -1278,42 +1324,23 @@ class QueryEngine:
         out.sort(key=lambda r: (-r[3], r[0]))
         return out[:top_n]
 
+    def _dispatch_histogram(self, query_string: str, histos: dict):
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return None
+        return self._route_agg("histogram", parsed, involved, histos)
+
     def histogram(self, query_string: str, histos: dict) -> dict:
         """ES histogram aggregation over the query's FULL match set:
         ``{col: interval}`` -> ``{col: {bucket_lo: count}}`` (doc mode:
         scatter-gather + exact additive merge; term mode:
         ownership-routed, same protocol as facets)."""
-        from . import querylang
-
-        parsed = querylang.parse(query_string)
-        if parsed.get("expands"):
-            if self._vocab is None:
-                self._vocab = load_vocab(self.meta)
-            parsed = querylang.expand(parsed, self._vocab)
-        involved = sorted(
-            set(parsed.get("weights") or parsed["terms"])
-            | {t for p in parsed["phrases"] for t in p}
-            | set(parsed["excluded"])
-            | {t for p in parsed.get("excluded_phrases", []) for t in p}
-        )
-        if not involved:
+        fut = self._dispatch_histogram(query_string, histos)
+        if fut is None:
             return {c: {} for c in histos}
-        if self.mode == "doc":
-            futs = [s.histogram.remote(parsed, histos) for s in self.servers]
-            return _merge_hists(ray.get(futs))
-        owners = {t: self._owner(t) for t in involved}
-        counts = np.bincount([owners[t] for t in involved], minlength=self.num_servers)
-        scorer = int(np.argmax(counts))
-        fetched_terms = [
-            t for t in involved if owners[t] != scorer and t not in self.seen[scorer]
-        ]
-        refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
-        self.seen[scorer].update(involved)
-        return ray.get(
-            self.servers[scorer].histogram.remote(
-                parsed, histos, fetched_terms, *refs
-            )
-        )
+        if isinstance(fut, list):
+            return _merge_hists(ray.get(fut))
+        return ray.get(fut)
 
     def query_many(self, texts: list[str], k: int = 10, algo: str = "taat"):
         """Batched fan-out: queries are tokenized on the driver, chunked

@@ -110,6 +110,10 @@ def minute_schedule(
         last = drop_second_and_ms(now - dt.timedelta(days=1))
     else:
         last = dt.datetime.fromisoformat(last_offset_iso)
+        if last.tzinfo is None:
+            # operator-persisted offsets may lack a zone suffix; treat
+            # them as UTC instead of crashing on aware-vs-naive compare
+            last = last.replace(tzinfo=_UTC)
     events: list[dict] = []
     new_last = last
     n = 1  # start from a minute after

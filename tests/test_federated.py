@@ -536,3 +536,42 @@ def test_mlt_and_pagination_federated(fed_built):
     finally:
         eng.shutdown()
         mono_eng.shutdown()
+
+
+def test_wand_on_federation_routes_to_exact_taat(fed_built):
+    """Block-max umax was annotated with the SUB-INDEX avgdl; under the
+    federation's avgdl override those bounds are invalid, so every wand
+    request on a fed member must produce the exact (taat) ranking."""
+    src, mono, fed_dir, meta = fed_built
+    mono_ls = LocalSearcher(mono)
+    # LocalSearcher's DEFAULT algo is wand — must still be exact
+    day_ls = [LocalSearcher(e["dir"], fed=fed_dir) for e in meta["indexes"]]
+    eng = federated.FederatedEngine(fed_dir, num_servers=2)
+    try:
+        for q in QUERIES:
+            expect = mono_ls.query(q, k=10, algo="taat")
+            got_local = _merge_topk([ls.query(q, k=10) for ls in day_ls], 10)
+            assert got_local == expect, ("local-wand", q)
+            assert eng.query(q, k=10, algo="wand") == expect, ("pool-wand", q)
+    finally:
+        eng.shutdown()
+
+
+def test_fed_docmeta_requires_id_col(tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    _mk_corpus(src, n=30)
+    fd = str(tmp_path / "fed")
+    federated.build_federation(
+        src, fd, text_col="text", id_col="doc_id", ts_col="ts",
+        prefix="cb-", num_parts=2,
+    )
+    # a federation whose ids are derived (id_col=None) can't join its
+    # docmeta back to staging rows — must raise, not silently mis-key
+    import cb.manifest as manifest
+
+    with open(federated.fed_meta_path(fd)) as f:
+        fg = json.load(f)
+    fg["id_col"] = None
+    manifest.write_atomic(federated.fed_meta_path(fd), fg)
+    with pytest.raises(ValueError, match="id_col"):
+        federated.ensure_fed_docmeta(fd, ["kind"])

@@ -143,3 +143,12 @@ def test_read_minute_shards_end_to_end(tmp_path):
         last_offset_iso=off2, grace_minutes=3, now=now,
     )
     assert ds3 is None and off3 == off2
+
+
+def test_minute_schedule_accepts_naive_offsets():
+    now = dt.datetime(2026, 3, 1, 12, 0, 0, tzinfo=UTC)
+    aware = (now - dt.timedelta(minutes=10)).isoformat()
+    naive = aware.replace("+00:00", "")
+    a, off_a = shardkeys.minute_schedule(aware, now=now)
+    b, off_b = shardkeys.minute_schedule(naive, now=now)
+    assert [e["shard_keys"] for e in a] == [e["shard_keys"] for e in b]
