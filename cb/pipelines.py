@@ -839,6 +839,9 @@ SEARCH_SET: tuple[str, ...] = (
     '"hash join"^3 scan',
     "merge mer*^2",
     '+sort -"merge sort" n_chars:{100 TO 1000}',
+    # minimum_should_match: >= 2 of the 3 scored terms must be present
+    "merge sort window msm:2",
+    "group order stream msm:3",
 )
 
 
@@ -939,6 +942,15 @@ def _querystring_sql_parts(queries) -> tuple[list[str], list[str]]:
                 preds.append(_sql_range_pred(col, val))
             else:
                 preds.append(f"d.{col} = '{val}'")
+        if p.get("minimum_should_match", 0) > 1:
+            # >= msm DISTINCT scored (expanded) terms per doc; __QT__ is
+            # the caller's expanded-term CTE name (q / qt)
+            preds.append(
+                f"d.doc_id IN (SELECT tf.doc_id FROM tf "
+                f"JOIN __QT__ qx ON qx.term = tf.term AND qx.query_id = {qid} "
+                f"GROUP BY tf.doc_id "
+                f"HAVING count(DISTINCT tf.term) >= {p['minimum_should_match']})"
+            )
         where = (" AND " + " AND ".join(preds)) if preds else ""
         member_selects.append(
             f"SELECT {qid} AS query_id, d.doc_id FROM documents d "
@@ -963,7 +975,7 @@ def sql_search_querystring() -> str:
         "(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)", "q.w"
     )
     atom_rows, member_selects = _querystring_sql_parts(SEARCH_SET)
-    members = " UNION ALL ".join(member_selects)
+    members = " UNION ALL ".join(member_selects).replace("__QT__", "q")
     return f"""
 WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
 stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
@@ -1021,7 +1033,7 @@ def _facet_sql_prefix(queries) -> str:
     set querylang.match computes, without the scoring CTEs."""
     tok = analyze.sql_token_array("text")
     atom_rows, member_selects = _querystring_sql_parts(queries)
-    members = " UNION ALL ".join(member_selects)
+    members = " UNION ALL ".join(member_selects).replace("__QT__", "qt")
     return f"""
 WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf

@@ -210,6 +210,7 @@ def parse(q: str) -> dict:
     weights: dict[str, float] = {}
     required: list[str] = []
     expands: list[dict] = []
+    msm = 0  # minimum_should_match (0/1 = any scored term, the default)
 
     def add_weight(t: str, w: float) -> None:
         weights[t] = weights.get(t, 0.0) + w
@@ -260,6 +261,14 @@ def parse(q: str) -> dict:
         fm = _FILTER_RE.match(word)
         if fm and not must:
             col, raw = fm.group(1), fm.group(2)
+            if col == "msm":
+                # minimum_should_match control token (ES exposes this
+                # as a query-body knob; `msm:2` is the string form)
+                try:
+                    msm = int(raw)
+                except ValueError:
+                    raise ValueError(f"msm wants an integer, got {raw!r}")
+                continue
             r = _parse_range(raw)
             filters[col] = r if r is not None else raw
             continue
@@ -297,6 +306,7 @@ def parse(q: str) -> dict:
         "weights": weights,
         "required": sorted(set(required)),
         "expands": expands,
+        "minimum_should_match": msm,
     }
 
 
@@ -412,6 +422,20 @@ def match(
         # tombstoned documents (sorted id array)
         pos = np.clip(np.searchsorted(drop_ids, universe), 0, len(drop_ids) - 1)
         keep &= drop_ids[pos] != universe
+    msm = parsed.get("minimum_should_match") or 0
+    if msm > 1:
+        # ES minimum_should_match: a doc must contain >= msm DISTINCT
+        # scored terms.  Every scored posting id is in the universe
+        # (it's their union), so one searchsorted per term counts
+        # memberships exactly.
+        cnt = np.zeros(len(universe), dtype=np.int64)
+        for t, p in live.items():
+            if decoded_cache is not None and t in decoded_cache:
+                ids = decoded_cache[t][0]
+            else:
+                ids = p.decode_all()[0]
+            cnt[np.searchsorted(universe, ids)] += 1
+        keep &= cnt >= msm
     # required terms: bool.must term membership (already scored above)
     for t in parsed.get("required", []):
         p = postings.get(t)

@@ -374,3 +374,18 @@ def test_significant_terms_modes_agree(built):
         scores = [s for _, _, _, s in results["doc"]]
         assert scores == sorted(scores, reverse=True)
         assert all(fg <= df for _, fg, df, _ in results["doc"])
+
+
+def test_minimum_should_match(built):
+    s = LocalSearcher(built)
+    all_docs = {d for d, _ in s.search("hash join table", k=10)}
+    two_plus = {d for d, _ in s.search("hash join table msm:2", k=10)}
+    three = {d for d, _ in s.search("hash join table msm:3", k=10)}
+    assert three <= two_plus <= all_docs
+    # docs 1 ("hash join ... table") has all 3; 2/4/5 have hash+join
+    assert three == {1}
+    assert two_plus == {1, 2, 4, 5}
+    # msm <= 1 is the default OR semantics
+    assert {d for d, _ in s.search("hash join table msm:1", k=10)} == all_docs
+    with pytest.raises(ValueError, match="msm"):
+        querylang.parse("a msm:x")
