@@ -440,3 +440,103 @@ SELECT {id_col},
             ELSE 'test' END AS split
 FROM {table} ORDER BY {id_col}
 """
+
+
+# --------------------------------------------------------------------------
+# Token-budget mixture sampling (data mixing)
+# --------------------------------------------------------------------------
+
+def token_budget_sample(
+    ds: ray.data.Dataset,
+    budgets: dict[str, int],
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> ray.data.Dataset:
+    """Downsample each source to a TOKEN budget (the mixture-weighting
+    step of a pretraining data pipeline): docs are taken in salted-hash
+    order (deterministic, layout-independent) while the source's
+    cumulative token count stays within its budget; sources without a
+    budget are dropped.
+
+    One pass computes (id, source, n_tokens, h) per batch (analyzer
+    token counts — the same lengths the index build uses), then ONE
+    groupby(source) shuffle and a per-group vectorized sort + cumsum
+    filter.  Group state is one source's rows — the shuffle key is the
+    mixture key, so skew equals source skew (salt the source if one
+    dominates)."""
+    import hashlib
+    import struct
+
+    from . import analyze
+
+    ref = ray.put(dict(budgets))
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        toks = analyze.token_array(batch[text_col])
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_pylist()
+        h = np.array(
+            [
+                struct.unpack(
+                    "<Q", hashlib.md5(f"{salt}{i}".encode()).digest()[8:16]
+                )[0]
+                for i in ids
+            ],
+            dtype=np.uint64,
+        ) % np.uint64(1_000_000)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                source_col: batch[source_col],
+                "n_tokens": pa.array(np.diff(off), type=pa.int64()),
+                "h": pa.array(h.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def take_prefix(group: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(ref)
+        budget = b.get(group[source_col].iloc[0])
+        if not budget:
+            return group.iloc[0:0]
+        g = group.sort_values(["h", id_col], kind="mergesort")
+        keep = g["n_tokens"].cumsum() <= budget
+        return g[keep.values].drop(columns=["h"])
+
+    return (
+        ds.map_batches(annotate, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(source_col)
+        .map_groups(take_prefix, batch_format="pandas")
+    )
+
+
+def sql_token_budget_sample(
+    budgets: dict[str, int],
+    table: str = "documents",
+    salt: str = "mix",
+) -> str:
+    """Exact mirror: same md5-lower-64 hash order, same cumulative
+    <= budget prefix via a window sum."""
+    from . import analyze
+
+    tok = analyze.sql_token_array("text")
+    rows = ", ".join(f"('{s}', {b})" for s, b in sorted(budgets.items()))
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, len({tok})::BIGINT AS n_tokens,
+         (md5_number_lower(concat('{salt}', doc_id::VARCHAR)) % 1000000)::BIGINT AS h
+  FROM {table}
+),
+b(source, budget) AS (VALUES {rows}),
+c AS (
+  SELECT d.*, b.budget,
+         sum(d.n_tokens) OVER (
+           PARTITION BY d.source ORDER BY d.h, d.doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM d JOIN b ON b.source = d.source
+)
+SELECT doc_id, source, n_tokens FROM c WHERE cum <= budget ORDER BY doc_id
+"""

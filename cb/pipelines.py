@@ -1603,6 +1603,19 @@ def q_repetition_stats(sf_dir: str) -> pa.Table:
     )
 
 
+MIX_BUDGETS = {f"src{i}": 400 + 150 * (i % 4) for i in range(0, 20, 2)}
+
+
+def q_token_budget_mix(sf_dir: str) -> pa.Table:
+    """Data mixing: each budgeted source keeps its salted-hash-ordered
+    doc prefix within a token budget; unbudgeted sources drop."""
+    ds = ray.data.read_parquet(
+        docs_path(sf_dir), columns=["doc_id", "source", "text"]
+    )
+    out = _collect(curation.token_budget_sample(ds, MIX_BUDGETS))
+    return out.sort_by("doc_id")
+
+
 def q_dataset_split(sf_dir: str) -> pa.Table:
     """Deterministic salted-hash train/val/test assignment."""
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id"])
@@ -2351,6 +2364,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "repetition_stats": q_repetition_stats,
     "dataset_split": q_dataset_split,
+    "token_budget_mix": q_token_budget_mix,
     "doc_fingerprint": q_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "minhash_neardup": q_minhash_neardup,
@@ -2411,6 +2425,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textstats.sql_lang_id(),
         "repetition_stats": textstats.sql_repetition_stats(),
         "dataset_split": curation.sql_dataset_split(),
+        "token_budget_mix": curation.sql_token_budget_sample(MIX_BUDGETS),
         "doc_fingerprint": textstats.sql_fingerprint(),
         "ngram_jaccard_pairs": dedup.sql_ngram_jaccard(threshold=0.3),
         # exact mirrors: same md5-lower-64 hashes, inlined permutation

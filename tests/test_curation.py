@@ -157,3 +157,33 @@ def test_repetition_stats_signals():
     # single-token doc: no bigrams, one unique line
     assert out[3]["top_bigram_frac"] == 0.0
     assert out[3]["dup_line_frac"] == 0.0
+
+
+def test_token_budget_sample_semantics():
+    rows = []
+    for s, n in (("a", 30), ("b", 30), ("c", 10)):
+        for i in range(n):
+            rows.append(
+                {
+                    "doc_id": hash((s, i)) % (1 << 40),
+                    "source": s,
+                    "text": "tok " * (5 + i % 7),
+                }
+            )
+    ds = ray.data.from_items(rows)
+    budgets = {"a": 60, "b": 10**9}
+    out = curation.token_budget_sample(ds, budgets).take_all()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert "c" not in by_src  # unbudgeted source dropped
+    assert sum(r["n_tokens"] for r in by_src["a"]) <= 60
+    assert len(by_src["b"]) == 30  # huge budget keeps everything
+    # deterministic across batch layouts
+    again = curation.token_budget_sample(
+        ray.data.from_items(rows).repartition(5), budgets
+    ).take_all()
+    key = lambda r: (r["source"], r["doc_id"])
+    assert sorted((r["source"], r["doc_id"]) for r in again) == sorted(
+        (r["source"], r["doc_id"]) for r in out
+    )
