@@ -8,7 +8,10 @@ SURVEY.md §3.4):
          so the shuffle moves array-valued rows, not one row per
          (doc, term) pair — the partial/combiner pattern) PLUS doc-stats
          sentinel rows (part >= num_parts) riding the same exchange
-      -> groupby('part').map_groups(encode_partition)  # the one shuffle
+      -> groupby(['part','bucket']).map_groups(encode_bucket)  # the one
+         shuffle, at the (term-partition, doc-range-bucket) grain —
+         encode parallelism = num_parts x 2**range_bits, task memory
+         bounded by one bucket file
       -> per-partition postings parquet, ONE FILE PER DOC-RANGE BUCKET
          (ids+tfs+doc_lens varint; doc-sharded servers read only their
          buckets) + per-term df summary, and docstats/bucket files +
@@ -441,6 +444,88 @@ def _posting_file_schema() -> pa.Schema:
     return compress.POSTING_SCHEMA.append(pa.field("bucket", pa.int32()))
 
 
+def _bucket_stats_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("part", pa.int64()),
+            ("bucket", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("n_postings", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("total_tokens", pa.int64()),
+        ]
+    )
+
+
+def encode_bucket(
+    group: pa.Table,
+    *,
+    index_dir: str,
+    avgdl: float | None,
+    num_parts: int,
+    store_positions: bool = True,
+) -> pa.Table:
+    """``groupby(["part", "bucket"]).map_groups`` body: one
+    (term-partition, doc-range-bucket) group -> one
+    ``parts/part=<p>/bucket=<b>.parquet`` file.
+
+    The per-BUCKET grain is the build's scale unit (the same key the
+    per-bucket compaction pass proved out, :func:`compact_index` pass
+    2a): encode parallelism is ``num_parts x 2**range_bits`` instead of
+    ``num_parts``, and each ``map_groups`` task materializes only one
+    bucket's slice of a partition — task memory is bounded by the
+    bucket, never by a hot partition.  Per-row blob bytes are
+    context-free (LEB128, deltas reset per row/block), so a bucket file
+    encoded alone is byte-identical to the same bucket filtered out of
+    a whole-partition encode (the byte-identity suite cross-checks this
+    against the resumable path's whole-partition writes).
+
+    Sentinel groups (part >= num_parts, one bucket per sentinel part by
+    construction) are doc-stats and are written to ``docstats/``.
+    Per-partition artifacts (``_termdf.parquet``, ``manifest.json``,
+    stale-bucket removal) are finalized by :func:`annotate_partition`.
+
+    Returns one stats row (part, bucket, counters) for the driver.
+    """
+    part = int(group["part"][0].as_py())
+    if part >= num_parts:
+        m = write_docstats_bucket(group, index_dir, part, num_parts)
+        return pa.table(
+            {
+                "part": m["partition"],
+                "bucket": [part - num_parts],
+                "n_rows": m["n_rows"],
+                "n_postings": m["n_postings"],
+                "n_docs": m["n_docs"],
+                "total_tokens": m["total_tokens"],
+            },
+            schema=_bucket_stats_schema(),
+        )
+    bucket = int(group["bucket"][0].as_py())
+    flat = _explode_partials(group)
+    tbl = encode_partition_rows(flat, avgdl, store_positions=store_positions)
+    pdir = os.path.join(index_dir, "parts", f"part={part}")
+    os.makedirs(pdir, exist_ok=True)
+    out = tbl
+    if avgdl is not None:
+        # final bytes (no annotate rewrite coming): canonicalize now
+        out = _canonical_parquet(out)
+    fpath = _bucket_file(pdir, bucket)
+    pq.write_table(out, fpath + ".tmp")
+    os.replace(fpath + ".tmp", fpath)
+    return pa.table(
+        {
+            "part": [part],
+            "bucket": [bucket],
+            "n_rows": [tbl.num_rows],
+            "n_postings": [int(pc.sum(tbl["df"]).as_py() or 0)],
+            "n_docs": [0],
+            "total_tokens": [0],
+        },
+        schema=_bucket_stats_schema(),
+    )
+
+
 def encode_partition(
     group: pa.Table,
     *,
@@ -638,17 +723,31 @@ def write_partition(
 
 def annotate_partition(batch: pa.Table, *, index_dir: str, avgdl: float) -> pa.Table:
     """Post-pass body: fill block-max metadata on partitions that were
-    encoded before avgdl was known (single-pass build).  Block structure
-    is per posting row, so each BUCKET FILE annotates independently —
-    no concat/sort/re-split of the partition; bytes stay identical to
-    the one-shot write_partition path (the byte-identity suite and the
-    compaction-vs-fresh test cross-check the two paths)."""
+    encoded before avgdl was known (single-pass build), and FINALIZE
+    the partition: write ``_termdf.parquet`` from the annotated bucket
+    files (the per-bucket encode writes no per-partition artifacts) and
+    the manifest.  Block structure is per posting row, so each BUCKET
+    FILE annotates independently — no concat/sort/re-split of the
+    partition; bytes stay identical to the one-shot write_partition
+    path (the byte-identity suite and the compaction-vs-fresh test
+    cross-check the two paths).
+
+    Control rows may carry a ``buckets`` list column (the set of bucket
+    files the build just wrote): when present, bucket files NOT in the
+    list are stale leftovers from an earlier build into the same dir
+    and are removed before annotation."""
     import glob as _glob
     import hashlib
 
     rows_out = []
-    for p in batch["part"].to_pylist():
+    has_expected = "buckets" in batch.column_names
+    for i, p in enumerate(batch["part"].to_pylist()):
         pdir = os.path.join(index_dir, "parts", f"part={p}")
+        if has_expected:
+            expected = set(batch["buckets"][i].as_py() or [])
+            for f in _glob.glob(os.path.join(pdir, "bucket=*.parquet")):
+                if int(os.path.basename(f)[len("bucket=") : -len(".parquet")]) not in expected:
+                    os.remove(f)
         files = sorted(
             _glob.glob(os.path.join(pdir, "bucket=*.parquet")),
             key=lambda f: int(os.path.basename(f)[len("bucket=") : -len(".parquet")]),
@@ -658,6 +757,7 @@ def annotate_partition(batch: pa.Table, *, index_dir: str, avgdl: float) -> pa.T
         written: dict[int, str] = {}
         n_rows = 0
         n_postings = 0
+        termdf_parts = []
         for f in files:
             b = int(os.path.basename(f)[len("bucket=") : -len(".parquet")])
             t = compress.annotate_umax_table(pq.read_table(f), avgdl)
@@ -667,7 +767,8 @@ def annotate_partition(batch: pa.Table, *, index_dir: str, avgdl: float) -> pa.T
                 written[b] = hashlib.sha256(fh.read()).hexdigest()
             n_rows += t.num_rows
             n_postings += int(pc.sum(t["df"]).as_py() or 0)
-        termdf = pq.read_metadata(os.path.join(pdir, "_termdf.parquet"))
+            termdf_parts.append(t.select(["term", "df"]))
+        termdf = _write_termdf(pdir, pa.concat_tables(termdf_parts))
         m = {
             "partition": int(p),
             "status": "done",
@@ -1034,6 +1135,33 @@ def auto_range_bits(
     return max(min_bits, min(max_bits, bits))
 
 
+def auto_num_parts(
+    n_docs: int,
+    *,
+    min_parts: int = DEFAULT_NUM_PARTS,
+    max_parts: int = 1 << 18,
+    docs_per_part: int = 1 << 18,
+) -> int:
+    """Corpus-size-derived term-partition count (the DESIGN_SCALE.md
+    "size P so a partition is ~1 GB" rule made automatic, like
+    :func:`auto_range_bits` is for buckets).
+
+    ~``docs_per_part`` (256k) docs per term partition keeps a
+    partition's pre-compression postings at roughly
+    ``docs_per_part * avgdl * ~10B / num_parts``-independent ~1 GB for
+    typical (~400-token) documents; the floor keeps small corpora at
+    the 8-partition default, and the cap (256k partitions ≈ the 100 TB
+    operating point) bounds routing-table and file-count fan-out.
+    Encode parallelism no longer depends on this knob (it is
+    ``num_parts x 2**range_bits`` since the per-bucket encode), so the
+    value only controls file/resume/serving granularity."""
+    import math
+
+    if n_docs <= 0:
+        return min_parts
+    return max(min_parts, min(max_parts, math.ceil(n_docs / docs_per_part)))
+
+
 def _source_row_count(path_source: str, columns=None) -> int:
     """Parquet metadata row count (no data read)."""
     import glob as _glob
@@ -1054,7 +1182,7 @@ def build_index(
     text_col: str = "content",
     id_col: str | None = None,
     columns: list[str] | None = None,
-    num_parts: int = DEFAULT_NUM_PARTS,
+    num_parts: int | str = DEFAULT_NUM_PARTS,
     range_bits: int | str = DEFAULT_RANGE_BITS,
     batch_size: int = 2048,
     positions: bool = True,
@@ -1064,19 +1192,23 @@ def build_index(
     without shuffle recompute use :mod:`cb.resumable`.
 
     ``positions=False`` skips the positional stream (~2x faster build,
-    smaller index, no phrase queries).  ``range_bits="auto"`` derives
-    the doc-range bucket count from the corpus size
-    (:func:`auto_range_bits`): free for parquet paths (metadata row
-    count); for an in-memory Dataset it costs a ``count()`` of the
-    input pipeline.
+    smaller index, no phrase queries).  ``range_bits="auto"`` /
+    ``num_parts="auto"`` derive the doc-range bucket count and the
+    term-partition count from the corpus size (:func:`auto_range_bits`
+    / :func:`auto_num_parts`): free for parquet paths (metadata row
+    count); for an in-memory Dataset the shared count costs a
+    ``count()`` of the input pipeline.
     """
-    if range_bits == "auto":
+    if range_bits == "auto" or num_parts == "auto":
         n = (
             _source_row_count(source, columns)
             if isinstance(source, str)
             else source.count()
         )
-        range_bits = auto_range_bits(n)
+        if range_bits == "auto":
+            range_bits = auto_range_bits(n)
+        if num_parts == "auto":
+            num_parts = auto_num_parts(n)
     if isinstance(source, str):
         source = ray.data.read_parquet(source, columns=columns)
     return _build_index_inner(
@@ -1115,9 +1247,12 @@ def _build_index_inner(
         batch_size=batch_size,
         zero_copy_batch=True,
     )
-    manifests = partials.groupby("part").map_groups(
+    # encode at the (part, bucket) grain: parallelism is
+    # num_parts x 2**range_bits and task memory is bounded by one
+    # bucket file — a hot partition never lands in a single task
+    stats = partials.groupby(["part", "bucket"]).map_groups(
         partial(
-            encode_partition,
+            encode_bucket,
             index_dir=index_dir,
             avgdl=None,
             num_parts=num_parts,
@@ -1125,15 +1260,22 @@ def _build_index_inner(
         ),
         batch_format="pyarrow",
     )
-    rows = manifests.take_all()  # one tiny row per partition
+    rows = stats.take_all()  # one tiny row per (part, bucket)
     n_docs = sum(r["n_docs"] for r in rows)
     total_tokens = sum(r["total_tokens"] for r in rows)
     write_global(index_dir, n_docs, total_tokens, num_parts, range_bits)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
-    # small post-pass over the written index: fill block-max metadata
-    # (needs the corpus-global avgdl, which the same shuffle produced)
-    parts_ds = ray.data.from_items([{"part": p} for p in range(num_parts)])
+    # post-pass over the written index: fill block-max metadata (needs
+    # the corpus-global avgdl, which the same shuffle produced) and
+    # finalize each partition (_termdf + manifest + stale-file removal)
+    written: dict[int, list[int]] = {p: [] for p in range(num_parts)}
+    for r in rows:
+        if r["part"] < num_parts:
+            written[int(r["part"])].append(int(r["bucket"]))
+    parts_ds = ray.data.from_items(
+        [{"part": p, "buckets": sorted(written[p])} for p in range(num_parts)]
+    )
     parts_ds.map_batches(
         partial(annotate_partition, index_dir=index_dir, avgdl=avgdl),
         batch_format="pyarrow",

@@ -71,3 +71,31 @@ def test_wide_pool_beyond_16_servers(corpus, ray_session):
     # the old ceiling still guards misconfiguration
     with pytest.raises(ValueError, match="num_servers"):
         shard.QueryEngine(idx, num_servers=33, mode="doc")
+
+
+def test_auto_num_parts_thresholds():
+    f = build.auto_num_parts
+    # floor: tiny corpora stay at the 8-partition default
+    assert f(0) == build.DEFAULT_NUM_PARTS
+    assert f(10_000) == build.DEFAULT_NUM_PARTS
+    assert f(1 << 21) == build.DEFAULT_NUM_PARTS  # 2M / 256k = 8 parts
+    # growth: ~256k docs per term partition
+    assert f(1 << 22) == 16
+    assert f(10**8) == 382
+    # cap: the ~100 TB operating point (DESIGN_SCALE.md P ~ 150k-260k)
+    assert f(10**12) == 1 << 18
+    vals = [f(n) for n in (1, 10**4, 10**6, 10**8, 10**10, 10**12)]
+    assert vals == sorted(vals)
+
+
+def test_auto_num_parts_build(corpus, ray_session):
+    """num_parts="auto" resolves from the parquet row count and the
+    index layout records the resolved value."""
+    d, src = corpus
+    idx = str(d / "idx_auto_parts")
+    meta = build.build_index(
+        src, idx, text_col="text", id_col="doc_id", num_parts="auto", range_bits="auto"
+    )
+    assert meta.num_parts == build.DEFAULT_NUM_PARTS
+    s = shard.LocalSearcher(idx)
+    assert s.query("tok1", k=5)
