@@ -389,12 +389,21 @@ def ivf_topk(
     """Convenience wrapper: build (or reuse) the IVF layout, then
     probe-search it.  Same output schema as :func:`brute_force_topk`;
     recall < 1 by design (measured in tests: >=0.9 on clustered data).
-    """
+
+    ``index_dir`` is REQUIRED and holds the cell files the probe tasks
+    read from other nodes: shared-storage contract applies
+    (:mod:`cb.storage`).  It must be caller-supplied (not derived)
+    because an existing ``meta.json`` there is REUSED — a derived
+    default would let a different dataset silently hit another run's
+    index; a node-local ``mkdtemp`` default would break multi-node."""
     import os
-    import tempfile
 
     if index_dir is None:
-        index_dir = tempfile.mkdtemp(prefix="cb_ivf_")
+        raise ValueError(
+            "ivf_topk requires an explicit index_dir on shared storage "
+            "(see cb.storage): an existing IVF layout there is reused, "
+            "so the caller must own the path/dataset pairing"
+        )
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         build_ivf(
             ds, index_dir, n_centroids=n_centroids,
@@ -459,14 +468,24 @@ def embedding_near_duplicates(
     corpus-sized touches the driver; compute is the inherent exact
     O(N^2) spread over B(B+1)/2 independent tasks.  For the approximate
     scale path (sub-quadratic candidate generation) use
-    :func:`embedding_near_duplicates_lsh`."""
+    :func:`embedding_near_duplicates_lsh`.
+
+    ``work_dir`` is written by the block pass and read back by the
+    pair-sweep tasks, which may run on OTHER NODES: it must satisfy the
+    shared-storage contract (:mod:`cb.storage`).  Callers pass one
+    explicitly; ``None`` derives a deterministic path under
+    ``CB_SHARED_DIR`` via :func:`cb.storage.scratch_dir` (never a
+    node-local ``mkdtemp``)."""
     import os
-    import tempfile
 
     import pyarrow.parquet as pq
 
+    from . import storage
+
     if work_dir is None:
-        work_dir = tempfile.mkdtemp(prefix="cb_neardup_")
+        work_dir = storage.scratch_dir(
+            "neardup", f"{id_col}|{vec_col}|{block_rows}"
+        )
     os.makedirs(work_dir, exist_ok=True)
     n = ds.count()
     n_blocks = max(1, -(-n // block_rows))

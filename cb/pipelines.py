@@ -1767,8 +1767,14 @@ NEARDUP_TAU = 0.45
 
 
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
+    from . import storage
+
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return ann.embedding_near_duplicates(ds, tau=NEARDUP_TAU).select(["vec_a", "vec_b"])
+    return ann.embedding_near_duplicates(
+        ds,
+        tau=NEARDUP_TAU,
+        work_dir=storage.scratch_dir("neardup", os.path.abspath(sf_dir)),
+    ).select(["vec_a", "vec_b"])
 
 
 def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:

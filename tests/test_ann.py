@@ -171,3 +171,40 @@ def test_kmeans_deterministic():
     a = ann._kmeans(m, 4)
     b = ann._kmeans(m, 4)
     assert np.array_equal(a, b)
+
+
+def test_embedding_neardup_explicit_work_dir(tmp_path):
+    """The block spill lands where the caller says (shared-storage
+    contract, cb.storage) and the result is identical to the derived
+    default path."""
+    rows = _neardup_corpus()
+    ds = ray.data.from_items(rows)
+    wd = str(tmp_path / "neardup_wd")
+    got = ann.embedding_near_duplicates(ds, tau=0.95, block_rows=40, work_dir=wd)
+    ref = _reference_pairs(rows, 0.95)
+    assert {(r["vec_a"], r["vec_b"]) for r in got.to_pylist()} == ref
+    import os
+
+    assert any(f.startswith("block=") for f in os.listdir(wd))
+
+
+def test_ivf_topk_requires_index_dir():
+    """No node-local mkdtemp default: an explicit shared-storage dir is
+    part of the API contract (a reused meta.json must be caller-owned)."""
+    ds = ray.data.from_items(_neardup_corpus()[:50])
+    with pytest.raises(ValueError, match="shared storage"):
+        ann.ivf_topk(ds, np.zeros((1, 24)), np.array([0]), index_dir=None)
+
+
+def test_scratch_dir_deterministic(tmp_path, monkeypatch):
+    from cb import storage
+
+    monkeypatch.setenv(storage.ENV_VAR, str(tmp_path / "root"))
+    a = storage.scratch_dir("kind", "key1")
+    b = storage.scratch_dir("kind", "key1")
+    c = storage.scratch_dir("kind", "key2")
+    assert a == b != c
+    assert a.startswith(str(tmp_path / "root"))
+    import os
+
+    assert os.path.isdir(a) and os.path.isdir(c)
