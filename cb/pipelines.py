@@ -1826,21 +1826,33 @@ def q_media_ann_topk(sf_dir: str) -> pa.Table:
 
 def q_top_docs_per_lang(sf_dir: str) -> pa.Table:
     """Per-group top-k (top-3 longest docs per language, ties by
-    doc_id): groupby + per-group vectorized head — the grouped-top-k
-    shape every leaderboard/sampling pipeline needs."""
+    doc_id), TWO-PHASE: a per-batch partial top-3 combiner shrinks the
+    corpus to <= 3 x n_langs rows PER BATCH before any exchange, so the
+    final per-language step never holds a language's full row set — a
+    hot language (90% of a real corpus) costs the same as a cold one.
+    Top-k partials are idempotent (top3(top3(x) ∪ top3(y)) = top3(x∪y)),
+    so extra combine levels can be stacked for arbitrarily large batch
+    counts; one level + the reduced final group suffices here."""
     import pandas as pd
 
     ds = ray.data.read_parquet(
         docs_path(sf_dir), columns=["doc_id", "lang", "n_chars"]
     )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
-        g = g.reset_index(drop=True)
+    def batch_top3(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .groupby("lang", sort=False)
+            .head(3)
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = batch_top3(g).reset_index(drop=True)
         g["rank"] = range(1, len(g) + 1)
         return g[["lang", "rank", "doc_id", "n_chars"]]
 
-    out = ds.groupby("lang").map_groups(topk, batch_format="pandas")
+    partials = ds.map_batches(batch_top3, batch_format="pandas", batch_size=4096)
+    out = partials.groupby("lang").map_groups(finalize, batch_format="pandas")
     return _collect(out)
 
 
@@ -1857,24 +1869,44 @@ FROM ranked WHERE rank <= 3 ORDER BY lang, rank
 
 
 def q_doclen_quantiles(sf_dir: str) -> pa.Table:
-    """Exact discrete quantiles of document length per language
-    (groupby + per-group sorted pick, lower interpolation = DuckDB
-    quantile_disc)."""
+    """EXACT discrete quantiles of document length per language,
+    TWO-PHASE via value-count histograms: per-batch (lang, n_chars,
+    count) partials (a batch shrinks to its distinct values), a native
+    groupby sum merges them, then the per-language quantile pick runs
+    over a group whose size is bounded by the VALUE DOMAIN (distinct
+    doc lengths), never by the corpus — a 90%-hot language costs the
+    same as a cold one.  Lower interpolation over the cumulative counts
+    = DuckDB quantile_disc (index ceil(p*n) - 1)."""
     import pandas as pd
 
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["lang", "n_chars"])
 
+    def batch_counts(b: pa.Table) -> pa.Table:
+        t = b.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return t.rename_columns(["lang", "n_chars", "count"])
+
     def q(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["n_chars"].to_numpy())
-        out = {"lang": [g["lang"].iloc[0]], "n_docs": [len(v)]}
+        g = g.sort_values("n_chars")
+        v = g["n_chars"].to_numpy()
+        c = g["count"].to_numpy().astype(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        out = {"lang": [g["lang"].iloc[0]], "n_docs": [n]}
         for p in (50, 90, 99):
-            # DuckDB's quantile_disc convention: index ceil(p*n) - 1
-            # (verified against quantile_disc on the test tables)
-            idx = max(0, int(np.ceil(p / 100 * len(v))) - 1)
-            out[f"p{p}"] = [int(v[idx])]
+            # DuckDB's quantile_disc convention: element at ordinal
+            # ceil(p*n) (1-based) = first value whose cumulative count
+            # reaches it (verified against quantile_disc)
+            ordinal = max(1, int(np.ceil(p / 100 * n)))
+            out[f"p{p}"] = [int(v[np.searchsorted(cum, ordinal)])]
         return pd.DataFrame(out)
 
-    return _collect(ds.groupby("lang").map_groups(q, batch_format="pandas"))
+    partials = ds.map_batches(batch_counts, batch_format="pyarrow", batch_size=8192)
+    counts = (
+        partials.groupby(["lang", "n_chars"]).sum("count").rename_columns(
+            {"sum(count)": "count"}
+        )
+    )
+    return _collect(counts.groupby("lang").map_groups(q, batch_format="pandas"))
 
 
 def sql_doclen_quantiles() -> str:

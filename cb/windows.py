@@ -54,39 +54,88 @@ def sessionize(
     ts_col: str = "ts",
     value_col: str = "value",
     gap_seconds: int = 1800,
+    batch_size: int = 8192,
 ) -> ray.data.Dataset:
     """Gap-based session windows per key.
 
     -> (key, session_start, session_end, n_events, sum_value): a new
     session begins when the gap to the previous event of the same key
-    exceeds ``gap_seconds``.  The groupby is the only shuffle; the
-    window logic runs vectorized per sorted group.
+    exceeds ``gap_seconds``.
+
+    TWO-PHASE: gap-based sessions are MERGEABLE (the session relation
+    is the transitive closure of "within gap", so sessionizing disjoint
+    event subsets and then gap-merging the resulting intervals — with a
+    running max of session ends, since partial intervals may overlap —
+    yields exactly the sessions of the union).  Phase 1 sessionizes
+    each batch vectorized across ALL its keys (one sort per batch, no
+    per-key Python); the groupby then moves partial SESSIONS, not
+    events, and the per-key merge group is bounded by the key's partial
+    session count — a hot key (one user = 20% of the log) shrinks by
+    its within-batch sessionization factor before the shuffle.
     """
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        ts = g[ts_col].to_numpy()
-        gap = np.empty(len(g), dtype=bool)
-        gap[0] = True
-        if len(g) > 1:
+    def batch_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    key_col: df[key_col],
+                    "session_start": df[ts_col],
+                    "session_end": df[ts_col],
+                    "n_events": pd.Series([], dtype="int64"),
+                    "sum_value": df[value_col],
+                }
+            )
+        df = df.sort_values([key_col, ts_col], kind="mergesort")
+        ts = df[ts_col].to_numpy()
+        keys = df[key_col].to_numpy()
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        if len(df) > 1:
             deltas = (ts[1:] - ts[:-1]) / np.timedelta64(1, "s")
-            gap[1:] = deltas > gap_seconds
-        sess = np.cumsum(gap)
+            new[1:] = (keys[1:] != keys[:-1]) | (deltas > gap_seconds)
+        sess = np.cumsum(new)
+        out = (
+            df.assign(_sess=sess)
+            .groupby("_sess", sort=True)
+            .agg(
+                **{
+                    key_col: (key_col, "first"),
+                    "session_start": (ts_col, "min"),
+                    "session_end": (ts_col, "max"),
+                    "n_events": (ts_col, "size"),
+                    "sum_value": (value_col, "sum"),
+                }
+            )
+            .reset_index(drop=True)
+        )
+        return out
+
+    def merge_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["session_start", "session_end"], kind="mergesort")
+        start = g["session_start"].to_numpy()
+        end = g["session_end"].to_numpy()
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        if len(g) > 1:
+            run_end = np.maximum.accumulate(end)[:-1]
+            new[1:] = (start[1:] - run_end) / np.timedelta64(1, "s") > gap_seconds
+        sess = np.cumsum(new)
         out = (
             g.assign(_sess=sess)
             .groupby("_sess", sort=True)
             .agg(
-                session_start=(ts_col, "min"),
-                session_end=(ts_col, "max"),
-                n_events=(ts_col, "size"),
-                sum_value=(value_col, "sum"),
+                session_start=("session_start", "min"),
+                session_end=("session_end", "max"),
+                n_events=("n_events", "sum"),
+                sum_value=("sum_value", "sum"),
             )
             .reset_index(drop=True)
         )
         out.insert(0, key_col, g[key_col].iloc[0])
         return out
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    partials = ds.map_batches(batch_sessions, batch_format="pandas", batch_size=batch_size)
+    return partials.groupby(key_col).map_groups(merge_key, batch_format="pandas")
 
 
 def late_event_metrics(
