@@ -398,24 +398,14 @@ def dataset_split(
     one, unlike raw ``id % 100``).  Deterministic, resume-stable, and
     embarrassingly parallel — membership never depends on which shard
     or batch a doc arrived in, so a re-run or a grown corpus keeps every
-    existing doc's split.  The md5 loop is per-row but row-proportional
-    C work (hashlib), no shuffle anywhere."""
-    import hashlib
-    import struct
+    existing doc's split.  Hashing is the shared batched kernel
+    (:mod:`cb.hashing`), no shuffle anywhere."""
+    from . import hashing
 
     lo, hi = cuts
 
     def f(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        h = np.array(
-            [
-                struct.unpack(
-                    "<Q", hashlib.md5(f"{salt}{i}".encode()).digest()[8:16]
-                )[0]
-                for i in ids
-            ],
-            dtype=np.uint64,
-        ) % np.uint64(100)
+        h = hashing.salted_id_hash(salt, batch[id_col], mod=100)
         split = np.where(h < lo, "train", np.where(h < hi, "val", "test"))
         return pa.table(
             {id_col: batch[id_col], "split": pa.array(split.tolist(), type=pa.string())}
@@ -454,6 +444,7 @@ def token_budget_sample(
     source_col: str = "source",
     text_col: str = "text",
     salt: str = "mix",
+    n_ranges: int = 4096,
 ) -> ray.data.Dataset:
     """Downsample each source to a TOKEN budget (the mixture-weighting
     step of a pretraining data pipeline): docs are taken in salted-hash
@@ -461,32 +452,32 @@ def token_budget_sample(
     cumulative token count stays within its budget; sources without a
     budget are dropped.
 
-    One pass computes (id, source, n_tokens, h) per batch (analyzer
-    token counts — the same lengths the index build uses), then ONE
-    groupby(source) shuffle and a per-group vectorized sort + cumsum
-    filter.  Group state is one source's rows — the shuffle key is the
-    mixture key, so skew equals source skew (salt the source if one
-    dominates)."""
-    import hashlib
-    import struct
+    TWO-PHASE, no per-source group ever holds a source's rows (a real
+    pretraining mix has 3-10 sources, so "group = source" means "group
+    ≈ corpus/5"):
 
-    from . import analyze
+    1. one tokenize pass -> skinny (id, source, n_tokens, h) projection
+       (batched md5 kernel, :mod:`cb.hashing`), materialized so the two
+       consumers below don't re-tokenize the corpus;
+    2. per-batch (source, h-range) token-sum partials -> a tiny native
+       groupby — per source, the driver locates the BOUNDARY range r*
+       where the cumulative budget lands (sources x n_ranges rows
+       total);
+    3. a stateless filter keeps ranges < r* outright and drops ranges
+       > r*; only rows INSIDE r* (≈ 1/n_ranges of the source) form a
+       per-source group that sorts by (h, id) and applies the carry-in
+       cumsum cutoff.
 
-    ref = ray.put(dict(budgets))
+    The kept set is bitwise the global salted-hash-order prefix (the
+    window-sum SQL oracle) because cum-token order is monotone in
+    (h, id): full ranges are prefix-interior, the boundary group
+    resolves the exact row, later ranges are past the cutoff."""
+    from . import analyze, hashing
 
     def annotate(batch: pa.Table) -> pa.Table:
         toks = analyze.token_array(batch[text_col])
         off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        ids = batch[id_col].to_pylist()
-        h = np.array(
-            [
-                struct.unpack(
-                    "<Q", hashlib.md5(f"{salt}{i}".encode()).digest()[8:16]
-                )[0]
-                for i in ids
-            ],
-            dtype=np.uint64,
-        ) % np.uint64(1_000_000)
+        h = hashing.salted_id_hash(salt, batch[id_col], mod=1_000_000)
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -496,20 +487,89 @@ def token_budget_sample(
             }
         )
 
-    def take_prefix(group: pd.DataFrame) -> pd.DataFrame:
-        b = ray.get(ref)
-        budget = b.get(group[source_col].iloc[0])
-        if not budget:
-            return group.iloc[0:0]
+    ann = ds.map_batches(
+        annotate, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def range_of(h: np.ndarray) -> np.ndarray:
+        return (h * n_ranges) // 1_000_000
+
+    def batch_hist(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                source_col: batch[source_col],
+                "r": pa.array(range_of(h), type=pa.int64()),
+                "n_tokens": batch["n_tokens"],
+            }
+        )
+        return (
+            t.group_by([source_col, "r"])
+            .aggregate([("n_tokens", "sum")])
+            .rename_columns([source_col, "r", "tok"])
+        )
+
+    hist = (
+        ann.map_batches(batch_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([source_col, "r"])
+        .sum("tok")
+        .take_all()
+    )  # sources x n_ranges rows — driver-tiny
+    per_src: dict[str, list[tuple[int, int]]] = {}
+    for row in hist:
+        per_src.setdefault(row[source_col], []).append(
+            (int(row["r"]), int(row["sum(tok)"]))
+        )
+    cutoffs: dict[str, tuple[int, int]] = {}  # source -> (r*, carry_in)
+    for s, budget in budgets.items():
+        ranges = sorted(per_src.get(s, []))
+        cum = 0
+        r_star, carry = n_ranges, 0  # default: whole source fits
+        for r, tok in ranges:
+            if cum + tok > budget:
+                r_star, carry = r, budget - cum
+                break
+            cum += tok
+        cutoffs[s] = (r_star, carry)
+    cut_ref = ray.put(cutoffs)
+
+    def _rstar_per_row(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(r, r*) per row — the source lookup runs over the batch's
+        source DICTIONARY (a handful of values), not its rows."""
+        cuts = ray.get(cut_ref)
+        d = pc.dictionary_encode(batch[source_col])
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        lut = np.array(
+            [cuts.get(s, (-1, 0))[0] for s in d.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        rstar = lut[d.indices.to_numpy(zero_copy_only=False)]
+        r = range_of(batch["h"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return r, rstar
+
+    def keep_full(batch: pa.Table) -> pa.Table:
+        r, rstar = _rstar_per_row(batch)
+        return batch.filter(pa.array(r < rstar)).drop_columns(["h"])
+
+    def boundary_rows(batch: pa.Table) -> pa.Table:
+        r, rstar = _rstar_per_row(batch)
+        return batch.filter(pa.array(r == rstar))
+
+    def resolve_boundary(group: pd.DataFrame) -> pd.DataFrame:
+        cuts = ray.get(cut_ref)
+        carry = cuts[group[source_col].iloc[0]][1]
         g = group.sort_values(["h", id_col], kind="mergesort")
-        keep = g["n_tokens"].cumsum() <= budget
+        keep = g["n_tokens"].cumsum() <= carry
         return g[keep.values].drop(columns=["h"])
 
-    return (
-        ds.map_batches(annotate, batch_format="pyarrow", zero_copy_batch=True)
+    full = ann.map_batches(keep_full, batch_format="pyarrow", zero_copy_batch=True)
+    boundary = (
+        ann.map_batches(boundary_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(source_col)
-        .map_groups(take_prefix, batch_format="pandas")
+        .map_groups(resolve_boundary, batch_format="pandas")
     )
+    return full.union(boundary)
 
 
 def sql_token_budget_sample(

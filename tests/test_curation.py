@@ -187,3 +187,56 @@ def test_token_budget_sample_semantics():
     assert sorted((r["source"], r["doc_id"]) for r in again) == sorted(
         (r["source"], r["doc_id"]) for r in out
     )
+
+
+def test_token_budget_sample_skewed_source():
+    """One source = 90% of the corpus: the two-phase cutoff (h-range
+    histogram + boundary-only group) must match the brute-force global
+    salted-hash-prefix reference exactly, and no per-source group ever
+    sees the hot source's full row set (n_ranges makes the boundary
+    slice ~1/n_ranges of it)."""
+    import hashlib
+    import struct
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(2000):
+        src = "hot" if i % 10 else "cold"
+        rows.append(
+            {
+                "doc_id": int(rng.integers(0, 1 << 50)),
+                "source": src,
+                "text": "tok " * int(rng.integers(3, 12)),
+            }
+        )
+    budgets = {"hot": 800, "cold": 300}
+    ds = ray.data.from_items(rows).repartition(7)
+    out = curation.token_budget_sample(ds, budgets, n_ranges=64).take_all()
+
+    def ref_keep(rows, budgets):
+        keep = set()
+        for s, budget in budgets.items():
+            pool = []
+            for r in rows:
+                if r["source"] != s:
+                    continue
+                n_tok = len(r["text"].split())
+                h = (
+                    struct.unpack(
+                        "<Q",
+                        hashlib.md5(f"mix{r['doc_id']}".encode()).digest()[8:16],
+                    )[0]
+                    % 1_000_000
+                )
+                pool.append((h, r["doc_id"], n_tok))
+            pool.sort()
+            cum = 0
+            for h, did, n_tok in pool:
+                cum += n_tok
+                if cum > budget:
+                    break
+                keep.add((s, did))
+        return keep
+
+    got = {(r["source"], r["doc_id"]) for r in out}
+    assert got == ref_keep(rows, budgets)
