@@ -84,16 +84,14 @@ def shingle_set(tokens: list[str], n: int = 3) -> list[str]:
     return sorted({SHINGLE_SEP.join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)})
 
 
-def _shingle_hashes(shingles: list[str]) -> np.ndarray:
+def _shingle_hashes(shingles) -> np.ndarray:
     """md5-lower-64 per shingle — the exact value DuckDB's
     ``md5_number_lower`` returns, so the whole MinHash+LSH pipeline has
-    an exact SQL oracle (:func:`sql_minhash_neardup`)."""
-    import struct
+    an exact SQL oracle (:func:`sql_minhash_neardup`).  Batched kernel
+    (:mod:`cb.hashing`); runs over the batch's UNIQUE-shingle vocab."""
+    from .hashing import md5_lower64
 
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = struct.unpack("<Q", hashlib.md5(s.encode()).digest()[8:16])[0]
-    return out
+    return md5_lower64(shingles)
 
 
 def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -474,10 +472,7 @@ def simhash_stage(batch: pa.Table, *, text_col: str = "text", id_col: str = "doc
             flat = flat.combine_chunks()
         enc = pc.dictionary_encode(flat)
         codes = enc.indices.to_numpy(zero_copy_only=False)
-        vocab = enc.dictionary.to_pylist()
-        H = np.empty(len(vocab), dtype=np.uint64)
-        for i, t in enumerate(vocab):
-            H[i] = struct.unpack("<Q", hashlib.md5(t.encode()).digest()[8:16])[0]
+        H = _shingle_hashes(enc.dictionary)  # batched kernel over the vocab
         # (V, 64) sign matrix: column i is +/-1 for bit i (little-endian
         # byte view + bitorder="little" puts bit 0 in column 0)
         bits = np.unpackbits(
