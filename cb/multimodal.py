@@ -66,24 +66,46 @@ def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
 
 
 class DecodeStage:
-    """Actor-pool stage: decode + feature-extract media payloads.
+    """Actor-pool stage: decode + feature-extract media payloads, with a
+    PLUGGABLE decoder (the reference's reflection-on-config extension
+    point, Internal/FactoryHelper.cs:12-30, as an explicit registry —
+    same mechanism as parsers/analyzers in :mod:`cb.registry`).
 
-    Real decoders (PIL / torchaudio / pyav) are not available in this
-    environment; pass ``fake=True`` for the deterministic stand-in.
+    ``decoder`` is either a callable ``(payload: bytes, out_dim: int)
+    -> np.ndarray`` or the registry name of one (kind ``"decoder"``):
+    a production decoder (PIL / torchaudio / pyav + an embedding model)
+    drops in via ``cb.registry.register("decoder", "pil_clip", fn)`` +
+    ``DecodeStage(decoder="pil_clip")`` without editing this class; the
+    callable is resolved in ``__init__`` — ONCE PER ACTOR, where a real
+    implementation loads its codec/model.
+
+    No media libraries exist in this container, so the only built-in is
+    the deterministic ``"fake"`` stand-in (bytes -> seeded tensor);
+    constructing without a decoder raises ``NotImplementedError`` to
+    keep the stub honest.  ``fake=True`` is shorthand for
+    ``decoder="fake"``.
     """
 
-    def __init__(self, *, fake: bool = False, out_dim: int = 64):
-        if not fake:
+    def __init__(self, *, fake: bool = False, out_dim: int = 64, decoder=None):
+        if decoder is None and fake:
+            decoder = "fake"
+        if decoder is None:
             raise NotImplementedError(
                 "media decoding requires image/audio libraries not present "
-                "in this container; construct with fake=True for the "
+                "in this container; inject one (decoder=<callable or "
+                "registry name>) or construct with fake=True for the "
                 "deterministic stand-in decoder"
             )
+        if isinstance(decoder, str):
+            from . import registry
+
+            decoder = registry.lookup("decoder", decoder)
+        self.decoder = decoder
         self.out_dim = out_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [
-            _fake_decode(p, self.out_dim).tolist()
+            np.asarray(self.decoder(p, self.out_dim), dtype=np.float32).tolist()
             for p in batch["payload"].to_pylist()
         ]
         return pa.table(

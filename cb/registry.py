@@ -16,6 +16,7 @@ _REGISTRIES: dict[str, dict[str, object]] = {
     "parser": {},
     "source": {},
     "dedup": {},
+    "decoder": {},
 }
 
 
@@ -64,6 +65,10 @@ def _register_builtins() -> None:
     from . import streaming
 
     register("source", "stream", streaming.StreamConsumer)
+
+    from . import multimodal
+
+    register("decoder", "fake", multimodal._fake_decode)
 
     register("dedup", "exact", dedup.exact_duplicates)
     register("dedup", "minhash", dedup.minhash_near_duplicates)

@@ -72,3 +72,37 @@ def test_frame_sampling():
     ).take_all()
     vids = sum(1 for r in tbl.to_pylist() if r["kind"] == "video")
     assert len(frames) == vids * 4  # 1000ms / 250ms
+
+
+def test_decode_stage_pluggable_decoder():
+    """The decoder contract: a custom callable (or registry name)
+    drops into DecodeStage without editing the class — the production
+    path for real PIL/torchaudio decoders."""
+    from cb import multimodal, registry
+
+    tbl = multimodal.synthesize_media_table(6)
+
+    def length_decoder(payload: bytes, out_dim: int):
+        v = np.zeros(out_dim, dtype=np.float32)
+        v[0] = float(len(payload))
+        return v
+
+    # injected callable
+    stage = multimodal.DecodeStage(decoder=length_decoder, out_dim=4)
+    out = stage(tbl)
+    feats = out["feature"].to_pylist()
+    assert [f[0] for f in feats] == [float(len(p)) for p in tbl["payload"].to_pylist()]
+
+    # registry name
+    registry.register("decoder", "length_test", length_decoder)
+    stage2 = multimodal.DecodeStage(decoder="length_test", out_dim=4)
+    assert stage2(tbl)["feature"].to_pylist() == feats
+
+    # fake shorthand resolves through the registry too
+    f1 = multimodal.DecodeStage(fake=True, out_dim=8)(tbl)["feature"].to_pylist()
+    f2 = multimodal.DecodeStage(decoder="fake", out_dim=8)(tbl)["feature"].to_pylist()
+    assert f1 == f2
+
+    # honest stub: nothing injected -> NotImplementedError
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeStage()
