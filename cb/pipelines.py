@@ -92,6 +92,10 @@ def get_index(sf_dir: str) -> build.IndexMeta:
     return build.build_index(
         docs_path(sf_dir), idx, text_col="text", id_col="doc_id",
         columns=["doc_id", "text"],
+        # corpus-size-derived layout: bucket count (serving-pool width /
+        # pruned-read grain) and partition count both scale with n_docs
+        # (free here: parquet metadata row count)
+        num_parts="auto", range_bits="auto",
     )
 
 

@@ -99,3 +99,31 @@ def test_auto_num_parts_build(corpus, ray_session):
     assert meta.num_parts == build.DEFAULT_NUM_PARTS
     s = shard.LocalSearcher(idx)
     assert s.query("tok1", k=5)
+
+
+def test_32_server_doc_sharded_parity(tmp_path, ray_session):
+    """range_bits=6 -> 64 doc-range buckets -> a 32-server doc-sharded
+    pool (past the old 16-bucket ceiling) matches the in-process
+    searcher bitwise.  Doc ids are spread across the 63-bit space so
+    every server's bucket slice is non-trivial (content-hash ids are
+    uniform in production)."""
+    rng = np.random.default_rng(23)
+    vocab = [f"tok{i}" for i in range(60)]
+    rows = [
+        {
+            "doc_id": int(rng.integers(0, 1 << 62)),
+            "text": " ".join(rng.choice(vocab, size=rng.integers(5, 30))),
+        }
+        for i in range(500)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "idx6")
+    build.build_index(src, idx, text_col="text", id_col="doc_id", num_parts=4, range_bits=6)
+    s = shard.LocalSearcher(idx)
+    eng = shard.QueryEngine(idx, num_servers=32, mode="doc")
+    try:
+        for q in ("tok1 tok2", "tok10", "tok3 tok40 tok55", "tok7 tok8 tok9"):
+            assert eng.query(q, k=10) == s.query(q, k=10, algo="taat"), q
+    finally:
+        eng.shutdown()
