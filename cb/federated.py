@@ -145,6 +145,21 @@ def _key_column(
     return pc.take(pa.array(names, type=pa.string()), enc.indices)
 
 
+_CFG_KEYS = (
+    "prefix", "type_name", "one_index_per_type", "routing", "ts_col",
+    "route_col", "text_col", "id_col", "num_parts", "range_bits",
+    "positions",
+)
+
+
+def _cfg_from(fg: dict) -> dict:
+    """Routing/build config out of a loaded fed.json.  ``fields`` is
+    optional (multifield federations; absent in pre-round-4 manifests)."""
+    cfg = {k: fg[k] for k in _CFG_KEYS}
+    cfg["fields"] = fg.get("fields")
+    return cfg
+
+
 def fed_meta_path(fed_dir: str) -> str:
     return os.path.join(fed_dir, "fed.json")
 
@@ -180,7 +195,9 @@ def ensure_fed_docmeta(fed_dir: str, cols: list[str]) -> None:
         manifest.write_atomic(fed_meta_path(fed_dir), fg)
 
 
-def feddf_path(fed_dir: str, part: int) -> str:
+def feddf_path(fed_dir: str, part: int, field: str | None = None) -> str:
+    if field is not None:
+        return os.path.join(fed_dir, "feddf", f"field={field}", f"part={part}.parquet")
     return os.path.join(fed_dir, "feddf", f"part={part}.parquet")
 
 
@@ -267,16 +284,50 @@ def _build_one(fed_dir: str, key: str, cfg: dict, swap: bool = False) -> dict:
         import shutil
 
         shutil.rmtree(target)  # leftover from a crashed refresh
-    meta = build_mod.build_index(
-        staging_dir(fed_dir, key),
-        target,
-        text_col=cfg["text_col"],
-        id_col=cfg["id_col"],
-        columns=[c for c in (cfg["id_col"], cfg["text_col"]) if c],
-        num_parts=cfg["num_parts"],
-        range_bits=cfg["range_bits"],
-        positions=cfg["positions"],
-    )
+    if cfg.get("fields"):
+        # multifield federation: one sub-index per analyzed field under
+        # index=<key>/field=<f> — the mapping-JSON -> per-field indexes
+        # story (cb.multifield) per day/type slice
+        from . import multifield as mf_mod
+
+        mf_mod.build_multifield(
+            staging_dir(fed_dir, key),
+            target,
+            cfg["fields"],
+            id_col=cfg["id_col"],
+            num_parts=cfg["num_parts"],
+            range_bits=cfg["range_bits"],
+            positions=cfg["positions"],
+        )
+        metas = {
+            f: build_mod.IndexMeta(mf_mod.field_dir(target, f))
+            for f in cfg["fields"]
+        }
+        any_meta = metas[cfg["fields"][0]]
+        entry_extra = {
+            "field_stats": {
+                f: {"n_docs": m.n_docs, "total_tokens": m.total_tokens}
+                for f, m in metas.items()
+            }
+        }
+
+        class _M:  # stats carrier for the shared return below
+            n_docs = any_meta.n_docs
+            total_tokens = sum(m.total_tokens for m in metas.values())
+
+        meta = _M
+    else:
+        entry_extra = {}
+        meta = build_mod.build_index(
+            staging_dir(fed_dir, key),
+            target,
+            text_col=cfg["text_col"],
+            id_col=cfg["id_col"],
+            columns=[c for c in (cfg["id_col"], cfg["text_col"]) if c],
+            num_parts=cfg["num_parts"],
+            range_bits=cfg["range_bits"],
+            positions=cfg["positions"],
+        )
     if swap:
         import shutil
 
@@ -295,12 +346,50 @@ def _build_one(fed_dir: str, key: str, cfg: dict, swap: bool = False) -> dict:
         "dir": sub_dir,
         "n_docs": meta.n_docs,
         "total_tokens": meta.total_tokens,
+        **entry_extra,
     }
 
 
 def _publish(fed_dir: str, cfg: dict, indexes: list[dict]) -> dict:
     """feddf merge + fed.json — LAST, so readers only ever see a
     manifest whose indexes and stats are complete."""
+    from . import multifield as mf_mod
+
+    fields = cfg.get("fields")
+    if fields:
+        # per-field df merges + per-field fed-global stats: each field
+        # needs its own exact (N, avgdl, df) triple for the most_fields
+        # sum to be bitwise the monolithic multifield score
+        refs = []
+        for f in fields:
+            dirs = [mf_mod.field_dir(e["dir"], f) for e in indexes]
+            refs += [
+                _merge_part_df.remote(dirs, p, feddf_path(fed_dir, p, field=f))
+                for p in range(cfg["num_parts"])
+            ]
+        ray.get(refs)
+        field_stats = {}
+        for f in fields:
+            nd = sum(e["field_stats"][f]["n_docs"] for e in indexes)
+            tt = sum(e["field_stats"][f]["total_tokens"] for e in indexes)
+            field_stats[f] = {
+                "n_docs": nd,
+                "total_tokens": tt,
+                "avgdl": (float(tt) / float(nd)) if nd else 0.0,
+            }
+        n_docs = sum(e["n_docs"] for e in indexes)
+        total_tokens = sum(e["total_tokens"] for e in indexes)
+        fed = {
+            "version": 1,
+            **cfg,
+            "indexes": indexes,
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": 0.0,  # per-field stats are authoritative (field_stats)
+            "field_stats": field_stats,
+        }
+        manifest.write_atomic(fed_meta_path(fed_dir), fed)
+        return fed
     dirs = [e["dir"] for e in indexes]
     ray.get(
         [
@@ -339,6 +428,7 @@ def build_federation(
     num_parts: int = DEFAULT_NUM_PARTS,
     range_bits: int = DEFAULT_RANGE_BITS,
     positions: bool = True,
+    fields: list[str] | None = None,
 ) -> dict:
     """Build one sub-index per routing-key value under
     ``fed_dir/index=<name>/`` plus federation-global stats.
@@ -353,6 +443,8 @@ def build_federation(
     """
     if (ts_col is None) == (route_col is None):
         raise ValueError("exactly one of ts_col / route_col required")
+    if fields is not None and id_col is None:
+        raise ValueError("multifield federations (fields=) require id_col")
     cfg = {
         "prefix": prefix,
         "type_name": type_name,
@@ -365,7 +457,10 @@ def build_federation(
         "num_parts": num_parts,
         "range_bits": range_bits,
         "positions": positions,
+        "fields": fields,
     }
+    if fields and columns is None:
+        columns = [id_col] + list(fields)
     _stage(source, fed_dir, cfg, columns)
     indexes = [
         _build_one(fed_dir, key, cfg) for key in sorted(_staging_lineage(fed_dir))
@@ -386,6 +481,7 @@ def init_federation(
     num_parts: int = DEFAULT_NUM_PARTS,
     range_bits: int = DEFAULT_RANGE_BITS,
     positions: bool = True,
+    fields: list[str] | None = None,
 ) -> dict:
     """An EMPTY federation (no sub-indexes yet) — the bootstrap for a
     purely streaming-fed lifecycle: ``init_federation`` once, then every
@@ -395,6 +491,8 @@ def init_federation(
     crash replay)."""
     if (ts_col is None) == (route_col is None):
         raise ValueError("exactly one of ts_col / route_col required")
+    if fields is not None and id_col is None:
+        raise ValueError("multifield federations (fields=) require id_col")
     cfg = {
         "prefix": prefix,
         "type_name": type_name,
@@ -407,6 +505,7 @@ def init_federation(
         "num_parts": num_parts,
         "range_bits": range_bits,
         "positions": positions,
+        "fields": fields,
     }
     return _publish(fed_dir, cfg, [])
 
@@ -425,14 +524,7 @@ def refresh_federation(source: "ray.data.Dataset | str", fed_dir: str) -> dict:
     (same contract as delete_docs/compaction)."""
     with open(fed_meta_path(fed_dir)) as f:
         fg = json.load(f)
-    cfg = {
-        k: fg[k]
-        for k in (
-            "prefix", "type_name", "one_index_per_type", "routing", "ts_col",
-            "route_col", "text_col", "id_col", "num_parts", "range_bits",
-            "positions",
-        )
-    }
+    cfg = _cfg_from(fg)
     before = _staging_lineage(fed_dir)
     _stage(source, fed_dir, cfg)
     after = _staging_lineage(fed_dir)
@@ -510,14 +602,7 @@ def ingest_new_shards(
             state = json.load(f)
     with open(fed_meta_path(fed_dir)) as f:
         fg = json.load(f)
-    cfg = {
-        k: fg[k]
-        for k in (
-            "prefix", "type_name", "one_index_per_type", "routing", "ts_col",
-            "route_col", "text_col", "id_col", "num_parts", "range_bits",
-            "positions",
-        )
-    }
+    cfg = _cfg_from(fg)
     seen = set(state["ingested"])
     new = sorted(
         f
@@ -593,6 +678,12 @@ def delete_docs_federated(fed_dir: str, doc_ids) -> dict[str, int]:
     :func:`compact_federation` physically drops them."""
     with open(fed_meta_path(fed_dir)) as f:
         fg = json.load(f)
+    if fg.get("fields"):
+        raise NotImplementedError(
+            "delete/compact for MULTIFIELD federations is not wired yet "
+            "(docstats live per field sub-index); delete per field dir "
+            "or rebuild the affected day"
+        )
     ids = list(doc_ids)
     counts = ray.get(
         [_delete_in_index.remote(e["dir"], ids) for e in fg["indexes"]]
@@ -609,14 +700,11 @@ def compact_federation(fed_dir: str) -> dict:
     bitwise a fresh federation over the survivors."""
     with open(fed_meta_path(fed_dir)) as f:
         fg = json.load(f)
-    cfg = {
-        k: fg[k]
-        for k in (
-            "prefix", "type_name", "one_index_per_type", "routing", "ts_col",
-            "route_col", "text_col", "id_col", "num_parts", "range_bits",
-            "positions",
+    if fg.get("fields"):
+        raise NotImplementedError(
+            "compaction for MULTIFIELD federations is not wired yet"
         )
-    }
+    cfg = _cfg_from(fg)
     entries = []
     for e in fg["indexes"]:
         meta = build_mod.compact_index(e["dir"])
@@ -651,6 +739,10 @@ class FederatedEngine:
     def __init__(self, fed_dir: str, num_servers: int = 2, mode: str = "doc"):
         with open(fed_meta_path(fed_dir)) as f:
             self.meta = json.load(f)
+        if self.meta.get("fields"):
+            raise ValueError(
+                "this federation is MULTIFIELD; use FederatedMultiFieldEngine"
+            )
         self.fed_dir = fed_dir
         self.engines: dict[str, QueryEngine] = {
             e["name"]: QueryEngine(e["dir"], num_servers, mode, fed=fed_dir)
@@ -867,3 +959,81 @@ class FederatedEngine:
         for e in self.engines.values():
             e.shutdown()
         self.engines = {}
+
+
+@ray.remote
+class _MultiFieldFedMember:
+    """One sub-index of a MULTIFIELD federation as an actor: holds a
+    fed-overridden :class:`cb.multifield.MultiFieldSearcher` (state
+    loaded once here) so the cross-index fan-out runs member-parallel
+    with ONE driver-side ``ray.get``.  Scale note: a member that
+    outgrows one actor swaps in a doc-sharded MultiFieldEngine pool —
+    same exact-merge contract, the bucket slices stay disjoint."""
+
+    def __init__(self, index_dir: str, fed_dir: str):
+        from .multifield import MultiFieldSearcher
+
+        self.searcher = MultiFieldSearcher(index_dir, fed=fed_dir)
+
+    def search(self, query: str, k: int) -> list[tuple[int, float]]:
+        return self.searcher.search(query, k)
+
+
+class FederatedMultiFieldEngine:
+    """Cross-index MULTIFIELD search (mapping JSON -> analyzed fields
+    -> per-day sub-indexes -> one query spanning them): each member
+    scores every field with federation-global per-field stats
+    (``field_stats`` + per-field feddf overlays), so the merged top-k
+    is bitwise the monolithic multifield result — the multifield
+    closure of the single-field FederatedEngine contract."""
+
+    def __init__(self, fed_dir: str):
+        with open(fed_meta_path(fed_dir)) as f:
+            self.meta = json.load(f)
+        if not self.meta.get("fields"):
+            raise ValueError(
+                "this federation is single-field; use FederatedEngine"
+            )
+        self.fed_dir = fed_dir
+        self.members = {
+            e["name"]: _MultiFieldFedMember.remote(e["dir"], fed_dir)
+            for e in self.meta["indexes"]
+        }
+
+    # day/name pruning: identical selection semantics to FederatedEngine
+    def _select(
+        self,
+        names: list[str] | None = None,
+        start_day: str | None = None,
+        end_day: str | None = None,
+    ) -> list[str]:
+        sel = list(self.members) if names is None else [
+            n for n in names if n in self.members
+        ]
+        if start_day or end_day:
+            def day(n: str) -> str:
+                return n[-8:]
+
+            sel = [
+                n
+                for n in sel
+                if (start_day is None or day(n) >= start_day)
+                and (end_day is None or day(n) <= end_day)
+            ]
+        return sel
+
+    def search(self, query: str, k: int = 10, **sel) -> list[tuple[int, float]]:
+        """Fan out the multifield query string, ONE ray.get, exact
+        merge by (score desc, doc_id asc) — members hold disjoint doc
+        sets, so the merge is the global top-k."""
+        futs = [
+            self.members[n].search.remote(query, k) for n in self._select(**sel)
+        ]
+        if not futs:
+            return []
+        return _merge_topk(ray.get(futs), k)
+
+    def shutdown(self) -> None:
+        for m in self.members.values():
+            ray.kill(m)
+        self.members = {}

@@ -283,9 +283,17 @@ def _load_docmeta(index_dir: str, fields: list[str], buckets: list[int] | None):
 
 
 class MultiFieldSearcher:
-    """In-process multi-field searcher (tests / tiny corpora)."""
+    """In-process multi-field searcher (tests / tiny corpora).
 
-    def __init__(self, index_dir: str):
+    ``fed=`` makes this a FEDERATION MEMBER (cb.federated, multifield
+    mode): every field scores with the federation-global per-field
+    (N, avgdl) and per-term df overlays read from that field's feddf
+    summaries, so member top-k lists merge bitwise into the monolithic
+    multifield result (the same dfs_query_then_fetch contract the
+    single-field ShardServer/LocalSearcher fed override implements).
+    Scoring here is TAAT, so no WAND block-max invalidation applies."""
+
+    def __init__(self, index_dir: str, fed: str | None = None):
         m = load_multifield_meta(index_dir)
         self.index_dir = index_dir
         self.fields: list[str] = m["fields"]
@@ -300,6 +308,28 @@ class MultiFieldSearcher:
             }
             for f, meta in self.metas.items()
         }
+        if fed is not None:
+            import json as _json
+
+            import pyarrow.parquet as _pq
+
+            from . import federated as _fed
+
+            with open(_fed.fed_meta_path(fed)) as fh:
+                fg = _json.load(fh)
+            fs = fg["field_stats"]
+            self.stats = {
+                f: GlobalStats(fs[f]["n_docs"], fs[f]["avgdl"])
+                for f in self.fields
+            }
+            for f, meta in self.metas.items():
+                for p, part in self.parts[f].items():
+                    fp = _fed.feddf_path(fed, p, field=f)
+                    if os.path.exists(fp):
+                        t = _pq.read_table(fp)
+                        part.global_df = dict(
+                            zip(t["term"].to_pylist(), t["df"].to_pylist())
+                        )
         self.tombstones = load_tombstones(index_dir)
         self._dm = None
         self._dm_loaded = False

@@ -1340,6 +1340,62 @@ def q_bm25_multifield(sf_dir: str) -> pa.Table:
     )
 
 
+def get_multifield_federation(sf_dir: str) -> str:
+    """Per-day MULTIFIELD federation over documents (text + derived
+    title): the streaming ES-parity closure — mapping fields -> per-day
+    sub-indexes (one per analyzed field) -> cross-index search."""
+    from . import federated
+
+    fed_dir = _index_dir_for(sf_dir) + "_mffed"
+    if os.path.exists(federated.fed_meta_path(fed_dir)):
+        return fed_dir
+
+    def with_ts(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = FED_EPOCH_US + (ids % FED_NDAYS) * 86_400_000_000
+        return b.append_column("ts", pa.array(us).cast(pa.timestamp("us")))
+
+    ds = _docs_with_title(sf_dir).map_batches(with_ts, batch_format="pyarrow")
+    federated.build_federation(
+        ds, fed_dir, fields=["text", "title"], id_col="doc_id",
+        ts_col="ts", prefix="cbmf-",
+    )
+    return fed_dir
+
+
+def q_federated_multifield(sf_dir: str) -> pa.Table:
+    """Multi-field BM25 across the per-day federation: per-field
+    fed-global (N, avgdl, df) make the merged most_fields top-k bitwise
+    the monolithic multifield result, so the monolithic multifield SQL
+    is the oracle — end-to-end check of the per-field routing split,
+    per-field df merges, and the cross-index merge."""
+    from . import federated
+
+    fed_dir = get_multifield_federation(sf_dir)
+    eng = federated.FederatedMultiFieldEngine(fed_dir)
+    try:
+        results = [eng.search(q, k=K) for q in MULTIFIELD_SET]
+    finally:
+        eng.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6), type=pa.float64()
+            ),
+        }
+    )
+
+
 def sql_bm25_multifield() -> str:
     """Oracle generated by the SAME term router the engine uses: per
     field, the standard single-field BM25 CTEs over that field's token
@@ -2445,6 +2501,7 @@ QUERIES = {
     "highlight_snippets": q_highlight_snippets,
     "bm25_filtered": q_bm25_filtered,
     "bm25_multifield": q_bm25_multifield,
+    "federated_multifield": q_federated_multifield,
     "multifield_querystring": q_multifield_querystring,
     "phrase_search": q_phrase_search,
     "phrase_slop_search": q_phrase_slop_search,
@@ -2507,6 +2564,8 @@ def oracle_sql() -> dict[str, str]:
         "highlight_snippets": sql_highlight_snippets(),
         "bm25_filtered": sql_bm25_filtered(),
         "bm25_multifield": sql_bm25_multifield(),
+        # per-field fed-global stats -> bitwise == monolithic multifield
+        "federated_multifield": sql_bm25_multifield(),
         "multifield_querystring": sql_multifield_querystring(),
         "phrase_search": sql_phrase_search(),
         "phrase_slop_search": sql_phrase_slop_search(),

@@ -575,3 +575,112 @@ def test_fed_docmeta_requires_id_col(tmp_path):
     manifest.write_atomic(federated.fed_meta_path(fd), fg)
     with pytest.raises(ValueError, match="id_col"):
         federated.ensure_fed_docmeta(fd, ["kind"])
+
+
+def _mf_day_corpus(n=120, ndays=3, seed=31):
+    rng = np.random.default_rng(seed)
+    vocab = [f"tok{i}" for i in range(40)]
+    rows = []
+    epoch = 1_700_000_000_000_000  # us
+    for i in range(n):
+        body = " ".join(rng.choice(vocab, size=rng.integers(6, 25)))
+        title = " ".join(rng.choice(vocab, size=rng.integers(2, 5)))
+        rows.append(
+            {
+                "doc_id": int(rng.integers(0, 1 << 60)),
+                "body": body,
+                "title": title,
+                "ts": epoch + (i % ndays) * 86_400_000_000,
+            }
+        )
+    t = pa.Table.from_pylist(rows)
+    return t.set_column(
+        t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.timestamp("us"))
+    )
+
+
+def test_multifield_federation_bitwise_equals_monolithic(tmp_path, ray_session):
+    """Mapping JSON -> analyzed fields -> per-day indexes -> one query:
+    the multifield federation's merged top-k is BITWISE the monolithic
+    multifield searcher over the union corpus (per-field fed-global
+    N/avgdl/df)."""
+    from cb import federated, multifield
+
+    t = _mf_day_corpus()
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+
+    fed_dir = str(tmp_path / "fed")
+    federated.build_federation(
+        ray.data.read_parquet(src), fed_dir,
+        fields=["body", "title"], id_col="doc_id", ts_col="ts",
+        prefix="mf-", num_parts=4,
+    )
+    with open(federated.fed_meta_path(fed_dir)) as f:
+        fg = json.load(f)
+    assert len(fg["indexes"]) == 3 and set(fg["field_stats"]) == {"body", "title"}
+
+    mono_dir = str(tmp_path / "mono")
+    multifield.build_multifield(
+        ray.data.read_parquet(src), mono_dir, ["body", "title"],
+        id_col="doc_id", num_parts=4,
+    )
+    mono = multifield.MultiFieldSearcher(mono_dir)
+
+    eng = federated.FederatedMultiFieldEngine(fed_dir)
+    try:
+        for q in ("tok1 tok2", "title:tok3 tok4", "tok5 -tok6", "tok7 tok8 tok9"):
+            assert eng.search(q, k=10) == mono.search(q, k=10), q
+        # day pruning: single member == that member's slice only
+        name0 = fg["indexes"][0]["name"]
+        member_only = eng.search("tok1 tok2", k=10, names=[name0])
+        sub = multifield.MultiFieldSearcher(fg["indexes"][0]["dir"], fed=fed_dir)
+        assert member_only == sub.search("tok1 tok2", k=10)
+    finally:
+        eng.shutdown()
+
+    # engine-type guards
+    with pytest.raises(ValueError, match="MULTIFIELD"):
+        federated.FederatedEngine(fed_dir)
+    with pytest.raises(NotImplementedError):
+        federated.compact_federation(fed_dir)
+
+
+def test_multifield_federation_streaming_ingest(tmp_path, ray_session):
+    """init_federation(fields=...) + ingest_new_shards ticks converge to
+    the same bitwise state as one bulk multifield federation build —
+    the streaming -> multifield closure."""
+    from cb import federated, multifield
+
+    t = _mf_day_corpus(n=90)
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    for i in range(3):
+        pq.write_table(t.slice(i * 30, 30), str(shards / f"shard-{i:05d}.parquet"))
+
+    fed_dir = str(tmp_path / "fed_stream")
+    federated.init_federation(
+        fed_dir, fields=["body", "title"], id_col="doc_id", ts_col="ts",
+        prefix="mf-", num_parts=4,
+    )
+    # two ticks: first two shards, then the third (incremental)
+    federated.ingest_new_shards(str(shards), fed_dir, stop_after="shard-00001.parquet")
+    out = federated.ingest_new_shards(str(shards), fed_dir)
+    assert out["n_docs"] == 90
+
+    bulk_dir = str(tmp_path / "fed_bulk")
+    src = str(tmp_path / "all.parquet")
+    pq.write_table(t, src)
+    federated.build_federation(
+        ray.data.read_parquet(src), bulk_dir,
+        fields=["body", "title"], id_col="doc_id", ts_col="ts",
+        prefix="mf-", num_parts=4,
+    )
+    a = federated.FederatedMultiFieldEngine(fed_dir)
+    b = federated.FederatedMultiFieldEngine(bulk_dir)
+    try:
+        for q in ("tok1 tok2", "title:tok3", "tok5 tok7"):
+            assert a.search(q, k=10) == b.search(q, k=10), q
+    finally:
+        a.shutdown()
+        b.shutdown()
