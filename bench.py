@@ -169,16 +169,23 @@ def run_bench() -> dict:
     engine.warm(min_df=1000)  # pre-decode hot postings (timed: part of serving startup)
     timings["engine_load"] = time.perf_counter() - t0
 
-    lat = []
     for _ in range(QUERY_REPEATS):
         for q in vocab_queries:
-            tq = time.perf_counter()
             engine.query(q, k=10)
-            lat.append(time.perf_counter() - tq)
-    lat.sort()
-    extras["query_p50_ms"] = 1000 * lat[len(lat) // 2]
-    extras["query_p95_ms"] = 1000 * lat[int(len(lat) * 0.95)]
-    extras["n_latency_queries"] = float(len(lat))
+    # latency/phase numbers come from the engine's own telemetry
+    # counters (cb.telemetry), not ad-hoc wall timers around the calls
+    em = engine.metrics()
+    qt = em["engine"]["timers"]["query.total"]
+    extras["query_p50_ms"] = 1000 * qt["p50_sec"]
+    extras["query_p95_ms"] = 1000 * qt["p95_sec"]
+    extras["n_latency_queries"] = float(qt["count"])
+    for phase in ("dispatch", "wait", "merge"):
+        t = em["engine"]["timers"].get(f"query.{phase}")
+        if t:
+            extras[f"query_{phase}_mean_ms"] = 1000 * t["mean_sec"]
+    sv = em["servers"]["timers"].get("server.score")
+    if sv:
+        extras["server_score_mean_ms"] = 1000 * sv["mean_sec"]
 
     t0 = time.perf_counter()
     engine.query_many(distinct_queries, k=10)

@@ -444,11 +444,16 @@ class ShardServer:
         self._docmeta = None  # lazy DocMeta for filtered search
         from collections import OrderedDict
 
+        from .telemetry import Telemetry
+
         self.cache: dict[str, ChunkedPostings | None] = {}
         self.decoded: dict[str, tuple] = {}  # term -> (ids, contrib) numpy
         # (terms, k, algo) -> result, true LRU (hits refresh recency)
         self.results: OrderedDict[tuple, list] = OrderedDict()
         self._results_cap = 4096
+        # per-actor stage counters (TelemetryProvider.cs analog);
+        # rolled up by QueryEngine.metrics()
+        self.telemetry = Telemetry()
 
     def _local(self, term: str) -> ChunkedPostings | None:
         if term not in self.cache:
@@ -493,7 +498,10 @@ class ShardServer:
         hit = self.results.get(key)
         if hit is not None:
             self.results.move_to_end(key)  # LRU: refresh recency on hit
+            self.telemetry.incr("server.result_cache_hit")
             return hit  # exact: the index is immutable for a server's lifetime
+        t0 = __import__("time").perf_counter()
+        self.telemetry.incr("server.terms", len(terms))
         postings = dict(zip(fetched_terms, fetched))
         for t, p in postings.items():
             self.cache[t] = p  # keep remote-fetched postings for repeat queries
@@ -521,7 +529,13 @@ class ShardServer:
         if len(self.results) >= self._results_cap:
             self.results.popitem(last=False)  # evict least-recently-used
         self.results[key] = res
+        self.telemetry.record(
+            "server.score", __import__("time").perf_counter() - t0
+        )
         return res
+
+    def metrics(self) -> dict:
+        return self.telemetry.snapshot()
 
     def score_filtered(
         self, terms: list[str], k: int, filters: dict,
@@ -934,6 +948,9 @@ class QueryEngine:
         self._results: "OrderedDict[tuple, list]" = OrderedDict()
         self._results_cap = 8192
         self._vocab: list[str] | None = None  # lazy, for wildcard/fuzzy
+        from .telemetry import Telemetry
+
+        self.telemetry = Telemetry()  # driver-side phase timers
 
     def warm(self, min_df: int = 0) -> int:
         """Pre-decode hot postings on every server (blocks until done)."""
@@ -990,18 +1007,52 @@ class QueryEngine:
         return res
 
     def query(self, text: str, k: int = 10, algo: str = "taat") -> list[tuple[int, float]]:
+        import time as _time
+
+        t0 = _time.perf_counter()
         terms = tuple(sorted(set(analyze.tokenize(text))))
         key = (terms, k, algo)
         hit = self._results.get(key)
         if hit is not None:
             self._results.move_to_end(key)  # LRU: refresh recency on hit
+            self.telemetry.incr("query.cache_hit")
+            self.telemetry.record("query.total", _time.perf_counter() - t0)
             return hit
         fut = self._dispatch(text, k, algo)
+        t1 = _time.perf_counter()
+        self.telemetry.record("query.dispatch", t1 - t0)
         if fut is None:
+            self.telemetry.record("query.total", _time.perf_counter() - t0)
             return []
         if isinstance(fut, list):  # doc-sharded scatter-gather
-            return self._cache_put(key, _merge_topk(ray.get(fut), k))
-        return self._cache_put(key, ray.get(fut))
+            scored = ray.get(fut)
+            t2 = _time.perf_counter()
+            self.telemetry.record("query.wait", t2 - t1)
+            res = self._cache_put(key, _merge_topk(scored, k))
+            t3 = _time.perf_counter()
+            self.telemetry.record("query.merge", t3 - t2)
+            self.telemetry.record("query.total", t3 - t0)
+            return res
+        res = self._cache_put(key, ray.get(fut))
+        t2 = _time.perf_counter()
+        self.telemetry.record("query.wait", t2 - t1)
+        self.telemetry.record("query.total", t2 - t0)
+        return res
+
+    def metrics(self) -> dict:
+        """Per-stage query telemetry: the driver-side phase timers
+        (dispatch / wait / merge / total, with percentiles) plus the
+        additive roll-up of every server's counters — the
+        TelemetryProvider.cs:6-27 analog for serving (build-side
+        counters live in IndexMeta.build_metrics)."""
+        from .telemetry import merge_snapshots
+
+        return {
+            "engine": self.telemetry.snapshot(),
+            "servers": merge_snapshots(
+                ray.get([s.metrics.remote() for s in self.servers])
+            ),
+        }
 
     def filtered_query(self, text: str, filters: dict, k: int = 10) -> list[tuple[int, float]]:
         """Filtered BM25 via the pool (scatter-gather in doc mode,

@@ -1,0 +1,60 @@
+"""Per-stage query telemetry (TelemetryProvider analog): counters
+populate on the serving path and roll up across the server pool."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from cb import shard
+from cb.build import build_index
+from cb.telemetry import Telemetry, merge_snapshots
+
+
+def test_telemetry_primitives():
+    t = Telemetry()
+    with t.timer("stage"):
+        pass
+    t.record("stage", 0.5)
+    t.incr("hits")
+    t.incr("hits", 2)
+    snap = t.snapshot()
+    assert snap["timers"]["stage"]["count"] == 2
+    assert snap["timers"]["stage"]["max_sec"] == 0.5
+    assert snap["counters"]["hits"] == 3
+    assert 0.0 <= t.percentile("stage", 0.5) <= 0.5
+    merged = merge_snapshots([snap, snap])
+    assert merged["timers"]["stage"]["count"] == 4
+    assert merged["counters"]["hits"] == 6
+
+
+def test_query_engine_metrics_populate(tmp_path, ray_session):
+    rng = np.random.default_rng(17)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, size=rng.integers(5, 20)))}
+        for i in range(200)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=4)
+
+    eng = shard.QueryEngine(idx, num_servers=2, mode="doc")
+    try:
+        for q in ("tok1 tok2", "tok3", "tok4 tok5 tok6"):
+            eng.query(q, k=5)
+        eng.query("tok1 tok2", k=5)  # driver result-cache hit
+        m = eng.metrics()
+        et = m["engine"]["timers"]
+        assert et["query.total"]["count"] == 4
+        assert et["query.dispatch"]["count"] == 3  # hit skipped dispatch
+        assert et["query.wait"]["count"] == 3
+        assert et["query.merge"]["count"] == 3  # doc-sharded merge
+        assert m["engine"]["counters"]["query.cache_hit"] == 1
+        # server roll-up: 2 servers x 3 distinct queries
+        st = m["servers"]["timers"]
+        assert st["server.score"]["count"] == 6
+        assert m["servers"]["counters"]["server.terms"] > 0
+        assert st["server.score"]["total_sec"] > 0
+    finally:
+        eng.shutdown()
