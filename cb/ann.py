@@ -541,6 +541,18 @@ def embedding_near_duplicates(
     return _collect_pairs(cands)
 
 
+def _make_vec_side(t, id_col: str, *, vec_col: str, dim: int) -> dict:
+    """(ids, normalized matrix) verification LUT — built inside a Ray
+    task from the candidate slice (cb.dedup._candidate_side)."""
+    if t is None:
+        return {"ids": np.empty(0, dtype=np.int64),
+                "mat": np.empty((0, dim), dtype=np.float64)}
+    return {
+        "ids": t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        "mat": _normalize(_batch_matrix(t, vec_col)),
+    }
+
+
 class HyperplaneSigner:
     """Actor-pool stage: random-hyperplane sign signatures, planes
     drawn once per actor in ``__init__`` (deterministic seed)."""
@@ -614,18 +626,11 @@ def embedding_near_duplicates_lsh(
         _partial(dedup_mod._emit_pairs, max_group=max_bucket), batch_format="pandas"
     )
     pairs = dedup_mod._pair_counts(cand, "n_bands").materialize()
-    vec_rows = dedup_mod._slice_by_ids(ds, dedup_mod._candidate_columns(pairs), id_col=id_col)
-    vec_rows.sort(key=lambda r: r[id_col])
-    mat = (
-        _normalize(np.array([r[vec_col] for r in vec_rows]))
-        if vec_rows
-        else np.empty((0, dim), dtype=np.float64)
+    lut_ref = dedup_mod._candidate_side(
+        ds, dedup_mod._candidate_columns(pairs),
+        _partial(_make_vec_side, vec_col=vec_col, dim=dim),
+        id_col=id_col,
     )
-    side = {
-        "ids": np.array([r[id_col] for r in vec_rows], dtype=np.int64),
-        "mat": mat,
-    }
-    lut_ref = ray.put(side)
 
     def verify(batch: pa.Table) -> pa.Table:
         s = ray.get(lut_ref)

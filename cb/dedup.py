@@ -169,9 +169,7 @@ class MinHashStage:
         if len(shingles):
             enc = pc.dictionary_encode(shingles)
             codes = enc.indices.to_numpy(zero_copy_only=False)
-            x = (_shingle_hashes(enc.dictionary.to_pylist()) % np.uint64(_MERSENNE))[
-                codes
-            ]
+            x = (_shingle_hashes(enc.dictionary) % np.uint64(_MERSENNE))[codes]
             p = np.uint64(_MERSENNE)
             nonempty = counts > 0
             seg = sh_starts[:-1][nonempty]
@@ -323,6 +321,37 @@ def _pair_counts(
     )
 
 
+def _make_sig_side(t: "pa.Table | None", id_col: str, *, sig_col: str, width: int) -> dict:
+    """(ids, (n, width) signature matrix) LUT from the candidate slice."""
+    import pyarrow.compute as pc
+
+    if t is None:
+        return {"ids": np.empty(0, dtype=np.int64),
+                "sigs": np.empty((0, width), dtype=np.int64)}
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(t[sig_col])
+    sigs = flat.to_numpy(zero_copy_only=False).astype(np.int64).reshape(len(ids), width)
+    return {"ids": ids, "sigs": sigs}
+
+
+def _make_simhash_side(t: "pa.Table | None", id_col: str) -> dict:
+    if t is None:
+        return {"ids": np.empty(0, dtype=np.int64),
+                "sigs": np.empty(0, dtype=np.uint64)}
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    sigs = t["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    return {"ids": ids, "sigs": sigs}
+
+
+def _make_count_side(t: "pa.Table | None", id_col: str) -> dict:
+    if t is None:
+        return {"ids": np.empty(0, dtype=np.int64),
+                "n": np.empty(0, dtype=np.float64)}
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return {"ids": ids,
+            "n": t["count()"].to_numpy(zero_copy_only=False).astype(np.float64)}
+
+
 def _pair_indices(batch: pa.Table, ids_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(doc_a, doc_b) columns -> positions into a sorted candidate-id
     array (vectorized searchsorted; every candidate is present by
@@ -332,12 +361,11 @@ def _pair_indices(batch: pa.Table, ids_sorted: np.ndarray) -> tuple[np.ndarray, 
     return np.searchsorted(ids_sorted, a), np.searchsorted(ids_sorted, b)
 
 
-def _slice_by_ids(
+def _slice_by_ids_ds(
     ds: ray.data.Dataset, ids: np.ndarray, id_col: str = "doc_id"
-) -> list[dict]:
+) -> ray.data.Dataset:
     """Rows of ``ds`` whose ``id_col`` is in ``ids`` — the dataflow does
-    the filtering (one broadcast membership test per batch); only the
-    candidate-proportional slice ever reaches the driver."""
+    the filtering (one broadcast membership test per batch)."""
     ref = ray.put(ids)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -349,7 +377,35 @@ def _slice_by_ids(
         mask[in_range] = want[pos[in_range]] == col[in_range]
         return batch.filter(pa.array(mask))
 
-    return ds.map_batches(keep, batch_format="pyarrow").take_all()
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+@ray.remote
+def _assemble_side(make, id_col: str, *blocks) -> dict:
+    """Concat the filtered candidate blocks, sort by id, hand to the
+    caller's ``make(table, id_col) -> dict`` LUT builder — all INSIDE a
+    Ray task, so the candidate slice and the LUT live in the object
+    store end-to-end and the driver only ever holds the ObjectRef."""
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_pandas(b, preserve_index=False)
+        for b in blocks
+    ]
+    live = [t for t in tables if t.num_rows]
+    if live:
+        t = pa.concat_tables(live, promote_options="default").combine_chunks().sort_by(id_col)
+    else:
+        t = None
+    return make(t, id_col)
+
+
+def _candidate_side(ds: ray.data.Dataset, ids: np.ndarray, make, id_col: str = "doc_id"):
+    """ObjectRef to the verification side LUT over the candidate slice
+    of ``ds``: filter in the dataflow, assemble in a task — at a
+    near-dup-heavy 100 TB corpus the candidate slice is itself large,
+    so it must never round-trip through the driver (it used to via
+    take_all + ray.put)."""
+    filtered = _slice_by_ids_ds(ds, ids, id_col)
+    return _assemble_side.remote(make, id_col, *filtered.to_arrow_refs())
 
 
 def minhash_near_duplicates(
@@ -399,17 +455,10 @@ def minhash_near_duplicates(
     # of the signature dataset (filtered in the dataflow, broadcast once
     # as a (sorted ids, signature matrix) pair — one numpy comparison
     # per batch, no per-pair Python loop)
-    cand_rows = _slice_by_ids(sigs_mat, _candidate_columns(pairs))
-    cand_rows.sort(key=lambda r: r["doc_id"])
-    side = {
-        "ids": np.array([r["doc_id"] for r in cand_rows], dtype=np.int64),
-        "sigs": (
-            np.array([r["minhash"] for r in cand_rows], dtype=np.int64)
-            if cand_rows
-            else np.empty((0, num_hashes), dtype=np.int64)
-        ),
-    }
-    lut_ref = ray.put(side)
+    lut_ref = _candidate_side(
+        sigs_mat, _candidate_columns(pairs),
+        _partial(_make_sig_side, sig_col="minhash", width=num_hashes),
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -541,15 +590,7 @@ def simhash_near_duplicates(
         .map_groups(_partial(_emit_pairs, max_group=max_bucket), batch_format="pandas")
     )
     pairs = _pair_counts(cand, "n_bands").materialize()
-    cand_rows = _slice_by_ids(sigs, _candidate_columns(pairs))
-    cand_rows.sort(key=lambda r: r["doc_id"])
-    side = {
-        "ids": np.array([r["doc_id"] for r in cand_rows], dtype=np.int64),
-        "sigs": np.array([r["simhash"] for r in cand_rows], dtype=np.int64).view(
-            np.uint64
-        ),
-    }
-    lut_ref = ray.put(side)
+    lut_ref = _candidate_side(sigs, _candidate_columns(pairs), _make_simhash_side)
 
     def verify(batch: pa.Table) -> pa.Table:
         s = ray.get(lut_ref)
@@ -623,13 +664,10 @@ def ngram_jaccard_pairs(
         _partial(_emit_pairs, max_group=max_df), batch_format="pandas"
     )
     co = _pair_counts(cand, "n_common").materialize()
-    cand_rows = _slice_by_ids(rows_mat.groupby("doc_id").aggregate(Count()), _candidate_columns(co))
-    cand_rows.sort(key=lambda r: r["doc_id"])
-    sizes = {
-        "ids": np.array([r["doc_id"] for r in cand_rows], dtype=np.int64),
-        "n": np.array([r["count()"] for r in cand_rows], dtype=np.float64),
-    }
-    sizes_ref = ray.put(sizes)
+    sizes_ref = _candidate_side(
+        rows_mat.groupby("doc_id").aggregate(Count()), _candidate_columns(co),
+        _make_count_side,
+    )
 
     def jaccard(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

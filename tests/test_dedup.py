@@ -171,14 +171,16 @@ def test_verification_state_is_candidate_proportional(monkeypatch):
     dataset down to CANDIDATE ids in the dataflow; this test spies on
     the slice and asserts its size tracks candidates, not the corpus."""
     slices = []
-    real = dedup._slice_by_ids
+    real = dedup._candidate_side
 
-    def spy(ds, ids, id_col="doc_id"):
-        out = real(ds, ids, id_col=id_col)
-        slices.append(len(out))
-        return out
+    def spy(ds, ids, make, id_col="doc_id"):
+        # the LUT itself is assembled in a Ray task (only an ObjectRef
+        # reaches the driver); the driver-side footprint is the
+        # candidate id array — that is what must track candidates
+        slices.append(len(ids))
+        return real(ds, ids, make, id_col=id_col)
 
-    monkeypatch.setattr(dedup, "_slice_by_ids", spy)
+    monkeypatch.setattr(dedup, "_candidate_side", spy)
     # 200 unrelated docs + one near-dup pair -> candidates ~2 docs
     rows = [
         {"doc_id": i, "text": f"totally unique document {i} with words w{i} x{i} y{i} z{i}"}
