@@ -251,11 +251,13 @@ def _explode_partials(group: pa.Table) -> pa.Table:
     row_codes, dictionary = _dict_indices(term_arr)
     # remap codes to ALPHABETICAL ranks: dictionary order is arrival
     # order (shuffle-dependent), and output row order must be
-    # deterministic for the byte-identical resume guarantee
-    uniq = dictionary.to_pylist()
-    rank = np.empty(len(uniq), dtype=np.int64)
-    rank[np.argsort(np.asarray(uniq, dtype=object), kind="stable")] = np.arange(len(uniq))
-    sorted_terms = pa.array(sorted(uniq), type=pa.string())
+    # deterministic for the byte-identical resume guarantee.  Arrow's
+    # UTF-8 byte sort == Python's code-point sort (same bytes), minus
+    # the per-string Python object churn.
+    order = pc.array_sort_indices(dictionary).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(dictionary), dtype=np.int64)
+    rank[order] = np.arange(len(dictionary))
+    sorted_terms = dictionary.take(pa.array(order))
     row_codes = rank[row_codes]
     buckets_row = group["bucket"].to_numpy(zero_copy_only=False)
     codes_p = row_codes[row_of_posting]

@@ -173,12 +173,13 @@ def cmd_fed(args) -> int:
     ray = _init_ray()
     from . import federated
 
+    fields = args.fields.split(",") if getattr(args, "fields", None) else None
     if args.action == "build":
         fed = federated.build_federation(
             args.input, args.fed, text_col=args.text_col, id_col=args.id_col,
             ts_col=args.ts_col, route_col=args.route_col, prefix=args.prefix,
             one_index_per_type=args.one_index_per_type,
-            num_parts=args.num_parts,
+            num_parts=args.num_parts, fields=fields,
         )
         print(json.dumps({
             "fed": args.fed, "indexes": [e["name"] for e in fed["indexes"]],
@@ -189,7 +190,7 @@ def cmd_fed(args) -> int:
             args.fed, text_col=args.text_col, id_col=args.id_col,
             ts_col=args.ts_col, route_col=args.route_col, prefix=args.prefix,
             one_index_per_type=args.one_index_per_type,
-            num_parts=args.num_parts,
+            num_parts=args.num_parts, fields=fields,
         )
         print(json.dumps({"fed": args.fed, "indexes": []}))
     elif args.action == "refresh":
@@ -209,9 +210,20 @@ def cmd_fed(args) -> int:
             "fed": args.fed, "n_docs": fed["n_docs"], "avgdl": fed["avgdl"],
         }))
     elif args.action == "search":
-        eng = federated.FederatedEngine(args.fed, num_servers=args.servers)
+        with open(federated.fed_meta_path(args.fed)) as f:
+            _is_mf = bool(json.load(f).get("fields"))
+        eng = (
+            federated.FederatedMultiFieldEngine(args.fed)
+            if _is_mf
+            else federated.FederatedEngine(args.fed, num_servers=args.servers)
+        )
         try:
-            if args.qstring:
+            if _is_mf:
+                res = eng.search(
+                    args.query, k=args.k,
+                    start_day=args.start_day, end_day=args.end_day,
+                )
+            elif args.qstring:
                 res = eng.search(
                     args.query, k=args.k,
                     start_day=args.start_day, end_day=args.end_day,
@@ -302,6 +314,9 @@ def main(argv=None) -> int:
     fd.add_argument("--prefix", default="")
     fd.add_argument("--one-index-per-type", action="store_true")
     fd.add_argument("--num-parts", type=int, default=8)
+    fd.add_argument("--fields", default=None,
+                    help="comma-separated analyzed fields -> MULTIFIELD "
+                         "federation (one sub-index per field per day/type)")
     fd.add_argument("--query", default=None)
     fd.add_argument("--qstring", action="store_true", help="Lucene-lite query string")
     fd.add_argument("-k", type=int, default=10)

@@ -158,3 +158,49 @@ def test_cli_phrase(tmp_path):
     assert r.returncode == 0, r.stderr[-1500:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["results"] == []  # absent phrase
+
+
+def test_cli_fed_multifield(tmp_path):
+    """fed build --fields + fed search auto-selects the multifield
+    engine (one subprocess each: the CLI owns its Ray session)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(41)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = []
+    epoch = 1_700_000_000_000_000
+    for i in range(60):
+        rows.append(
+            {
+                "doc_id": int(rng.integers(0, 1 << 50)),
+                "body": " ".join(rng.choice(vocab, size=rng.integers(5, 15))),
+                "title": " ".join(rng.choice(vocab, size=2)),
+                "ts": epoch + (i % 2) * 86_400_000_000,
+            }
+        )
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.timestamp("us")))
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+    fed = str(tmp_path / "fed")
+
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "fed", "build", "--fed", fed,
+         "--input", src, "--fields", "body,title", "--id-col", "doc_id",
+         "--ts-col", "ts", "--prefix", "mf-", "--num-parts", "4"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert len(out["indexes"]) == 2
+
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "fed", "search", "--fed", fed,
+         "--query", "title:tok1 tok2", "-k", "5"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "results" in res
