@@ -783,6 +783,155 @@ ORDER BY doc_a, doc_b
 """
 
 
+def cluster_pairs(
+    pairs: ray.data.Dataset,
+    *,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_iters: int = 50,
+) -> ray.data.Dataset:
+    """Connected components over an undirected near-dup PAIR dataset ->
+    (doc_id, cluster_rep) for every doc appearing in any pair, where
+    ``cluster_rep`` is the component's minimum doc id (the canonical
+    survivor a fuzzy-dedup pipeline keeps).
+
+    Pairs are necessary but not sufficient for dedup: near-duplication
+    is transitive in practice (A~B, B~C => keep one of {A,B,C}), so the
+    keep-set must come from components of the pair GRAPH, not from the
+    pair list.
+
+    Hash-to-min label propagation with the repo's candidate-LUT
+    contract: the label table is CANDIDATE-proportional (only docs that
+    appear in some pair), lives in the object store (assembled by Ray
+    tasks — :func:`_assemble_side` pattern, never the driver), and each
+    round is one vectorized ``map_batches`` over the edges (searchsorted
+    label lookup + per-batch (dst, min label) partials) followed by one
+    ``groupby(node).min``.  Labels are monotone non-increasing, so the
+    label SUM is a one-scalar convergence test per round.  Rounds =
+    component diameter (near-dup clusters: small)."""
+    import pyarrow.compute as _pc
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b[col_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b[col_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, bb]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([bb, a]), type=pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def _cols(blocks, names):
+        """Block -> numpy columns; tolerates pandas-backed and schemaless
+        empty blocks (the Dataset.to_arrow_refs gotcha, cb.collect)."""
+        for b in blocks:
+            if not isinstance(b, pa.Table):
+                b = pa.Table.from_pandas(b, preserve_index=False)
+            if b.num_rows == 0 or names[0] not in b.column_names:
+                continue
+            yield tuple(
+                b[n].to_numpy(zero_copy_only=False).astype(np.int64)
+                if n is not None
+                else b[b.column_names[1]].to_numpy(zero_copy_only=False).astype(np.int64)
+                for n in names
+            )
+
+    @ray.remote(num_returns=2)
+    def init_labels(*blocks):
+        srcs = [c[0] for c in _cols(blocks, ("src",))]
+        ids = (
+            np.unique(np.concatenate(srcs)) if srcs else np.empty(0, dtype=np.int64)
+        )
+        return {"ids": ids, "label": ids.copy()}, int(ids.sum())
+
+    @ray.remote(num_returns=2)
+    def merge_labels(lut, *msg_blocks):
+        new = lut["label"].copy()
+        for nodes, lab in _cols(msg_blocks, ("node", None)):
+            pos = np.searchsorted(lut["ids"], nodes)
+            np.minimum.at(new, pos, lab)
+        return {"ids": lut["ids"], "label": new}, int(new.sum())
+
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "cluster_rep": pa.array([], pa.int64())}
+            )
+        )
+    lut_ref, sum_ref = init_labels.remote(*edges.to_arrow_refs())
+    prev = ray.get(sum_ref)
+
+    for _ in range(max_iters):
+        ref = lut_ref
+
+        def propagate(b: pa.Table) -> pa.Table:
+            lut = ray.get(ref)
+            src = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lab = lut["label"][np.searchsorted(lut["ids"], src)]
+            t = pa.table(
+                {"node": b["dst"], "label": pa.array(lab, type=pa.int64())}
+            )
+            # per-batch combiner: one (node, min label) row per distinct dst
+            return (
+                t.group_by("node")
+                .aggregate([("label", "min")])
+                .rename_columns(["node", "label"])
+            )
+
+        msgs = edges.map_batches(propagate, batch_format="pyarrow")
+        merged = msgs.groupby("node").min("label")
+        lut_ref, sum_ref = merge_labels.remote(lut_ref, *merged.to_arrow_refs())
+        s = ray.get(sum_ref)
+        if s == prev:  # monotone non-increasing -> fixed point
+            break
+        prev = s
+
+    @ray.remote
+    def emit(lut) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(lut["ids"], type=pa.int64()),
+                "cluster_rep": pa.array(lut["label"], type=pa.int64()),
+            }
+        )
+
+    return ray.data.from_arrow_refs([emit.remote(lut_ref)])
+
+
+def sql_cluster_pairs(pairs_sql: str) -> str:
+    """Recursive-CTE oracle for :func:`cluster_pairs` over ANY pair
+    query of shape ``WITH <ctes> SELECT ... [ORDER BY ...]`` emitting
+    (doc_a, doc_b) columns (e.g. :func:`sql_minhash_neardup`): the pair
+    query becomes one more CTE, then transitive closure over the
+    symmetrized edges; rep = min(reachable ∪ self)."""
+    body = pairs_sql.strip()
+    assert body.upper().startswith("WITH"), "pair query must start with WITH"
+    ctes, sep, final = body.rpartition("\nSELECT")
+    assert sep, "pair query must end in a top-level SELECT"
+    final = "SELECT" + final
+    if "ORDER BY" in final:
+        final = final[: final.rindex("ORDER BY")]
+    ctes = ctes[len("WITH"):].strip()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({final}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+)
+SELECT n AS doc_id, least(n, min(m))::BIGINT AS cluster_rep
+FROM reach GROUP BY n ORDER BY doc_id
+"""
+
+
 def sql_simhash_neardup(
     table: str = "documents",
     text_col: str = "text",

@@ -1699,6 +1699,17 @@ def q_minhash_neardup(sf_dir: str) -> pa.Table:
     return _collect(out)
 
 
+def q_neardup_clusters(sf_dir: str) -> pa.Table:
+    """Fuzzy-dedup CLUSTERS: connected components over the MinHash
+    near-dup pair graph (pairs alone under-delete — near-duplication is
+    transitive in practice), rep = component min doc id.  Distributed
+    hash-to-min label propagation (cb.dedup.cluster_pairs); oracle =
+    the same pair SQL wrapped in a recursive transitive-closure CTE."""
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    pairs = dedup.minhash_near_duplicates(ds, threshold=0.7, concurrency=2)
+    return _collect(dedup.cluster_pairs(pairs))
+
+
 def q_simhash_neardup(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
     return _collect(dedup.simhash_near_duplicates(ds))
@@ -2520,6 +2531,7 @@ QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "minhash_neardup": q_minhash_neardup,
+    "neardup_clusters": q_neardup_clusters,
     "simhash_neardup": q_simhash_neardup,
     "ann_cosine_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf,
@@ -2586,6 +2598,10 @@ def oracle_sql() -> dict[str, str]:
         # exact mirrors: same md5-lower-64 hashes, inlined permutation
         # constants, band-equality candidates, same verify filters
         "minhash_neardup": dedup.sql_minhash_neardup(threshold=0.7),
+        # transitive closure over the SAME pair query (fuzzy-dedup keep-set)
+        "neardup_clusters": dedup.sql_cluster_pairs(
+            dedup.sql_minhash_neardup(threshold=0.7)
+        ),
         "simhash_neardup": dedup.sql_simhash_neardup(),
         "ann_cosine_topk": sql_ann_topk(),
         # full probing (nprobe = n_centroids) is exact -> same oracle

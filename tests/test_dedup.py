@@ -203,3 +203,32 @@ def test_emit_pairs_cap_and_vectorized():
     out = dedup._emit_pairs(g)
     assert list(zip(out["doc_a"], out["doc_b"])) == [(1, 2), (1, 3), (2, 3)]
     assert dedup._emit_pairs(g, max_group=2).empty
+
+
+def test_cluster_pairs_components():
+    """Connected components over a pair list: chain + triangle + isolated
+    pair, reps = component minima; matches a union-find reference."""
+    import pyarrow as pa
+
+    pairs = pa.table(
+        {
+            # chain 1-2-3-4, triangle 10-11-12 (one redundant edge),
+            # pair 20-21
+            "doc_a": [1, 2, 3, 10, 11, 10, 20],
+            "doc_b": [2, 3, 4, 11, 12, 12, 21],
+        }
+    )
+    ds = ray.data.from_arrow(pairs)
+    out = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedup.cluster_pairs(ds).take_all()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_cluster_pairs_empty():
+    import pyarrow as pa
+
+    ds = ray.data.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
+                                       "doc_b": pa.array([], pa.int64())}))
+    assert dedup.cluster_pairs(ds).take_all() == []
