@@ -18,6 +18,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Min
@@ -898,6 +899,37 @@ def cluster_pairs(
         )
 
     return ray.data.from_arrow_refs([emit.remote(lut_ref)])
+
+
+def keep_representatives(
+    ds: ray.data.Dataset,
+    clusters,
+    *,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Fuzzy-dedup FILTER: drop every doc that belongs to a near-dup
+    cluster and is not its representative.  ``clusters`` is the
+    (doc_id, cluster_rep) table/dataset from :func:`cluster_pairs` —
+    candidate-proportional, broadcast once (``ray.put``) and applied as
+    a vectorized membership test per batch; the corpus streams."""
+    if isinstance(clusters, ray.data.Dataset):
+        from .collect import collect_table
+
+        clusters = collect_table(clusters)
+    drop = clusters.filter(
+        pc.not_equal(clusters["doc_id"], clusters["cluster_rep"])
+    )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    drop = np.sort(drop)
+    ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(d, ids), 0, max(len(d) - 1, 0))
+        mask = np.ones(len(ids), dtype=bool) if len(d) == 0 else d[pos] != ids
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def sql_cluster_pairs(pairs_sql: str) -> str:

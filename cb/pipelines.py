@@ -1710,6 +1710,31 @@ def q_neardup_clusters(sf_dir: str) -> pa.Table:
     return _collect(dedup.cluster_pairs(pairs))
 
 
+def q_neardup_dedup_keep(sf_dir: str) -> pa.Table:
+    """The fuzzy-dedup FILTER itself: surviving doc ids after dropping
+    non-representative members of every MinHash near-dup cluster (the
+    step a pretraining pipeline actually applies).  Corpus streams;
+    the drop set is candidate-proportional and broadcast once."""
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    pairs = dedup.minhash_near_duplicates(ds, threshold=0.7, concurrency=2)
+    clusters = dedup.cluster_pairs(pairs)
+    survivors = dedup.keep_representatives(
+        ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id"]), clusters
+    )
+    return _collect(survivors).sort_by("doc_id")
+
+
+def sql_neardup_dedup_keep() -> str:
+    cc = dedup.sql_cluster_pairs(dedup.sql_minhash_neardup(threshold=0.7))
+    return f"""
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM ({cc.strip()}) WHERE doc_id != cluster_rep
+)
+ORDER BY doc_id
+"""
+
+
 def q_simhash_neardup(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
     return _collect(dedup.simhash_near_duplicates(ds))
@@ -2532,6 +2557,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "minhash_neardup": q_minhash_neardup,
     "neardup_clusters": q_neardup_clusters,
+    "neardup_dedup_keep": q_neardup_dedup_keep,
     "simhash_neardup": q_simhash_neardup,
     "ann_cosine_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf,
@@ -2602,6 +2628,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": dedup.sql_cluster_pairs(
             dedup.sql_minhash_neardup(threshold=0.7)
         ),
+        "neardup_dedup_keep": sql_neardup_dedup_keep(),
         "simhash_neardup": dedup.sql_simhash_neardup(),
         "ann_cosine_topk": sql_ann_topk(),
         # full probing (nprobe = n_centroids) is exact -> same oracle
