@@ -10,6 +10,7 @@ so every one is value-checked by the driver's oracle gate.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -600,3 +601,137 @@ c AS (
 )
 SELECT doc_id, source, n_tokens FROM c WHERE cum <= budget ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Training-data export: deterministic shuffle -> shard assignments
+# --------------------------------------------------------------------------
+
+def export_shards(
+    ds: ray.data.Dataset,
+    *,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "export",
+    n_ranges: int = 4096,
+) -> ray.data.Dataset:
+    """Deterministic epoch shuffle + sharding for training export:
+    every doc gets ``(shard, pos)`` where ``shard = h % n_shards`` and
+    ``pos`` is the doc's rank within its shard in ``(h, id)`` order,
+    ``h = md5(salt+id) % 1e6`` (:mod:`cb.hashing`).  Layout-independent
+    and salt-re-dealable — a re-run, a resumed run, or a grown corpus
+    gives every existing doc the same (shard, pos).
+
+    Exact global ranks WITHOUT a global sort: the same two-phase shape
+    as token_budget_sample — per-batch (shard, h-range) count
+    histograms -> tiny groupby -> driver prefix offsets (n_shards x
+    n_ranges ints), then per-(shard, range) groups (corpus /
+    (n_shards*n_ranges) rows each) sort locally and add their carry-in
+    offset.  No group ever holds a shard's full row set."""
+    from . import hashing
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        h = hashing.salted_id_hash(salt, batch[id_col], mod=1_000_000).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "shard": pa.array(h % n_shards, type=pa.int64()),
+                "r": pa.array((h * n_ranges) // 1_000_000, type=pa.int64()),
+                "h": pa.array(h, type=pa.int64()),
+            }
+        )
+
+    ann = ds.map_batches(annotate, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def batch_hist(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["shard", "r"])
+            .group_by(["shard", "r"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["shard", "r", "n"])
+        )
+
+    hist = (
+        ann.map_batches(batch_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["shard", "r"])
+        .sum("n")
+        .take_all()
+    )  # n_shards x n_ranges rows — driver-tiny
+    per_shard: dict[int, list[tuple[int, int]]] = {}
+    for row in hist:
+        per_shard.setdefault(int(row["shard"]), []).append(
+            (int(row["r"]), int(row["sum(n)"]))
+        )
+    offsets: dict[tuple[int, int], int] = {}
+    for s, ranges in per_shard.items():
+        cum = 0
+        for r, n in sorted(ranges):
+            offsets[(s, r)] = cum
+            cum += n
+    off_ref = ray.put(offsets)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        base = offs[(int(g["shard"].iloc[0]), int(g["r"].iloc[0]))]
+        g = g.sort_values(["h", id_col], kind="mergesort")
+        g = g.assign(pos=np.arange(base, base + len(g), dtype=np.int64))
+        return g[[id_col, "shard", "pos"]]
+
+    return ann.groupby(["shard", "r"]).map_groups(rank_group, batch_format="pandas")
+
+
+def write_training_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "export",
+    n_ranges: int = 64,
+) -> dict:
+    """RESUMABLE training export: rows land in
+    ``out_dir/shard=<s>/range=<r>.parquet`` (rows (h, id)-sorted within
+    each file; file = one (shard, h-range) unit), written atomically —
+    a failed export re-run overwrites only its own files with identical
+    bytes, never one giant output.  Reading a shard's files in range
+    order replays the deterministic shuffle order.  ``out_dir`` follows
+    the shared-storage contract (cb.storage)."""
+    import os
+
+    from . import hashing
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        h = hashing.salted_id_hash(salt, batch[id_col], mod=1_000_000).astype(np.int64)
+        return batch.append_column(
+            "shard", pa.array(h % n_shards, type=pa.int64())
+        ).append_column(
+            "r", pa.array((h * n_ranges) // 1_000_000, type=pa.int64())
+        ).append_column("h", pa.array(h, type=pa.int64()))
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        s, r = int(g["shard"].iloc[0]), int(g["r"].iloc[0])
+        g = g.sort_values(["h", id_col], kind="mergesort").drop(
+            columns=["shard", "r", "h"]
+        )
+        d = os.path.join(out_dir, f"shard={s}")
+        os.makedirs(d, exist_ok=True)
+        fpath = os.path.join(d, f"range={r}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(g, preserve_index=False), fpath + ".tmp"
+        )
+        os.replace(fpath + ".tmp", fpath)
+        return pd.DataFrame({"shard": [s], "r": [r], "n_rows": [len(g)]})
+
+    parts = (
+        ds.map_batches(annotate, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["shard", "r"])
+        .map_groups(write_group, batch_format="pandas")
+        .take_all()
+    )
+    return {
+        "out_dir": out_dir,
+        "n_files": len(parts),
+        "n_rows": int(sum(p["n_rows"] for p in parts)),
+    }

@@ -2015,6 +2015,26 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def q_export_shards(sf_dir: str) -> pa.Table:
+    """Training export: deterministic epoch shuffle + shard assignment
+    (shard = salted-hash mod S, pos = exact rank within shard in
+    (h, id) order) — two-phase ranking, no global sort, no group ever
+    holds a shard's full rows."""
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id"])
+    out = curation.export_shards(ds, n_shards=8)
+    return _collect(out).sort_by("doc_id")
+
+
+def sql_export_shards(n_shards: int = 8, salt: str = "export") -> str:
+    h = f"(md5_number_lower(concat('{salt}', doc_id::VARCHAR)) % 1000000)::BIGINT"
+    return f"""
+WITH d AS (SELECT doc_id, {h} AS h FROM documents)
+SELECT doc_id, (h % {n_shards})::BIGINT AS shard,
+       (row_number() OVER (PARTITION BY h % {n_shards} ORDER BY h, doc_id) - 1)::BIGINT AS pos
+FROM d ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data curation pipelines (cb.curation)
 # --------------------------------------------------------------------------
@@ -2553,6 +2573,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "dataset_split": q_dataset_split,
     "token_budget_mix": q_token_budget_mix,
+    "export_shards": q_export_shards,
     "doc_fingerprint": q_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "minhash_neardup": q_minhash_neardup,
@@ -2619,6 +2640,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": textstats.sql_repetition_stats(),
         "dataset_split": curation.sql_dataset_split(),
         "token_budget_mix": curation.sql_token_budget_sample(MIX_BUDGETS),
+        "export_shards": sql_export_shards(),
         "doc_fingerprint": textstats.sql_fingerprint(),
         "ngram_jaccard_pairs": dedup.sql_ngram_jaccard(threshold=0.3),
         # exact mirrors: same md5-lower-64 hashes, inlined permutation

@@ -240,3 +240,54 @@ def test_token_budget_sample_skewed_source():
 
     got = {(r["source"], r["doc_id"]) for r in out}
     assert got == ref_keep(rows, budgets)
+
+
+def test_write_training_shards_resumable(tmp_path):
+    """Partitioned training export: one file per (shard, h-range),
+    atomic writes, and a re-run reproduces byte-identical files (the
+    resumable-output contract)."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [{"doc_id": i * 7 + 1, "text": f"doc {i}"} for i in range(300)]
+    ds = ray.data.from_items(rows)
+    out1 = str(tmp_path / "e1")
+    res = curation.write_training_shards(ds, out1, n_shards=4, n_ranges=8)
+    assert res["n_rows"] == 300
+
+    def tree(d):
+        out = {}
+        for root, _, files in os.walk(d):
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, d)] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    t1 = tree(out1)
+    assert all(k.startswith("shard=") for k in t1)
+    assert len(t1) == res["n_files"]
+    # re-run (same dir): overwrites with identical bytes
+    curation.write_training_shards(ray.data.from_items(rows), out1, n_shards=4, n_ranges=8)
+    assert tree(out1) == t1
+    # replaying shard files in range order == export_shards pos order
+    asg = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in curation.export_shards(
+            ray.data.from_items(rows), n_shards=4
+        ).take_all()
+    }
+    for s in range(4):
+        sdir = os.path.join(out1, f"shard={s}")
+        if not os.path.isdir(sdir):
+            continue
+        ids = []
+        for f in sorted(
+            os.listdir(sdir), key=lambda f: int(f[len("range="):-len(".parquet")])
+        ):
+            ids.extend(pq.read_table(os.path.join(sdir, f))["doc_id"].to_pylist())
+        assert [asg[i][1] for i in ids] == list(range(len(ids)))
+        assert all(asg[i][0] == s for i in ids)
