@@ -955,6 +955,19 @@ class FederatedEngine:
     def warm(self, min_df: int = 0) -> int:
         return sum(e.warm(min_df) for e in self.engines.values())
 
+    def metrics(self) -> dict:
+        """Federation-wide telemetry: per-member engine phase timers
+        rolled up additively plus the pooled server counters (the
+        TelemetryProvider analog across the whole fan-out)."""
+        from .telemetry import merge_snapshots
+
+        per = {n: e.metrics() for n, e in self.engines.items()}
+        return {
+            "engine": merge_snapshots([m["engine"] for m in per.values()]),
+            "servers": merge_snapshots([m["servers"] for m in per.values()]),
+            "members": per,
+        }
+
     def shutdown(self) -> None:
         for e in self.engines.values():
             e.shutdown()
@@ -1021,6 +1034,12 @@ class FederatedMultiFieldEngine:
                 and (end_day is None or day(n) <= end_day)
             ]
         return sel
+
+    def warm(self) -> int:
+        """Touch every member once (actor construction is lazy-ish under
+        Ray; a trivial query forces state load) — the serving-startup
+        cost lands here instead of the first user query."""
+        return len(ray.get([m.search.remote("", 1) for m in self.members.values()]))
 
     def search(self, query: str, k: int = 10, **sel) -> list[tuple[int, float]]:
         """Fan out the multifield query string, ONE ray.get, exact

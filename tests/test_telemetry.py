@@ -58,3 +58,40 @@ def test_query_engine_metrics_populate(tmp_path, ray_session):
         assert st["server.score"]["total_sec"] > 0
     finally:
         eng.shutdown()
+
+
+def test_federated_metrics_rollup(tmp_path, ray_session):
+    import ray
+
+    from cb import federated
+
+    rng = np.random.default_rng(19)
+    vocab = [f"tok{i}" for i in range(20)]
+    rows = []
+    epoch = 1_700_000_000_000_000
+    for i in range(80):
+        rows.append(
+            {
+                "doc_id": int(rng.integers(0, 1 << 50)),
+                "text": " ".join(rng.choice(vocab, size=rng.integers(4, 12))),
+                "ts": epoch + (i % 2) * 86_400_000_000,
+            }
+        )
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.timestamp("us")))
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(t, src)
+    fed = str(tmp_path / "fed")
+    federated.build_federation(
+        ray.data.read_parquet(src), fed, text_col="text", id_col="doc_id",
+        ts_col="ts", prefix="t-", num_parts=4,
+    )
+    eng = federated.FederatedEngine(fed, num_servers=2)
+    try:
+        eng.query("tok1 tok2", k=5)
+        m = eng.metrics()
+        assert m["engine"]["timers"]["query.total"]["count"] >= 1
+        assert len(m["members"]) == 2
+        assert m["servers"]["timers"].get("server.score", {}).get("count", 0) >= 1
+    finally:
+        eng.shutdown()
