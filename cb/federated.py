@@ -748,6 +748,9 @@ class FederatedEngine:
             e["name"]: QueryEngine(e["dir"], num_servers, mode, fed=fed_dir)
             for e in self.meta["indexes"]
         }
+        from .telemetry import Telemetry
+
+        self.telemetry = Telemetry()  # federation-level fan-out timers
 
     def _select(
         self,
@@ -780,15 +783,28 @@ class FederatedEngine:
     ) -> list[tuple[int, float]]:
         """Fan out to the selected sub-indexes, ONE ``ray.get`` over
         every server's score ref, exact merge."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         futs = []
         for n in self._select(names, start_day, end_day):
             f = self.engines[n]._dispatch(text, k, algo)
             if f is None:
                 continue
             futs.extend(f if isinstance(f, list) else [f])
+        t1 = _time.perf_counter()
+        self.telemetry.record("query.dispatch", t1 - t0)
         if not futs:
+            self.telemetry.record("query.total", _time.perf_counter() - t0)
             return []
-        return _merge_topk(ray.get(futs), k)
+        scored = ray.get(futs)
+        t2 = _time.perf_counter()
+        self.telemetry.record("query.wait", t2 - t1)
+        res = _merge_topk(scored, k)
+        t3 = _time.perf_counter()
+        self.telemetry.record("query.merge", t3 - t2)
+        self.telemetry.record("query.total", t3 - t0)
+        return res
 
     def phrase_query(
         self, text: str, k: int = 10, slop: int = 0, **sel
@@ -956,14 +972,16 @@ class FederatedEngine:
         return sum(e.warm(min_df) for e in self.engines.values())
 
     def metrics(self) -> dict:
-        """Federation-wide telemetry: per-member engine phase timers
-        rolled up additively plus the pooled server counters (the
+        """Federation-wide telemetry: the federation's own fan-out phase
+        timers (dispatch / wait / merge / total — federated queries
+        bypass member-engine query paths) plus per-member engine timers
+        and the additive roll-up of every member's server counters (the
         TelemetryProvider analog across the whole fan-out)."""
         from .telemetry import merge_snapshots
 
         per = {n: e.metrics() for n, e in self.engines.items()}
         return {
-            "engine": merge_snapshots([m["engine"] for m in per.values()]),
+            "engine": self.telemetry.snapshot(),
             "servers": merge_snapshots([m["servers"] for m in per.values()]),
             "members": per,
         }
