@@ -24,11 +24,19 @@ _MAXB = 10  # max varint bytes for a 64-bit value
 
 
 def varint_encode_with_sizes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """uint64 ndarray -> (LEB128 byte stream, per-value byte counts)."""
+    """uint64 ndarray -> (LEB128 byte stream, per-value byte counts).
+
+    All-small fast path: when every value < 128 (typical for tf/dl
+    streams) the stream IS the values — one cast, ~16x over the general
+    loop.  The general path scatters one byte position per pass
+    (measured faster than an (n, K) byte-plane + boolean compress for
+    mixed-width streams like delta-coded doc ids)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    if int(v.max()) < 128:  # 1-byte fast path
+        return v.astype(np.uint8), np.ones(n, dtype=np.int64)
     nbytes = np.ones(n, dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
