@@ -473,19 +473,21 @@ def embedding_near_duplicates(
     ``work_dir`` is written by the block pass and read back by the
     pair-sweep tasks, which may run on OTHER NODES: it must satisfy the
     shared-storage contract (:mod:`cb.storage`).  Callers pass one
-    explicitly; ``None`` derives a deterministic path under
-    ``CB_SHARED_DIR`` via :func:`cb.storage.scratch_dir` (never a
-    node-local ``mkdtemp``)."""
+    explicitly (kept afterwards, caller-owned); ``None`` derives a
+    UNIQUE run-scoped path under ``CB_SHARED_DIR`` (never node-local
+    ``mkdtemp``; never a params-derived name two concurrent jobs on
+    different datasets would collide on) and removes it when done."""
     import os
+    import shutil
+    import uuid
 
     import pyarrow.parquet as pq
 
     from . import storage
 
-    if work_dir is None:
-        work_dir = storage.scratch_dir(
-            "neardup", f"{id_col}|{vec_col}|{block_rows}"
-        )
+    own_work_dir = work_dir is None
+    if own_work_dir:
+        work_dir = storage.scratch_dir("neardup", uuid.uuid4().hex)
     os.makedirs(work_dir, exist_ok=True)
     n = ds.count()
     n_blocks = max(1, -(-n // block_rows))
@@ -518,6 +520,8 @@ def embedding_near_duplicates(
         {"i": i, "j": j} for ai, i in enumerate(blocks) for j in blocks[ai:]
     ]
     if not pair_rows:
+        if own_work_dir:
+            shutil.rmtree(work_dir, ignore_errors=True)
         return pa.Table.from_pylist([], schema=_pairs_schema())
 
     def score_pair(batch: pa.Table) -> pa.Table:
@@ -538,7 +542,10 @@ def embedding_near_duplicates(
     cands = ray.data.from_items(pair_rows).map_batches(
         score_pair, batch_format="pyarrow", batch_size=1
     )
-    return _collect_pairs(cands)
+    out = _collect_pairs(cands)
+    if own_work_dir:
+        shutil.rmtree(work_dir, ignore_errors=True)
+    return out
 
 
 def _make_vec_side(t, id_col: str, *, vec_col: str, dim: int) -> dict:

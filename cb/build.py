@@ -488,7 +488,11 @@ def encode_bucket(
     stale-bucket removal) are finalized by :func:`annotate_partition`.
 
     Returns one stats row (part, bucket, counters) for the driver.
+    ``avgdl`` must be None (the single-pass build cannot know it yet;
+    final umax/canonical bytes come from the annotate post-pass).
     """
+    if avgdl is not None:
+        raise ValueError("encode_bucket is the pre-avgdl path; annotate fills umax")
     part = int(group["part"][0].as_py())
     if part >= num_parts:
         m = write_docstats_bucket(group, index_dir, part, num_parts)
@@ -508,12 +512,11 @@ def encode_bucket(
     tbl = encode_partition_rows(flat, avgdl, store_positions=store_positions)
     pdir = os.path.join(index_dir, "parts", f"part={part}")
     os.makedirs(pdir, exist_ok=True)
-    out = tbl
-    if avgdl is not None:
-        # final bytes (no annotate rewrite coming): canonicalize now
-        out = _canonical_parquet(out)
+    # written non-canonical: the annotate post-pass (which needs the
+    # corpus avgdl this same shuffle produces) rewrites every bucket
+    # file from a parquet read-back, which canonicalizes the bytes
     fpath = _bucket_file(pdir, bucket)
-    pq.write_table(out, fpath + ".tmp")
+    pq.write_table(tbl, fpath + ".tmp")
     os.replace(fpath + ".tmp", fpath)
     return pa.table(
         {
@@ -755,6 +758,14 @@ def annotate_partition(batch: pa.Table, *, index_dir: str, avgdl: float) -> pa.T
             key=lambda f: int(os.path.basename(f)[len("bucket=") : -len(".parquet")]),
         )
         if not files:
+            if has_expected:
+                # THIS build owns the partition and produced no buckets:
+                # a previous build's manifest/_termdf would describe
+                # deleted data (stale df overlays, phantom postings)
+                for fname in ("manifest.json", "_termdf.parquet"):
+                    fp = os.path.join(pdir, fname)
+                    if os.path.exists(fp):
+                        os.remove(fp)
             continue
         written: dict[int, str] = {}
         n_rows = 0
@@ -1262,7 +1273,32 @@ def _build_index_inner(
         ),
         batch_format="pyarrow",
     )
-    rows = stats.take_all()  # one tiny row per (part, bucket)
+    # reduce the (part, bucket) stat rows to ONE row per part IN THE
+    # DATAFLOW: at the 100 TB operating point (num_parts and bucket
+    # caps both raised by the auto layout) the raw grain is up to
+    # parts x buckets = 2^18 x 2^8 rows — never driver-side
+    def _per_part(group: pa.Table) -> pa.Table:
+        part = int(group["part"][0].as_py())
+        return pa.table(
+            {
+                "part": pa.array([part], type=pa.int64()),
+                "buckets": pa.array(
+                    [sorted(group["bucket"].to_pylist())], type=pa.list_(pa.int64())
+                ),
+                "n_docs": pa.array(
+                    [int(pc.sum(group["n_docs"]).as_py() or 0)], type=pa.int64()
+                ),
+                "total_tokens": pa.array(
+                    [int(pc.sum(group["total_tokens"]).as_py() or 0)], type=pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        stats.groupby("part")
+        .map_groups(_per_part, batch_format="pyarrow")
+        .take_all()
+    )  # one row per part (+ sentinel parts)
     n_docs = sum(r["n_docs"] for r in rows)
     total_tokens = sum(r["total_tokens"] for r in rows)
     write_global(index_dir, n_docs, total_tokens, num_parts, range_bits)
@@ -1274,7 +1310,7 @@ def _build_index_inner(
     written: dict[int, list[int]] = {p: [] for p in range(num_parts)}
     for r in rows:
         if r["part"] < num_parts:
-            written[int(r["part"])].append(int(r["bucket"]))
+            written[int(r["part"])] = [int(b) for b in r["buckets"]]
     parts_ds = ray.data.from_items(
         [{"part": p, "buckets": sorted(written[p])} for p in range(num_parts)]
     )

@@ -478,7 +478,7 @@ def token_budget_sample(
     def annotate(batch: pa.Table) -> pa.Table:
         toks = analyze.token_array(batch[text_col])
         off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        h = hashing.salted_id_hash(salt, batch[id_col], mod=1_000_000)
+        h = hashing.salted_id_hash(salt, batch[id_col], mod=hashing.HASH_DOMAIN)
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -493,7 +493,7 @@ def token_budget_sample(
     ).materialize()
 
     def range_of(h: np.ndarray) -> np.ndarray:
-        return (h * n_ranges) // 1_000_000
+        return hashing.hash_range(h, n_ranges)
 
     def batch_hist(batch: pa.Table) -> pa.Table:
         h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -631,12 +631,14 @@ def export_shards(
     from . import hashing
 
     def annotate(batch: pa.Table) -> pa.Table:
-        h = hashing.salted_id_hash(salt, batch[id_col], mod=1_000_000).astype(np.int64)
+        h = hashing.salted_id_hash(
+            salt, batch[id_col], mod=hashing.HASH_DOMAIN
+        ).astype(np.int64)
         return pa.table(
             {
                 id_col: batch[id_col],
                 "shard": pa.array(h % n_shards, type=pa.int64()),
-                "r": pa.array((h * n_ranges) // 1_000_000, type=pa.int64()),
+                "r": pa.array(hashing.hash_range(h, n_ranges), type=pa.int64()),
                 "h": pa.array(h, type=pa.int64()),
             }
         )
@@ -701,11 +703,13 @@ def write_training_shards(
     from . import hashing
 
     def annotate(batch: pa.Table) -> pa.Table:
-        h = hashing.salted_id_hash(salt, batch[id_col], mod=1_000_000).astype(np.int64)
+        h = hashing.salted_id_hash(
+            salt, batch[id_col], mod=hashing.HASH_DOMAIN
+        ).astype(np.int64)
         return batch.append_column(
             "shard", pa.array(h % n_shards, type=pa.int64())
         ).append_column(
-            "r", pa.array((h * n_ranges) // 1_000_000, type=pa.int64())
+            "r", pa.array(hashing.hash_range(h, n_ranges), type=pa.int64())
         ).append_column("h", pa.array(h, type=pa.int64()))
 
     def write_group(g: pd.DataFrame) -> pd.DataFrame:

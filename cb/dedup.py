@@ -864,6 +864,7 @@ def cluster_pairs(
     lut_ref, sum_ref = init_labels.remote(*edges.to_arrow_refs())
     prev = ray.get(sum_ref)
 
+    converged = False
     for _ in range(max_iters):
         ref = lut_ref
 
@@ -886,8 +887,15 @@ def cluster_pairs(
         lut_ref, sum_ref = merge_labels.remote(lut_ref, *merged.to_arrow_refs())
         s = ray.get(sum_ref)
         if s == prev:  # monotone non-increasing -> fixed point
+            converged = True
             break
         prev = s
+    if not converged:
+        raise RuntimeError(
+            f"cluster_pairs did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters) — raising instead of "
+            "returning silently-wrong labels; raise max_iters"
+        )
 
     @ray.remote
     def emit(lut) -> pa.Table:

@@ -139,3 +139,16 @@ def salted_id_hash(salt: str, ids, mod: int | None = None) -> np.ndarray:
     if mod is not None:
         h = h % np.uint64(mod)
     return h
+
+
+#: Routing-hash domain every salted pipeline shares (and every SQL
+#: mirror inlines): h = md5_lower64(salt+id) % HASH_DOMAIN.
+HASH_DOMAIN = 1_000_000
+
+
+def hash_range(h: np.ndarray, n_ranges: int) -> np.ndarray:
+    """h (already mod HASH_DOMAIN) -> equal-width range index in
+    [0, n_ranges): the two-phase histogram/boundary key shared by
+    token_budget_sample / export_shards / write_training_shards — one
+    definition so the engine copies and the SQL mirrors cannot drift."""
+    return (h * n_ranges) // HASH_DOMAIN

@@ -424,3 +424,40 @@ def test_shrunk_input_list_drops_orphans(corpus_files, tmp_path):
     from cb.build import IndexMeta
 
     assert IndexMeta(idx).n_docs == IndexMeta(fresh).n_docs == 100
+
+
+def test_rebuild_clears_stale_partition_artifacts(tmp_path):
+    """Rebuild into the same index dir where a term partition receives
+    ZERO buckets: the previous build's manifest.json/_termdf.parquet for
+    that partition must not survive (stale df overlays / phantom
+    postings)."""
+    import pyarrow as pa
+    from cb.build import term_partition
+
+    src1 = str(tmp_path / "a.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"doc_id": i, "text": f"alpha{i} beta{i} gamma{i}"} for i in range(50)]
+        ),
+        src1,
+    )
+    idx = str(tmp_path / "idx")
+    build_index(src1, idx, text_col="text", id_col="doc_id", num_parts=4)
+    # second corpus: ONE term -> exactly one live partition
+    keep_part = term_partition("solo", 4)
+    src2 = str(tmp_path / "b.parquet")
+    pq.write_table(
+        pa.Table.from_pylist([{"doc_id": 1, "text": "solo"}]), src2
+    )
+    build_index(src2, idx, text_col="text", id_col="doc_id", num_parts=4)
+    for p in range(4):
+        pdir = os.path.join(idx, "parts", f"part={p}")
+        has_manifest = os.path.exists(os.path.join(pdir, "manifest.json"))
+        has_termdf = os.path.exists(os.path.join(pdir, "_termdf.parquet"))
+        has_buckets = any(
+            f.startswith("bucket=") for f in (os.listdir(pdir) if os.path.isdir(pdir) else [])
+        )
+        if p == keep_part:
+            assert has_manifest and has_termdf and has_buckets
+        else:
+            assert not has_manifest and not has_termdf and not has_buckets, p
