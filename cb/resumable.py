@@ -328,6 +328,13 @@ def build_index_resumable(
     Re-running after a crash (or file deletion) recomputes ONLY missing/
     stale shards and partitions; finished units are skipped via their
     manifests.
+
+    Scale note: stage B is one task per TERM PARTITION (whole-partition
+    memory), unlike the fast path's per-(part, bucket) grain — the
+    durable partials are per (shard, part), so bucket-grained merge
+    tasks would re-read every shard partial 2**range_bits times.  Size
+    ``num_parts`` (auto_num_parts: ~256k docs/partition) so a partition
+    fits a worker; see DESIGN_SCALE.md "Round-4 build grain".
     """
     if isinstance(input_files, str):
         input_files = sorted(
