@@ -650,16 +650,23 @@ def ingest_new_shards(
 
 
 @ray.remote
-def _delete_in_index(index_dir: str, ids: list[int]) -> int:
+def _delete_in_index(index_dir: str, ids: list[int], docstats_of: str | None = None) -> int:
     """Tombstone the subset of ``ids`` this sub-index actually holds
     (docstats intersection) — per-index tombstone lists stay
     proportional to deletes ROUTED there, not to federation-wide
-    deletes.  Returns how many of ``ids`` matched."""
+    deletes.  Returns how many of ``ids`` matched.
+
+    ``docstats_of`` points at the sub-index whose docstats define
+    membership when it differs from the tombstone target: a MULTIFIELD
+    member's docstats live per field sub-index (every field indexes the
+    same doc ids, so the first field is authoritative) while its
+    tombstones live at the member level, where MultiFieldSearcher reads
+    them."""
     import numpy as np
 
     from .shard import DocStats, delete_docs
 
-    ds = DocStats.load(index_dir)
+    ds = DocStats.load(docstats_of or index_dir)
     arr = np.array(sorted(set(int(i) for i in ids)), dtype=np.int64)
     if len(ds.ids) == 0 or len(arr) == 0:
         return 0
@@ -678,16 +685,23 @@ def delete_docs_federated(fed_dir: str, doc_ids) -> dict[str, int]:
     :func:`compact_federation` physically drops them."""
     with open(fed_meta_path(fed_dir)) as f:
         fg = json.load(f)
-    if fg.get("fields"):
-        raise NotImplementedError(
-            "delete/compact for MULTIFIELD federations is not wired yet "
-            "(docstats live per field sub-index); delete per field dir "
-            "or rebuild the affected day"
-        )
     ids = list(doc_ids)
-    counts = ray.get(
-        [_delete_in_index.remote(e["dir"], ids) for e in fg["indexes"]]
-    )
+    fields = fg.get("fields")
+    if fields:
+        from .multifield import field_dir as _fdir
+
+        counts = ray.get(
+            [
+                _delete_in_index.remote(
+                    e["dir"], ids, docstats_of=_fdir(e["dir"], fields[0])
+                )
+                for e in fg["indexes"]
+            ]
+        )
+    else:
+        counts = ray.get(
+            [_delete_in_index.remote(e["dir"], ids) for e in fg["indexes"]]
+        )
     return {
         e["name"]: c for e, c in zip(fg["indexes"], counts) if c
     }

@@ -687,3 +687,36 @@ def test_multifield_federation_streaming_ingest(tmp_path, ray_session):
     finally:
         a.shutdown()
         b.shutdown()
+
+
+def test_multifield_federation_deletes(tmp_path, ray_session):
+    """DELETE-by-id routes to the owning day of a MULTIFIELD federation
+    (docstats of the first field define membership, tombstones land at
+    the member level) and every field's scores mask the doc."""
+    from cb import federated, multifield
+
+    t = _mf_day_corpus(n=80)
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+    fed_dir = str(tmp_path / "fed")
+    federated.build_federation(
+        ray.data.read_parquet(src), fed_dir,
+        fields=["body", "title"], id_col="doc_id", ts_col="ts",
+        prefix="mf-", num_parts=4,
+    )
+    eng = federated.FederatedMultiFieldEngine(fed_dir)
+    try:
+        before = eng.search("tok1 tok2 tok3", k=5)
+        assert before
+        victim = before[0][0]
+        routed = federated.delete_docs_federated(fed_dir, [victim, 10**17])
+        assert sum(routed.values()) == 1  # absent id matched nowhere
+    finally:
+        eng.shutdown()
+    # fresh engine picks up the tombstone (documented delete contract)
+    eng2 = federated.FederatedMultiFieldEngine(fed_dir)
+    try:
+        after = eng2.search("tok1 tok2 tok3", k=5)
+        assert victim not in {d for d, _ in after}
+    finally:
+        eng2.shutdown()
