@@ -714,12 +714,32 @@ def compact_federation(fed_dir: str) -> dict:
     bitwise a fresh federation over the survivors."""
     with open(fed_meta_path(fed_dir)) as f:
         fg = json.load(f)
-    if fg.get("fields"):
-        raise NotImplementedError(
-            "compaction for MULTIFIELD federations is not wired yet"
-        )
     cfg = _cfg_from(fg)
     entries = []
+    fields = fg.get("fields")
+    if fields:
+        from .multifield import compact_multifield
+
+        for e in fg["indexes"]:
+            stats = compact_multifield(e["dir"])
+            first = stats[fields[0]]
+            entries.append(
+                {
+                    "name": e["name"],
+                    "dir": e["dir"],
+                    "n_docs": first["n_docs"],
+                    "total_tokens": sum(v["total_tokens"] for v in stats.values()),
+                    "field_stats": {
+                        f: {"n_docs": v["n_docs"], "total_tokens": v["total_tokens"]}
+                        for f, v in stats.items()
+                    },
+                }
+            )
+        fed = _publish(fed_dir, cfg, entries)
+        if fg.get("docmeta_cols"):
+            fed["docmeta_cols"] = fg["docmeta_cols"]
+            manifest.write_atomic(fed_meta_path(fed_dir), fed)
+        return fed
     for e in fg["indexes"]:
         meta = build_mod.compact_index(e["dir"])
         entries.append(

@@ -82,6 +82,40 @@ def build_multifield(
     return m
 
 
+def compact_multifield(index_dir: str) -> dict:
+    """Physically drop tombstoned docs from EVERY field sub-index (the
+    multifield analog of :func:`cb.build.compact_index`): member-level
+    tombstones (where MultiFieldSearcher and the federated delete path
+    write them) are projected into each field dir, each field compacts
+    independently (per-bucket parallel, byte-identical to a fresh build
+    over the survivors), and the member-level tombstone set clears
+    last.  Returns {field: {n_docs, total_tokens, avgdl}}."""
+    import shutil
+
+    from . import build as build_mod
+    from .shard import load_tombstones
+
+    m = load_multifield_meta(index_dir)
+    tomb_path = os.path.join(index_dir, "_tombstones.json")
+    tomb = load_tombstones(index_dir)
+    out = {}
+    for f in m["fields"]:
+        fdir = field_dir(index_dir, f)
+        if len(tomb):
+            # project the member tombstones into the field dir so the
+            # single-field compactor sees them (idempotent on re-run)
+            shutil.copyfile(tomb_path, os.path.join(fdir, "_tombstones.json"))
+        meta = build_mod.compact_index(fdir)
+        out[f] = {
+            "n_docs": meta.n_docs,
+            "total_tokens": meta.total_tokens,
+            "avgdl": meta.avgdl,
+        }
+    if os.path.exists(tomb_path):
+        os.remove(tomb_path)  # last: a crash before this re-runs cleanly
+    return out
+
+
 def load_multifield_meta(index_dir: str) -> dict:
     m = manifest.read(_mf_manifest_path(index_dir))
     if not m:

@@ -642,11 +642,9 @@ def test_multifield_federation_bitwise_equals_monolithic(tmp_path, ray_session):
     finally:
         eng.shutdown()
 
-    # engine-type guards
+    # engine-type guard
     with pytest.raises(ValueError, match="MULTIFIELD"):
         federated.FederatedEngine(fed_dir)
-    with pytest.raises(NotImplementedError):
-        federated.compact_federation(fed_dir)
 
 
 def test_multifield_federation_streaming_ingest(tmp_path, ray_session):
@@ -720,3 +718,44 @@ def test_multifield_federation_deletes(tmp_path, ray_session):
         assert victim not in {d for d, _ in after}
     finally:
         eng2.shutdown()
+
+
+def test_multifield_federation_compaction_bitwise(tmp_path, ray_session):
+    """Delete + compact a MULTIFIELD federation: stats and search
+    results are bitwise a fresh multifield federation over the
+    survivors (per-field N/avgdl/df all shrink)."""
+    from cb import federated
+
+    t = _mf_day_corpus(n=70, seed=37)
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+    fed_dir = str(tmp_path / "fed")
+    federated.build_federation(
+        ray.data.read_parquet(src), fed_dir,
+        fields=["body", "title"], id_col="doc_id", ts_col="ts",
+        prefix="mf-", num_parts=4,
+    )
+    victims = sorted(t["doc_id"].to_pylist())[:7]
+    federated.delete_docs_federated(fed_dir, victims)
+    fed = federated.compact_federation(fed_dir)
+
+    surv = t.filter(
+        pa.compute.invert(pa.compute.is_in(t["doc_id"], value_set=pa.array(victims)))
+    )
+    src2 = str(tmp_path / "surv.parquet")
+    pq.write_table(surv, src2)
+    fresh_dir = str(tmp_path / "fresh")
+    fresh = federated.build_federation(
+        ray.data.read_parquet(src2), fresh_dir,
+        fields=["body", "title"], id_col="doc_id", ts_col="ts",
+        prefix="mf-", num_parts=4,
+    )
+    assert fed["field_stats"] == fresh["field_stats"]
+    a = federated.FederatedMultiFieldEngine(fed_dir)
+    b = federated.FederatedMultiFieldEngine(fresh_dir)
+    try:
+        for q in ("tok1 tok2", "title:tok3", "tok5 tok7 tok9"):
+            assert a.search(q, k=10) == b.search(q, k=10), q
+    finally:
+        a.shutdown()
+        b.shutdown()
