@@ -123,21 +123,40 @@ class DecontaminateStage:
 
     def __init__(self, bench_ref, n: int, text_col: str, id_col: str):
         self.bench = ray.get(bench_ref)
+        self._bench_arr = pa.array(sorted(self.bench), type=pa.string())
         self.n = n
         self.text_col = text_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .dedup import shingle_set
+        from .dedup import _batch_shingles
 
-        hits = []
-        for text in batch[self.text_col].to_pylist():
-            sh = shingle_set(analyze.tokenize(text), self.n)
-            hits.append(sum(1 for s in sh if s in self.bench))
+        shingles, sh_starts, counts = _batch_shingles(
+            batch, self.text_col, self.n
+        )
+        n_docs = batch.num_rows
+        hits = np.zeros(n_docs, dtype=np.int64)
+        if len(shingles):
+            # DISTINCT shingles per doc (shingle_set semantics): Arrow
+            # membership against the broadcast benchmark set, then a
+            # per-doc distinct-hit count — no per-row Python
+            member = pc.is_in(shingles, value_set=self._bench_arr).to_numpy(
+                zero_copy_only=False
+            )
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+            hit_idx = np.flatnonzero(member)
+            if len(hit_idx):
+                # count DISTINCT matched shingles per doc (duplicates of
+                # one shingle inside a doc count once)
+                enc = pc.dictionary_encode(shingles.take(pa.array(hit_idx)))
+                codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                d = doc_of[hit_idx]
+                uniq = np.unique(d * (int(codes.max()) + 1) + codes)
+                np.add.at(hits, (uniq // (int(codes.max()) + 1)), 1)
         return pa.table(
             {
                 "doc_id": batch[self.id_col],
-                "contaminated": pa.array([h > 0 for h in hits], type=pa.bool_()),
+                "contaminated": pa.array(hits > 0, type=pa.bool_()),
                 "n_hits": pa.array(hits, type=pa.int64()),
             }
         )
