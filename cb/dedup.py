@@ -570,18 +570,20 @@ def simhash_near_duplicates(
     ).materialize()
 
     def bands(batch: pa.Table) -> pa.Table:
-        b_out, h_out, d_out = [], [], []
-        for doc_id, sh in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
-            u = sh & ((1 << 64) - 1)
-            for bnd in range(4):
-                b_out.append(bnd)
-                h_out.append((u >> (16 * bnd)) & 0xFFFF)
-                d_out.append(doc_id)
+        u = (
+            batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+            .view(np.uint64)
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        # row-major (doc-major) order matches the old per-doc loop
+        h = ((u[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)).astype(np.int64)
         return pa.table(
             {
-                "band": pa.array(b_out, type=pa.int32()),
-                "band_hash": pa.array(h_out, type=pa.int64()),
-                "doc_id": pa.array(d_out, type=pa.int64()),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n), type=pa.int32()),
+                "band_hash": pa.array(h.ravel(), type=pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, 4), type=pa.int64()),
             }
         )
 
@@ -620,15 +622,30 @@ def simhash_near_duplicates(
 # --------------------------------------------------------------------------
 
 def _shingle_rows(batch: pa.Table, *, text_col: str, id_col: str, n: int) -> pa.Table:
-    docs, shingles = [], []
-    for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-        for s in shingle_set(analyze.tokenize(text), n):
-            docs.append(doc_id)
-            shingles.append(s)
+    """(doc_id, shingle) rows, DISTINCT per doc (shingle_set semantics),
+    fully vectorized: Arrow n-gram shingling (duplicates kept) +
+    dictionary-encode + unique (doc, code) pair dedup — no per-row
+    Python tokenize/set loop."""
+    import pyarrow.compute as pc
+
+    shingles, _, counts = _batch_shingles(batch, text_col, n)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(shingles) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "shingle": pa.array([], type=pa.string()),
+            }
+        )
+    doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+    enc = pc.dictionary_encode(shingles)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = int(len(enc.dictionary))
+    uniq = np.unique(doc_of * v + codes)
     return pa.table(
         {
-            "doc_id": pa.array(docs, type=pa.int64()),
-            "shingle": pa.array(shingles, type=pa.string()),
+            "doc_id": pa.array(ids[uniq // v], type=pa.int64()),
+            "shingle": enc.dictionary.take(pa.array(uniq % v)),
         }
     )
 
