@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 
 import numpy as np
 
@@ -140,11 +139,12 @@ def route_query(query: str, fields: list[str]) -> dict:
     from . import querylang
 
     parsed = querylang.parse(query)
-    if parsed.get("expands") or parsed.get("required") or re.search(r"\^[0-9]", query):
+    if parsed.get("expands") or parsed.get("minimum_should_match"):
         raise NotImplementedError(
             "multi-field query strings support terms / phrases / filters / "
-            "exclusions; +required, ^boosts and wildcard/fuzzy atoms are "
-            "single-field-engine features for now"
+            "exclusions / ^boosts / +required; wildcard/fuzzy atoms and "
+            "msm:N are single-field-engine features for now (expansion "
+            "needs per-field vocabularies)"
         )
     field_terms: dict[str, set] = {f: set() for f in fields}
     filters: dict[str, str] = {}
@@ -177,6 +177,12 @@ def route_query(query: str, fields: list[str]) -> dict:
         "field_phrases": field_phrases,
         "filters": filters,
         "excluded_phrases": parsed["excluded_phrases"],
+        # ^boost weights (per term, phrase tokens included) and +required
+        # terms — most_fields semantics: the weight scales the term's idf
+        # in EVERY field it scores in; a required term must match in >=1
+        # of its scoped fields
+        "weights": parsed.get("weights") or {},
+        "required": parsed.get("required") or [],
     }
 
 
@@ -222,8 +228,13 @@ def _score_fields(
         live = {t: p for t, p in postings.items() if p is not None}
         if not live:
             continue
+        w = routed.get("weights") or {}
+        # weight multiplies idf FIRST (one scalar double per term) —
+        # same order as the single-field engine and the weighted SQL
+        # mirror, so w == 1 stays bitwise identical to the unweighted path
         idfs = {
             t: float(scoring.idf(getattr(p, "gdf", p.df), stats[f].n_docs))
+            * float(w.get(t, 1.0))
             for t, p in live.items()
         }
         universe, acc = wand.taat_scores(live, idfs, stats[f])
@@ -293,6 +304,21 @@ def _score_fields(
             if hits:
                 hit_ids = np.array(sorted(d for d, _ in hits), dtype=np.int64)
                 keep &= ~np.isin(all_ids, hit_ids, assume_unique=True)
+    # +required terms: doc must contain the term in >=1 of its scoped
+    # fields (exact per doc, so disjoint doc-sharded slices stay exact)
+    for t in routed.get("required") or ():
+        union: list[np.ndarray] = []
+        for f in field_order:
+            if t not in (routed["field_terms"].get(f) or ()):
+                continue
+            p = get_postings(f, t)
+            if p is not None:
+                union.append(p.decode_all()[0])
+        if not union:
+            return []
+        keep &= np.isin(
+            all_ids, np.unique(np.concatenate(union)), assume_unique=True
+        )
     for t in routed["excluded"]:
         for f in field_order:
             p = get_postings(f, t)

@@ -1486,6 +1486,11 @@ MF_QS_SET: tuple[str, ...] = (
     "title:join merge lang:de",
     'column row -table source:src2',
     '"group order" title:group',
+    # query-language v2 on multifield: ^boosts (term + phrase) and +required
+    "hash^2 join",
+    "+window merge sort",
+    'title:join^3 merge',
+    '"merge sort"^2 window +group',
 )
 
 
@@ -1540,8 +1545,14 @@ def sql_multifield_querystring() -> str:
         r = multifield.route_query(q, list(fields))
         for f in fields:
             for t in r["field_terms"][f]:
-                q_rows[f].append(f"({qid}, '{t}')")
+                w = float(r.get("weights", {}).get(t, 1.0))
+                q_rows[f].append(f"({qid}, '{t}', CAST({w!r} AS DOUBLE))")
         preds = []
+        # +required: the term must appear in >=1 of its scoped fields
+        for t in r.get("required") or ():
+            scoped = [f for f in fields if t in r["field_terms"][f]]
+            ors = " OR ".join(f"{jalias[f]}.s LIKE '% {t} %'" for f in scoped)
+            preds.append(f"({ors})")
         for ph in r["any_phrases"]:
             p = " ".join(ph)
             ors = " OR ".join(f"{jalias[f]}.s LIKE '% {p} %'" for f in fields)
@@ -1565,12 +1576,12 @@ def sql_multifield_querystring() -> str:
         )
     for f in fields:
         if not q_rows[f]:
-            q_rows[f].append("(-1, '')")
+            q_rows[f].append("(-1, '', CAST(1.0 AS DOUBLE))")
     members = " UNION ALL ".join(member_selects)
     per_field = []
     for f in fields:
-        contrib_f = scoring.sql_score_terms(
-            f"(SELECT n_docs FROM g_{f})", f"(SELECT avgdl FROM g_{f})"
+        contrib_f = scoring.sql_score_terms_weighted(
+            f"(SELECT n_docs FROM g_{f})", f"(SELECT avgdl FROM g_{f})", "q.w"
         )
         per_field.append(f"""
 s_{f} AS (SELECT doc_id, len(t_{f})::BIGINT AS doc_len FROM f),
@@ -1579,7 +1590,7 @@ g_{f} AS (SELECT count(*)::BIGINT AS n_docs,
 tf_{f} AS (SELECT doc_id, term, count(*)::BIGINT AS tf
            FROM (SELECT doc_id, unnest(t_{f}) AS term FROM f) GROUP BY 1, 2),
 df_{f} AS (SELECT term, count(*)::BIGINT AS df FROM tf_{f} GROUP BY 1),
-q_{f}(query_id, term) AS (VALUES {', '.join(q_rows[f])}),
+q_{f}(query_id, term, w) AS (VALUES {', '.join(q_rows[f])}),
 scored_{f} AS (
   SELECT q.query_id, tf.doc_id, sum({contrib_f} ORDER BY q.term) AS score
   FROM q_{f} q
