@@ -139,12 +139,11 @@ def route_query(query: str, fields: list[str]) -> dict:
     from . import querylang
 
     parsed = querylang.parse(query)
-    if parsed.get("expands") or parsed.get("minimum_should_match"):
+    if parsed.get("minimum_should_match"):
         raise NotImplementedError(
             "multi-field query strings support terms / phrases / filters / "
-            "exclusions / ^boosts / +required; wildcard/fuzzy atoms and "
-            "msm:N are single-field-engine features for now (expansion "
-            "needs per-field vocabularies)"
+            "exclusions / ^boosts / +required / wildcard / fuzzy; msm:N is "
+            "a single-field-engine feature for now"
         )
     field_terms: dict[str, set] = {f: set() for f in fields}
     filters: dict[str, str] = {}
@@ -183,7 +182,58 @@ def route_query(query: str, fields: list[str]) -> dict:
         # of its scoped fields
         "weights": parsed.get("weights") or {},
         "required": parsed.get("required") or [],
+        # unresolved wildcard/fuzzy atoms: resolved per FIELD vocabulary
+        # by expand_routed before scoring
+        "expands": parsed.get("expands") or [],
     }
+
+
+def expand_routed(routed: dict, vocabs: dict[str, list[str]]) -> dict:
+    """Resolve wildcard/fuzzy atoms PER FIELD (the multifield analog of
+    ``querylang.expand``; rewrite=scoring_boolean): in field ``f`` a
+    term's weight is its parse-time weight if it was originally scoped
+    there (else 0) plus the boosts of every atom matching it — atoms
+    match by string, so a term present in several field vocabularies
+    gets the same boost sum in each.  Accumulation order (base weight
+    first, atoms in query order) mirrors the SQL oracle's
+    ``sum(w ORDER BY atom_id)`` float order exactly.  Returns a new
+    routed dict with ``expands`` emptied and ``field_weights`` set —
+    safe to ship to doc-sharded servers / federation members (each
+    member expands against ITS vocabulary, the same per-sub-index
+    contract as the single-field federation)."""
+    import re as _re
+
+    from . import querylang
+
+    if not routed.get("expands"):
+        return routed
+    out = dict(routed)
+    base_w = routed.get("weights") or {}
+    ft = {f: set(ts) for f, ts in routed["field_terms"].items()}
+    fw: dict[str, dict[str, float]] = {}
+    for f, vocab in vocabs.items():
+        w_f = {t: float(base_w.get(t, 1.0)) for t in ft[f]}
+        for atom in routed["expands"]:
+            if atom["kind"] == "wildcard":
+                rx = _re.compile(querylang.wildcard_regex(atom["pattern"]))
+                hits = [t for t in vocab if rx.fullmatch(t)]
+            else:
+                base, dist = atom["term"], atom["dist"]
+                lo, hi = len(base) - dist, len(base) + dist
+                hits = [
+                    t
+                    for t in vocab
+                    if lo <= len(t) <= hi
+                    and querylang.damerau_levenshtein(base, t) <= dist
+                ]
+            for t in sorted(hits):
+                w_f[t] = w_f.get(t, 0.0) + float(atom["boost"])
+            ft[f].update(hits)
+        fw[f] = w_f
+    out["field_terms"] = {f: sorted(ts) for f, ts in ft.items()}
+    out["field_weights"] = fw
+    out["expands"] = []
+    return out
 
 
 def route_terms(
@@ -228,7 +278,7 @@ def _score_fields(
         live = {t: p for t, p in postings.items() if p is not None}
         if not live:
             continue
-        w = routed.get("weights") or {}
+        w = (routed.get("field_weights") or {}).get(f) or routed.get("weights") or {}
         # weight multiplies idf FIRST (one scalar double per term) —
         # same order as the single-field engine and the weighted SQL
         # mirror, so w == 1 stays bitwise identical to the unweighted path
@@ -393,6 +443,7 @@ class MultiFieldSearcher:
         self.tombstones = load_tombstones(index_dir)
         self._dm = None
         self._dm_loaded = False
+        self._vocabs: dict[str, list[str]] | None = None  # lazy (wildcard/fuzzy)
 
     def _get(self, field: str, term: str):
         meta = self.metas[field]
@@ -404,8 +455,17 @@ class MultiFieldSearcher:
             self._dm_loaded = True
         return self._dm
 
+    def _field_vocabs(self) -> dict[str, list[str]]:
+        from .shard import load_vocab
+
+        if self._vocabs is None:
+            self._vocabs = {f: load_vocab(m) for f, m in self.metas.items()}
+        return self._vocabs
+
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         routed = route_query(query, self.fields)
+        if routed.get("expands"):
+            routed = expand_routed(routed, self._field_vocabs())
         dm = self._docmeta() if routed["filters"] else None
         return _score_fields(
             routed, self._get, self.stats, self.fields, k, self.tombstones,
@@ -476,6 +536,8 @@ class MultiFieldEngine:
                 f"(2^range_bits doc-range buckets)"
             )
         self.num_servers = num_servers
+        self._index_dir = index_dir
+        self._vocabs: dict[str, list[str]] | None = None  # lazy (wildcard/fuzzy)
         self.servers = [
             MultiFieldServer.remote(
                 index_dir,
@@ -486,6 +548,17 @@ class MultiFieldEngine:
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         routed = route_query(query, self.fields)
+        if routed.get("expands"):
+            # driver-side rewrite (vocab summaries, not postings), so
+            # every server scores the same concrete routed clause set
+            from .shard import load_vocab
+
+            if self._vocabs is None:
+                self._vocabs = {
+                    f: load_vocab(IndexMeta(field_dir(self._index_dir, f)))
+                    for f in self.fields
+                }
+            routed = expand_routed(routed, self._vocabs)
         futs = [s.score.remote(routed, k) for s in self.servers]
         return _merge_topk(ray.get(futs), k)
 

@@ -1491,6 +1491,11 @@ MF_QS_SET: tuple[str, ...] = (
     "+window merge sort",
     'title:join^3 merge',
     '"merge sort"^2 window +group',
+    # wildcard / fuzzy atoms, expanded per FIELD vocabulary
+    "mer* window",
+    "joni~1 hash",
+    'tabl*^2 scan',
+    "sort~1 merge^2",
 )
 
 
@@ -1534,7 +1539,7 @@ def sql_multifield_querystring() -> str:
     phrases -> token-joined LIKE per field (any-field = OR, scoped =
     that field); filters -> metadata equality; exclusions -> NOT LIKE
     in every field."""
-    from . import multifield
+    from . import multifield, querylang
 
     tok = analyze.sql_token_array("text")
     fields = ("text", "title")
@@ -1544,9 +1549,29 @@ def sql_multifield_querystring() -> str:
     for qid, q in enumerate(MF_QS_SET):
         r = multifield.route_query(q, list(fields))
         for f in fields:
+            aid = 0
+            # exact atoms: the terms originally scoped to this field, at
+            # their parse weight (sorted, ids first — the engine's
+            # accumulation order: base weight, then atoms in query order)
             for t in r["field_terms"][f]:
                 w = float(r.get("weights", {}).get(t, 1.0))
-                q_rows[f].append(f"({qid}, '{t}', CAST({w!r} AS DOUBLE))")
+                q_rows[f].append(
+                    f"({qid}, {aid}, 'e', '{t}', 0, CAST({w!r} AS DOUBLE))"
+                )
+                aid += 1
+            for atom in r.get("expands") or ():
+                if atom["kind"] == "wildcard":
+                    rx = querylang.wildcard_regex(atom["pattern"])
+                    q_rows[f].append(
+                        f"({qid}, {aid}, 'w', '{rx}', 0, "
+                        f"CAST({atom['boost']!r} AS DOUBLE))"
+                    )
+                else:
+                    q_rows[f].append(
+                        f"({qid}, {aid}, 'f', '{atom['term']}', {atom['dist']}, "
+                        f"CAST({atom['boost']!r} AS DOUBLE))"
+                    )
+                aid += 1
         preds = []
         # +required: the term must appear in >=1 of its scoped fields
         for t in r.get("required") or ():
@@ -1576,7 +1601,7 @@ def sql_multifield_querystring() -> str:
         )
     for f in fields:
         if not q_rows[f]:
-            q_rows[f].append("(-1, '', CAST(1.0 AS DOUBLE))")
+            q_rows[f].append("(-1, 0, 'e', '', 0, CAST(1.0 AS DOUBLE))")
     members = " UNION ALL ".join(member_selects)
     per_field = []
     for f in fields:
@@ -1590,7 +1615,17 @@ g_{f} AS (SELECT count(*)::BIGINT AS n_docs,
 tf_{f} AS (SELECT doc_id, term, count(*)::BIGINT AS tf
            FROM (SELECT doc_id, unnest(t_{f}) AS term FROM f) GROUP BY 1, 2),
 df_{f} AS (SELECT term, count(*)::BIGINT AS df FROM tf_{f} GROUP BY 1),
-q_{f}(query_id, term, w) AS (VALUES {', '.join(q_rows[f])}),
+qatom_{f}(query_id, atom_id, kind, pat, dist, w) AS (VALUES {', '.join(q_rows[f])}),
+q_{f} AS (
+  SELECT a.query_id, df.term, sum(a.w ORDER BY a.atom_id) AS w
+  FROM qatom_{f} a JOIN df_{f} df ON (
+       (a.kind = 'e' AND df.term = a.pat)
+    OR (a.kind = 'w' AND regexp_full_match(df.term, a.pat))
+    OR (a.kind = 'f' AND abs(length(df.term) - length(a.pat)) <= a.dist
+        AND damerau_levenshtein(df.term, a.pat) <= a.dist)
+  )
+  GROUP BY 1, 2
+),
 scored_{f} AS (
   SELECT q.query_id, tf.doc_id, sum({contrib_f} ORDER BY q.term) AS score
   FROM q_{f} q

@@ -633,6 +633,7 @@ def test_multifield_federation_bitwise_equals_monolithic(tmp_path, ray_session):
             "tok1 tok2", "title:tok3 tok4", "tok5 -tok6", "tok7 tok8 tok9",
             'tok1 "tok2 tok3"', 'title:"tok4 tok5" tok6',
             "tok1^2 tok2", "+tok3 tok4 tok5", 'title:tok6^3 tok7',
+            "tok1* tok5", "tok12~1 tok3",
         ):
             assert eng.search(q, k=10) == mono.search(q, k=10), q
         # day pruning: single member == that member's slice only
