@@ -139,12 +139,6 @@ def route_query(query: str, fields: list[str]) -> dict:
     from . import querylang
 
     parsed = querylang.parse(query)
-    if parsed.get("minimum_should_match"):
-        raise NotImplementedError(
-            "multi-field query strings support terms / phrases / filters / "
-            "exclusions / ^boosts / +required / wildcard / fuzzy; msm:N is "
-            "a single-field-engine feature for now"
-        )
     field_terms: dict[str, set] = {f: set() for f in fields}
     filters: dict[str, str] = {}
     field_phrases: list[tuple[str, list[str]]] = []
@@ -185,6 +179,8 @@ def route_query(query: str, fields: list[str]) -> dict:
         # unresolved wildcard/fuzzy atoms: resolved per FIELD vocabulary
         # by expand_routed before scoring
         "expands": parsed.get("expands") or [],
+        # msm:N — a doc must match >= N DISTINCT scored terms, in any field
+        "minimum_should_match": parsed.get("minimum_should_match") or 0,
     }
 
 
@@ -354,6 +350,26 @@ def _score_fields(
             if hits:
                 hit_ids = np.array(sorted(d for d, _ in hits), dtype=np.int64)
                 keep &= ~np.isin(all_ids, hit_ids, assume_unique=True)
+    # msm:N — count DISTINCT scored terms matched per doc across all
+    # fields (exact per doc, so disjoint doc-sharded slices stay exact)
+    msm = int(routed.get("minimum_should_match") or 0)
+    if msm > 1:
+        all_terms = sorted({t for ts in routed["field_terms"].values() for t in ts})
+        counts = np.zeros(len(all_ids), dtype=np.int64)
+        for t in all_terms:
+            union: list[np.ndarray] = []
+            for f in field_order:
+                if t not in (routed["field_terms"].get(f) or ()):
+                    continue
+                p = get_postings(f, t)
+                if p is not None:
+                    union.append(p.decode_all()[0])
+            if union:
+                counts += np.isin(
+                    all_ids, np.unique(np.concatenate(union)), assume_unique=True
+                ).astype(np.int64)
+        keep &= counts >= msm
+
     # +required terms: doc must contain the term in >=1 of its scoped
     # fields (exact per doc, so disjoint doc-sharded slices stay exact)
     for t in routed.get("required") or ():

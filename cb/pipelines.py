@@ -1496,6 +1496,9 @@ MF_QS_SET: tuple[str, ...] = (
     "joni~1 hash",
     'tabl*^2 scan',
     "sort~1 merge^2",
+    # minimum_should_match over (expanded) scored terms
+    "hash join window msm:2",
+    "mer* scan msm:2",
 )
 
 
@@ -1593,6 +1596,18 @@ def sql_multifield_querystring() -> str:
                 preds.append(f"{jalias[f]}.s NOT LIKE '% {t} %'")
         for col, val in r["filters"].items():
             preds.append(f"d.{col} = '{val}'")
+        msm = int(r.get("minimum_should_match") or 0)
+        if msm > 1:
+            # distinct EXPANDED scored terms matched in any field, per doc
+            per_f = " UNION ".join(
+                f"SELECT tf.doc_id, q.term FROM q_{f} q "
+                f"JOIN tf_{f} tf ON tf.term = q.term WHERE q.query_id = {qid}"
+                for f in fields
+            )
+            preds.append(
+                f"d.doc_id IN (SELECT x.doc_id FROM ({per_f}) x "
+                f"GROUP BY x.doc_id HAVING count(DISTINCT x.term) >= {msm})"
+            )
         where = (" AND " + " AND ".join(preds)) if preds else ""
         member_selects.append(
             f"SELECT {qid} AS query_id, d.doc_id FROM documents d "
