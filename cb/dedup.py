@@ -118,9 +118,16 @@ def _batch_shingles(batch: pa.Table, text_col: str, n: int):
     (doc boundaries masked).  Returns (shingle strings, per-doc start
     offsets into them, per-doc shingle counts) — duplicates within a
     doc are KEPT (min-hash is duplicate-insensitive)."""
+    return _token_windows(analyze.token_array(batch[text_col]), n)
+
+
+def _token_windows(kept: pa.Array, n: int):
+    """The shingle kernel over an already-tokenized ``list<string>``
+    array — shared by the near-dup signatures (via
+    :func:`_batch_shingles`) and the duplicate-substring span pass,
+    which needs the token array itself to rebuild stripped text."""
     import pyarrow.compute as pc
 
-    kept = analyze.token_array(batch[text_col])
     offsets = kept.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     starts0 = offsets[:-1] - offsets[0]
     lens = np.diff(offsets)
@@ -1039,4 +1046,335 @@ JOIN sims sa ON sa.doc_id = c.doc_a
 JOIN sims sb ON sb.doc_id = c.doc_b
 WHERE bit_count(xor(sa.u, sb.u)) <= {max_hamming}
 ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact duplicate-substring spans (LLM-pipeline addendum)
+#
+# The ExactSubstr pass of Lee et al., "Deduplicating Training Data Makes
+# Language Models Better" (2022): find every maximal token span whose
+# n-token windows ALL occur >= min_count times corpus-wide, and
+# optionally strip those spans from the text.  The reference engine has
+# no analog (its dedup is the deterministic-ID upsert,
+# /root/reference/src/ConveyorBelt.Tooling/NestBatchPusher.cs:70-71);
+# this is the standard large-scale pretraining-data operator the
+# LLM addendum calls for.
+#
+# Ray-Data shape (two streaming passes, ONE bounded shuffle):
+#   pass A  map_batches: vectorized n-token windows -> md5-lower-64 per
+#           unique window (cb.hashing, the DuckDB-exact kernel) ->
+#           per-batch partial counts (combiner) -> ONE shuffle keyed by
+#           a bounded hash bucket (the `_pair_counts` shape: group
+#           count = n_buckets, never window cardinality) -> per-bucket
+#           Arrow merge -> qualifying hashes assembled into one sorted
+#           uint64 array INSIDE a Ray task (driver holds the ObjectRef).
+#   pass B  map_batches actor stage: recompute window hashes, member-
+#           ship via searchsorted against the broadcast dup array (the
+#           decontaminate shape), merge overlapping duplicated windows
+#           into maximal spans — batch-local, because every window of a
+#           doc lives in its batch; no second shuffle.
+# At 100 TB the dup-window array is |windows with count >= min_count|
+# (a small fraction of a natural corpus; ~1.03M u64 = 8 MB at sf0.1
+# density x 1000); if it outgrows broadcast, swap the sorted array for
+# a Bloom filter behind the same membership contract — pass B is
+# tolerant of false positives only inflating spans by design choice,
+# so flip to an exact semi-join (hash-bucket shuffle of (h, doc, pos)
+# rows) when exactness is required at that scale.
+# --------------------------------------------------------------------------
+
+def _window_hash_stream(kept: pa.Array, n: int):
+    """(uint64 md5-lower-64 per n-token window, per-doc window start
+    offsets, per-doc window counts) — hashing runs over the batch's
+    unique-window vocabulary only (dictionary encode), like
+    MinHashStage."""
+    shingles, sh_starts, counts = _token_windows(kept, n)
+    if len(shingles) == 0:
+        return np.empty(0, dtype=np.uint64), sh_starts, counts
+    from .hashing import md5_lower64
+
+    enc = pc.dictionary_encode(shingles)
+    vocab = md5_lower64(enc.dictionary)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return vocab[codes], sh_starts, counts
+
+
+@ray.remote
+def _sorted_u64(*blocks) -> np.ndarray:
+    """Concat per-bucket dup-hash blocks into one sorted uint64 array —
+    inside a Ray task, so the set lives in the object store end-to-end
+    and the driver only holds the ObjectRef."""
+    parts = []
+    for b in blocks:
+        if not isinstance(b, pa.Table):
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        if b.num_rows:
+            parts.append(
+                b["h"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            )
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.sort(np.concatenate(parts).view(np.uint64))
+
+
+def duplicate_window_hashes(
+    ds: ray.data.Dataset,
+    *,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """ObjectRef to the sorted uint64 array of n-token-window hashes
+    occurring >= ``min_count`` times corpus-wide (all occurrences count,
+    including repeats within one doc — Lee et al. semantics)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h, _, _ = _window_hash_stream(analyze.token_array(batch[text_col]), n)
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(uh.view(np.int64), type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+                "bucket": pa.array(
+                    (uh % np.uint64(n_buckets)).astype(np.int32), type=pa.int32()
+                ),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = group.select(["h", "n"]).group_by("h").aggregate([("n", "sum")])
+        return t.filter(pc.greater_equal(t["n_sum"], min_count)).select(["h"])
+
+    dup = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    return _sorted_u64.remote(*dup.to_arrow_refs())
+
+
+class DupSpanStage:
+    """Pass B of the duplicate-substring pipeline: per batch, recompute
+    window hashes, test membership against the broadcast sorted dup
+    array (searchsorted), and merge overlapping duplicated windows into
+    maximal token spans ``[span_start, span_end)``.  With
+    ``strip=True`` also rebuilds the cleaned text (analyzed tokens
+    outside every span, space-joined) — BOTH copies of a duplicate are
+    dropped (deterministic, order-free; production keep-first needs a
+    global occurrence order, documented tradeoff).  All vectorized; the
+    ``ray.get`` of the dup set happens once per actor in ``__init__``.
+    """
+
+    def __init__(self, dup_ref, *, n: int, text_col: str, id_col: str,
+                 strip: bool = False):
+        self.dup = ray.get(dup_ref) if not isinstance(dup_ref, np.ndarray) else dup_ref
+        self.n = n
+        self.text_col = text_col
+        self.id_col = id_col
+        self.strip = strip
+
+    def _spans(self, h, sh_starts, counts):
+        """(window doc-index, window pos) of dup windows -> merged span
+        triples (doc index, start, end) over the batch."""
+        if len(h) and len(self.dup):
+            i = np.minimum(np.searchsorted(self.dup, h), len(self.dup) - 1)
+            mask = self.dup[i] == h
+        else:
+            mask = np.zeros(len(h), dtype=bool)
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        wpos = np.arange(len(h), dtype=np.int64) - np.repeat(sh_starts[:-1], counts)
+        d, p = doc_of[mask], wpos[mask]
+        if not len(d):
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        brk = np.empty(len(d), dtype=bool)
+        brk[0] = True
+        # windows are emitted doc-major, pos-ascending; merge while the
+        # next window starts at or before the running end (= prev + n,
+        # since end is strictly increasing within a doc)
+        brk[1:] = (d[1:] != d[:-1]) | (p[1:] > p[:-1] + self.n)
+        s_idx = np.flatnonzero(brk)
+        e_idx = np.append(s_idx[1:], len(d)) - 1
+        return d[s_idx], p[s_idx], p[e_idx] + self.n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kept = analyze.token_array(batch[self.text_col])
+        h, sh_starts, counts = _window_hash_stream(kept, self.n)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        span_doc, span_start, span_end = self._spans(h, sh_starts, counts)
+        if not self.strip:
+            return pa.table(
+                {
+                    self.id_col: pa.array(ids[span_doc], type=pa.int64()),
+                    "span_start": pa.array(span_start, type=pa.int64()),
+                    "span_end": pa.array(span_end, type=pa.int64()),
+                }
+            )
+        offsets = kept.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts0 = offsets[:-1] - offsets[0]
+        lens = np.diff(offsets)
+        total = int(lens.sum())
+        cover = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(cover, starts0[span_doc] + span_start, 1)
+        np.add.at(cover, starts0[span_doc] + span_end, -1)
+        covered = np.cumsum(cover[:-1]) > 0
+        doc_tok = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        removed = np.bincount(doc_tok[covered], minlength=len(ids)).astype(np.int64)
+        new_offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(lens - removed, out=new_offsets[1:])
+        flat = pc.list_flatten(kept)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat_kept = flat.filter(pa.array(~covered))
+        lists = pa.ListArray.from_arrays(
+            pa.array(new_offsets, type=pa.int32()), flat_kept
+        )
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, type=pa.int64()),
+                "clean_text": pc.binary_join(lists, " "),
+                "n_removed": pa.array(removed, type=pa.int64()),
+            }
+        )
+
+
+def duplicate_ngram_spans(
+    ds: ray.data.Dataset,
+    *,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 2,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """-> (doc_id, span_start, span_end): maximal token spans whose
+    every n-token window occurs >= min_count times corpus-wide
+    (ExactSubstr detection; see the section comment for the 100-TB
+    shape).  Two streaming passes over the corpus, one bounded
+    shuffle."""
+    dup_ref = duplicate_window_hashes(
+        ds, n=n, min_count=min_count, text_col=text_col, n_buckets=n_buckets
+    )
+    return ds.map_batches(
+        DupSpanStage,
+        fn_constructor_kwargs={
+            "dup_ref": dup_ref, "n": n, "text_col": text_col,
+            "id_col": id_col, "strip": False,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def strip_duplicate_spans(
+    ds: ray.data.Dataset,
+    *,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 2,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """-> (doc_id, clean_text, n_removed): the corpus with every
+    duplicated span removed (analyzed tokens outside spans,
+    space-joined; one row per input doc)."""
+    dup_ref = duplicate_window_hashes(
+        ds, n=n, min_count=min_count, text_col=text_col, n_buckets=n_buckets
+    )
+    return ds.map_batches(
+        DupSpanStage,
+        fn_constructor_kwargs={
+            "dup_ref": dup_ref, "n": n, "text_col": text_col,
+            "id_col": id_col, "strip": True,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def _sql_win_cte(table: str, text_col: str, n: int) -> str:
+    """Shared CTE prefix: analyzed tokens + every n-token window with
+    its 0-based position (the engine compares md5-lower-64 of these
+    strings — identical membership up to a ~2^-64 collision, the same
+    accepted caveat as the minhash oracle)."""
+    tok = analyze.sql_token_array(text_col)
+    sep = f"chr({ord(SHINGLE_SEP)})"
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM {table}),
+win AS (
+  SELECT d.doc_id, i.r - 1 AS pos,
+         array_to_string(d.toks[i.r:i.r + {n - 1}], {sep}) AS w
+  FROM docs d, (SELECT unnest(range(1, greatest(len(toks) - {n - 2}, 1))) AS r,
+                       doc_id
+                FROM docs) i
+  WHERE i.doc_id = d.doc_id
+),
+dupwin AS (
+  SELECT doc_id, pos FROM win
+  WHERE w IN (SELECT w FROM win GROUP BY w HAVING count(*) >= {{min_count}})
+),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {n} THEN 0 ELSE 1 END AS b
+  FROM dupwin
+),
+spans AS (
+  SELECT doc_id, min(pos)::BIGINT AS span_start,
+         (max(pos) + {n})::BIGINT AS span_end
+  FROM (SELECT doc_id, pos,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp
+        FROM brk)
+  GROUP BY doc_id, grp
+)"""
+
+
+def sql_dup_ngram_spans(
+    table: str = "documents", text_col: str = "text",
+    *, n: int = 8, min_count: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`duplicate_ngram_spans`: same analyzed
+    tokens (``sql_token_array``), same windows, corpus-wide count
+    filter, gaps-and-islands span merge."""
+    cte = _sql_win_cte(table, text_col, n).format(min_count=min_count)
+    return cte + """
+SELECT doc_id, span_start, span_end FROM spans
+ORDER BY doc_id, span_start
+"""
+
+
+def sql_strip_duplicate_spans(
+    table: str = "documents", text_col: str = "text",
+    *, n: int = 8, min_count: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`strip_duplicate_spans`: tokens outside
+    every span, space-joined in position order; one row per doc."""
+    cte = _sql_win_cte(table, text_col, n).format(min_count=min_count)
+    return cte + """,
+tokpos AS (
+  SELECT doc_id, r - 1 AS i, t
+  FROM (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS r
+        FROM docs)
+),
+keep AS (
+  SELECT tp.doc_id, tp.i, tp.t
+  FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = tp.doc_id
+                      AND tp.i >= s.span_start AND tp.i < s.span_end)
+),
+agg AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS clean_text,
+         count(*) AS n_kept
+  FROM keep GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       (len(d.toks) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+FROM docs d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
 """

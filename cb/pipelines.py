@@ -1748,6 +1748,19 @@ def q_fingerprint(sf_dir: str) -> pa.Table:
     return _collect(ds.map_batches(textstats.fingerprint, batch_format="pyarrow"))
 
 
+def q_dup_ngram_spans(sf_dir: str) -> pa.Table:
+    """ExactSubstr detection (Lee et al.): maximal token spans whose
+    every 8-token window occurs >= 2 times corpus-wide."""
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(dedup.duplicate_ngram_spans(ds, n=8, min_count=2))
+
+
+def q_dup_span_strip(sf_dir: str) -> pa.Table:
+    """ExactSubstr removal: the corpus with duplicated spans stripped."""
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(dedup.strip_duplicate_spans(ds, n=8, min_count=2))
+
+
 def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
     out = dedup.ngram_jaccard_pairs(ds, threshold=0.3)
@@ -2637,6 +2650,8 @@ QUERIES = {
     "export_shards": q_export_shards,
     "doc_fingerprint": q_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard,
+    "dup_ngram_spans": q_dup_ngram_spans,
+    "dup_span_strip": q_dup_span_strip,
     "minhash_neardup": q_minhash_neardup,
     "neardup_clusters": q_neardup_clusters,
     "neardup_dedup_keep": q_neardup_dedup_keep,
@@ -2704,6 +2719,10 @@ def oracle_sql() -> dict[str, str]:
         "export_shards": sql_export_shards(),
         "doc_fingerprint": textstats.sql_fingerprint(),
         "ngram_jaccard_pairs": dedup.sql_ngram_jaccard(threshold=0.3),
+        # ExactSubstr (Lee et al.): windows compared by value in SQL,
+        # by md5-lower-64 in the engine (~2^-64 collision caveat)
+        "dup_ngram_spans": dedup.sql_dup_ngram_spans(n=8, min_count=2),
+        "dup_span_strip": dedup.sql_strip_duplicate_spans(n=8, min_count=2),
         # exact mirrors: same md5-lower-64 hashes, inlined permutation
         # constants, band-equality candidates, same verify filters
         "minhash_neardup": dedup.sql_minhash_neardup(threshold=0.7),
