@@ -250,21 +250,23 @@ def route_terms(
     return r["field_terms"], r["excluded"]
 
 
-def _score_fields(
+def _match_fields(
     routed: dict,
     get_postings,  # (field, term) -> ChunkedPostings | None
     stats: dict[str, GlobalStats],
     field_order: list[str],
-    k: int,
     tombstones: np.ndarray,
     docmeta=None,
-) -> list[tuple[int, float]]:
-    """Cross-field most_fields sum over one postings scope (whole index
-    in-process; a doc-range slice on a server).  Field order is fixed,
-    so the float sum is deterministic and slice-independent.  Every
-    clause (phrase, filter, exclusion) is evaluated per doc, so a
+):
+    """Cross-field most_fields match + score over one postings scope
+    (whole index in-process; a doc-range slice on a server): returns
+    ``(all_ids, total, keep)`` — the candidate universe, its summed
+    per-field scores, and the boolean mask after every clause (phrase,
+    filter, msm, required, exclusion) — or None when nothing can match.
+    Field order is fixed, so the float sum is deterministic and
+    slice-independent.  Every clause is evaluated per doc, so a
     doc-sharded server can run this over its disjoint slice and the
-    driver merge stays exact."""
+    driver merge (top-k OR additive aggregation) stays exact."""
     from . import phrase as phrase_mod
 
     per_field = []
@@ -287,7 +289,7 @@ def _score_fields(
         if universe is not None:
             per_field.append((f, universe, acc))
     if not per_field:
-        return []
+        return None
     all_ids = np.unique(np.concatenate([u for _, u, _ in per_field]))
     total = np.zeros(len(all_ids), dtype=np.float64)
     for _, universe, acc in per_field:  # manifest field order
@@ -329,13 +331,13 @@ def _score_fields(
             if h is not None and len(h):
                 union.append(h)
         if not union:
-            return []
+            return None
         keep &= np.isin(all_ids, np.unique(np.concatenate(union)), assume_unique=True)
     # field-scoped phrases: required in THAT field
     for f, toks in routed.get("field_phrases", ()):
         h = _phrase_hits(f, toks, len(all_ids))
         if h is None or len(h) == 0:
-            return []
+            return None
         keep &= np.isin(all_ids, h, assume_unique=True)
     # negated phrases: must_not in ANY field.  Their terms are unscored,
     # so matches are NOT bounded by the universe — bound by the phrase's
@@ -381,7 +383,7 @@ def _score_fields(
             if p is not None:
                 union.append(p.decode_all()[0])
         if not union:
-            return []
+            return None
         keep &= np.isin(
             all_ids, np.unique(np.concatenate(union)), assume_unique=True
         )
@@ -392,6 +394,26 @@ def _score_fields(
                 continue
             ids, _, _ = p.decode_all()
             keep &= ~np.isin(all_ids, ids, assume_unique=True)
+    return all_ids, total, keep
+
+
+def _score_fields(
+    routed: dict,
+    get_postings,
+    stats: dict[str, GlobalStats],
+    field_order: list[str],
+    k: int,
+    tombstones: np.ndarray,
+    docmeta=None,
+) -> list[tuple[int, float]]:
+    """Top-k over :func:`_match_fields` (the original scoring entry
+    point; aggregations reuse the match half directly)."""
+    m = _match_fields(
+        routed, get_postings, stats, field_order, tombstones, docmeta=docmeta
+    )
+    if m is None:
+        return []
+    all_ids, total, keep = m
     return rank_topk(all_ids[keep], total[keep], k)
 
 
@@ -488,6 +510,55 @@ class MultiFieldSearcher:
             docmeta=dm,
         )
 
+    def _match(self, query: str):
+        """(matched doc ids, docmeta) for aggregations over the FULL
+        match set of a multifield query (not top-k)."""
+        routed = route_query(query, self.fields)
+        if routed.get("expands"):
+            routed = expand_routed(routed, self._field_vocabs())
+        dm = self._docmeta()
+        if routed["filters"] and dm is None:
+            raise ValueError(
+                f"filter fields {sorted(routed['filters'])} need a docmeta "
+                "table (cb.docmeta / mapping not_analyzed)"
+            )
+        m = _match_fields(
+            routed, self._get, self.stats, self.fields, self.tombstones,
+            docmeta=dm,
+        )
+        if m is None:
+            return None, dm
+        all_ids, _, keep = m
+        return all_ids[keep], dm
+
+    def facet_counts(self, query: str, facet_cols=(), stats_cols=()):
+        """ES aggregations (terms facets + numeric stats from docmeta)
+        over the query's full multifield match set — the multifield
+        analog of LocalSearcher.facets."""
+        from .shard import _facets_over
+
+        ids, dm = self._match(query)
+        if dm is None:
+            raise ValueError("facets need a docmeta table (cb.docmeta)")
+        if ids is None:
+            return (
+                {c: {} for c in facet_cols},
+                {c: (0, 0, None, None) for c in stats_cols},
+            )
+        return _facets_over(ids, dm, list(facet_cols), list(stats_cols))
+
+    def histogram(self, query: str, histos: dict) -> dict:
+        """ES fixed-interval histogram over the full multifield match
+        set (col -> {floor(v/interval)*interval: count})."""
+        from .shard import _histos_over
+
+        ids, dm = self._match(query)
+        if dm is None:
+            raise ValueError("histogram needs a docmeta table (cb.docmeta)")
+        if ids is None:
+            return {c: {} for c in histos}
+        return _histos_over(ids, dm, histos)
+
 
 @ray.remote
 class MultiFieldServer:
@@ -521,19 +592,57 @@ class MultiFieldServer:
         meta = self.metas[field]
         return self.parts[field][term_partition(term, meta.num_parts)].get(term)
 
+    def _ensure_dm(self):
+        if not self._dm_loaded:
+            # the docmeta table shards WITH the postings: this server
+            # loads only its own doc-range buckets
+            self._dm = _load_docmeta(self.index_dir, self.fields, self.buckets)
+            self._dm_loaded = True
+        return self._dm
+
     def score(self, routed: dict, k: int):
-        dm = None
-        if routed.get("filters"):
-            if not self._dm_loaded:
-                # the docmeta table shards WITH the postings: this server
-                # loads only its own doc-range buckets
-                self._dm = _load_docmeta(self.index_dir, self.fields, self.buckets)
-                self._dm_loaded = True
-            dm = self._dm
+        dm = self._ensure_dm() if routed.get("filters") else None
         return _score_fields(
             routed, self._get, self.stats, self.fields, k, self.tombstones,
             docmeta=dm,
         )
+
+    def facet_counts(self, routed: dict, facet_cols=(), stats_cols=()):
+        """Aggregations over THIS doc-range slice's full match set —
+        slices are disjoint, so the driver merge is exact addition
+        (same contract as the single-field ShardServer.facet_counts)."""
+        from .shard import _facets_over
+
+        dm = self._ensure_dm()
+        if dm is None:
+            raise ValueError("facets need a docmeta table (cb.docmeta)")
+        m = _match_fields(
+            routed, self._get, self.stats, self.fields, self.tombstones,
+            docmeta=dm,
+        )
+        if m is None:
+            return (
+                {c: {} for c in facet_cols},
+                {c: (0, 0, None, None) for c in stats_cols},
+            )
+        all_ids, _, keep = m
+        return _facets_over(all_ids[keep], dm, list(facet_cols), list(stats_cols))
+
+    def histogram(self, routed: dict, histos: dict) -> dict:
+        """Histogram over THIS slice's full match set (additive merge)."""
+        from .shard import _histos_over
+
+        dm = self._ensure_dm()
+        if dm is None:
+            raise ValueError("histogram needs a docmeta table (cb.docmeta)")
+        m = _match_fields(
+            routed, self._get, self.stats, self.fields, self.tombstones,
+            docmeta=dm,
+        )
+        if m is None:
+            return {c: {} for c in histos}
+        all_ids, _, keep = m
+        return _histos_over(all_ids[keep], dm, histos)
 
 
 class MultiFieldEngine:
@@ -563,10 +672,14 @@ class MultiFieldEngine:
         ]
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        futs = [s.score.remote(self._routed(query), k) for s in self.servers]
+        return _merge_topk(ray.get(futs), k)
+
+    def _routed(self, query: str) -> dict:
+        # driver-side rewrite (vocab summaries, not postings), so every
+        # server evaluates the same concrete routed clause set
         routed = route_query(query, self.fields)
         if routed.get("expands"):
-            # driver-side rewrite (vocab summaries, not postings), so
-            # every server scores the same concrete routed clause set
             from .shard import load_vocab
 
             if self._vocabs is None:
@@ -575,8 +688,30 @@ class MultiFieldEngine:
                     for f in self.fields
                 }
             routed = expand_routed(routed, self._vocabs)
-        futs = [s.score.remote(routed, k) for s in self.servers]
-        return _merge_topk(ray.get(futs), k)
+        return routed
+
+    def facets(self, query: str, facet_cols=(), stats_cols=()):
+        """ES aggregations over the query's FULL multifield match set,
+        fanned out to the doc-sharded pool: each server aggregates its
+        disjoint doc slice, the driver merge is exact addition (same
+        contract as the single-field QueryEngine.facets)."""
+        from .shard import _merge_facets
+
+        routed = self._routed(query)
+        futs = [
+            s.facet_counts.remote(routed, list(facet_cols), list(stats_cols))
+            for s in self.servers
+        ]
+        return _merge_facets(ray.get(futs))
+
+    def histogram(self, query: str, histos: dict) -> dict:
+        """Histogram aggregation over the full multifield match set
+        (additive pool merge)."""
+        from .shard import _merge_hists
+
+        routed = self._routed(query)
+        futs = [s.histogram.remote(routed, histos) for s in self.servers]
+        return _merge_hists(ray.get(futs))
 
     def shutdown(self) -> None:
         for s in self.servers:

@@ -1502,6 +1502,18 @@ MF_QS_SET: tuple[str, ...] = (
 )
 
 
+def _ensure_mf_docmeta(sf_dir: str, idx: str) -> None:
+    """One docmeta column set shared by every multifield entry (filters
+    use lang/source, aggregations also read n_chars) — a single cached
+    build instead of per-entry col-set flip-flops."""
+    from . import docmeta as docmeta_mod, multifield
+
+    docmeta_mod.ensure_docmeta(
+        multifield.field_dir(idx, "text"), docs_path(sf_dir),
+        ["lang", "source", "n_chars"],
+    )
+
+
 def q_multifield_querystring(sf_dir: str) -> pa.Table:
     """Query strings over the multi-field index: most_fields scoring,
     any-field + field-scoped required phrases, negated phrases, docmeta
@@ -1509,9 +1521,7 @@ def q_multifield_querystring(sf_dir: str) -> pa.Table:
     from . import docmeta as docmeta_mod, multifield
 
     idx = get_multifield_index(sf_dir)
-    docmeta_mod.ensure_docmeta(
-        multifield.field_dir(idx, "text"), docs_path(sf_dir), ["lang", "source"]
-    )
+    _ensure_mf_docmeta(sf_dir, idx)
     engine = multifield.MultiFieldEngine(idx, num_servers=2)
     try:
         results = [engine.search(q, k=K) for q in MF_QS_SET]
@@ -1536,12 +1546,16 @@ def q_multifield_querystring(sf_dir: str) -> pa.Table:
     )
 
 
-def sql_multifield_querystring() -> str:
-    """Oracle generated per query by the SAME router the engine uses
-    (multifield.route_query): per-field BM25 CTEs + most_fields sum;
-    phrases -> token-joined LIKE per field (any-field = OR, scoped =
-    that field); filters -> metadata equality; exclusions -> NOT LIKE
-    in every field."""
+def _mf_sql_prefix(queries) -> str:
+    """Shared multifield-oracle WITH-prefix, generated per query by the
+    SAME router the engine uses (multifield.route_query): per-field BM25
+    CTEs + most_fields sum; phrases -> token-joined LIKE per field
+    (any-field = OR, scoped = that field); filters -> metadata equality;
+    exclusions -> NOT LIKE in every field.  Ends at ``m(query_id,
+    doc_id)`` — each query's FULL match set — so the ranked top-k
+    (sql_multifield_querystring) and the aggregations
+    (sql_multifield_facets / sql_multifield_histogram) share one match
+    definition, exactly like the engine shares _match_fields."""
     from . import multifield, querylang
 
     tok = analyze.sql_token_array("text")
@@ -1549,7 +1563,7 @@ def sql_multifield_querystring() -> str:
     q_rows = {f: [] for f in fields}
     member_selects = []
     jalias = {"text": "jt", "title": "jti"}
-    for qid, q in enumerate(MF_QS_SET):
+    for qid, q in enumerate(queries):
         r = multifield.route_query(q, list(fields))
         for f in fields:
             aid = 0
@@ -1662,7 +1676,12 @@ base AS (
 ),
 preds AS ({members}),
 m AS (SELECT b.query_id, b.doc_id FROM base b
-      JOIN preds p ON p.query_id = b.query_id AND p.doc_id = b.doc_id),
+      JOIN preds p ON p.query_id = b.query_id AND p.doc_id = b.doc_id)"""
+
+
+def sql_multifield_querystring() -> str:
+    """Ranked top-k over the shared multifield match prefix."""
+    return f"""{_mf_sql_prefix(MF_QS_SET)},
 total AS (
   SELECT m.query_id, m.doc_id,
          coalesce(st.score, CAST(0 AS DOUBLE)) + coalesce(sti.score, CAST(0 AS DOUBLE)) AS score
@@ -1678,6 +1697,85 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
+def q_multifield_facets(sf_dir: str) -> pa.Table:
+    """ES terms aggregations over each multifield query's FULL match
+    set (most_fields membership incl. phrases/msm/required/filters),
+    fanned out to the doc-sharded MultiFieldEngine pool — each server
+    counts its disjoint slice, driver merge is exact addition."""
+    from . import multifield
+
+    idx = get_multifield_index(sf_dir)
+    _ensure_mf_docmeta(sf_dir, idx)
+    engine = multifield.MultiFieldEngine(idx, num_servers=2)
+    try:
+        per_q = [engine.facets(q, facet_cols=_FACET_COLS) for q in MF_QS_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "facet": [], "value": [], "cnt": []}
+    for qid, (facets, _) in enumerate(per_q):
+        for col in _FACET_COLS:
+            for v in sorted(facets.get(col, {})):
+                rows["query_id"].append(qid)
+                rows["facet"].append(col)
+                rows["value"].append(str(v))
+                rows["cnt"].append(facets[col][v])
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "facet": pa.array(rows["facet"], pa.string()),
+            "value": pa.array(rows["value"], pa.string()),
+            "cnt": pa.array(rows["cnt"], pa.int64()),
+        }
+    )
+
+
+def sql_multifield_facets() -> str:
+    facet_selects = " UNION ALL ".join(
+        f"SELECT mm.query_id::BIGINT AS query_id, '{c}' AS facet, "
+        f"d.{c}::VARCHAR AS value, count(*)::BIGINT AS cnt "
+        f"FROM m mm JOIN documents d ON d.doc_id = mm.doc_id GROUP BY 1, 3"
+        for c in _FACET_COLS
+    )
+    return f"{_mf_sql_prefix(MF_QS_SET)}\n{facet_selects} ORDER BY query_id, facet, value"
+
+
+def q_multifield_histogram(sf_dir: str) -> pa.Table:
+    """ES fixed-interval histogram over each multifield query's full
+    match set (n_chars buckets), additively merged across the pool."""
+    from . import multifield
+
+    idx = get_multifield_index(sf_dir)
+    _ensure_mf_docmeta(sf_dir, idx)
+    engine = multifield.MultiFieldEngine(idx, num_servers=2)
+    try:
+        per_q = [engine.histogram(q, {"n_chars": HIST_INTERVAL}) for q in MF_QS_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "bucket": [], "cnt": []}
+    for qid, h in enumerate(per_q):
+        for b in sorted(h.get("n_chars", {})):
+            rows["query_id"].append(qid)
+            rows["bucket"].append(b)
+            rows["cnt"].append(h["n_chars"][b])
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "bucket": pa.array(rows["bucket"], pa.int64()),
+            "cnt": pa.array(rows["cnt"], pa.int64()),
+        }
+    )
+
+
+def sql_multifield_histogram() -> str:
+    return f"""{_mf_sql_prefix(MF_QS_SET)}
+SELECT mm.query_id::BIGINT AS query_id,
+       (floor(d.n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL})::BIGINT AS bucket,
+       count(*)::BIGINT AS cnt
+FROM m mm JOIN documents d ON d.doc_id = mm.doc_id
+GROUP BY 1, 2 ORDER BY query_id, bucket
 """
 
 
@@ -2633,6 +2731,8 @@ QUERIES = {
     "bm25_multifield": q_bm25_multifield,
     "federated_multifield": q_federated_multifield,
     "multifield_querystring": q_multifield_querystring,
+    "multifield_facets": q_multifield_facets,
+    "multifield_histogram": q_multifield_histogram,
     "phrase_search": q_phrase_search,
     "phrase_slop_search": q_phrase_slop_search,
     "search_querystring": q_search_querystring,
@@ -2702,6 +2802,10 @@ def oracle_sql() -> dict[str, str]:
         # per-field fed-global stats -> bitwise == monolithic multifield
         "federated_multifield": sql_bm25_multifield(),
         "multifield_querystring": sql_multifield_querystring(),
+        # aggregations share the querystring oracle's match prefix,
+        # exactly as the engine shares _match_fields
+        "multifield_facets": sql_multifield_facets(),
+        "multifield_histogram": sql_multifield_histogram(),
         "phrase_search": sql_phrase_search(),
         "phrase_slop_search": sql_phrase_slop_search(),
         "search_querystring": sql_search_querystring(),

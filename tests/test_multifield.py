@@ -219,3 +219,43 @@ def test_mapping_driven_multifield(tmp_path):
     assert m["fields"] == ["title", "body"]
     s = multifield.MultiFieldSearcher(idx)
     assert {d for d, _ in s.search("title:hash", k=10)} == {11, 55}
+
+
+def test_aggregations_pool_parity(built, tmp_path):
+    """facets/histogram over the FULL multifield match set: in-process
+    searcher == doc-sharded pool at every server count, plus a
+    hand-computed spot check."""
+    import os
+
+    from cb import docmeta as docmeta_mod
+
+    meta_rows = [
+        {"doc_id": i, "cat": ("even" if i % 2 == 0 else "odd"), "nlen": i * 10}
+        for i, _, _ in DOCS
+    ]
+    mp = str(tmp_path / "meta.parquet")
+    pq.write_table(pa.Table.from_pylist(meta_rows), mp)
+    docmeta_mod.ensure_docmeta(
+        multifield.field_dir(built, "title"), mp, ["cat", "nlen"]
+    )
+    s = multifield.MultiFieldSearcher(built)
+
+    # spot check: "table -zebra" matches 11 (body) and 44 (title+body);
+    # 55 has table but is excluded by zebra
+    facets, stats = s.facet_counts("table -zebra", facet_cols=["cat"], stats_cols=["nlen"])
+    assert facets == {"cat": {"even": 1, "odd": 1}}
+    assert stats == {"nlen": (2, 550, 110, 440)}
+    assert s.histogram("table -zebra", {"nlen": 100}) == {"nlen": {100: 1, 400: 1}}
+    # zero-match query -> empty aggs
+    assert s.facet_counts("absentterm", facet_cols=["cat"])[0] == {"cat": {}}
+    assert s.histogram("absentterm", {"nlen": 100}) == {"nlen": {}}
+
+    for n in (1, 2, 3):
+        eng = multifield.MultiFieldEngine(built, num_servers=n)
+        try:
+            for q in QUERIES:
+                assert eng.facets(q, facet_cols=["cat"], stats_cols=["nlen"]) == \
+                    s.facet_counts(q, facet_cols=["cat"], stats_cols=["nlen"]), (n, q)
+                assert eng.histogram(q, {"nlen": 100}) == s.histogram(q, {"nlen": 100}), (n, q)
+        finally:
+            eng.shutdown()
