@@ -171,6 +171,18 @@ def staging_dir(fed_dir: str, name: str) -> str:
     return os.path.join(fed_dir, "_staging", f"{KEY_COL}={name}")
 
 
+def _member_docmeta_dir(fg: dict, index_dir: str) -> str:
+    """Docmeta home of a federation member: the member index dir itself,
+    or the FIRST field's sub-index for multifield members (where
+    multifield._load_docmeta and MultiFieldSearcher read it)."""
+    fields = fg.get("fields")
+    if fields:
+        from .multifield import field_dir
+
+        return field_dir(index_dir, fields[0])
+    return index_dir
+
+
 def ensure_fed_docmeta(fed_dir: str, cols: list[str]) -> None:
     """Per-sub-index docmeta side tables (filter-context search over a
     federation): each build reads only that sub-index's staging slice —
@@ -186,7 +198,8 @@ def ensure_fed_docmeta(fed_dir: str, cols: list[str]) -> None:
         )
     for e in fg["indexes"]:
         docmeta_mod.ensure_docmeta(
-            e["dir"], staging_dir(fed_dir, e["name"]), cols, id_col=fg["id_col"]
+            _member_docmeta_dir(fg, e["dir"]), staging_dir(fed_dir, e["name"]),
+            cols, id_col=fg["id_col"],
         )
     if fg.get("docmeta_cols") != cols:
         # recorded so refresh_federation re-ensures docmeta for the
@@ -537,8 +550,8 @@ def refresh_federation(source: "ray.data.Dataset | str", fed_dir: str) -> dict:
             from . import docmeta as docmeta_mod
 
             docmeta_mod.ensure_docmeta(
-                entries[key]["dir"], staging_dir(fed_dir, key), cols,
-                id_col=fg["id_col"],
+                _member_docmeta_dir(fg, entries[key]["dir"]),
+                staging_dir(fed_dir, key), cols, id_col=fg["id_col"],
             )
     fed = _publish(fed_dir, cfg, [entries[k] for k in sorted(entries)])
     if fg.get("docmeta_cols"):
@@ -635,8 +648,8 @@ def ingest_new_shards(
             from . import docmeta as docmeta_mod
 
             docmeta_mod.ensure_docmeta(
-                entries[key]["dir"], staging_dir(fed_dir, key), cols,
-                id_col=fg["id_col"],
+                _member_docmeta_dir(fg, entries[key]["dir"]),
+                staging_dir(fed_dir, key), cols, id_col=fg["id_col"],
             )
     fed = _publish(fed_dir, cfg, [entries[k] for k in sorted(entries)])
     if fg.get("docmeta_cols"):
@@ -1043,6 +1056,12 @@ class _MultiFieldFedMember:
     def search(self, query: str, k: int) -> list[tuple[int, float]]:
         return self.searcher.search(query, k)
 
+    def facet_counts(self, query: str, facet_cols, stats_cols):
+        return self.searcher.facet_counts(query, facet_cols, stats_cols)
+
+    def histogram(self, query: str, histos: dict) -> dict:
+        return self.searcher.histogram(query, histos)
+
 
 class FederatedMultiFieldEngine:
     """Cross-index MULTIFIELD search (mapping JSON -> analyzed fields
@@ -1103,6 +1122,42 @@ class FederatedMultiFieldEngine:
         if not futs:
             return []
         return _merge_topk(ray.get(futs), k)
+
+    def facets(
+        self, query: str, facet_cols=(), stats_cols=(), **sel
+    ) -> tuple[dict, dict]:
+        """ES aggregations over the federation-wide multifield match
+        set: per-member partials (each member's full-match aggregation
+        over its disjoint doc set), ONE ray.get, exact additive fold —
+        membership is stats-independent and vocab expansion per member
+        is scoring_boolean-safe, so this equals the monolithic
+        multifield aggregation exactly."""
+        from .shard import _merge_facets
+
+        futs = [
+            self.members[n].facet_counts.remote(
+                query, list(facet_cols), list(stats_cols)
+            )
+            for n in self._select(**sel)
+        ]
+        if not futs:
+            return {c: {} for c in facet_cols}, {
+                c: (0, 0, None, None) for c in stats_cols
+            }
+        return _merge_facets(ray.get(futs))
+
+    def histogram(self, query: str, histos: dict, **sel) -> dict:
+        """Fixed-interval histogram over the federation-wide multifield
+        match set (exact additive member fold)."""
+        from .shard import _merge_hists
+
+        futs = [
+            self.members[n].histogram.remote(query, histos)
+            for n in self._select(**sel)
+        ]
+        if not futs:
+            return {c: {} for c in histos}
+        return _merge_hists(ray.get(futs))
 
     def shutdown(self) -> None:
         for m in self.members.values():

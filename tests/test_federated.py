@@ -761,3 +761,58 @@ def test_multifield_federation_compaction_bitwise(tmp_path, ray_session):
     finally:
         a.shutdown()
         b.shutdown()
+
+
+def test_multifield_federation_aggregations(tmp_path, ray_session):
+    """Facets/histogram over the federation-wide MULTIFIELD match set:
+    per-member full-match aggregation + exact additive fold equals the
+    monolithic multifield aggregation (membership is stats-independent,
+    members hold disjoint docs)."""
+    from cb import docmeta as docmeta_mod, federated, multifield
+
+    t = _mf_day_corpus()
+    t = t.append_column(
+        "cat", pa.array(["even" if i % 2 == 0 else "odd" for i in range(t.num_rows)])
+    ).append_column(
+        "nlen", pa.array([(i * 7) % 300 for i in range(t.num_rows)], pa.int64())
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+
+    fed_dir = str(tmp_path / "fed")
+    federated.build_federation(
+        ray.data.read_parquet(src), fed_dir,
+        fields=["body", "title"], id_col="doc_id", ts_col="ts",
+        prefix="mf-", num_parts=4,
+    )
+    federated.ensure_fed_docmeta(fed_dir, ["cat", "nlen"])
+
+    mono_dir = str(tmp_path / "mono")
+    multifield.build_multifield(
+        ray.data.read_parquet(src), mono_dir, ["body", "title"],
+        id_col="doc_id", num_parts=4,
+    )
+    docmeta_mod.ensure_docmeta(
+        multifield.field_dir(mono_dir, "body"), src, ["cat", "nlen"],
+        id_col="doc_id",
+    )
+    mono = multifield.MultiFieldSearcher(mono_dir)
+
+    eng = federated.FederatedMultiFieldEngine(fed_dir)
+    try:
+        for q in (
+            "tok1 tok2", "tok5 -tok6", 'tok1 "tok2 tok3"', "+tok3 tok4",
+            "tok1^2 tok2 msm:2", "absentxyz",
+        ):
+            assert eng.facets(q, facet_cols=["cat"], stats_cols=["nlen"]) == \
+                mono.facet_counts(q, facet_cols=["cat"], stats_cols=["nlen"]), q
+            assert eng.histogram(q, {"nlen": 50}) == mono.histogram(q, {"nlen": 50}), q
+        # day pruning: one member == that member's own slice aggregation
+        with open(federated.fed_meta_path(fed_dir)) as f:
+            fg = json.load(f)
+        name0 = fg["indexes"][0]["name"]
+        sub = multifield.MultiFieldSearcher(fg["indexes"][0]["dir"], fed=fed_dir)
+        assert eng.facets("tok1 tok2", facet_cols=["cat"], names=[name0]) == \
+            sub.facet_counts("tok1 tok2", facet_cols=["cat"])
+    finally:
+        eng.shutdown()
