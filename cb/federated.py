@@ -1062,6 +1062,19 @@ class _MultiFieldFedMember:
     def histogram(self, query: str, histos: dict) -> dict:
         return self.searcher.histogram(query, histos)
 
+    def mlt(self, doc_fields: dict, k: int, max_terms: int):
+        """Member MLT WITHOUT source-doc exclusion: term selection uses
+        the fed-overlaid per-field df and fed (N, avgdl), so every
+        member selects the SAME terms — the driver merges and excludes,
+        keeping the result bitwise the monolithic MLT."""
+        return self.searcher.more_like_this(doc_fields, k, max_terms)
+
+    def significant_counts(self, query: str, field: str, min_df: int):
+        return self.searcher.significant_counts(query, field, min_df)
+
+    def get_dfs(self, field: str, terms: list[str]) -> dict:
+        return self.searcher.term_dfs(field, terms)
+
 
 class FederatedMultiFieldEngine:
     """Cross-index MULTIFIELD search (mapping JSON -> analyzed fields
@@ -1158,6 +1171,63 @@ class FederatedMultiFieldEngine:
         if not futs:
             return {c: {} for c in histos}
         return _merge_hists(ray.get(futs))
+
+    def more_like_this(
+        self,
+        doc_fields: dict,
+        k: int = 10,
+        max_terms: int = 15,
+        exclude: int | None = None,
+        **sel,
+    ) -> list[tuple[int, float]]:
+        """Federation-wide most_fields MLT: every member selects the
+        same terms (fed-global df overlays), member top-k lists merge
+        exactly, the source doc drops at the driver — bitwise the
+        monolithic multifield MLT."""
+        kk = k + (1 if exclude is not None else 0)
+        futs = [
+            self.members[n].mlt.remote(doc_fields, kk, max_terms)
+            for n in self._select(**sel)
+        ]
+        if not futs:
+            return []
+        res = _merge_topk(ray.get(futs), kk)
+        if exclude is not None:
+            res = [r for r in res if r[0] != exclude][:k]
+        return res
+
+    def search_after(self, query: str, k: int = 10, after=None, **sel):
+        from .multifield import _page_after
+
+        return _page_after(
+            lambda q, kk: self.search(q, kk, **sel), query, k, after
+        )
+
+    def significant_terms(
+        self, query: str, field: str, top_n: int = 10, min_df: int = 2, **sel
+    ) -> list[tuple[str, int, int, float]]:
+        """Federation-wide significant_terms of ``field``: per-member
+        fg counts add (disjoint docs), match totals add, JLH at the
+        driver with fed-global df and N."""
+        from .multifield import _jlh_rank
+
+        names = self._select(**sel)
+        parts = ray.get(
+            [
+                self.members[n].significant_counts.remote(query, field, min_df)
+                for n in names
+            ]
+        )
+        fg: dict[str, int] = {}
+        for d, _ in parts:
+            for t, c in d.items():
+                fg[t] = fg.get(t, 0) + c
+        m = sum(mm for _, mm in parts)
+        if not fg or not names:
+            return []
+        dfs = ray.get(self.members[names[0]].get_dfs.remote(field, sorted(fg)))
+        n_docs = self.meta["field_stats"][field]["n_docs"]
+        return _jlh_rank(fg, m, dfs, n_docs, top_n)
 
     def shutdown(self) -> None:
         for m in self.members.values():

@@ -417,6 +417,73 @@ def _score_fields(
     return rank_topk(all_ids[keep], total[keep], k)
 
 
+def _page_after(search, query: str, k: int, after):
+    """ES ``search_after`` cursor over any (query, k) -> ranked-list
+    callable: next k strictly after the (score, doc_id) cursor in
+    (score desc, id asc) order, via a doubling re-fetch — exact because
+    scores are bitwise-deterministic for an immutable index."""
+    if after is None:
+        return search(query, k)
+    fetch = max(2 * k, 32)
+    while True:
+        res = search(query, fetch)
+        out = [
+            r for r in res
+            if r[1] < after[0] or (r[1] == after[0] and r[0] > after[1])
+        ]
+        if len(out) >= k or len(res) < fetch:
+            return out[:k]
+        fetch *= 2
+
+
+def _mlt_field_terms(fields, stats, doc_fields, dfs_of, max_terms):
+    """Per-field ES more_like_this term selection: the field text's
+    top ``max_terms`` terms by (tf * BM25-idf) with df from THAT
+    field's summaries, ties broken term-asc — the most_fields MLT
+    the single-field engine's more_like_this specializes."""
+    import collections
+
+    field_terms = {}
+    for f in fields:
+        tf = collections.Counter(analyze.tokenize(doc_fields.get(f) or ""))
+        dfs = dfs_of(f, sorted(tf))
+        n = stats[f].n_docs
+        scored = [
+            (t, c * float(scoring.idf(dfs[t], n)))
+            for t, c in tf.items() if t in dfs
+        ]
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        field_terms[f] = sorted(t for t, _ in scored[:max_terms])
+    return field_terms
+
+
+def _terms_routed(field_terms: dict) -> dict:
+    """A routed clause set scoring each term in ITS field only."""
+    return {
+        "field_terms": field_terms, "excluded": [], "any_phrases": [],
+        "field_phrases": [], "filters": {}, "excluded_phrases": [],
+        "weights": {}, "required": [], "expands": [],
+        "minimum_should_match": 0,
+    }
+
+
+def _jlh_rank(fg: dict, m: int, dfs: dict, n: int, top_n: int):
+    """JLH fold shared by every significant_terms surface:
+    ``(fg/m - df/N) * ((fg/m)/(df/N))``, top_n by (score desc, term
+    asc)."""
+    if not m:
+        return []
+    out = []
+    for t, c in fg.items():
+        df = dfs.get(t)
+        if not df:
+            continue
+        fgp, bgp = c / m, df / n
+        out.append((t, c, df, (fgp - bgp) * (fgp / bgp)))
+    out.sort(key=lambda r: (-r[3], r[0]))
+    return out[:top_n]
+
+
 def _load_docmeta(index_dir: str, fields: list[str], buckets: list[int] | None):
     """The docmeta side table of a multi-field index lives under the
     FIRST field's sub-index (build_from_mapping convention — every field
@@ -559,6 +626,78 @@ class MultiFieldSearcher:
             return {c: {} for c in histos}
         return _histos_over(ids, dm, histos)
 
+    def term_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
+        """Corpus-global df per term for one field from its partition
+        ``_termdf`` summaries (fed mode: the feddf overlay, so this is
+        federation-global) — no postings decode."""
+        meta = self.metas[field]
+        out = {}
+        for t in sorted(set(terms)):
+            part = self.parts[field][term_partition(t, meta.num_parts)]
+            df = part.global_df.get(t)
+            if df:
+                out[t] = int(df)
+        return out
+
+    def more_like_this(
+        self,
+        doc_fields: dict[str, str],
+        k: int = 10,
+        max_terms: int = 15,
+        exclude: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES most_fields more_like_this: per-field top tf*idf term
+        selection over the input doc's field values, then one
+        field-scoped most_fields query, source doc dropped."""
+        field_terms = _mlt_field_terms(
+            self.fields, self.stats, doc_fields, self.term_dfs, max_terms
+        )
+        res = _score_fields(
+            _terms_routed(field_terms), self._get, self.stats, self.fields,
+            k + (1 if exclude is not None else 0), self.tombstones,
+        )
+        if exclude is not None:
+            res = [r for r in res if r[0] != exclude][:k]
+        return res
+
+    def search_after(self, query: str, k: int = 10, after=None):
+        return _page_after(self.search, query, k, after)
+
+    def significant_counts(
+        self, query: str, field: str, min_df: int = 2
+    ) -> tuple[dict, int]:
+        """Foreground counts for significant_terms over THIS scope:
+        for every term of ``field`` with corpus df >= min_df,
+        |postings ∩ match set| via one searchsorted per term."""
+        ids, _ = self._match(query)
+        if ids is None or len(ids) == 0:
+            return {}, 0
+        matched = np.sort(np.asarray(ids, dtype=np.int64))
+        counts: dict[str, int] = {}
+        for part in self.parts[field].values():
+            for term in getattr(part, "offsets", {}):
+                if part.global_df.get(term, 0) < min_df:
+                    continue
+                cp = part.get(term)
+                if cp is None:
+                    continue
+                tids = cp.decode_all()[0]
+                pos = np.clip(np.searchsorted(matched, tids), 0, len(matched) - 1)
+                c = int(np.sum(matched[pos] == tids))
+                if c:
+                    counts[term] = c
+        return counts, int(len(matched))
+
+    def significant_terms(
+        self, query: str, field: str, top_n: int = 10, min_df: int = 2
+    ) -> list[tuple[str, int, int, float]]:
+        """ES significant_terms of ``field`` over the multifield
+        query's full match set, JLH-scored against that field's corpus
+        stats."""
+        fg, m = self.significant_counts(query, field, min_df)
+        dfs = self.term_dfs(field, sorted(fg))
+        return _jlh_rank(fg, m, dfs, self.stats[field].n_docs, top_n)
+
 
 @ray.remote
 class MultiFieldServer:
@@ -644,6 +783,50 @@ class MultiFieldServer:
         all_ids, _, keep = m
         return _histos_over(all_ids[keep], dm, histos)
 
+    def get_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
+        """Corpus-global per-field df from the ``_termdf`` summaries
+        (every doc-sharded server holds every partition's summary)."""
+        meta = self.metas[field]
+        out = {}
+        for t in terms:
+            part = self.parts[field].get(term_partition(t, meta.num_parts))
+            if part is not None:
+                df = part.global_df.get(t)
+                if df:
+                    out[t] = int(df)
+        return out
+
+    def significant(self, routed: dict, field: str, min_df: int = 2):
+        """Foreground counts over THIS slice's match set for every
+        owned term of ``field`` with corpus df >= min_df — slices are
+        disjoint, so the driver merge is exact addition (the multifield
+        analog of ShardServer.significant)."""
+        dm = self._ensure_dm() if routed.get("filters") else None
+        m = _match_fields(
+            routed, self._get, self.stats, self.fields, self.tombstones,
+            docmeta=dm,
+        )
+        if m is None:
+            return {}, 0
+        all_ids, _, keep = m
+        matched = np.sort(all_ids[keep])
+        if len(matched) == 0:
+            return {}, 0
+        counts: dict[str, int] = {}
+        for part in self.parts[field].values():
+            for term in getattr(part, "offsets", {}):
+                if part.global_df.get(term, 0) < min_df:
+                    continue
+                cp = part.get(term)
+                if cp is None:
+                    continue
+                tids = cp.decode_all()[0]
+                pos = np.clip(np.searchsorted(matched, tids), 0, len(matched) - 1)
+                c = int(np.sum(matched[pos] == tids))
+                if c:
+                    counts[term] = c
+        return counts, int(len(matched))
+
 
 class MultiFieldEngine:
     """Driver facade: doc-sharded scatter-gather over MultiFieldServer
@@ -712,6 +895,69 @@ class MultiFieldEngine:
         routed = self._routed(query)
         futs = [s.histogram.remote(routed, histos) for s in self.servers]
         return _merge_hists(ray.get(futs))
+
+    def term_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
+        """One RPC: every doc-sharded server holds every partition's
+        summary (same shape as the single-field doc-mode term_dfs)."""
+        terms = sorted(set(terms))
+        if not terms:
+            return {}
+        return ray.get(self.servers[0].get_dfs.remote(field, terms))
+
+    def more_like_this(
+        self,
+        doc_fields: dict[str, str],
+        k: int = 10,
+        max_terms: int = 15,
+        exclude: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES most_fields more_like_this over the pool: term selection
+        driver-side from the summaries (so every server scores the same
+        clause set), field-scoped scoring fan-out, exact merge."""
+        field_terms = _mlt_field_terms(
+            self.fields, self._field_stats(), doc_fields, self.term_dfs,
+            max_terms,
+        )
+        kk = k + (1 if exclude is not None else 0)
+        futs = [
+            s.score.remote(_terms_routed(field_terms), kk) for s in self.servers
+        ]
+        res = _merge_topk(ray.get(futs), kk)
+        if exclude is not None:
+            res = [r for r in res if r[0] != exclude][:k]
+        return res
+
+    def _field_stats(self) -> dict[str, GlobalStats]:
+        if not hasattr(self, "_stats_cache"):
+            self._stats_cache = {
+                f: (lambda m: GlobalStats(m.n_docs, m.avgdl))(
+                    IndexMeta(field_dir(self._index_dir, f))
+                )
+                for f in self.fields
+            }
+        return self._stats_cache
+
+    def search_after(self, query: str, k: int = 10, after=None):
+        return _page_after(self.search, query, k, after)
+
+    def significant_terms(
+        self, query: str, field: str, top_n: int = 10, min_df: int = 2
+    ) -> list[tuple[str, int, int, float]]:
+        """ES significant_terms of ``field`` over the multifield match
+        set: per-slice fg counts add, match totals add, JLH at the
+        driver with corpus-global df."""
+        routed = self._routed(query)
+        parts = ray.get(
+            [s.significant.remote(routed, field, min_df) for s in self.servers]
+        )
+        fg: dict[str, int] = {}
+        for d, _ in parts:
+            for t, c in d.items():
+                fg[t] = fg.get(t, 0) + c
+        m = sum(mm for _, mm in parts)
+        dfs = self.term_dfs(field, sorted(fg))
+        n = self._field_stats()[field].n_docs
+        return _jlh_rank(fg, m, dfs, n, top_n)
 
     def shutdown(self) -> None:
         for s in self.servers:

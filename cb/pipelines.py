@@ -1700,6 +1700,56 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
+def q_multifield_page2(sf_dir: str) -> pa.Table:
+    """search_after pagination on the MULTIFIELD engine: ranks K+1..2K
+    of every full-first-page query, continued from page 1's
+    (score, doc_id) cursor (bitwise-deterministic scores make cursor
+    equality safe across the doc-sharded pool)."""
+    from . import multifield
+
+    idx = get_multifield_index(sf_dir)
+    _ensure_mf_docmeta(sf_dir, idx)
+    engine = multifield.MultiFieldEngine(idx, num_servers=2)
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    try:
+        for qid, q in enumerate(MF_QS_SET):
+            page1 = engine.search(q, k=K)
+            if len(page1) < K:
+                continue
+            page2 = engine.search_after(q, k=K, after=(page1[-1][1], page1[-1][0]))
+            for i, (doc_id, score) in enumerate(page2):
+                rows["query_id"].append(qid)
+                rows["rank"].append(K + 1 + i)
+                rows["doc_id"].append(doc_id)
+                rows["score"].append(score)
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_multifield_page2() -> str:
+    """Ranks K+1..2K of the multifield ranking, full-first-page queries
+    only (same cut swap as sql_bm25_page2)."""
+    base = sql_multifield_querystring()
+    return base.replace(
+        f"FROM ranked WHERE rank <= {K} ORDER BY query_id, rank",
+        f"""FROM ranked
+WHERE rank > {K} AND rank <= {2 * K}
+  AND query_id IN (SELECT query_id FROM ranked GROUP BY 1 HAVING count(*) > {K})
+ORDER BY query_id, rank""",
+    )
+
+
 def q_multifield_facets(sf_dir: str) -> pa.Table:
     """ES terms aggregations over each multifield query's FULL match
     set (most_fields membership incl. phrases/msm/required/filters),
@@ -2732,6 +2782,7 @@ QUERIES = {
     "federated_multifield": q_federated_multifield,
     "multifield_querystring": q_multifield_querystring,
     "multifield_facets": q_multifield_facets,
+    "multifield_page2": q_multifield_page2,
     "multifield_histogram": q_multifield_histogram,
     "phrase_search": q_phrase_search,
     "phrase_slop_search": q_phrase_slop_search,
@@ -2805,6 +2856,7 @@ def oracle_sql() -> dict[str, str]:
         # aggregations share the querystring oracle's match prefix,
         # exactly as the engine shares _match_fields
         "multifield_facets": sql_multifield_facets(),
+        "multifield_page2": sql_multifield_page2(),
         "multifield_histogram": sql_multifield_histogram(),
         "phrase_search": sql_phrase_search(),
         "phrase_slop_search": sql_phrase_slop_search(),

@@ -814,5 +814,24 @@ def test_multifield_federation_aggregations(tmp_path, ray_session):
         sub = multifield.MultiFieldSearcher(fg["indexes"][0]["dir"], fed=fed_dir)
         assert eng.facets("tok1 tok2", facet_cols=["cat"], names=[name0]) == \
             sub.facet_counts("tok1 tok2", facet_cols=["cat"])
+
+        # MLT: fed members select identical terms (fed-global df), so
+        # the merged ranking is bitwise the monolithic multifield MLT
+        like = {"body": "tok1 tok2 tok3 tok4", "title": "tok2 tok5"}
+        some_id = mono.search("tok1", k=1)[0][0]
+        for exclude in (None, some_id):
+            assert eng.more_like_this(like, k=10, exclude=exclude) == \
+                mono.more_like_this(like, k=10, exclude=exclude), exclude
+
+        # search_after: page 2 of the fed ranking == monolithic slice
+        full = mono.search("tok1 tok2 tok3", k=12)
+        after = (full[3][1], full[3][0])
+        assert eng.search_after("tok1 tok2 tok3", k=6, after=after) == \
+            mono.search_after("tok1 tok2 tok3", k=6, after=after)
+
+        # significant_terms: member fg counts + fed-global df/N == mono
+        for field in ("body", "title"):
+            assert eng.significant_terms("tok1 tok2", field, top_n=5, min_df=1) == \
+                mono.significant_terms("tok1 tok2", field, top_n=5, min_df=1), field
     finally:
         eng.shutdown()

@@ -259,3 +259,96 @@ def test_aggregations_pool_parity(built, tmp_path):
                 assert eng.histogram(q, {"nlen": 100}) == s.histogram(q, {"nlen": 100}), (n, q)
         finally:
             eng.shutdown()
+
+
+def _mlt_reference(doc_fields, k=10, max_terms=15, exclude=None):
+    """Spec MLT: per-field top tf*idf selection + field-scoped
+    most_fields scoring (same shape as _reference)."""
+    toks = {
+        f: {i: analyze.tokenize(v) for i, t, b in DOCS for v in [(t if f == "title" else b)]}
+        for f in ("title", "body")
+    }
+    scores: dict[int, float] = {}
+    for f in ("title", "body"):
+        tf = {i: Counter(ts) for i, ts in toks[f].items()}
+        dl = {i: len(ts) for i, ts in toks[f].items()}
+        n = len(DOCS)
+        avgdl = sum(dl.values()) / n
+        df = Counter()
+        for c in tf.values():
+            df.update(c.keys())
+        qtf = Counter(analyze.tokenize(doc_fields.get(f) or ""))
+        sel = [
+            (t, c * float(scoring.idf(df[t], n))) for t, c in qtf.items() if t in df
+        ]
+        sel.sort(key=lambda kv: (-kv[1], kv[0]))
+        terms = sorted(t for t, _ in sel[:max_terms])
+        for i, _, _ in DOCS:
+            s = np.float64(0.0)
+            hit = False
+            for t in terms:
+                c = tf[i].get(t)
+                if c:
+                    hit = True
+                    s = s + scoring.idf(df[t], n) * scoring.u_factor(c, dl[i], avgdl)
+            if hit:
+                scores[i] = float(np.float64(scores.get(i, 0.0)) + s)
+    if exclude is not None:
+        scores.pop(exclude, None)
+    if not scores:
+        return []
+    ids = np.array(sorted(scores), dtype=np.int64)
+    vals = np.array([scores[i] for i in ids], dtype=np.float64)
+    return rank_topk(ids, vals, k)
+
+
+def test_more_like_this_matches_reference_and_pool(built):
+    s = multifield.MultiFieldSearcher(built)
+    likes = [
+        ({"title": "hash join", "body": "table scan hash"}, 11),
+        ({"title": "merge sort", "body": "the window frames sort"}, 22),
+        ({"body": "quantum zebra table"}, None),
+    ]
+    for doc_fields, exclude in likes:
+        want = _mlt_reference(doc_fields, k=10, exclude=exclude)
+        got = s.more_like_this(doc_fields, k=10, exclude=exclude)
+        assert got == want, doc_fields
+        for n in (1, 2, 3):
+            eng = multifield.MultiFieldEngine(built, num_servers=n)
+            try:
+                assert eng.more_like_this(doc_fields, k=10, exclude=exclude) == want, n
+            finally:
+                eng.shutdown()
+
+
+def test_search_after_pages_are_ranking_slices(built):
+    s = multifield.MultiFieldSearcher(built)
+    full = s.search("hash table merge join sort", k=10)
+    assert len(full) >= 4
+    for cut in (1, 2, 3):
+        after = full[cut - 1]
+        assert s.search_after("hash table merge join sort", k=10, after=(after[1], after[0])) == full[cut:]
+    eng = multifield.MultiFieldEngine(built, num_servers=2)
+    try:
+        after = full[1]
+        assert eng.search_after(
+            "hash table merge join sort", k=10, after=(after[1], after[0])
+        ) == full[2:]
+    finally:
+        eng.shutdown()
+
+
+def test_significant_terms_pool_parity_and_sanity(built):
+    s = multifield.MultiFieldSearcher(built)
+    for q, field in (("hash", "body"), ("merge", "title"), ("table", "body")):
+        want = s.significant_terms(q, field, top_n=5, min_df=1)
+        for n in (1, 2, 3):
+            eng = multifield.MultiFieldEngine(built, num_servers=n)
+            try:
+                assert eng.significant_terms(q, field, top_n=5, min_df=1) == want, (n, q)
+            finally:
+                eng.shutdown()
+    # sanity: the match set of "zebra" (docs 33, 55) overrepresents
+    # "quantum" (in both matched docs' fields) vs the corpus
+    top = s.significant_terms("zebra", "title", top_n=5, min_df=1)
+    assert any(t == "quantum" for t, _, _, _ in top)
