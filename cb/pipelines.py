@@ -21,7 +21,7 @@ import pyarrow.parquet as pq
 import ray.data
 from ray.data.aggregate import Sum
 
-from . import analyze, ann, build, curation, dedup, filters, scoring, shard, textstats
+from . import analyze, ann, build, curation, dedup, filters, lm, scoring, shard, textstats
 
 K = 10
 
@@ -1896,6 +1896,13 @@ def q_fingerprint(sf_dir: str) -> pa.Table:
     return _collect(ds.map_batches(textstats.fingerprint, batch_format="pyarrow"))
 
 
+def q_lm_quality(sf_dir: str) -> pa.Table:
+    """Corpus-trained pruned bigram LM quality score per doc (the
+    CCNet/Gopher perplexity-filter analog; see cb.lm)."""
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(lm.lm_quality_score(ds, min_count=5))
+
+
 def q_dup_ngram_spans(sf_dir: str) -> pa.Table:
     """ExactSubstr detection (Lee et al.): maximal token spans whose
     every 8-token window occurs >= 2 times corpus-wide."""
@@ -2802,6 +2809,7 @@ QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dup_ngram_spans": q_dup_ngram_spans,
+    "lm_quality_score": q_lm_quality,
     "dup_span_strip": q_dup_span_strip,
     "minhash_neardup": q_minhash_neardup,
     "neardup_clusters": q_neardup_clusters,
@@ -2878,6 +2886,7 @@ def oracle_sql() -> dict[str, str]:
         # ExactSubstr (Lee et al.): windows compared by value in SQL,
         # by md5-lower-64 in the engine (~2^-64 collision caveat)
         "dup_ngram_spans": dedup.sql_dup_ngram_spans(n=8, min_count=2),
+        "lm_quality_score": lm.sql_lm_quality_score(min_count=5),
         "dup_span_strip": dedup.sql_strip_duplicate_spans(n=8, min_count=2),
         # exact mirrors: same md5-lower-64 hashes, inlined permutation
         # constants, band-equality candidates, same verify filters
