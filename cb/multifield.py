@@ -726,6 +726,12 @@ class MultiFieldServer:
         self.tombstones = load_tombstones(index_dir)
         self._dm = None
         self._dm_loaded = False
+        from .telemetry import Telemetry
+
+        self.telemetry = Telemetry()
+
+    def metrics(self) -> dict:
+        return self.telemetry.snapshot()
 
     def _get(self, field: str, term: str):
         meta = self.metas[field]
@@ -740,6 +746,11 @@ class MultiFieldServer:
         return self._dm
 
     def score(self, routed: dict, k: int):
+        self.telemetry.incr("server.scores")
+        self.telemetry.incr(
+            "server.terms",
+            sum(len(ts) for ts in routed.get("field_terms", {}).values()),
+        )
         dm = self._ensure_dm() if routed.get("filters") else None
         return _score_fields(
             routed, self._get, self.stats, self.fields, k, self.tombstones,
@@ -846,6 +857,9 @@ class MultiFieldEngine:
         self.num_servers = num_servers
         self._index_dir = index_dir
         self._vocabs: dict[str, list[str]] | None = None  # lazy (wildcard/fuzzy)
+        from .telemetry import Telemetry
+
+        self.telemetry = Telemetry()  # driver-side phase timers
         self.servers = [
             MultiFieldServer.remote(
                 index_dir,
@@ -855,8 +869,33 @@ class MultiFieldEngine:
         ]
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        import time as _time
+
+        t0 = _time.perf_counter()
         futs = [s.score.remote(self._routed(query), k) for s in self.servers]
-        return _merge_topk(ray.get(futs), k)
+        t1 = _time.perf_counter()
+        self.telemetry.record("query.dispatch", t1 - t0)
+        scored = ray.get(futs)
+        t2 = _time.perf_counter()
+        self.telemetry.record("query.wait", t2 - t1)
+        res = _merge_topk(scored, k)
+        t3 = _time.perf_counter()
+        self.telemetry.record("query.merge", t3 - t2)
+        self.telemetry.record("query.total", t3 - t0)
+        return res
+
+    def metrics(self) -> dict:
+        """Per-stage multifield query telemetry (same surface as
+        QueryEngine.metrics): driver phase timers + additive server
+        counter roll-up."""
+        from .telemetry import merge_snapshots
+
+        return {
+            "engine": self.telemetry.snapshot(),
+            "servers": merge_snapshots(
+                ray.get([s.metrics.remote() for s in self.servers])
+            ),
+        }
 
     def _routed(self, query: str) -> dict:
         # driver-side rewrite (vocab summaries, not postings), so every

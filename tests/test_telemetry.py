@@ -95,3 +95,37 @@ def test_federated_metrics_rollup(tmp_path, ray_session):
         assert m["servers"]["timers"].get("server.score", {}).get("count", 0) >= 1
     finally:
         eng.shutdown()
+
+
+def test_multifield_engine_metrics_populate(tmp_path, ray_session):
+    from cb import multifield
+
+    rng = np.random.default_rng(23)
+    vocab = [f"tok{i}" for i in range(20)]
+    rows = [
+        {
+            "doc_id": i,
+            "title": " ".join(rng.choice(vocab, size=3)),
+            "body": " ".join(rng.choice(vocab, size=rng.integers(5, 15))),
+        }
+        for i in range(150)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "idx")
+    multifield.build_multifield(src, idx, ["title", "body"], id_col="doc_id", num_parts=4)
+
+    eng = multifield.MultiFieldEngine(idx, num_servers=2)
+    try:
+        for q in ("tok1 tok2", "title:tok3", "tok4 -tok5"):
+            eng.search(q, k=5)
+        m = eng.metrics()
+        et = m["engine"]["timers"]
+        assert et["query.total"]["count"] == 3
+        assert et["query.dispatch"]["count"] == 3
+        assert et["query.wait"]["count"] == 3
+        assert et["query.merge"]["count"] == 3
+        assert m["servers"]["counters"]["server.scores"] == 6  # 2 servers x 3
+        assert m["servers"]["counters"]["server.terms"] > 0
+    finally:
+        eng.shutdown()
