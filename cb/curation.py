@@ -592,6 +592,101 @@ def token_budget_sample(
     return full.union(boundary)
 
 
+def alpha_mix_sample(
+    ds: ray.data.Dataset,
+    *,
+    alpha: float = 0.5,
+    total_budget: int = 100_000,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    salt: str = "mix",
+    n_ranges: int = 4096,
+) -> ray.data.Dataset:
+    """Temperature (alpha) mixing — the standard multilingual/domain
+    rebalancing knob (multilingual BERT / XLM-R sampling, Gopher/Pile
+    mixture weights): source s gets token budget
+    ``floor(total_budget * C_s^alpha / sum_t C_t^alpha)`` where C_s is
+    the source's corpus token count — alpha=1 keeps natural
+    proportions, alpha=0 gives uniform, in between upsamples the tail.
+    Budgets then feed :func:`token_budget_sample` (salted-hash order,
+    two-phase, skew-proof).
+
+    The per-source count aggregation is a per-batch Arrow partial
+    folded at the driver (n_sources x n_blocks tiny rows — a real mix
+    has 3-10 sources, so this never shuffles the corpus); the alpha
+    share sum runs in SOURCE-NAME order so the float total is
+    deterministic and the SQL mirror (``sum(... ORDER BY source)``)
+    is bitwise."""
+    from . import analyze
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kept = analyze.token_array(batch[text_col])
+        offs = kept.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "source": batch[source_col],
+                "n": pa.array(np.diff(offs), type=pa.int64()),
+            }
+        )
+        return t.group_by("source").aggregate([("n", "sum")]).rename_columns(
+            ["source", "n"]
+        )
+
+    tiny = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = tiny.groupby("source")["n"].sum().sort_index()
+    shares = np.power(counts.to_numpy(dtype=np.float64), float(alpha))
+    denom = 0.0  # strict left-to-right in source-name order: bitwise
+    for sh in shares:  # the DuckDB sum(... ORDER BY source) fold
+        denom += float(sh)
+    budgets = {
+        s: int(np.floor(total_budget * sh / denom))
+        for s, sh in zip(counts.index, shares)
+    }
+    return token_budget_sample(
+        ds, budgets, id_col=id_col, source_col=source_col,
+        text_col=text_col, salt=salt, n_ranges=n_ranges,
+    )
+
+
+def sql_alpha_mix_sample(
+    *,
+    alpha: float = 0.5,
+    total_budget: int = 100_000,
+    table: str = "documents",
+    salt: str = "mix",
+) -> str:
+    """Mirror of :func:`alpha_mix_sample`: budgets computed in SQL from
+    the same token counts (``pow`` + ORDER BY source sum, floor), same
+    window-sum prefix as sql_token_budget_sample."""
+    from . import analyze
+
+    tok = analyze.sql_token_array("text")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, len({tok})::BIGINT AS n_tokens,
+         (md5_number_lower(concat('{salt}', doc_id::VARCHAR)) % 1000000)::BIGINT AS h
+  FROM {table}
+),
+cnt AS (SELECT source, sum(n_tokens)::BIGINT AS c FROM d GROUP BY 1),
+tot AS (SELECT sum(pow(c::DOUBLE, {alpha!r}) ORDER BY source) AS s FROM cnt),
+b AS (
+  SELECT source,
+         floor({total_budget} * pow(c::DOUBLE, {alpha!r}) / (SELECT s FROM tot))::BIGINT AS budget
+  FROM cnt
+),
+c AS (
+  SELECT d.*, b.budget,
+         sum(d.n_tokens) OVER (
+           PARTITION BY d.source ORDER BY d.h, d.doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM d JOIN b ON b.source = d.source
+)
+SELECT doc_id, source, n_tokens FROM c WHERE cum <= budget ORDER BY doc_id
+"""
+
+
 def sql_token_budget_sample(
     budgets: dict[str, int],
     table: str = "documents",

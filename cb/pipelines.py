@@ -1896,6 +1896,17 @@ def q_fingerprint(sf_dir: str) -> pa.Table:
     return _collect(ds.map_batches(textstats.fingerprint, batch_format="pyarrow"))
 
 
+def q_alpha_mix(sf_dir: str) -> pa.Table:
+    """Temperature (alpha=0.5) source mixing: per-source token budgets
+    from corpus counts, then the salted-hash budget sampler."""
+    ds = ray.data.read_parquet(
+        docs_path(sf_dir), columns=["doc_id", "source", "text"]
+    )
+    return _collect(
+        curation.alpha_mix_sample(ds, alpha=0.5, total_budget=8000)
+    )
+
+
 def q_lm_quality(sf_dir: str) -> pa.Table:
     """Corpus-trained pruned bigram LM quality score per doc (the
     CCNet/Gopher perplexity-filter analog; see cb.lm)."""
@@ -2810,6 +2821,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dup_ngram_spans": q_dup_ngram_spans,
     "lm_quality_score": q_lm_quality,
+    "alpha_mix": q_alpha_mix,
     "dup_span_strip": q_dup_span_strip,
     "minhash_neardup": q_minhash_neardup,
     "neardup_clusters": q_neardup_clusters,
@@ -2887,6 +2899,7 @@ def oracle_sql() -> dict[str, str]:
         # by md5-lower-64 in the engine (~2^-64 collision caveat)
         "dup_ngram_spans": dedup.sql_dup_ngram_spans(n=8, min_count=2),
         "lm_quality_score": lm.sql_lm_quality_score(min_count=5),
+        "alpha_mix": curation.sql_alpha_mix_sample(alpha=0.5, total_budget=8000),
         "dup_span_strip": dedup.sql_strip_duplicate_spans(n=8, min_count=2),
         # exact mirrors: same md5-lower-64 hashes, inlined permutation
         # constants, band-equality candidates, same verify filters

@@ -291,3 +291,52 @@ def test_write_training_shards_resumable(tmp_path):
             ids.extend(pq.read_table(os.path.join(sdir, f))["doc_id"].to_pylist())
         assert [asg[i][1] for i in ids] == list(range(len(ids)))
         assert all(asg[i][0] == s for i in ids)
+
+
+def test_alpha_mix_rebalances_skewed_sources(ray_session):
+    """alpha=0.5 on a 90%-dominant source: the tail source's budget
+    share rises above its natural share; alpha=1 reproduces natural
+    proportions; outputs respect per-source budgets."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cb import analyze, curation
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{c}" for c in "abcdefghij"]
+    rows = []
+    i = 0
+    for src_name, ndocs in (("big", 90), ("small", 10)):
+        for _ in range(ndocs):
+            rows.append(
+                {
+                    "doc_id": i,
+                    "source": src_name,
+                    "text": " ".join(rng.choice(vocab, size=20)),
+                }
+            )
+            i += 1
+    t = pa.Table.from_pylist(rows)
+    ds = ray.data.from_arrow(t)
+
+    def tok_count(src_name):
+        return sum(
+            len(analyze.tokenize(r["text"])) for r in rows if r["source"] == src_name
+        )
+
+    c_big, c_small = tok_count("big"), tok_count("small")
+    total = 800
+    out = curation.alpha_mix_sample(
+        ds, alpha=0.5, total_budget=total
+    ).to_pandas()
+    got = out.groupby("source")["n_tokens"].sum()
+    # expected budgets (same formula)
+    sh = {s: c ** 0.5 for s, c in (("big", c_big), ("small", c_small))}
+    denom = sh["big"] + sh["small"]
+    for s in ("big", "small"):
+        budget = int(np.floor(total * sh[s] / denom))
+        assert got.get(s, 0) <= budget, s
+    # the tail source's sampled share exceeds its natural token share
+    nat_share = c_small / (c_big + c_small)
+    samp_share = got.get("small", 0) / got.sum()
+    assert samp_share > nat_share
