@@ -304,6 +304,38 @@ def run_bench() -> dict:
         finally:
             feng.shutdown()
 
+    if not skip_extras:
+        # phase 7: LLM-curation ops at corpus scale — ExactSubstr
+        # duplicate-span detection and bigram-LM quality scoring over a
+        # 60k-doc slice of the code corpus (streamed, never collected)
+        from cb import dedup as dedup_mod
+        from cb import lm as lm_mod
+        from cb.corpus import with_identity as _wid
+
+        sub_docs = 60_000
+        sub_dir = ensure_corpus(sub_docs)
+        def _code_ds():
+            return (
+                ray.data.read_parquet(
+                    sub_dir, columns=["repo", "path", "commit", "content"]
+                )
+                .map_batches(_wid, batch_format="pyarrow")
+                .select_columns(["doc_id", "content"])
+            )
+
+        t0 = time.perf_counter()
+        n_spans = dedup_mod.duplicate_ngram_spans(
+            _code_ds(), n=8, min_count=2, text_col="content", concurrency=8
+        ).count()
+        dt = time.perf_counter() - t0
+        extras["dup_span_docs_per_sec"] = sub_docs / dt
+        extras["dup_span_rows"] = float(n_spans)
+        t0 = time.perf_counter()
+        lm_mod.lm_quality_score(
+            _code_ds(), text_col="content", min_count=5, concurrency=8
+        ).count()
+        extras["lm_score_docs_per_sec"] = sub_docs / (time.perf_counter() - t0)
+
     extras["calib_end_sec"] = _calibrate()
     total = sum(timings.values())
     out = {
