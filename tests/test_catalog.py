@@ -207,3 +207,50 @@ def test_federation_source_kind(tmp_path):
     metas = catalog.watch_catalog(cat_path, max_ticks=1, sleep_fn=lambda s: None)
     assert metas["stream"]["changed"] == ["cb-20260106"]
     assert os.path.isdir(os.path.join(fed_dir, "index=cb-20260106"))
+
+
+def test_federation_source_kind_multifield(tmp_path):
+    """The catalog tick drives MULTIFIELD federations too: the fed.json
+    cfg (fields=[...]) travels with the federation, so kind=federation
+    sources need no extra catalog keys — one tick ingests a shard into
+    per-field day sub-indexes and the multifield engine serves it."""
+    from cb import federated
+
+    base_us = 1_767_571_200_000_000
+    drain = str(tmp_path / "drain")
+    os.makedirs(drain)
+    fed_dir = str(tmp_path / "fed")
+    federated.init_federation(
+        fed_dir, fields=["text", "title"], id_col="doc_id", ts_col="ts",
+        prefix="mf-", num_parts=4,
+    )
+    cat_path = str(tmp_path / "sources.json")
+    catalog.add_source(cat_path, "mfstream", drain, fed_dir, kind="federation")
+
+    rows = [
+        {
+            "doc_id": 1 + i,
+            "text": f"stream alpha beta m{i % 5}",
+            "title": f"title m{i % 3}",
+            "ts": base_us,
+        }
+        for i in range(20)
+    ]
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(
+        t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.timestamp("us"))
+    )
+    pq.write_table(t, os.path.join(drain, "part=0-off=0-20.parquet"))
+
+    metas = catalog.watch_catalog(cat_path, max_ticks=1, sleep_fn=lambda s: None)
+    assert metas["mfstream"]["changed"] == ["mf-20260105"]
+    for f in ("text", "title"):
+        assert os.path.isdir(
+            os.path.join(fed_dir, "index=mf-20260105", f"field={f}")
+        )
+    eng = federated.FederatedMultiFieldEngine(fed_dir)
+    try:
+        hits = eng.search("alpha title:m1", k=5)
+        assert hits and all(1 <= d <= 20 for d, _ in hits)
+    finally:
+        eng.shutdown()
