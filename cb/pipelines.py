@@ -1750,6 +1750,136 @@ ORDER BY query_id, rank""",
     )
 
 
+_MF_RANKED_TAIL = """,
+total AS (
+  SELECT m.query_id, m.doc_id,
+         coalesce(st.score, CAST(0 AS DOUBLE)) + coalesce(sti.score, CAST(0 AS DOUBLE)) AS score
+  FROM m
+  LEFT JOIN scored_text st ON st.query_id = m.query_id AND st.doc_id = m.doc_id
+  LEFT JOIN scored_title sti ON sti.query_id = m.query_id AND sti.doc_id = m.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM total
+)"""
+
+
+def q_multifield_highlight(sf_dir: str) -> pa.Table:
+    """ES per-field highlighting on the multifield engine: for every
+    top-K hit, the best WIDTH-token window PER FIELD over that field's
+    analyzed token stream, using the field's (expanded) scoring terms —
+    fields without a hit emit no row, exactly like ES highlight
+    fragments."""
+    import pyarrow.parquet as _pq
+
+    from . import highlight, multifield
+
+    idx = get_multifield_index(sf_dir)
+    _ensure_mf_docmeta(sf_dir, idx)
+    engine = multifield.MultiFieldEngine(idx, num_servers=2)
+    try:
+        results = [engine.search(q, k=K) for q in MF_QS_SET]
+        routeds = [engine._routed(q) for q in MF_QS_SET]
+    finally:
+        engine.shutdown()
+    pairs = [(qid, d) for qid, res in enumerate(results) for d, _ in res]
+    empty = pa.table(
+        {"query_id": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+         "field": pa.array([], pa.string()), "anchor": pa.array([], pa.int64()),
+         "n_terms": pa.array([], pa.int64()), "snippet": pa.array([], pa.string())}
+    )
+    if not pairs:
+        return empty
+    wanted = sorted({d for _, d in pairs})
+    tbl = _pq.read_table(
+        docs_path(sf_dir), columns=["doc_id", "text"],
+        filters=[("doc_id", "in", wanted)],
+    )
+    toks = analyze.token_array(tbl["text"])
+    titles = pc.binary_join(pc.list_slice(toks, 0, 8), pa.scalar(" "))
+    field_text = {
+        "text": dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())),
+        "title": dict(zip(tbl["doc_id"].to_pylist(), titles.to_pylist())),
+    }
+    outs = []
+    for field in ("text", "title"):
+        cand = pa.table(
+            {
+                "query_id": pa.array([q for q, _ in pairs], pa.int64()),
+                "doc_id": pa.array([d for _, d in pairs], pa.int64()),
+                "text": pa.array(
+                    [field_text[field][d] for _, d in pairs], pa.string()
+                ),
+            }
+        )
+        qt = {
+            qid: list(r["field_terms"].get(field) or [])
+            for qid, r in enumerate(routeds)
+        }
+        t = _collect(
+            ray.data.from_arrow(cand).map_batches(
+                highlight.snippet_stage(qt), batch_format="pyarrow"
+            )
+        )
+        if t.num_rows:
+            outs.append(
+                t.add_column(2, "field", pa.array([field] * t.num_rows, pa.string()))
+            )
+    if not outs:
+        return empty
+    out = pa.concat_tables(outs, promote_options="default")
+    return out.sort_by(
+        [("query_id", "ascending"), ("doc_id", "ascending"), ("field", "ascending")]
+    )
+
+
+def sql_multifield_highlight() -> str:
+    """Mirror: top-K from the shared multifield ranking, then per field
+    the hit-anchored best window over that field's token stream using
+    the field's expanded scoring terms (q_<field>)."""
+    from .highlight import WIDTH
+
+    parts = []
+    for f in ("text", "title"):
+        parts.append(f"""
+tp_{f} AS (SELECT doc_id, unnest(t_{f}) AS w, generate_subscripts(t_{f}, 1) AS i FROM f),
+hits_{f} AS (
+  SELECT td.query_id, td.doc_id, t.i, t.w
+  FROM topd td
+  JOIN tp_{f} t ON t.doc_id = td.doc_id
+  JOIN q_{f} q ON q.query_id = td.query_id AND q.term = t.w
+),
+wnd_{f} AS (
+  SELECT h1.query_id, h1.doc_id, h1.i AS anchor, count(DISTINCT h2.w)::BIGINT AS c
+  FROM hits_{f} h1
+  JOIN hits_{f} h2 ON h2.query_id = h1.query_id AND h2.doc_id = h1.doc_id
+              AND h2.i >= h1.i AND h2.i < h1.i + {WIDTH}
+  GROUP BY 1, 2, 3
+),
+best_{f} AS (
+  SELECT query_id, doc_id, anchor, c,
+         row_number() OVER (PARTITION BY query_id, doc_id
+                            ORDER BY c DESC, anchor ASC) AS rn
+  FROM wnd_{f}
+)""")
+    sel = " UNION ALL ".join(
+        f"""SELECT b.query_id::BIGINT AS query_id, b.doc_id, '{f}' AS field,
+       b.anchor::BIGINT AS anchor, b.c AS n_terms,
+       array_to_string(d.t_{f}[b.anchor : b.anchor + {{W}}], ' ') AS snippet
+FROM best_{f} b JOIN f d ON d.doc_id = b.doc_id WHERE b.rn = 1"""
+        for f in ("text", "title")
+    ).format(W=WIDTH - 1)
+    return (
+        _mf_sql_prefix(MF_QS_SET)
+        + _MF_RANKED_TAIL
+        + f""",
+topd AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {K}),"""
+        + ",".join(parts)
+        + "\n" + sel + " ORDER BY query_id, doc_id, field"
+    )
+
+
 def q_multifield_facets(sf_dir: str) -> pa.Table:
     """ES terms aggregations over each multifield query's FULL match
     set (most_fields membership incl. phrases/msm/required/filters),
@@ -2801,6 +2931,7 @@ QUERIES = {
     "multifield_querystring": q_multifield_querystring,
     "multifield_facets": q_multifield_facets,
     "multifield_page2": q_multifield_page2,
+    "multifield_highlight": q_multifield_highlight,
     "multifield_histogram": q_multifield_histogram,
     "phrase_search": q_phrase_search,
     "phrase_slop_search": q_phrase_slop_search,
@@ -2877,6 +3008,7 @@ def oracle_sql() -> dict[str, str]:
         # exactly as the engine shares _match_fields
         "multifield_facets": sql_multifield_facets(),
         "multifield_page2": sql_multifield_page2(),
+        "multifield_highlight": sql_multifield_highlight(),
         "multifield_histogram": sql_multifield_histogram(),
         "phrase_search": sql_phrase_search(),
         "phrase_slop_search": sql_phrase_slop_search(),
