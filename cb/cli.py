@@ -217,8 +217,20 @@ def cmd_fed(args) -> int:
             if _is_mf
             else federated.FederatedEngine(args.fed, num_servers=args.servers)
         )
+        sel = {"start_day": args.start_day, "end_day": args.end_day}
+        after = None
+        if args.after:
+            s, _, d = args.after.partition(":")
+            after = (float(s), int(d))
         try:
-            if _is_mf:
+            if args.facets:
+                cols = args.facets.split(",")
+                facets, _ = eng.facets(args.query, facet_cols=cols, **sel)
+                print(json.dumps({"query": args.query, "facets": facets}))
+                res = None
+            elif after is not None:
+                res = eng.search_after(args.query, k=args.k, after=after, **sel)
+            elif _is_mf:
                 res = eng.search(
                     args.query, k=args.k,
                     start_day=args.start_day, end_day=args.end_day,
@@ -233,10 +245,11 @@ def cmd_fed(args) -> int:
                     args.query, k=args.k,
                     start_day=args.start_day, end_day=args.end_day,
                 )
-            print(json.dumps({
-                "query": args.query,
-                "results": [{"doc_id": d, "score": s} for d, s in res],
-            }))
+            if res is not None:
+                print(json.dumps({
+                    "query": args.query,
+                    "results": [{"doc_id": d, "score": s} for d, s in res],
+                }))
         finally:
             eng.shutdown()
     ray.shutdown()
@@ -321,6 +334,11 @@ def main(argv=None) -> int:
     fd.add_argument("--qstring", action="store_true", help="Lucene-lite query string")
     fd.add_argument("-k", type=int, default=10)
     fd.add_argument("--servers", type=int, default=2, help="servers per sub-index")
+    fd.add_argument("--after", default=None,
+                    help="cursor 'score:doc_id' -> next page (search_after)")
+    fd.add_argument("--facets", default=None,
+                    help="comma-separated docmeta columns -> terms aggs "
+                         "over the query's full match set")
     fd.add_argument("--start-day", default=None, help="prune: first day YYYYMMDD")
     fd.add_argument("--end-day", default=None, help="prune: last day YYYYMMDD")
     fd.add_argument("doc_ids", nargs="*", help="doc ids (delete)")

@@ -204,3 +204,16 @@ def test_cli_fed_multifield(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     res = json.loads(r.stdout.strip().splitlines()[-1])
     assert "results" in res
+
+    # cursor pagination: --after skips past page 1's last hit
+    if len(res["results"]) >= 2:
+        cur = res["results"][0]
+        r = subprocess.run(
+            [sys.executable, "-m", "cb.cli", "fed", "search", "--fed", fed,
+             "--query", "title:tok1 tok2", "-k", "5",
+             "--after", f"{cur['score']!r}:{cur['doc_id']}"],
+            capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        page2 = json.loads(r.stdout.strip().splitlines()[-1])["results"]
+        assert page2[0]["doc_id"] == res["results"][1]["doc_id"]
