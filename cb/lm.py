@@ -258,7 +258,6 @@ def train_bigram_model(
     """ObjectRef to the pruned add-one bigram LM (see module doc)."""
     uni = unigram_counts(ds, text_col=text_col, n_buckets=n_buckets)
     model_ref = _assemble_vocab.remote(min_count, *uni.to_arrow_refs())
-    model = ray.get(model_ref)  # tiny dict header; arrays stay small (pruned)
     bi = _bucket_merge(
         ds.map_batches(
             _BigramCountStage,
@@ -271,7 +270,9 @@ def train_bigram_model(
         ),
         ["key"],
     )
-    return _assemble_bigrams.remote(model, *bi.to_arrow_refs())
+    # model_ref is auto-dereferenced inside the task: the vocab never
+    # round-trips through the driver
+    return _assemble_bigrams.remote(model_ref, *bi.to_arrow_refs())
 
 
 def lm_quality_score(
