@@ -32,19 +32,24 @@ QUALITY_RULES = (
 )
 
 
+def _first_failing_rule(stats: pa.Table) -> np.ndarray:
+    """Per-row first-failing QUALITY_RULES name ('' = keep)."""
+    reason = np.full(stats.num_rows, "", dtype=object)
+    for name, metric, op, thr in QUALITY_RULES:
+        col = stats[metric].to_numpy(zero_copy_only=False)
+        bad = col < thr if op == "lt" else col > thr
+        fresh = bad & (reason == "")
+        reason[fresh] = name
+    return reason
+
+
 def quality_filter(ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
     """-> (doc_id, keep, reason): rule-based quality gate over the
     vectorized token metrics; ``reason`` is the FIRST failing rule."""
 
     def f(batch: pa.Table) -> pa.Table:
         stats = textstats.token_stats(batch, text_col=text_col, id_col=id_col)
-        n = stats.num_rows
-        reason = np.full(n, "", dtype=object)
-        for name, metric, op, thr in QUALITY_RULES:
-            col = stats[metric].to_numpy(zero_copy_only=False)
-            bad = col < thr if op == "lt" else col > thr
-            fresh = bad & (reason == "")
-            reason[fresh] = name
+        reason = _first_failing_rule(stats)
         return pa.table(
             {
                 "doc_id": stats["doc_id"],
@@ -52,6 +57,21 @@ def quality_filter(ds: ray.data.Dataset, *, text_col: str = "text", id_col: str 
                 "reason": pa.array(reason.tolist(), type=pa.string()),
             }
         )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def apply_quality_gate(
+    ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """The quality verdict applied IN the stream: per-batch metric mask,
+    rows kept with ALL their columns — no corpus-sized join, the gate
+    composes directly into a larger curation dataflow."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        stats = textstats.token_stats(batch, text_col=text_col, id_col=id_col)
+        reason = _first_failing_rule(stats)
+        return batch.filter(pa.array(reason == ""))
 
     return ds.map_batches(f, batch_format="pyarrow")
 

@@ -2037,6 +2037,54 @@ def q_alpha_mix(sf_dir: str) -> pa.Table:
     )
 
 
+def q_curation_pipeline(sf_dir: str) -> pa.Table:
+    """The full pretraining curation pass as ONE composed dataflow:
+    heuristic quality gate (in-stream mask, no join) -> MinHash
+    fuzzy-dedup keep-filter (banded LSH candidates, clustered,
+    non-representatives dropped via one broadcast set) -> temperature
+    (alpha) mixing to a total token budget.  Each stage is the
+    already-oracled operator; this entry proves the COMPOSITION
+    end-to-end against one composed SQL mirror."""
+    ds = ray.data.read_parquet(
+        docs_path(sf_dir), columns=["doc_id", "source", "text"]
+    )
+    gated = curation.apply_quality_gate(ds)
+    pairs = dedup.minhash_near_duplicates(gated, threshold=0.7, concurrency=2)
+    clusters = dedup.cluster_pairs(pairs)
+    survivors = dedup.keep_representatives(gated, clusters)
+    mixed = curation.alpha_mix_sample(survivors, alpha=0.5, total_budget=6000)
+    return _collect(mixed)
+
+
+def sql_curation_pipeline() -> str:
+    """Composed mirror: gate join -> NOT IN cluster drops (the minhash +
+    transitive-closure SQL over the GATED corpus) -> the alpha-mix SQL
+    grafted as trailing CTEs over the survivor set."""
+    qf = sql_quality_filter_for_pipeline()
+    mh = dedup.sql_minhash_neardup(threshold=0.7, table="gated")
+    cc = dedup.sql_cluster_pairs(mh)
+    mix = curation.sql_alpha_mix_sample(
+        alpha=0.5, total_budget=6000, table="surv"
+    ).strip()
+    assert mix.startswith("WITH ")
+    return f"""
+WITH gated AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN ({qf}) qf ON qf.doc_id = d.doc_id AND qf.keep
+),
+surv AS (
+  SELECT * FROM gated WHERE doc_id NOT IN (
+    SELECT doc_id FROM ({cc.strip()}) WHERE doc_id != cluster_rep
+  )
+),
+{mix[len("WITH "):]}
+"""
+
+
+def sql_quality_filter_for_pipeline() -> str:
+    return curation.sql_quality_filter().strip()
+
+
 def q_lm_quality(sf_dir: str) -> pa.Table:
     """Corpus-trained pruned bigram LM quality score per doc (the
     CCNet/Gopher perplexity-filter analog; see cb.lm)."""
@@ -2953,6 +3001,7 @@ QUERIES = {
     "dup_ngram_spans": q_dup_ngram_spans,
     "lm_quality_score": q_lm_quality,
     "alpha_mix": q_alpha_mix,
+    "curation_pipeline": q_curation_pipeline,
     "dup_span_strip": q_dup_span_strip,
     "minhash_neardup": q_minhash_neardup,
     "neardup_clusters": q_neardup_clusters,
@@ -3032,6 +3081,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_spans": dedup.sql_dup_ngram_spans(n=8, min_count=2),
         "lm_quality_score": lm.sql_lm_quality_score(min_count=5),
         "alpha_mix": curation.sql_alpha_mix_sample(alpha=0.5, total_budget=8000),
+        # composition of three already-oracled stages over one corpus
+        "curation_pipeline": sql_curation_pipeline(),
         "dup_span_strip": dedup.sql_strip_duplicate_spans(n=8, min_count=2),
         # exact mirrors: same md5-lower-64 hashes, inlined permutation
         # constants, band-equality candidates, same verify filters
