@@ -19,8 +19,6 @@ Pattern notes for 100 TB media:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -59,10 +57,19 @@ def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
 
 
 def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
-    """Deterministic bytes -> float vector (stand-in for decode+embed)."""
-    h = hashlib.sha256(payload).digest()
-    rng = np.random.Generator(np.random.PCG64(int.from_bytes(h[:8], "big")))
-    return rng.standard_normal(out_dim).astype(np.float32)
+    """Deterministic bytes -> float vector (stand-in for decode+embed).
+
+    Defined as ``v_j = (md5_64(hex(payload) ':' j) % 2000001)/1e6 - 1``
+    (values in [-1, 1]) — the batched md5-lower-64 kernel
+    (:mod:`cb.hashing`) equals DuckDB ``md5_number_lower``, so the WHOLE
+    fake-decode media pipeline has an exact SQL mirror when the payload
+    bytes come from a table the oracle can read
+    (sql_media_ann_topk)."""
+    from .hashing import md5_lower64
+
+    hexs = payload.hex()
+    h = md5_lower64([f"{hexs}:{j}" for j in range(out_dim)])
+    return (h % np.uint64(2000001)).astype(np.float64) / 1e6 - 1.0
 
 
 class DecodeStage:
@@ -86,7 +93,12 @@ class DecodeStage:
     ``decoder="fake"``.
     """
 
-    def __init__(self, *, fake: bool = False, out_dim: int = 64, decoder=None):
+    def __init__(self, *, fake: bool = False, out_dim: int = 64, decoder=None,
+                 out_type: str = "float32"):
+        # float32 halves feature bytes at 100-TB scale (the default);
+        # float64 keeps decode output bit-exact against a DOUBLE-typed
+        # SQL mirror (what the oracled entry uses)
+        self.out_type = out_type
         if decoder is None and fake:
             decoder = "fake"
         if decoder is None:
@@ -104,15 +116,17 @@ class DecodeStage:
         self.out_dim = out_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        np_t = np.float64 if self.out_type == "float64" else np.float32
+        pa_t = pa.float64() if self.out_type == "float64" else pa.float32()
         feats = [
-            np.asarray(self.decoder(p, self.out_dim), dtype=np.float32).tolist()
+            np.asarray(self.decoder(p, self.out_dim), dtype=np_t).tolist()
             for p in batch["payload"].to_pylist()
         ]
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "kind": batch["kind"],
-                "feature": pa.array(feats, type=pa.list_(pa.float32())),
+                "feature": pa.array(feats, type=pa.list_(pa_t)),
             }
         )
 

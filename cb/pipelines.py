@@ -2312,19 +2312,40 @@ ORDER BY vec_a, vec_b
 """
 
 
+MEDIA_DIM = 32
+
+
 def q_media_ann_topk(sf_dir: str) -> pa.Table:
-    """End-to-end multimodal similarity pipeline: synthetic media table
-    (deterministic; no media tables in the sf dirs) -> actor-pool
-    decode+feature stage (fake decoder, real plumbing — no media libs in
-    this container) -> exact cosine top-k over the feature column.
-    Rows-only check (model-scoring shaped, no SQL oracle)."""
+    """End-to-end multimodal similarity pipeline: binary media payloads
+    (the documents table's utf-8 bytes, so the DuckDB oracle can read
+    the SAME bytes) -> actor-pool decode+feature stage (the pluggable
+    fake decoder: md5-derived float64 tensors, real plumbing — no media
+    libs in this container) -> exact cosine top-k over the feature
+    column.  The decode stand-in is md5-mirrorable, so the pipeline is
+    VALUE-checked end-to-end despite the stubbed codec."""
+    import pyarrow.parquet as _pq
+
     from . import multimodal
 
-    media = multimodal.synthesize_media_table(300, seed=42)
+    tbl = _pq.read_table(docs_path(sf_dir), columns=["doc_id", "text"])
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    media = pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(
+                [("image", "audio", "video")[int(i) % 3] for i in ids], pa.string()
+            ),
+            "payload": pa.array(
+                [t.encode() for t in tbl["text"].to_pylist()], pa.binary()
+            ),
+        }
+    )
     ds = ray.data.from_arrow(media)
     feats = ds.map_batches(
         multimodal.DecodeStage,
-        fn_constructor_kwargs={"fake": True, "out_dim": 32},
+        fn_constructor_kwargs={
+            "fake": True, "out_dim": MEDIA_DIM, "out_type": "float64",
+        },
         batch_format="pyarrow",
         batch_size=32,
         concurrency=2,
@@ -2336,6 +2357,33 @@ def q_media_ann_topk(sf_dir: str) -> pa.Table:
         feats, qmat, qids, k=K, vec_col="feature", id_col="media_id"
     )
     return out.select(["query_id", "rank", "vec_id"])
+
+
+def sql_media_ann_topk() -> str:
+    """Mirror: same payload bytes (encode(text)), same md5-derived
+    feature tensor per dimension, same cosine ranking."""
+    feat = (
+        f"list_transform(range(0, {MEDIA_DIM}), j -> "
+        "(md5_number_lower(concat(lower(hex(encode(text))), ':', j)) "
+        "% 2000001) / 1e6 - 1.0)"
+    )
+    return f"""
+WITH feats AS (
+  SELECT doc_id AS media_id, {feat} AS feature FROM documents
+),
+q AS (SELECT media_id, feature FROM feats ORDER BY media_id LIMIT 5),
+ranked AS (
+  SELECT q.media_id AS query_id, f.media_id AS vec_id,
+         row_number() OVER (
+           PARTITION BY q.media_id
+           ORDER BY list_cosine_similarity(q.feature, f.feature) DESC,
+                    f.media_id ASC
+         ) AS rank
+  FROM q CROSS JOIN feats f
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
 
 
 def q_top_docs_per_lang(sf_dir: str) -> pa.Table:
@@ -3081,6 +3129,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_spans": dedup.sql_dup_ngram_spans(n=8, min_count=2),
         "lm_quality_score": lm.sql_lm_quality_score(min_count=5),
         "alpha_mix": curation.sql_alpha_mix_sample(alpha=0.5, total_budget=8000),
+        # the fake decoder is md5-defined, so even the stubbed-codec
+        # media pipeline is value-checked end-to-end
+        "media_ann_topk": sql_media_ann_topk(),
         # composition of three already-oracled stages over one corpus
         "curation_pipeline": sql_curation_pipeline(),
         "dup_span_strip": dedup.sql_strip_duplicate_spans(n=8, min_count=2),
