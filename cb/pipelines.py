@@ -2291,6 +2291,48 @@ def q_embedding_neardup(sf_dir: str) -> pa.Table:
     ).select(["vec_a", "vec_b"])
 
 
+def q_embedding_dedup_keep(sf_dir: str) -> pa.Table:
+    """The fuzzy-dedup KEEP filter for the embedding modality (the
+    minhash family's neardup_dedup_keep, over cosine near-dup pairs):
+    cluster the exact pair graph, drop non-representatives, stream the
+    survivors — closes cluster+keep for every near-dup signal."""
+    from . import storage
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = (
+        ann.embedding_near_duplicates(
+            ds, tau=NEARDUP_TAU,
+            work_dir=storage.scratch_dir("neardup", os.path.abspath(sf_dir)),
+        )
+        .select(["vec_a", "vec_b"])
+        .rename_columns(["doc_a", "doc_b"])
+    )
+    clusters = dedup.cluster_pairs(ray.data.from_arrow(pairs))
+    ids = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    )
+    return _collect(
+        dedup.keep_representatives(ids, clusters, id_col="vec_id")
+    ).sort_by("vec_id")
+
+
+def sql_embedding_dedup_keep() -> str:
+    """NOT IN over the transitive closure of the exact cosine pair SQL
+    (the pair query rides along as one more CTE; reps = min id)."""
+    pair_sql = (
+        "WITH ep AS (" + sql_embedding_neardup().strip() + ")\n"
+        "SELECT vec_a AS doc_a, vec_b AS doc_b FROM ep"
+    )
+    cc = dedup.sql_cluster_pairs(pair_sql)
+    return f"""
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (
+  SELECT doc_id FROM ({cc.strip()}) WHERE doc_id != cluster_rep
+)
+ORDER BY vec_id
+"""
+
+
 def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
     """Random-hyperplane LSH blocking + exact verify.  Precision is
     exact by construction; this entry runs a SATURATED band config
@@ -3060,6 +3102,7 @@ QUERIES = {
     "ann_ivf_exact": q_ann_ivf_exact,
     "ann_ivf_recall": q_ann_ivf_recall,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_dedup_keep": q_embedding_dedup_keep,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "media_ann_topk": q_media_ann_topk,
     "quality_filter": q_quality_filter,
@@ -3151,6 +3194,7 @@ def oracle_sql() -> dict[str, str]:
         # recall@K >= IVF_RECALL_BOUND, oracle asserts all-True
         "ann_ivf_recall": sql_ann_ivf_recall(),
         "embedding_neardup": sql_embedding_neardup(),
+        "embedding_dedup_keep": sql_embedding_dedup_keep(),
         # saturated-band config -> recall 1 at fixture scale, so the
         # exact pair join is a valid oracle for the LSH path too
         "embedding_neardup_lsh": sql_embedding_neardup(),
