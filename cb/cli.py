@@ -220,8 +220,13 @@ def cmd_fed(args) -> int:
         sel = {"start_day": args.start_day, "end_day": args.end_day}
         after = None
         if args.after:
-            s, _, d = args.after.partition(":")
-            after = (float(s), int(d))
+            try:
+                s, _, d = args.after.partition(":")
+                after = (float(s), int(d))
+            except ValueError:
+                raise SystemExit(
+                    f"--after must be 'score:doc_id', got {args.after!r}"
+                )
         try:
             if args.facets:
                 cols = args.facets.split(",")
@@ -229,7 +234,18 @@ def cmd_fed(args) -> int:
                 print(json.dumps({"query": args.query, "facets": facets}))
                 res = None
             elif after is not None:
-                res = eng.search_after(args.query, k=args.k, after=after, **sel)
+                if not _is_mf and args.qstring:
+                    # FederatedEngine.search_after pages the plain-term
+                    # ranking; a query-string page 2 must page the SAME
+                    # ranking page 1 used
+                    from .query import page_after
+
+                    res = page_after(
+                        lambda q, kk: eng.search(q, kk, **sel),
+                        args.query, args.k, after,
+                    )
+                else:
+                    res = eng.search_after(args.query, k=args.k, after=after, **sel)
             elif _is_mf:
                 res = eng.search(
                     args.query, k=args.k,

@@ -959,19 +959,11 @@ class FederatedEngine:
         """Cursor pagination across the federation (same doubling
         re-rank as QueryEngine.search_after; sub-engines' server-side
         result caches absorb the repeats)."""
-        if after is None:
-            return self.query(text, k=k, algo=algo, **sel)
-        fetch = max(2 * k, 32)
-        while True:
-            res = self.query(text, k=fetch, algo=algo, **sel)
-            out = [
-                r
-                for r in res
-                if r[1] < after[0] or (r[1] == after[0] and r[0] > after[1])
-            ]
-            if len(out) >= k or len(res) < fetch:
-                return out[:k]
-            fetch *= 2
+        from .query import page_after
+
+        return page_after(
+            lambda q, kk: self.query(q, k=kk, algo=algo, **sel), text, k, after
+        )
 
     def histogram(self, query_string: str, histos: dict, **sel) -> dict:
         """Histogram aggregation across the federation (per-server
@@ -1197,9 +1189,9 @@ class FederatedMultiFieldEngine:
         return res
 
     def search_after(self, query: str, k: int = 10, after=None, **sel):
-        from .multifield import _page_after
+        from .query import page_after
 
-        return _page_after(
+        return page_after(
             lambda q, kk: self.search(q, kk, **sel), query, k, after
         )
 
@@ -1209,7 +1201,7 @@ class FederatedMultiFieldEngine:
         """Federation-wide significant_terms of ``field``: per-member
         fg counts add (disjoint docs), match totals add, JLH at the
         driver with fed-global df and N."""
-        from .multifield import _jlh_rank
+        from .multifield import _fold_sig, _jlh_rank
 
         names = self._select(**sel)
         parts = ray.get(
@@ -1218,11 +1210,7 @@ class FederatedMultiFieldEngine:
                 for n in names
             ]
         )
-        fg: dict[str, int] = {}
-        for d, _ in parts:
-            for t, c in d.items():
-                fg[t] = fg.get(t, 0) + c
-        m = sum(mm for _, mm in parts)
+        fg, m = _fold_sig(parts)
         if not fg or not names:
             return []
         dfs = ray.get(self.members[names[0]].get_dfs.remote(field, sorted(fg)))

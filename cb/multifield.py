@@ -38,7 +38,7 @@ import ray.data
 
 from . import analyze, manifest, scoring, wand
 from .build import IndexMeta, term_partition
-from .query import rank_topk
+from .query import page_after as _page_after, rank_topk
 from .shard import GlobalStats, ShardPartition, _live_mask, _merge_topk, load_tombstones
 
 
@@ -417,25 +417,6 @@ def _score_fields(
     return rank_topk(all_ids[keep], total[keep], k)
 
 
-def _page_after(search, query: str, k: int, after):
-    """ES ``search_after`` cursor over any (query, k) -> ranked-list
-    callable: next k strictly after the (score, doc_id) cursor in
-    (score desc, id asc) order, via a doubling re-fetch — exact because
-    scores are bitwise-deterministic for an immutable index."""
-    if after is None:
-        return search(query, k)
-    fetch = max(2 * k, 32)
-    while True:
-        res = search(query, fetch)
-        out = [
-            r for r in res
-            if r[1] < after[0] or (r[1] == after[0] and r[0] > after[1])
-        ]
-        if len(out) >= k or len(res) < fetch:
-            return out[:k]
-        fetch *= 2
-
-
 def _mlt_field_terms(fields, stats, doc_fields, dfs_of, max_terms):
     """Per-field ES more_like_this term selection: the field text's
     top ``max_terms`` terms by (tf * BM25-idf) with df from THAT
@@ -465,6 +446,53 @@ def _terms_routed(field_terms: dict) -> dict:
         "weights": {}, "required": [], "expands": [],
         "minimum_should_match": 0,
     }
+
+
+def _field_dfs(parts: dict, num_parts: int, terms) -> dict[str, int]:
+    """Corpus-global df per term for one field's partition map (fed
+    mode: the feddf overlay, so federation-global) — no postings
+    decode.  The ONE lookup behind MultiFieldSearcher.term_dfs and
+    MultiFieldServer.get_dfs."""
+    out = {}
+    for t in sorted(set(terms)):
+        part = parts.get(term_partition(t, num_parts))
+        if part is not None:
+            df = part.global_df.get(t)
+            if df:
+                out[t] = int(df)
+    return out
+
+
+def _fg_counts(matched: np.ndarray, parts: dict, min_df: int) -> dict[str, int]:
+    """Foreground counts for significant_terms over one scope: for
+    every owned term of the field with corpus df >= min_df,
+    |postings ∩ matched| via one clipped searchsorted per term.  Shared
+    by the in-process searcher and the doc-sharded server so the JLH
+    counting semantics cannot diverge."""
+    counts: dict[str, int] = {}
+    for part in parts.values():
+        for term in getattr(part, "offsets", {}):
+            if part.global_df.get(term, 0) < min_df:
+                continue
+            cp = part.get(term)
+            if cp is None:
+                continue
+            tids = cp.decode_all()[0]
+            pos = np.clip(np.searchsorted(matched, tids), 0, len(matched) - 1)
+            c = int(np.sum(matched[pos] == tids))
+            if c:
+                counts[term] = c
+    return counts
+
+
+def _fold_sig(parts: list) -> tuple[dict, int]:
+    """Additive fold of per-scope (fg counts, match total) pairs
+    (disjoint doc sets, exact addition)."""
+    fg: dict[str, int] = {}
+    for d, _ in parts:
+        for t, c in d.items():
+            fg[t] = fg.get(t, 0) + c
+    return fg, sum(mm for _, mm in parts)
 
 
 def _jlh_rank(fg: dict, m: int, dfs: dict, n: int, top_n: int):
@@ -630,14 +658,7 @@ class MultiFieldSearcher:
         """Corpus-global df per term for one field from its partition
         ``_termdf`` summaries (fed mode: the feddf overlay, so this is
         federation-global) — no postings decode."""
-        meta = self.metas[field]
-        out = {}
-        for t in sorted(set(terms)):
-            part = self.parts[field][term_partition(t, meta.num_parts)]
-            df = part.global_df.get(t)
-            if df:
-                out[t] = int(df)
-        return out
+        return _field_dfs(self.parts[field], self.metas[field].num_parts, terms)
 
     def more_like_this(
         self,
@@ -673,20 +694,7 @@ class MultiFieldSearcher:
         if ids is None or len(ids) == 0:
             return {}, 0
         matched = np.sort(np.asarray(ids, dtype=np.int64))
-        counts: dict[str, int] = {}
-        for part in self.parts[field].values():
-            for term in getattr(part, "offsets", {}):
-                if part.global_df.get(term, 0) < min_df:
-                    continue
-                cp = part.get(term)
-                if cp is None:
-                    continue
-                tids = cp.decode_all()[0]
-                pos = np.clip(np.searchsorted(matched, tids), 0, len(matched) - 1)
-                c = int(np.sum(matched[pos] == tids))
-                if c:
-                    counts[term] = c
-        return counts, int(len(matched))
+        return _fg_counts(matched, self.parts[field], min_df), int(len(matched))
 
     def significant_terms(
         self, query: str, field: str, top_n: int = 10, min_df: int = 2
@@ -797,15 +805,7 @@ class MultiFieldServer:
     def get_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
         """Corpus-global per-field df from the ``_termdf`` summaries
         (every doc-sharded server holds every partition's summary)."""
-        meta = self.metas[field]
-        out = {}
-        for t in terms:
-            part = self.parts[field].get(term_partition(t, meta.num_parts))
-            if part is not None:
-                df = part.global_df.get(t)
-                if df:
-                    out[t] = int(df)
-        return out
+        return _field_dfs(self.parts[field], self.metas[field].num_parts, terms)
 
     def significant(self, routed: dict, field: str, min_df: int = 2):
         """Foreground counts over THIS slice's match set for every
@@ -823,20 +823,7 @@ class MultiFieldServer:
         matched = np.sort(all_ids[keep])
         if len(matched) == 0:
             return {}, 0
-        counts: dict[str, int] = {}
-        for part in self.parts[field].values():
-            for term in getattr(part, "offsets", {}):
-                if part.global_df.get(term, 0) < min_df:
-                    continue
-                cp = part.get(term)
-                if cp is None:
-                    continue
-                tids = cp.decode_all()[0]
-                pos = np.clip(np.searchsorted(matched, tids), 0, len(matched) - 1)
-                c = int(np.sum(matched[pos] == tids))
-                if c:
-                    counts[term] = c
-        return counts, int(len(matched))
+        return _fg_counts(matched, self.parts[field], min_df), int(len(matched))
 
 
 class MultiFieldEngine:
@@ -872,7 +859,8 @@ class MultiFieldEngine:
         import time as _time
 
         t0 = _time.perf_counter()
-        futs = [s.score.remote(self._routed(query), k) for s in self.servers]
+        routed = self._routed(query)  # route + expand ONCE per query
+        futs = [s.score.remote(routed, k) for s in self.servers]
         t1 = _time.perf_counter()
         self.telemetry.record("query.dispatch", t1 - t0)
         scored = ray.get(futs)
@@ -989,11 +977,7 @@ class MultiFieldEngine:
         parts = ray.get(
             [s.significant.remote(routed, field, min_df) for s in self.servers]
         )
-        fg: dict[str, int] = {}
-        for d, _ in parts:
-            for t, c in d.items():
-                fg[t] = fg.get(t, 0) + c
-        m = sum(mm for _, mm in parts)
+        fg, m = _fold_sig(parts)
         dfs = self.term_dfs(field, sorted(fg))
         n = self._field_stats()[field].n_docs
         return _jlh_rank(fg, m, dfs, n, top_n)

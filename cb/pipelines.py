@@ -2048,10 +2048,15 @@ def q_curation_pipeline(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(
         docs_path(sf_dir), columns=["doc_id", "source", "text"]
     )
-    gated = curation.apply_quality_gate(ds)
+    # the gated stream feeds minhash AND the keep filter, and the mix
+    # stage re-reads the survivors twice — checkpoint both so the
+    # read+tokenize+metrics lineage executes once, not 4-5x (at real
+    # scale: write each stage to parquet instead of object-store
+    # materialize)
+    gated = curation.apply_quality_gate(ds).materialize()
     pairs = dedup.minhash_near_duplicates(gated, threshold=0.7, concurrency=2)
     clusters = dedup.cluster_pairs(pairs)
-    survivors = dedup.keep_representatives(gated, clusters)
+    survivors = dedup.keep_representatives(gated, clusters).materialize()
     mixed = curation.alpha_mix_sample(survivors, alpha=0.5, total_budget=6000)
     return _collect(mixed)
 
@@ -2392,9 +2397,14 @@ def q_media_ann_topk(sf_dir: str) -> pa.Table:
         batch_size=32,
         concurrency=2,
     ).materialize()
-    head = sorted(feats.take(5), key=lambda r: r["media_id"])
+    # query vectors = the 5 SMALLEST media_ids (the oracle's ORDER BY
+    # media_id LIMIT 5), independent of block/read order
+    qids = np.sort(ids)[:5]
+    head = sorted(
+        feats.filter(lambda r: r["media_id"] in set(qids.tolist())).take_all(),
+        key=lambda r: r["media_id"],
+    )
     qmat = np.array([r["feature"] for r in head])
-    qids = np.array([r["media_id"] for r in head])
     out = ann.brute_force_topk(
         feats, qmat, qids, k=K, vec_col="feature", id_col="media_id"
     )

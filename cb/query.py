@@ -93,3 +93,25 @@ class Oracle:
         if not ids:
             return []
         return rank_topk(np.array(ids), np.array(scores, dtype=np.float64), k)
+
+
+def page_after(search, query: str, k: int, after):
+    """ES ``search_after`` cursor over any ``(query, k) -> ranked list``
+    callable: the next k results strictly after the ``(score, doc_id)``
+    cursor in (score desc, id asc) order, via a doubling re-fetch —
+    exact because scores are bitwise-deterministic for an immutable
+    index, so cursor equality is safe.  The ONE implementation behind
+    QueryEngine, FederatedEngine, the multifield engines, and the CLI.
+    """
+    if after is None:
+        return search(query, k)
+    fetch = max(2 * k, 32)
+    while True:
+        res = search(query, fetch)
+        out = [
+            r for r in res
+            if r[1] < after[0] or (r[1] == after[0] and r[0] > after[1])
+        ]
+        if len(out) >= k or len(res) < fetch:
+            return out[:k]
+        fetch *= 2

@@ -1289,19 +1289,11 @@ class QueryEngine:
         order.  Deep pages re-rank through the driver result LRU with a
         doubling fetch — exact because scores are bitwise-deterministic
         for an immutable index, so cursor equality is safe."""
-        if after is None:
-            return self.query(text, k=k, algo=algo)
-        fetch = max(2 * k, 32)
-        while True:
-            res = self.query(text, k=fetch, algo=algo)
-            out = [
-                r
-                for r in res
-                if r[1] < after[0] or (r[1] == after[0] and r[0] > after[1])
-            ]
-            if len(out) >= k or len(res) < fetch:
-                return out[:k]
-            fetch *= 2
+        from .query import page_after
+
+        return page_after(
+            lambda q, kk: self.query(q, k=kk, algo=algo), text, k, after
+        )
 
     def significant_terms(
         self, query_string: str, top_n: int = 10, min_df: int = 2
