@@ -323,16 +323,19 @@ def run_bench() -> dict:
                 .select_columns(["doc_id", "content"])
             )
 
+        # actor pools sized >= session CPUs starve the upstream read
+        # tasks (deadlock at RAY_GRAFT_CPUS=8 with the old fixed 8)
+        pool = min(8, max(2, NCPU // 2))
         t0 = time.perf_counter()
         n_spans = dedup_mod.duplicate_ngram_spans(
-            _code_ds(), n=8, min_count=2, text_col="content", concurrency=8
+            _code_ds(), n=8, min_count=2, text_col="content", concurrency=pool
         ).count()
         dt = time.perf_counter() - t0
         extras["dup_span_docs_per_sec"] = sub_docs / dt
         extras["dup_span_rows"] = float(n_spans)
         t0 = time.perf_counter()
         lm_mod.lm_quality_score(
-            _code_ds(), text_col="content", min_count=5, concurrency=8
+            _code_ds(), text_col="content", min_count=5, concurrency=pool
         ).count()
         extras["lm_score_docs_per_sec"] = sub_docs / (time.perf_counter() - t0)
 

@@ -72,17 +72,24 @@ def tokenize(text: str) -> list[str]:
     return [t for t in toks if t and t not in _STOPSET and len(t) <= MAX_TOKEN_LEN]
 
 
-def token_array(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Vectorized: string array -> list<string> array of filtered tokens."""
-    s = texts
-    if isinstance(s, pa.ChunkedArray):
-        s = s.combine_chunks()
+# Words are maximal [A-Za-z0-9] runs of the ORIGINAL text.  Every
+# SPLIT_RULES pattern matches only alphanumerics on both sides, so a
+# rewrite can never span a non-alphanumeric character: splitting into
+# words FIRST and rewriting each word independently is exactly
+# equivalent to rewriting the whole text (the 3-way parity suite in
+# tests/test_analyze.py pins this).
+_WORD_SPLIT = r"[^A-Za-z0-9]+"
+
+
+def _subtoken_lists(uniq: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Unique words -> (kept flat subtokens, per-word offsets, counts):
+    the SPLIT_RULES rewrites + lower + split + stopword/length filter,
+    evaluated once per DISTINCT word."""
+    t = uniq
     for pat, rep in SPLIT_RULES:
-        s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
-    s = pc.utf8_lower(s)
-    lists = pc.split_pattern_regex(s, pattern=SPLIT_PATTERN)
-    # Filter empties/stopwords/overlong while preserving list structure:
-    # explode, mask, then rebuild counts per parent row.
+        t = pc.replace_substring_regex(t, pattern=pat, replacement=rep)
+    t = pc.utf8_lower(t)
+    lists = pc.split_pattern_regex(t, pattern=SPLIT_PATTERN)
     flat = pc.list_flatten(lists)
     parents = pc.list_parent_indices(lists)
     keep = pc.and_(
@@ -95,11 +102,46 @@ def token_array(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
     flat_kept = flat.filter(keep)
     parents_kept = parents.filter(keep)
     counts = np.bincount(
-        parents_kept.to_numpy(zero_copy_only=False), minlength=len(lists)
-    )
-    offsets = np.zeros(len(lists) + 1, dtype=np.int64)
+        parents_kept.to_numpy(zero_copy_only=False), minlength=len(uniq)
+    ).astype(np.int64)
+    offsets = np.zeros(len(uniq) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
-    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()), flat_kept)
+    return flat_kept, offsets, counts
+
+
+def token_array(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized: string array -> list<string> array of filtered tokens.
+
+    The regex rewrite passes dominate tokenizer CPU, and a code corpus
+    is Zipfian: split into words first, dictionary-encode, run the
+    rewrite/stopword passes on the batch's UNIQUE words only, then
+    re-expand through the code indices (a gather, no regex)."""
+    s = texts
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    words = pc.split_pattern_regex(s, pattern=_WORD_SPLIT)
+    flat_words = pc.list_flatten(words)
+    doc_of_word = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(flat_words)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_kept, offsets, counts = _subtoken_lists(enc.dictionary)
+    # expand: occurrence i contributes the subtoken slice
+    # [offsets[code], offsets[code]+counts[code]) of flat_kept, in order
+    occ_counts = counts[codes]
+    total = int(occ_counts.sum())
+    occ_cum = np.zeros(len(codes) + 1, dtype=np.int64)
+    np.cumsum(occ_counts, out=occ_cum[1:])
+    idx = (
+        np.repeat(offsets[codes] - occ_cum[:-1], occ_counts)
+        + np.arange(total, dtype=np.int64)
+    )
+    tokens = flat_kept.take(pa.array(idx, type=pa.int64()))
+    doc_counts = np.bincount(
+        doc_of_word, weights=occ_counts, minlength=len(words)
+    ).astype(np.int64)
+    doc_offsets = np.zeros(len(words) + 1, dtype=np.int64)
+    np.cumsum(doc_counts, out=doc_offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(doc_offsets, type=pa.int64()), tokens)
 
 
 def explode_tokens(

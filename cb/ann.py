@@ -488,6 +488,31 @@ def embedding_near_duplicates(
     own_work_dir = work_dir is None
     if own_work_dir:
         work_dir = storage.scratch_dir("neardup", uuid.uuid4().hex)
+    try:
+        return _embedding_near_duplicates_body(
+            ds, tau=tau, vec_col=vec_col, id_col=id_col,
+            block_rows=block_rows, work_dir=work_dir,
+        )
+    finally:
+        # uuid-named scratch is unreachable after this call — remove it
+        # on the error path too, not just on success
+        if own_work_dir:
+            shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def _embedding_near_duplicates_body(
+    ds: ray.data.Dataset,
+    *,
+    tau: float,
+    vec_col: str,
+    id_col: str,
+    block_rows: int,
+    work_dir: str,
+) -> pa.Table:
+    import os
+
+    import pyarrow.parquet as pq
+
     os.makedirs(work_dir, exist_ok=True)
     n = ds.count()
     n_blocks = max(1, -(-n // block_rows))
@@ -520,8 +545,6 @@ def embedding_near_duplicates(
         {"i": i, "j": j} for ai, i in enumerate(blocks) for j in blocks[ai:]
     ]
     if not pair_rows:
-        if own_work_dir:
-            shutil.rmtree(work_dir, ignore_errors=True)
         return pa.Table.from_pylist([], schema=_pairs_schema())
 
     def score_pair(batch: pa.Table) -> pa.Table:
@@ -542,10 +565,7 @@ def embedding_near_duplicates(
     cands = ray.data.from_items(pair_rows).map_batches(
         score_pair, batch_format="pyarrow", batch_size=1
     )
-    out = _collect_pairs(cands)
-    if own_work_dir:
-        shutil.rmtree(work_dir, ignore_errors=True)
-    return out
+    return _collect_pairs(cands)
 
 
 def _make_vec_side(t, id_col: str, *, vec_col: str, dim: int) -> dict:

@@ -1310,6 +1310,23 @@ def _build_index_inner(
     ).take_all()
     n_docs = sum(r["n_docs"] for r in rows)
     total_tokens = sum(r["total_tokens"] for r in rows)
+    # stale-docstats sweep: DocStats.load concatenates EVERY parquet in
+    # docstats/, so a rebuild that populates fewer doc-range buckets (or
+    # follows a resumable build's shard=*.parquet layout) must not leave
+    # files this build didn't write — phantom docs would mis-route
+    # federated deletes and corrupt doc-length analytics while
+    # write_global reports the correct smaller n_docs
+    ds_written = {
+        f"bucket={int(b)}.parquet"
+        for r in rows
+        if r["part"] >= num_parts
+        for b in r["buckets"]
+    }
+    ddir = os.path.join(index_dir, "docstats")
+    if os.path.isdir(ddir):
+        for f in os.listdir(ddir):
+            if f.endswith(".parquet") and f not in ds_written:
+                os.remove(os.path.join(ddir, f))
     write_global(index_dir, n_docs, total_tokens, num_parts, range_bits)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 

@@ -303,24 +303,48 @@ FROM {table} ORDER BY doc_id
 # Sequence packing: greedy document packing into token-budget windows
 # --------------------------------------------------------------------------
 
+def auto_pack_groups(
+    n_docs: int, *, docs_per_group: int = 1 << 16, min_groups: int = 64
+) -> int:
+    """Corpus-derived pack-group count (the ``auto_range_bits`` analog,
+    cb/build.py): each group is a whole-group pandas task of skinny
+    (group, id, n_tokens) rows, so the count must GROW with the corpus
+    — a fixed 64 means ~2.5 GB per task at 10^10 docs.  ~64k docs/group
+    keeps per-task memory in the tens of MB at any scale; the floor
+    keeps small corpora on the historical 64-group layout."""
+    return max(min_groups, -(-int(n_docs) // docs_per_group))
+
+
 def pack_sequences(
     ds: ray.data.Dataset,
     *,
     budget: int = 2048,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_groups: int | str = "auto",
 ) -> ray.data.Dataset:
     """-> (pack_group, pack_id, doc_id, n_tokens): deterministic greedy
     first-fit packing of documents into token-budget windows — the
     sample-packing step before training.  Docs are grouped by
-    ``doc_id % 64`` (PACK GROUPS — each group packs independently, so
-    the operator is one groupby + a per-group vectorized pass and pack
-    ids are stable under resume/repartition); within a group docs pack
-    in ascending doc_id order.  Oversized docs get a singleton pack
-    (truncation is the trainer's call, flagged by n_tokens > budget)."""
+    ``doc_id % n_groups`` (PACK GROUPS — each group packs
+    independently, so the operator is one groupby + a per-group
+    vectorized pass and pack ids are stable under resume/repartition);
+    within a group docs pack in ascending doc_id order.  Oversized docs
+    get a singleton pack (truncation is the trainer's call, flagged by
+    n_tokens > budget).
+
+    ``n_groups="auto"`` derives the count from the corpus size
+    (:func:`auto_pack_groups`; costs one ``count()`` of the input) so
+    per-group task memory stays bounded at any scale; note the output
+    pack_group/pack_id values CHANGE when the group count does — pin an
+    explicit ``n_groups`` when mirroring a fixed oracle."""
     import pandas as pd
 
     from . import analyze as analyze_mod
+
+    if n_groups == "auto":
+        n_groups = auto_pack_groups(ds.count())
+    n_groups = int(n_groups)
 
     def count_tokens(batch: pa.Table) -> pa.Table:
         lists = analyze_mod.token_array(batch[text_col])
@@ -328,7 +352,7 @@ def pack_sequences(
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "pack_group": pa.array(ids % 64, type=pa.int64()),
+                "pack_group": pa.array(ids % n_groups, type=pa.int64()),
                 id_col: batch[id_col],
                 "n_tokens": pa.array(n.astype(np.int64), type=pa.int64()),
             }
@@ -354,7 +378,10 @@ def pack_sequences(
 
 
 def sql_pack_sequences(
-    budget: int = 2048, table: str = "documents", text_col: str = "text"
+    budget: int = 2048,
+    table: str = "documents",
+    text_col: str = "text",
+    n_groups: int = 64,
 ) -> str:
     """Exact SQL mirror of :func:`pack_sequences`: the greedy running-
     budget recurrence is a recursive CTE stepping one row-number at a
@@ -363,9 +390,9 @@ def sql_pack_sequences(
     tok = analyze.sql_token_array(text_col)
     return f"""
 WITH RECURSIVE t AS (
-  SELECT doc_id % 64 AS pack_group, doc_id,
+  SELECT doc_id % {n_groups} AS pack_group, doc_id,
          len({tok})::BIGINT AS n_tokens,
-         row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS rn
+         row_number() OVER (PARTITION BY doc_id % {n_groups} ORDER BY doc_id) AS rn
   FROM {table}
 ),
 r AS (

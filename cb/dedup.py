@@ -14,11 +14,15 @@ verification inside the group or a tiny second stage.
 from __future__ import annotations
 
 import hashlib
+import os
+from collections import OrderedDict
+from functools import partial
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data
 from ray.data.aggregate import Count, Min
@@ -964,20 +968,58 @@ def keep_representatives(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _rfind_top_level(sql: str, keyword: str) -> int:
+    """Index of the LAST occurrence of ``keyword`` at parenthesis depth
+    0 outside string/identifier literals (-1 if none) — structural SQL
+    splitting, immune to subqueries that contain the same keyword."""
+    upper = sql.upper()
+    kw = keyword.upper()
+    depth = 0
+    best = -1
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'" or c == '"':
+            q = c
+            i += 1
+            while i < n and sql[i] != q:
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and upper.startswith(kw, i):
+            before_ok = i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+            j = i + len(kw)
+            after_ok = j >= n or not (sql[j].isalnum() or sql[j] == "_")
+            if before_ok and after_ok:
+                best = i
+            i = j - 1
+        i += 1
+    return best
+
+
 def sql_cluster_pairs(pairs_sql: str) -> str:
     """Recursive-CTE oracle for :func:`cluster_pairs` over ANY pair
     query of shape ``WITH <ctes> SELECT ... [ORDER BY ...]`` emitting
     (doc_a, doc_b) columns (e.g. :func:`sql_minhash_neardup`): the pair
     query becomes one more CTE, then transitive closure over the
-    symmetrized edges; rep = min(reachable ∪ self)."""
+    symmetrized edges; rep = min(reachable ∪ self).
+
+    Splitting is structural (:func:`_rfind_top_level`): the final
+    SELECT and a trailing ORDER BY are located at paren depth 0, so a
+    pair query whose last SELECT contains a subquery with ORDER BY (or
+    is not newline-prefixed) cannot be mis-sliced."""
     body = pairs_sql.strip()
     assert body.upper().startswith("WITH"), "pair query must start with WITH"
-    ctes, sep, final = body.rpartition("\nSELECT")
-    assert sep, "pair query must end in a top-level SELECT"
-    final = "SELECT" + final
-    if "ORDER BY" in final:
-        final = final[: final.rindex("ORDER BY")]
-    ctes = ctes[len("WITH"):].strip()
+    sel = _rfind_top_level(body, "SELECT")
+    assert sel > 0, "pair query must end in a top-level SELECT"
+    ctes, final = body[:sel], body[sel:]
+    ob = _rfind_top_level(final, "ORDER")
+    if ob >= 0:
+        final = final[:ob]
+    ctes = ctes.strip()[len("WITH"):].strip().rstrip(",")
     return f"""
 WITH RECURSIVE {ctes},
 pairs AS ({final}),
@@ -1076,11 +1118,16 @@ ORDER BY doc_a, doc_b
 #           doc lives in its batch; no second shuffle.
 # At 100 TB the dup-window array is |windows with count >= min_count|
 # (a small fraction of a natural corpus; ~1.03M u64 = 8 MB at sf0.1
-# density x 1000); if it outgrows broadcast, swap the sorted array for
-# a Bloom filter behind the same membership contract — pass B is
-# tolerant of false positives only inflating spans by design choice,
-# so flip to an exact semi-join (hash-bucket shuffle of (h, doc, pos)
-# rows) when exactness is required at that scale.
+# density x 1000); on a template-heavy corpus it can reach tens of GB.
+# ``dup_store="bloom"`` is the scale path behind the SAME membership
+# contract and the SAME exact results: the bucket-merge pass writes
+# each bucket's qualifying hashes to a sorted file on shared storage
+# (cb.storage contract) and folds them into a Bloom filter; pass B
+# broadcasts only the filter bits (~bits_per_key/64 of the raw array),
+# and every Bloom hit is verified EXACTLY against the bucket files
+# (per-actor bounded LRU of loaded buckets) — false positives cost a
+# probe, never a wrong span.  The dup_spans_bloom oracle entry proves
+# bitwise equality with the array path.
 # --------------------------------------------------------------------------
 
 def _window_hash_stream(kept: pa.Array, n: int):
@@ -1117,6 +1164,22 @@ def _sorted_u64(*blocks) -> np.ndarray:
     return np.sort(np.concatenate(parts).view(np.uint64))
 
 
+def _dup_window_partial(batch: pa.Table, *, n: int, text_col: str, n_buckets: int) -> pa.Table:
+    """Per-batch combiner: unique window hashes + partial counts,
+    keyed by a bounded hash bucket."""
+    h, _, _ = _window_hash_stream(analyze.token_array(batch[text_col]), n)
+    uh, cnt = np.unique(h, return_counts=True)
+    return pa.table(
+        {
+            "h": pa.array(uh.view(np.int64), type=pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            "bucket": pa.array(
+                (uh % np.uint64(n_buckets)).astype(np.int32), type=pa.int32()
+            ),
+        }
+    )
+
+
 def duplicate_window_hashes(
     ds: ray.data.Dataset,
     *,
@@ -1129,29 +1192,194 @@ def duplicate_window_hashes(
     occurring >= ``min_count`` times corpus-wide (all occurrences count,
     including repeats within one doc — Lee et al. semantics)."""
 
-    def partial(batch: pa.Table) -> pa.Table:
-        h, _, _ = _window_hash_stream(analyze.token_array(batch[text_col]), n)
-        uh, cnt = np.unique(h, return_counts=True)
-        return pa.table(
-            {
-                "h": pa.array(uh.view(np.int64), type=pa.int64()),
-                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
-                "bucket": pa.array(
-                    (uh % np.uint64(n_buckets)).astype(np.int32), type=pa.int32()
-                ),
-            }
-        )
-
     def merge(group: pa.Table) -> pa.Table:
         t = group.select(["h", "n"]).group_by("h").aggregate([("n", "sum")])
         return t.filter(pc.greater_equal(t["n_sum"], min_count)).select(["h"])
 
     dup = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(
+            partial(_dup_window_partial, n=n, text_col=text_col, n_buckets=n_buckets),
+            batch_format="pyarrow",
+        )
         .groupby("bucket")
         .map_groups(merge, batch_format="pyarrow")
     )
     return _sorted_u64.remote(*dup.to_arrow_refs())
+
+
+class BloomDupSet:
+    """Membership oracle for the dup-window set at 100-TB scale: Bloom
+    bits broadcast to every pass-B actor (O(filter bits), tunable via
+    ``bits_per_key`` — vs 64 bits/key for the raw sorted array) + EXACT
+    verification of every Bloom hit against the per-bucket sorted hash
+    files pass A wrote to shared storage (:mod:`cb.storage` contract).
+    Results are therefore identical to the array path; a false positive
+    costs one bucket probe, never a wrong span.
+
+    Per-actor state: a bounded LRU of loaded bucket arrays (RAM =
+    ``max_cached`` x mean bucket size, refetches from shared storage on
+    eviction — the standard partitioned-probe trade)."""
+
+    def __init__(self, bits: np.ndarray, k: int, work_dir: str, n_buckets: int,
+                 max_cached: int = 8):
+        self.bits = bits  # uint8, len = m/8, m a power of two
+        self.k = int(k)
+        self.mask = np.uint64(len(bits) * 8 - 1)
+        self.work_dir = work_dir
+        self.n_buckets = int(n_buckets)
+        self.max_cached = int(max_cached)
+        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_cache"] = None  # never ship a warm cache
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._cache = OrderedDict()
+
+    @staticmethod
+    def _positions(h: np.ndarray, i: int, mask: np.uint64) -> np.ndarray:
+        # double hashing: pos_i = (h + i * h2) & (m - 1), h2 odd
+        h2 = (h >> np.uint64(33)) | np.uint64(1)
+        return (h + np.uint64(i) * h2) & mask
+
+    def _probe_bits(self, h: np.ndarray) -> np.ndarray:
+        out = np.ones(len(h), dtype=bool)
+        for i in range(self.k):
+            p = self._positions(h, i, self.mask)
+            byte = self.bits[(p >> np.uint64(3)).astype(np.int64)]
+            out &= ((byte >> (p & np.uint64(7)).astype(np.uint8)) & 1).astype(bool)
+        return out
+
+    def _bucket(self, b: int) -> np.ndarray:
+        got = self._cache.get(b)
+        if got is not None:
+            self._cache.move_to_end(b)
+            return got
+        f = os.path.join(self.work_dir, f"dupbucket={b}.parquet")
+        arr = (
+            pq.read_table(f)["h"].to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False).view(np.uint64)
+            if os.path.exists(f)
+            else np.empty(0, dtype=np.uint64)
+        )
+        self._cache[b] = arr
+        if len(self._cache) > self.max_cached:
+            self._cache.popitem(last=False)
+        return arr
+
+    def contains(self, h: np.ndarray) -> np.ndarray:
+        """Exact membership mask for uint64 hashes ``h``."""
+        if len(h) == 0 or len(self.bits) == 0:
+            return np.zeros(len(h), dtype=bool)
+        h = np.ascontiguousarray(h, dtype=np.uint64)
+        cand = self._probe_bits(h)
+        if not cand.any():
+            return cand
+        hc = h[cand]
+        uniq = np.unique(hc)
+        verified = np.zeros(len(uniq), dtype=bool)
+        ub = (uniq % np.uint64(self.n_buckets)).astype(np.int64)
+        for b in np.unique(ub):
+            arr = self._bucket(int(b))
+            sel = ub == b
+            if len(arr):
+                hs = uniq[sel]
+                i = np.minimum(np.searchsorted(arr, hs), len(arr) - 1)
+                verified[sel] = arr[i] == hs
+        out = np.zeros(len(h), dtype=bool)
+        out[np.flatnonzero(cand)] = verified[np.searchsorted(uniq, hc)]
+        return out
+
+
+@ray.remote
+def _bloom_from_bucket_files(
+    work_dir: str, n_buckets: int, n_keys: int, bits_per_key: int
+) -> BloomDupSet:
+    """Fold pass A's bucket files into a BloomDupSet (inside a Ray
+    task: the driver only ever holds the ObjectRef)."""
+    m = 1 << max(10, int(np.ceil(np.log2(max(1, n_keys * bits_per_key)))))
+    k = min(16, max(1, int(round(np.log(2) * m / max(1, n_keys)))))
+    bits = np.zeros(m >> 3, dtype=np.uint8)
+    mask = np.uint64(m - 1)
+    for b in range(n_buckets):
+        f = os.path.join(work_dir, f"dupbucket={b}.parquet")
+        if not os.path.exists(f):
+            continue
+        h = (
+            pq.read_table(f)["h"].to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False).view(np.uint64)
+        )
+        for i in range(k):
+            p = BloomDupSet._positions(h, i, mask)
+            np.bitwise_or.at(
+                bits,
+                (p >> np.uint64(3)).astype(np.int64),
+                (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8)),
+            )
+    return BloomDupSet(bits, k, work_dir, n_buckets)
+
+
+def duplicate_window_bloom(
+    ds: ray.data.Dataset,
+    *,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    n_buckets: int = 64,
+    work_dir: str,
+    bits_per_key: int = 12,
+):
+    """ObjectRef to a :class:`BloomDupSet` over the qualifying window
+    hashes.  Same pass-A shuffle as :func:`duplicate_window_hashes`,
+    but each bucket's merge task writes its sorted qualifying hashes to
+    ``work_dir`` (REQUIRED and caller-owned, shared-storage contract —
+    pass-B actors on other nodes verify against these files; the IVF
+    ``index_dir`` precedent) instead of returning them, so nothing
+    dup-set-sized is ever broadcast."""
+    os.makedirs(work_dir, exist_ok=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        b = int(group["bucket"][0].as_py())
+        t = group.select(["h", "n"]).group_by("h").aggregate([("n", "sum")])
+        t = t.filter(pc.greater_equal(t["n_sum"], min_count))
+        h = np.sort(
+            t["h"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            .view(np.uint64)
+        )
+        f = os.path.join(work_dir, f"dupbucket={b}.parquet")
+        pq.write_table(
+            pa.table({"h": pa.array(h.view(np.int64), type=pa.int64())}),
+            f + ".tmp",
+        )
+        os.replace(f + ".tmp", f)
+        return pa.table(
+            {
+                "bucket": pa.array([b], type=pa.int32()),
+                "n": pa.array([len(h)], type=pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(
+            partial(_dup_window_partial, n=n, text_col=text_col, n_buckets=n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    written = {int(r["bucket"]) for r in rows}
+    # stale files from an earlier run into the same dir must not verify
+    for b in range(n_buckets):
+        if b not in written:
+            f = os.path.join(work_dir, f"dupbucket={b}.parquet")
+            if os.path.exists(f):
+                os.remove(f)
+    n_keys = sum(int(r["n"]) for r in rows)
+    return _bloom_from_bucket_files.remote(work_dir, n_buckets, n_keys, bits_per_key)
 
 
 class DupSpanStage:
@@ -1168,20 +1396,31 @@ class DupSpanStage:
 
     def __init__(self, dup_ref, *, n: int, text_col: str, id_col: str,
                  strip: bool = False):
-        self.dup = ray.get(dup_ref) if not isinstance(dup_ref, np.ndarray) else dup_ref
+        self.dup = (
+            dup_ref
+            if isinstance(dup_ref, (np.ndarray, BloomDupSet))
+            else ray.get(dup_ref)
+        )
         self.n = n
         self.text_col = text_col
         self.id_col = id_col
         self.strip = strip
 
+    def _member(self, h: np.ndarray) -> np.ndarray:
+        """Membership mask — sorted-array searchsorted (broadcast
+        path) or Bloom-probe + exact bucket-file verify (scale path);
+        both EXACT."""
+        if isinstance(self.dup, BloomDupSet):
+            return self.dup.contains(h)
+        if len(h) and len(self.dup):
+            i = np.minimum(np.searchsorted(self.dup, h), len(self.dup) - 1)
+            return self.dup[i] == h
+        return np.zeros(len(h), dtype=bool)
+
     def _spans(self, h, sh_starts, counts):
         """(window doc-index, window pos) of dup windows -> merged span
         triples (doc index, start, end) over the batch."""
-        if len(h) and len(self.dup):
-            i = np.minimum(np.searchsorted(self.dup, h), len(self.dup) - 1)
-            mask = self.dup[i] == h
-        else:
-            mask = np.zeros(len(h), dtype=bool)
+        mask = self._member(h)
         doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
         wpos = np.arange(len(h), dtype=np.int64) - np.repeat(sh_starts[:-1], counts)
         d, p = doc_of[mask], wpos[mask]
@@ -1248,14 +1487,20 @@ def duplicate_ngram_spans(
     id_col: str = "doc_id",
     concurrency: int = 2,
     n_buckets: int = 64,
+    dup_store: str = "array",
+    work_dir: str | None = None,
+    bits_per_key: int = 12,
 ) -> ray.data.Dataset:
     """-> (doc_id, span_start, span_end): maximal token spans whose
     every n-token window occurs >= min_count times corpus-wide
     (ExactSubstr detection; see the section comment for the 100-TB
     shape).  Two streaming passes over the corpus, one bounded
-    shuffle."""
-    dup_ref = duplicate_window_hashes(
-        ds, n=n, min_count=min_count, text_col=text_col, n_buckets=n_buckets
+    shuffle.  ``dup_store="bloom"`` (requires ``work_dir`` on shared
+    storage) broadcasts Bloom bits instead of the raw hash array —
+    same exact output, O(filter bits) broadcast."""
+    dup_ref = _dup_store_ref(
+        ds, dup_store, n=n, min_count=min_count, text_col=text_col,
+        n_buckets=n_buckets, work_dir=work_dir, bits_per_key=bits_per_key,
     )
     return ds.map_batches(
         DupSpanStage,
@@ -1268,6 +1513,25 @@ def duplicate_ngram_spans(
     )
 
 
+def _dup_store_ref(ds, dup_store, *, n, min_count, text_col, n_buckets,
+                   work_dir, bits_per_key):
+    if dup_store == "array":
+        return duplicate_window_hashes(
+            ds, n=n, min_count=min_count, text_col=text_col, n_buckets=n_buckets
+        )
+    if dup_store == "bloom":
+        if not work_dir:
+            raise ValueError(
+                "dup_store='bloom' requires an explicit work_dir on shared "
+                "storage (cb.storage contract)"
+            )
+        return duplicate_window_bloom(
+            ds, n=n, min_count=min_count, text_col=text_col,
+            n_buckets=n_buckets, work_dir=work_dir, bits_per_key=bits_per_key,
+        )
+    raise ValueError(f"unknown dup_store {dup_store!r} (array|bloom)")
+
+
 def strip_duplicate_spans(
     ds: ray.data.Dataset,
     *,
@@ -1277,12 +1541,17 @@ def strip_duplicate_spans(
     id_col: str = "doc_id",
     concurrency: int = 2,
     n_buckets: int = 64,
+    dup_store: str = "array",
+    work_dir: str | None = None,
+    bits_per_key: int = 12,
 ) -> ray.data.Dataset:
     """-> (doc_id, clean_text, n_removed): the corpus with every
     duplicated span removed (analyzed tokens outside spans,
-    space-joined; one row per input doc)."""
-    dup_ref = duplicate_window_hashes(
-        ds, n=n, min_count=min_count, text_col=text_col, n_buckets=n_buckets
+    space-joined; one row per input doc).  ``dup_store`` as in
+    :func:`duplicate_ngram_spans`."""
+    dup_ref = _dup_store_ref(
+        ds, dup_store, n=n, min_count=min_count, text_col=text_col,
+        n_buckets=n_buckets, work_dir=work_dir, bits_per_key=bits_per_key,
     )
     return ds.map_batches(
         DupSpanStage,

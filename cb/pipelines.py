@@ -2110,6 +2110,26 @@ def q_dup_span_strip(sf_dir: str) -> pa.Table:
     return _collect(dedup.strip_duplicate_spans(ds, n=8, min_count=2))
 
 
+def q_dup_spans_bloom(sf_dir: str) -> pa.Table:
+    """ExactSubstr detection through the Bloom dup store — the 100-TB
+    broadcast path (Bloom bits to every actor, Bloom hits verified
+    EXACTLY against the bucket files on shared storage).  Output is
+    bitwise identical to ``dup_ngram_spans``; the entry shares its
+    oracle to prove it."""
+    from . import storage
+
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
+    return _collect(
+        dedup.duplicate_ngram_spans(
+            ds,
+            n=8,
+            min_count=2,
+            dup_store="bloom",
+            work_dir=storage.scratch_dir("dupbloom", os.path.abspath(sf_dir)),
+        )
+    )
+
+
 def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
     out = dedup.ngram_jaccard_pairs(ds, threshold=0.3)
@@ -2398,10 +2418,15 @@ def q_media_ann_topk(sf_dir: str) -> pa.Table:
         concurrency=2,
     ).materialize()
     # query vectors = the 5 SMALLEST media_ids (the oracle's ORDER BY
-    # media_id LIMIT 5), independent of block/read order
+    # media_id LIMIT 5), independent of block/read order; vectorized
+    # pc.is_in mask per batch (never a per-row Python predicate)
     qids = np.sort(ids)[:5]
+    qset = pa.array(qids, type=pa.int64())
     head = sorted(
-        feats.filter(lambda r: r["media_id"] in set(qids.tolist())).take_all(),
+        feats.map_batches(
+            lambda b: b.filter(pc.is_in(b["media_id"], value_set=qset)),
+            batch_format="pyarrow",
+        ).take_all(),
         key=lambda r: r["media_id"],
     )
     qmat = np.array([r["feature"] for r in head])
@@ -2607,7 +2632,9 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
     budget recurrence has an exact recursive-CTE SQL mirror (value-
     checked) plus invariant tests in tests/test_curation.py."""
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
-    return _collect(curation.pack_sequences(ds, budget=512))
+    # n_groups pinned: the static oracle SQL uses % 64 (auto resolves
+    # to 64 at every test sf anyway — floor of auto_pack_groups)
+    return _collect(curation.pack_sequences(ds, budget=512, n_groups=64))
 
 
 # --------------------------------------------------------------------------
@@ -3099,6 +3126,7 @@ QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dup_ngram_spans": q_dup_ngram_spans,
+    "dup_spans_bloom": q_dup_spans_bloom,
     "lm_quality_score": q_lm_quality,
     "alpha_mix": q_alpha_mix,
     "curation_pipeline": q_curation_pipeline,
@@ -3180,6 +3208,9 @@ def oracle_sql() -> dict[str, str]:
         # ExactSubstr (Lee et al.): windows compared by value in SQL,
         # by md5-lower-64 in the engine (~2^-64 collision caveat)
         "dup_ngram_spans": dedup.sql_dup_ngram_spans(n=8, min_count=2),
+        # the Bloom dup store is exact (hits verified against bucket
+        # files) -> the array path's oracle applies unchanged
+        "dup_spans_bloom": dedup.sql_dup_ngram_spans(n=8, min_count=2),
         "lm_quality_score": lm.sql_lm_quality_score(min_count=5),
         "alpha_mix": curation.sql_alpha_mix_sample(alpha=0.5, total_budget=8000),
         # the fake decoder is md5-defined, so even the stubbed-codec

@@ -311,6 +311,11 @@ def _remove_orphan_shards(shuffle_dir: str, index_dir: str, num_shards: int) -> 
             continue
         if s >= num_shards:
             os.remove(f)
+    # a previous FAST-PATH build into this dir leaves bucket=*.parquet
+    # doc-stats; DocStats.load concatenates every docstats parquet, so
+    # they would double-count against this build's shard= files
+    for f in glob.glob(os.path.join(index_dir, "docstats", "bucket=*.parquet")):
+        os.remove(f)
 
 
 def build_index_resumable(

@@ -18,6 +18,7 @@ negligible next to any scoring call; value reservoirs are bounded.
 
 from __future__ import annotations
 
+import random
 import time
 from contextlib import contextmanager
 
@@ -26,10 +27,14 @@ class Telemetry:
     def __init__(self, keep_values: int = 100_000):
         # name -> [count, total_sec, max_sec]
         self._stats: dict[str, list[float]] = {}
-        # bounded per-name reservoirs for percentiles (first keep_values)
+        # bounded per-name reservoirs for percentiles — uniform over the
+        # WHOLE stream (Vitter's Algorithm R), not the first keep_values
+        # samples: a long-lived engine must not report warm-up-biased
+        # percentiles once the reservoir fills
         self._values: dict[str, list[float]] = {}
         self._counters: dict[str, int] = {}
         self._keep = keep_values
+        self._rng = random.Random(0x5EED)
 
     def record(self, name: str, seconds: float) -> None:
         s = self._stats.get(name)
@@ -44,6 +49,10 @@ class Telemetry:
         v = self._values[name]
         if len(v) < self._keep:
             v.append(seconds)
+        else:
+            j = self._rng.randrange(int(s[0]))
+            if j < self._keep:
+                v[j] = seconds
 
     def incr(self, name: str, n: int = 1) -> None:
         self._counters[name] = self._counters.get(name, 0) + n

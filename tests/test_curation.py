@@ -340,3 +340,30 @@ def test_alpha_mix_rebalances_skewed_sources(ray_session):
     nat_share = c_small / (c_big + c_small)
     samp_share = got.get("small", 0) / got.sum()
     assert samp_share > nat_share
+
+def test_auto_pack_groups_thresholds():
+    from cb.curation import auto_pack_groups
+
+    assert auto_pack_groups(0) == 64
+    assert auto_pack_groups(500) == 64          # small corpora: floor
+    assert auto_pack_groups(64 << 16) == 64      # exactly at the floor
+    assert auto_pack_groups((64 << 16) + 1) == 65
+    # 10^10 docs -> ~64k docs/group, task memory stays bounded
+    assert auto_pack_groups(10**10) == -(-10**10 // (1 << 16))
+
+
+def test_pack_sequences_auto_group_count(ray_session):
+    """auto n_groups keeps the historical 64-group layout at small
+    scale; an explicit n_groups reroutes docs by id % n_groups."""
+    import pyarrow as pa
+
+    import ray as _ray
+    from cb.curation import pack_sequences
+
+    rows = [{"doc_id": i, "text": "a b c"} for i in range(200)]
+    ds = _ray.data.from_arrow(pa.Table.from_pylist(rows))
+    auto = pack_sequences(ds, budget=5).take_all()
+    assert {r["pack_group"] for r in auto} == {i % 64 for i in range(200)}
+    four = pack_sequences(ds, budget=5, n_groups=4).take_all()
+    assert {r["pack_group"] for r in four} == {0, 1, 2, 3}
+    assert all(r["pack_group"] == r["doc_id"] % 4 for r in four)

@@ -232,3 +232,21 @@ def test_cluster_pairs_empty():
     ds = ray.data.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
                                        "doc_b": pa.array([], pa.int64())}))
     assert dedup.cluster_pairs(ds).take_all() == []
+
+def test_sql_cluster_pairs_structural_split():
+    """The pair-SQL wrapper must split on the TOP-LEVEL final SELECT
+    and strip only a trailing top-level ORDER BY — a final SELECT
+    containing a newline-prefixed subquery with its own ORDER BY (and
+    no newline before the outer SELECT) must not be mis-sliced."""
+    import duckdb
+
+    from cb.dedup import sql_cluster_pairs
+
+    tricky = (
+        "WITH p AS (SELECT 1 AS doc_a, 2 AS doc_b UNION ALL SELECT 2, 3)"
+        " SELECT doc_a, doc_b FROM p WHERE doc_a IN (\nSELECT doc_a FROM p"
+        " WHERE 'SELECT (' != ')order by' ORDER BY doc_a\n) ORDER BY doc_a, doc_b"
+    )
+    out = duckdb.sql(sql_cluster_pairs(tricky)).fetchall()
+    # {1,2,3} is one cluster with rep 1
+    assert out == [(1, 1), (2, 1), (3, 1)]

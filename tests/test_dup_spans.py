@@ -121,6 +121,111 @@ def test_fully_duplicated_doc_strips_to_empty(ray_session):
     assert list(t["n_removed"]) == [4, 4]
 
 
+def _pair_corpus(n_pairs=50, run_len=60):
+    """n_pairs pairs of identical docs over pair-disjoint vocab: every
+    pair contributes run_len - n + 1 distinct duplicated windows."""
+    docs = []
+    for p in range(n_pairs):
+        run = " ".join(f"p{p}w{i}" for i in range(run_len))
+        docs.append(run)
+        docs.append(run)
+    return docs
+
+
+def test_bloom_store_bitwise_matches_array(tmp_path, ray_session):
+    """dup_store='bloom' is the SAME operator, exact: spans and strip
+    output must equal the broadcast-array path bitwise."""
+    docs = _pair_corpus(8) + [
+        "lone tungsten argon krypton xenon radon helium neon",
+        "",
+    ]
+    ds = _mk(docs)
+    wd = str(tmp_path / "bloomwd")
+    for n, mc in ((8, 2), (3, 2)):
+        arr = dedup.duplicate_ngram_spans(ds, n=n, min_count=mc).to_pandas()
+        blm = dedup.duplicate_ngram_spans(
+            ds, n=n, min_count=mc, dup_store="bloom", work_dir=wd
+        ).to_pandas()
+        assert sorted(map(tuple, arr.values.tolist())) == sorted(
+            map(tuple, blm.values.tolist())
+        ), (n, mc)
+    sa = dedup.strip_duplicate_spans(ds, n=8, min_count=2).to_pandas()
+    sb = dedup.strip_duplicate_spans(
+        ds, n=8, min_count=2, dup_store="bloom", work_dir=wd
+    ).to_pandas()
+    assert sa.sort_values("doc_id").values.tolist() == \
+        sb.sort_values("doc_id").values.tolist()
+
+
+def test_bloom_broadcast_is_filter_bits_not_dup_windows(tmp_path, ray_session):
+    """The 100-TB claim: what pass B broadcasts is O(filter bits) —
+    bits_per_key/64 of the raw sorted-u64 array (modulo power-of-two
+    rounding) — while membership stays EXACT via bucket-file verify."""
+    import pickle
+
+    import ray as _ray
+
+    ds = _mk(_pair_corpus(50))  # 50 pairs x 53 windows = 2650 dup keys
+    wd = str(tmp_path / "bloomwd")
+    n, mc, bpk = 8, 2, 12
+    raw = _ray.get(
+        dedup.duplicate_window_hashes(ds, n=n, min_count=mc)
+    )
+    n_keys = len(raw)
+    assert n_keys >= 2000
+    bloom = _ray.get(
+        dedup.duplicate_window_bloom(
+            ds, n=n, min_count=mc, work_dir=wd, bits_per_key=bpk
+        )
+    )
+    raw_bytes = raw.nbytes  # what the array path broadcasts
+    payload = pickle.dumps(bloom)  # what the bloom path broadcasts
+    # m rounds UP to a power of two: <= 2x the requested bits_per_key
+    assert len(bloom.bits) * 8 <= 2 * bpk * n_keys
+    assert len(payload) < raw_bytes / 2
+    # the broadcast object never ships a warm bucket cache
+    assert pickle.loads(payload)._cache == {}
+    # and membership through the filter is exact, both polarities
+    member = bloom.contains(raw)
+    assert member.all()
+    rng = np.random.default_rng(7)
+    probes = rng.integers(0, 2**63, size=4096, dtype=np.int64).astype(np.uint64)
+    fresh = probes[~np.isin(probes, raw)]
+    assert not bloom.contains(fresh).any()
+
+
+def test_bloom_requires_work_dir(ray_session):
+    with pytest.raises(ValueError, match="work_dir"):
+        dedup.duplicate_ngram_spans(
+            _mk(["a b c"]), n=3, min_count=2, dup_store="bloom"
+        )
+    with pytest.raises(ValueError, match="array|bloom"):
+        dedup.duplicate_ngram_spans(
+            _mk(["a b c"]), n=3, min_count=2, dup_store="nope"
+        )
+
+
+def test_bloom_stale_bucket_files_removed(tmp_path, ray_session):
+    """Re-running into the same work_dir with a corpus that fills fewer
+    buckets must not let a stale bucket file verify phantom hashes."""
+    import os
+
+    wd = str(tmp_path / "bloomwd")
+    big = _mk(_pair_corpus(20))
+    ray.get(dedup.duplicate_window_bloom(big, n=8, min_count=2, work_dir=wd))
+    n_files_big = len(os.listdir(wd))
+    assert n_files_big > 1
+    small = _mk(["tiny solo doc with no duplicate windows at all"])
+    bloom = ray.get(
+        dedup.duplicate_window_bloom(small, n=8, min_count=2, work_dir=wd)
+    )
+    assert len(os.listdir(wd)) == 0  # nothing qualified -> no files
+    h, _, _ = dedup._window_hash_stream(
+        analyze.token_array(pa.array(_pair_corpus(1))), 8
+    )
+    assert not bloom.contains(np.unique(h)).any()
+
+
 def test_brute_force_sweep(ray_session):
     rng = np.random.default_rng(11)
     vocab = [f"w{i}" for i in range(30)]

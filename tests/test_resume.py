@@ -461,3 +461,53 @@ def test_rebuild_clears_stale_partition_artifacts(tmp_path):
             assert has_manifest and has_termdf and has_buckets
         else:
             assert not has_manifest and not has_termdf and not has_buckets, p
+
+def test_rebuild_clears_stale_docstats(tmp_path):
+    """Rebuild into the same index dir with a corpus that populates
+    FEWER doc-range buckets: docstats/ must hold only this build's
+    bucket files (DocStats.load concatenates every parquet — phantom
+    docs would mis-route federated deletes and corrupt analytics)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cb.shard import DocStats
+
+    src1 = str(tmp_path / "a.parquet")
+    # ids spread across the high bits -> docstats buckets 0..15
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"doc_id": i << 59, "text": f"alpha{i} beta{i}"} for i in range(16)]
+        ),
+        src1,
+    )
+    idx = str(tmp_path / "idx")
+    build_index(src1, idx, text_col="text", id_col="doc_id", num_parts=4)
+    ddir = os.path.join(idx, "docstats")
+    assert len(os.listdir(ddir)) == 16
+    # rebuild: one doc in bucket 0
+    src2 = str(tmp_path / "b.parquet")
+    pq.write_table(
+        pa.Table.from_pylist([{"doc_id": 1, "text": "solo"}]), src2
+    )
+    build_index(src2, idx, text_col="text", id_col="doc_id", num_parts=4)
+    assert os.listdir(ddir) == ["bucket=0.parquet"]
+    st = DocStats.load(idx)
+    assert st.n_docs == 1 and list(st.ids) == [1]
+
+
+def test_resumable_after_fastpath_clears_bucket_docstats(tmp_path, corpus_files):
+    """A resumable build into a dir previously used by the fast path
+    must drop the fast path's bucket=*.parquet docstats (they would
+    double-count against the resumable shard= files)."""
+    import glob as _glob
+
+    from cb.shard import DocStats
+
+    files = sorted(_glob.glob(os.path.join(corpus_files, "*.parquet")))
+    idx = str(tmp_path / "idx")
+    build_index(files[0], idx, num_parts=4)
+    assert _glob.glob(os.path.join(idx, "docstats", "bucket=*.parquet"))
+    build_index_resumable([files[0]], idx, num_parts=4)
+    assert not _glob.glob(os.path.join(idx, "docstats", "bucket=*.parquet"))
+    n = pq.read_table(files[0]).num_rows
+    assert DocStats.load(idx).n_docs == n

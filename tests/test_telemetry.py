@@ -129,3 +129,17 @@ def test_multifield_engine_metrics_populate(tmp_path, ray_session):
         assert m["servers"]["counters"]["server.terms"] > 0
     finally:
         eng.shutdown()
+
+def test_reservoir_covers_whole_stream():
+    """Percentiles must reflect the whole stream, not the first
+    keep_values samples: feed 50 slow values then 5000 fast ones into a
+    keep=50 reservoir — keep-first would report p50 == 1.0 forever."""
+    t = Telemetry(keep_values=50)
+    for _ in range(50):
+        t.record("q", 1.0)
+    for _ in range(5000):
+        t.record("q", 0.001)
+    assert t.percentile("q", 0.5) == 0.001
+    snap = t.snapshot()
+    assert snap["timers"]["q"]["count"] == 5050
+    assert snap["timers"]["q"]["max_sec"] == 1.0
