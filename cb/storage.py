@@ -34,7 +34,39 @@ DEFAULT_ROOT = "/tmp/cb_shared"
 
 
 def shared_root() -> str:
-    return os.environ.get(ENV_VAR, DEFAULT_ROOT)
+    root = os.environ.get(ENV_VAR)
+    if root:
+        return root
+    _assert_single_node()
+    return DEFAULT_ROOT
+
+
+def _assert_single_node() -> None:
+    """Refuse the node-local DEFAULT_ROOT on a real multi-node cluster.
+
+    When ``CB_SHARED_DIR`` is unset the fallback is ``/tmp/...`` —
+    exactly the silent failure this module exists to prevent: writer
+    and reader tasks land on different nodes and the reader sees
+    missing files.  Raising here (tested against a 2-node
+    ``ray.cluster_utils.Cluster``) converts that into an immediate,
+    actionable error instead."""
+    try:
+        import ray
+
+        if not ray.is_initialized():
+            return
+        alive = sum(1 for n in ray.nodes() if n.get("Alive"))
+    except Exception:
+        return
+    if alive > 1:
+        raise RuntimeError(
+            f"{ENV_VAR} is unset but this Ray cluster has {alive} alive "
+            f"nodes: the default scratch root {DEFAULT_ROOT!r} is "
+            "node-local and inter-stage files written there would be "
+            f"unreachable from other nodes. Set {ENV_VAR} to a mount "
+            "shared by every node (NFS/Lustre/FSx/fuse-mounted object "
+            "store), or pass explicit shared work/index dirs."
+        )
 
 
 def scratch_dir(kind: str, key: str) -> str:
