@@ -72,6 +72,28 @@ def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
     return (h % np.uint64(2000001)).astype(np.float64) / 1e6 - 1.0
 
 
+def pillow_decode(payload: bytes, out_dim: int) -> np.ndarray:
+    """Real image decoder (registered as ``"pillow"`` when PIL is
+    importable): decode -> grayscale -> bilinear-resize to the smallest
+    square covering ``out_dim`` pixels -> flatten -> scale to [-1, 1].
+    Deterministic for a given payload, so downstream ANN/dedup results
+    are reproducible.  Import happens at call time — i.e. once per
+    actor via ``DecodeStage.__init__``'s registry resolution — so the
+    module stays importable in containers without PIL."""
+    import math
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = Image.open(BytesIO(payload)).convert("L")
+    side = max(1, math.isqrt(max(out_dim - 1, 0)) + 1)
+    img = img.resize((side, side), Image.BILINEAR)
+    px = np.asarray(img, dtype=np.float64).reshape(-1)[:out_dim]
+    if px.size < out_dim:
+        px = np.pad(px, (0, out_dim - px.size))
+    return px / 127.5 - 1.0
+
+
 class DecodeStage:
     """Actor-pool stage: decode + feature-extract media payloads, with a
     PLUGGABLE decoder (the reference's reflection-on-config extension

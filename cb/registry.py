@@ -69,6 +69,12 @@ def _register_builtins() -> None:
     from . import multimodal
 
     register("decoder", "fake", multimodal._fake_decode)
+    try:  # real image decoder — only when an imaging library exists
+        import PIL  # noqa: F401
+
+        register("decoder", "pillow", multimodal.pillow_decode)
+    except ImportError:
+        pass
 
     register("dedup", "exact", dedup.exact_duplicates)
     register("dedup", "minhash", dedup.minhash_near_duplicates)

@@ -1,4 +1,5 @@
 import numpy as np
+import pyarrow as pa
 import pytest
 import ray
 
@@ -106,3 +107,50 @@ def test_decode_stage_pluggable_decoder():
     # honest stub: nothing injected -> NotImplementedError
     with pytest.raises(NotImplementedError):
         multimodal.DecodeStage()
+
+
+def test_pillow_decoder_registered_and_decodes():
+    """Real-decoder integration (skipped where PIL is absent): the
+    ``pillow`` registry entry decodes an actual PNG through the same
+    DecodeStage plumbing the fake decoder proved end-to-end."""
+    PIL = pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+
+    from cb import registry
+
+    dec = registry.lookup("decoder", "pillow")
+    img = Image.new("RGB", (10, 7))
+    img.putdata([(x % 256, (3 * x) % 256, (7 * x) % 256) for x in range(70)])
+    buf = BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    v = dec(payload, 16)
+    assert v.shape == (16,)
+    assert np.all(v >= -1.0) and np.all(v <= 1.0)
+    # deterministic, and wired through the stage exactly like "fake"
+    tbl = multimodal.synthesize_media_table(1).set_column(
+        multimodal.MEDIA_SCHEMA.get_field_index("payload"),
+        "payload",
+        pa.array([payload], type=pa.binary()),
+    )
+    stage = multimodal.DecodeStage(decoder="pillow", out_dim=16, out_type="float64")
+    feats = stage(tbl)["feature"].to_pylist()
+    assert feats[0] == v.tolist()
+
+
+def test_pillow_absent_registry_message():
+    """Where PIL is NOT importable the registry must not list pillow
+    (honest absence, not a lazily-raising stub)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; covered by the decode test above")
+    except ImportError:
+        pass
+    from cb import registry
+
+    with pytest.raises(KeyError, match="no decoder named 'pillow'"):
+        registry.lookup("decoder", "pillow")
