@@ -339,6 +339,54 @@ def run_bench() -> dict:
         ).count()
         extras["lm_score_docs_per_sec"] = sub_docs / (time.perf_counter() - t0)
 
+    if not skip_extras:
+        # phase 8: multifield serving — block-max WAND vs exact TAAT on
+        # one in-process searcher (isolates scoring cost from actor
+        # dispatch); queries are MULTIFIELD_SET's plain scored-term
+        # subset (the clause shapes WAND can bound), k=10.  Wall-clock
+        # AND decode volume are both reported: on this synthetic corpus
+        # (flat score distribution, every vocab term in ~10% of docs)
+        # block-max bounds rarely cut off and vectorized decode-all
+        # TAAT wins wall-clock — which is why TAAT stays the serving
+        # default; WAND's lever is blocks-not-decoded on selective
+        # queries (see BENCH/BASELINE.md).
+        from cb import multifield as mf_mod, wand as wand_mod
+        from cb.pipelines import MULTIFIELD_SET, get_multifield_index
+
+        mf_idx = get_multifield_index(SF_DIR)
+        srch = mf_mod.MultiFieldSearcher(mf_idx)
+        eligible = [q for q in MULTIFIELD_SET if "-" not in q]
+        total_blocks = 0
+        for q in eligible:  # warm postings blocks for both legs
+            srch.search(q, k=10, algo="taat")
+            routed = mf_mod.route_query(q, srch.fields)
+            for f in srch.fields:
+                for t in routed["field_terms"].get(f) or []:
+                    p = srch._get(f, t)
+                    if p is not None:
+                        total_blocks += sum(ch.n_blocks for ch in p.chunks)
+        b0 = wand_mod.BLOCKS_DECODED
+        for q in eligible:
+            srch.search(q, k=10, algo="wand")
+        extras["mf_wand_blocks_decoded_frac"] = (
+            (wand_mod.BLOCKS_DECODED - b0) / max(total_blocks, 1)
+        )
+        reps = 30
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            for q in eligible:
+                srch.search(q, k=10, algo="taat")
+        taat_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            for q in eligible:
+                srch.search(q, k=10, algo="wand")
+        wand_s = time.perf_counter() - t0
+        nq = float(reps * len(eligible))
+        extras["mf_taat_queries_per_sec"] = nq / taat_s
+        extras["mf_wand_queries_per_sec"] = nq / wand_s
+        extras["mf_wand_speedup_vs_taat"] = taat_s / wand_s
+
     extras["calib_end_sec"] = _calibrate()
     total = sum(timings.values())
     out = {

@@ -397,6 +397,31 @@ def _match_fields(
     return all_ids, total, keep
 
 
+def _wand_eligible(routed: dict, tombstones: np.ndarray) -> bool:
+    """True when a routed multifield query is a PLAIN scored-term query
+    WAND can serve: every non-scoring clause (phrase, filter, msm,
+    +required, exclusion) masks the universe after scoring, which a
+    top-k heap can't un-admit — those route to exact TAAT, same rule as
+    the single-field ShardServer's tombstone path.  Negative boosts
+    would flip the upper-bound inequality, so they fall back too."""
+    return (
+        not len(tombstones)
+        and not routed.get("filters")
+        and not routed.get("any_phrases")
+        and not routed.get("field_phrases")
+        and not routed.get("excluded_phrases")
+        and not routed.get("excluded")
+        and not routed.get("required")
+        and int(routed.get("minimum_should_match") or 0) <= 1
+        and all(v >= 0 for v in (routed.get("weights") or {}).values())
+        and all(
+            v >= 0
+            for fw in (routed.get("field_weights") or {}).values()
+            for v in fw.values()
+        )
+    )
+
+
 def _score_fields(
     routed: dict,
     get_postings,
@@ -405,9 +430,40 @@ def _score_fields(
     k: int,
     tombstones: np.ndarray,
     docmeta=None,
+    algo: str = "taat",
 ) -> list[tuple[int, float]]:
     """Top-k over :func:`_match_fields` (the original scoring entry
-    point; aggregations reuse the match half directly)."""
+    point; aggregations reuse the match half directly).
+
+    ``algo="wand"`` serves eligible plain-term queries with multi-field
+    block-max WAND (:func:`cb.wand.topk_wand_fields`) — bitwise
+    rank-identical to TAAT by construction and by test — and falls back
+    to exact TAAT for every clause shape WAND can't bound.  Callers in
+    fed mode must not pass "wand" (overlay avgdl invalidates the stored
+    block-max bounds); the searcher/engine guards do this."""
+    if algo == "wand" and _wand_eligible(routed, tombstones):
+        field_postings: dict[str, dict] = {}
+        field_idfs: dict[str, dict] = {}
+        for f in field_order:
+            terms = routed["field_terms"].get(f) or []
+            postings = {t: get_postings(f, t) for t in terms}
+            live = {t: p for t, p in postings.items() if p is not None}
+            if not live:
+                continue
+            w = (
+                (routed.get("field_weights") or {}).get(f)
+                or routed.get("weights")
+                or {}
+            )
+            field_postings[f] = live
+            field_idfs[f] = {
+                t: float(scoring.idf(getattr(p, "gdf", p.df), stats[f].n_docs))
+                * float(w.get(t, 1.0))
+                for t, p in live.items()
+            }
+        if not field_postings:
+            return []
+        return wand.topk_wand_fields(field_postings, field_idfs, stats, field_order, k)
     m = _match_fields(
         routed, get_postings, stats, field_order, tombstones, docmeta=docmeta
     )
@@ -534,9 +590,12 @@ class MultiFieldSearcher:
     summaries, so member top-k lists merge bitwise into the monolithic
     multifield result (the same dfs_query_then_fetch contract the
     single-field ShardServer/LocalSearcher fed override implements).
-    Scoring here is TAAT, so no WAND block-max invalidation applies."""
+    Fed members force ``algo="wand"`` to TAAT — the stored block-max
+    umax used each sub-index's build avgdl, which the fed overlay can
+    exceed, invalidating WAND's bounds."""
 
     def __init__(self, index_dir: str, fed: str | None = None):
+        self._fed_override = fed is not None
         m = load_multifield_meta(index_dir)
         self.index_dir = index_dir
         self.fields: list[str] = m["fields"]
@@ -595,14 +654,18 @@ class MultiFieldSearcher:
             self._vocabs = {f: load_vocab(m) for f, m in self.metas.items()}
         return self._vocabs
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(
+        self, query: str, k: int = 10, algo: str = "wand"
+    ) -> list[tuple[int, float]]:
+        if algo == "wand" and self._fed_override:
+            algo = "taat"  # stored umax bounds are sub-index-avgdl-based
         routed = route_query(query, self.fields)
         if routed.get("expands"):
             routed = expand_routed(routed, self._field_vocabs())
         dm = self._docmeta() if routed["filters"] else None
         return _score_fields(
             routed, self._get, self.stats, self.fields, k, self.tombstones,
-            docmeta=dm,
+            docmeta=dm, algo=algo,
         )
 
     def _match(self, query: str):
@@ -753,7 +816,7 @@ class MultiFieldServer:
             self._dm_loaded = True
         return self._dm
 
-    def score(self, routed: dict, k: int):
+    def score(self, routed: dict, k: int, algo: str = "taat"):
         self.telemetry.incr("server.scores")
         self.telemetry.incr(
             "server.terms",
@@ -762,7 +825,7 @@ class MultiFieldServer:
         dm = self._ensure_dm() if routed.get("filters") else None
         return _score_fields(
             routed, self._get, self.stats, self.fields, k, self.tombstones,
-            docmeta=dm,
+            docmeta=dm, algo=algo,
         )
 
     def facet_counts(self, routed: dict, facet_cols=(), stats_cols=()):
@@ -855,12 +918,14 @@ class MultiFieldEngine:
             for s in range(num_servers)
         ]
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(
+        self, query: str, k: int = 10, algo: str = "taat"
+    ) -> list[tuple[int, float]]:
         import time as _time
 
         t0 = _time.perf_counter()
         routed = self._routed(query)  # route + expand ONCE per query
-        futs = [s.score.remote(routed, k) for s in self.servers]
+        futs = [s.score.remote(routed, k, algo) for s in self.servers]
         t1 = _time.perf_counter()
         self.telemetry.record("query.dispatch", t1 - t0)
         scored = ray.get(futs)

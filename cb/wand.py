@@ -34,6 +34,12 @@ from .query import rank_topk
 MAX_ID = (1 << 63) - 1
 INF_DOC = 1 << 63
 
+# Instrumentation: posting blocks decoded through cursor loads.  WAND's
+# scale advantage is DECODE VOLUME (blocks touched vs TAAT's
+# decode-everything), which bench reports alongside wall-clock; one int
+# increment per block load is noise.
+BLOCKS_DECODED = 0
+
 
 class TermCursor:
     """Iterator over one term's chunked, block-compressed postings."""
@@ -41,13 +47,18 @@ class TermCursor:
     __slots__ = (
         "term", "idf", "alpha", "chunked", "chunks", "blk_chunk", "blk_local",
         "blk_last", "blk_umax", "global_ub", "n_blocks", "cur_blk",
-        "ids", "tfs", "dls", "pos", "cur_doc",
+        "ids", "tfs", "dls", "pos", "cur_doc", "avgdl", "group",
     )
 
     def __init__(self, term: str, chunked, idf: float, alpha: int, need_umax: bool = True):
         self.term = term
         self.idf = float(idf)
         self.alpha = alpha
+        # set by the topk entry points: the avgdl this cursor's u-factors
+        # (and its stored block-max umax) are computed with, and the
+        # summation group (field rank) for multi-field evaluation
+        self.avgdl = None
+        self.group = 0
         self.chunked = chunked
         self.chunks = chunked.chunks
         bc, bl, last, umax = [], [], [], []
@@ -81,6 +92,8 @@ class TermCursor:
             self._load_block(0)
 
     def _load_block(self, b: int) -> None:
+        global BLOCKS_DECODED
+        BLOCKS_DECODED += 1
         self.cur_blk = b
         ch = self.chunks[self.blk_chunk[b]]
         self.ids, self.tfs, self.dls = ch.decode_block(int(self.blk_local[b]))
@@ -198,6 +211,44 @@ def topk_wand(postings: dict, idfs: dict, stats, k: int) -> list[tuple[int, floa
     if k <= 0:
         return []
     cursors = _gather_terms(postings, idfs)
+    for c in cursors:
+        c.avgdl = stats.avgdl
+    return _wand_core(cursors, k)
+
+
+def topk_wand_fields(
+    field_postings: dict, field_idfs: dict, stats: dict, field_order: list[str], k: int
+) -> list[tuple[int, float]]:
+    """Block-max WAND over a most_fields MULTI-FIELD query.
+
+    Every (field, term) pair becomes an independent cursor over the
+    shared doc-id space — its own postings, idf (per-field df/N, any
+    boost folded in) and per-field avgdl/umax — so the single-field
+    pivot/block-max machinery applies unchanged: the most_fields doc
+    score is a plain sum of cursor contributions, and idf * max-block-u
+    (built with THAT field's avgdl) upper-bounds each.  Evaluation sums
+    per-field partials in field order (``group`` = field rank), which
+    is bitwise the TAAT accumulation spec — parity is test-enforced.
+
+    Callers must route fed members to TAAT (fed avgdl overlays
+    invalidate the stored umax bounds, same rule as the single-field
+    ShardServer) — :func:`cb.multifield._score_fields` guards this.
+    """
+    if k <= 0:
+        return []
+    cursors: list[TermCursor] = []
+    for gi, f in enumerate(field_order):
+        live = field_postings.get(f) or {}
+        terms = sorted(t for t, p in live.items() if p is not None and p.df > 0)
+        for a, t in enumerate(terms):
+            c = TermCursor(t, live[t], field_idfs[f][t], a)
+            c.avgdl = stats[f].avgdl
+            c.group = gi
+            cursors.append(c)
+    return _wand_core(cursors, k)
+
+
+def _wand_core(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
     if not cursors:
         return []
     heap: list[tuple[float, int]] = []  # (score, -doc_id), root = weakest
@@ -254,12 +305,26 @@ def topk_wand(postings: dict, idfs: dict, stats, k: int) -> list[tuple[int, floa
             for c in live[:j]:
                 c.advance_to(target)
             continue
-        # full evaluation at d, summing in alphabetical-term order
-        at_d = sorted((c for c in live[:j] if c.cur_doc == d), key=lambda c: c.alpha)
-        dl = at_d[0].cur_dl()  # doc length rides in the postings
+        # full evaluation at d: per-GROUP (= per-field) partial sums in
+        # alphabetical-term order, group partials then added in group
+        # order — bitwise the TAAT accumulation spec (each field's acc
+        # vector sums alone, then adds into the cross-field total).
+        # With one group this reduces to 0.0 + (the old flat chain).
+        at_d = sorted(
+            (c for c in live[:j] if c.cur_doc == d),
+            key=lambda c: (c.group, c.alpha),
+        )
         s = np.float64(0.0)
-        for c in at_d:
-            s = s + c.idf * scoring.u_factor(c.cur_tf(), dl, stats.avgdl)
+        gi = 0
+        while gi < len(at_d):
+            g = at_d[gi].group
+            dl = at_d[gi].cur_dl()  # doc length rides in the postings (per field)
+            sg = np.float64(0.0)
+            while gi < len(at_d) and at_d[gi].group == g:
+                c = at_d[gi]
+                sg = sg + c.idf * scoring.u_factor(c.cur_tf(), dl, c.avgdl)
+                gi += 1
+            s = s + sg
         key = (float(s), -d)
         if beats(key):
             if len(heap) == k:
