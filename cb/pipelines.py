@@ -1313,12 +1313,26 @@ def q_bm25_multifield(sf_dir: str) -> pa.Table:
     """Multi-field BM25 (the reference's many-analyzed-fields mappings):
     per-field sub-indexes, most_fields cross-field score sum, field:term
     routing — served by the doc-sharded MultiFieldEngine pool."""
+    return _bm25_multifield(sf_dir, algo="taat")
+
+
+def q_multifield_wand(sf_dir: str) -> pa.Table:
+    """The SAME multifield query set served with block-max WAND
+    (cb.wand.topk_wand_fields) on the doc-sharded pool — bitwise equal
+    to TAAT by construction, so it shares q_bm25_multifield's SQL
+    oracle: the driver value-hash gate checks the WAND scorer itself
+    (ineligible clauses in the set, e.g. the exclusion query, exercise
+    the in-server TAAT fallback inside the same green entry)."""
+    return _bm25_multifield(sf_dir, algo="wand")
+
+
+def _bm25_multifield(sf_dir: str, algo: str) -> pa.Table:
     from . import multifield
 
     idx = get_multifield_index(sf_dir)
     engine = multifield.MultiFieldEngine(idx, num_servers=2)
     try:
-        results = [engine.search(q, k=K) for q in MULTIFIELD_SET]
+        results = [engine.search(q, k=K, algo=algo) for q in MULTIFIELD_SET]
     finally:
         engine.shutdown()
     rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
@@ -3102,6 +3116,7 @@ QUERIES = {
     "highlight_snippets": q_highlight_snippets,
     "bm25_filtered": q_bm25_filtered,
     "bm25_multifield": q_bm25_multifield,
+    "multifield_wand": q_multifield_wand,
     "federated_multifield": q_federated_multifield,
     "multifield_querystring": q_multifield_querystring,
     "multifield_facets": q_multifield_facets,
@@ -3179,6 +3194,9 @@ def oracle_sql() -> dict[str, str]:
         "highlight_snippets": sql_highlight_snippets(),
         "bm25_filtered": sql_bm25_filtered(),
         "bm25_multifield": sql_bm25_multifield(),
+        # block-max WAND is bitwise == TAAT, so the same oracle
+        # value-checks the WAND scorer
+        "multifield_wand": sql_bm25_multifield(),
         # per-field fed-global stats -> bitwise == monolithic multifield
         "federated_multifield": sql_bm25_multifield(),
         "multifield_querystring": sql_multifield_querystring(),
