@@ -355,7 +355,12 @@ def run_bench() -> dict:
 
         mf_idx = get_multifield_index(SF_DIR)
         srch = mf_mod.MultiFieldSearcher(mf_idx)
-        eligible = [q for q in MULTIFIELD_SET if "-" not in q]
+        eligible = [
+            q for q in MULTIFIELD_SET
+            if mf_mod._wand_eligible(
+                mf_mod.route_query(q, srch.fields), srch.tombstones
+            )
+        ]
         total_blocks = 0
         for q in eligible:  # warm postings blocks for both legs
             srch.search(q, k=10, algo="taat")

@@ -970,8 +970,9 @@ def keep_representatives(
 
 def _rfind_top_level(sql: str, keyword: str) -> int:
     """Index of the LAST occurrence of ``keyword`` at parenthesis depth
-    0 outside string/identifier literals (-1 if none) — structural SQL
-    splitting, immune to subqueries that contain the same keyword."""
+    0 outside string/identifier literals and ``--`` line comments (-1
+    if none) — structural SQL splitting, immune to subqueries that
+    contain the same keyword."""
     upper = sql.upper()
     kw = keyword.upper()
     depth = 0
@@ -984,6 +985,10 @@ def _rfind_top_level(sql: str, keyword: str) -> int:
             q = c
             i += 1
             while i < n and sql[i] != q:
+                i += 1
+        elif c == "-" and sql.startswith("--", i):
+            # line comment: quotes/parens inside it are not structure
+            while i < n and sql[i] != "\n":
                 i += 1
         elif c == "(":
             depth += 1
@@ -1020,9 +1025,13 @@ def sql_cluster_pairs(pairs_sql: str) -> str:
     if ob >= 0:
         final = final[:ob]
     ctes = ctes.strip()[len("WITH"):].strip().rstrip(",")
+    # the comma / closing paren go on their OWN line: ctes or the final
+    # SELECT may end in a '--' line comment that would swallow them
     return f"""
-WITH RECURSIVE {ctes},
-pairs AS ({final}),
+WITH RECURSIVE {ctes}
+,
+pairs AS ({final}
+),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
@@ -1216,18 +1225,23 @@ class BloomDupSet:
     Results are therefore identical to the array path; a false positive
     costs one bucket probe, never a wrong span.
 
-    Per-actor state: a bounded LRU of loaded bucket arrays (RAM =
-    ``max_cached`` x mean bucket size, refetches from shared storage on
-    eviction — the standard partitioned-probe trade)."""
+    Per-actor state: an LRU of loaded bucket arrays.  ``max_cached``
+    defaults to ``n_buckets`` — dup-window hashes are md5-uniform, so a
+    dense batch touches nearly every bucket and a smaller LRU would
+    re-read ~the whole dup set from shared storage per batch; caching
+    all touched buckets bounds worst-case RAM at the dup set size (the
+    array path's constant cost) while sparse corpora only ever load the
+    buckets their candidates hash to.  Shrink it only when actor RAM,
+    not storage bandwidth, is the binding constraint."""
 
     def __init__(self, bits: np.ndarray, k: int, work_dir: str, n_buckets: int,
-                 max_cached: int = 8):
+                 max_cached: int | None = None):
         self.bits = bits  # uint8, len = m/8, m a power of two
         self.k = int(k)
         self.mask = np.uint64(len(bits) * 8 - 1)
         self.work_dir = work_dir
         self.n_buckets = int(n_buckets)
-        self.max_cached = int(max_cached)
+        self.max_cached = int(n_buckets if max_cached is None else max_cached)
         self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
 
     def __getstate__(self):

@@ -269,23 +269,15 @@ def _match_fields(
     driver merge (top-k OR additive aggregation) stays exact."""
     from . import phrase as phrase_mod
 
+    field_postings, field_idfs = _field_live_idfs(
+        routed, get_postings, stats, field_order
+    )
     per_field = []
     for f in field_order:
-        terms = routed["field_terms"].get(f) or []
-        postings = {t: get_postings(f, t) for t in terms}
-        live = {t: p for t, p in postings.items() if p is not None}
+        live = field_postings.get(f)
         if not live:
             continue
-        w = (routed.get("field_weights") or {}).get(f) or routed.get("weights") or {}
-        # weight multiplies idf FIRST (one scalar double per term) —
-        # same order as the single-field engine and the weighted SQL
-        # mirror, so w == 1 stays bitwise identical to the unweighted path
-        idfs = {
-            t: float(scoring.idf(getattr(p, "gdf", p.df), stats[f].n_docs))
-            * float(w.get(t, 1.0))
-            for t, p in live.items()
-        }
-        universe, acc = wand.taat_scores(live, idfs, stats[f])
+        universe, acc = wand.taat_scores(live, field_idfs[f], stats[f])
         if universe is not None:
             per_field.append((f, universe, acc))
     if not per_field:
@@ -397,6 +389,36 @@ def _match_fields(
     return all_ids, total, keep
 
 
+def _field_live_idfs(
+    routed: dict,
+    get_postings,
+    stats: dict[str, GlobalStats],
+    field_order: list[str],
+) -> tuple[dict[str, dict], dict[str, dict]]:
+    """Per-field live postings + weighted idfs — the ONE definition the
+    TAAT matcher and the WAND branch both score with (their bitwise
+    parity depends on these being computed identically).  The weight
+    multiplies idf FIRST (one scalar double per term) — same order as
+    the single-field engine and the weighted SQL mirror, so w == 1
+    stays bitwise identical to the unweighted path."""
+    field_postings: dict[str, dict] = {}
+    field_idfs: dict[str, dict] = {}
+    for f in field_order:
+        terms = routed["field_terms"].get(f) or []
+        postings = {t: get_postings(f, t) for t in terms}
+        live = {t: p for t, p in postings.items() if p is not None}
+        if not live:
+            continue
+        w = (routed.get("field_weights") or {}).get(f) or routed.get("weights") or {}
+        field_postings[f] = live
+        field_idfs[f] = {
+            t: float(scoring.idf(getattr(p, "gdf", p.df), stats[f].n_docs))
+            * float(w.get(t, 1.0))
+            for t, p in live.items()
+        }
+    return field_postings, field_idfs
+
+
 def _wand_eligible(routed: dict, tombstones: np.ndarray) -> bool:
     """True when a routed multifield query is a PLAIN scored-term query
     WAND can serve: every non-scoring clause (phrase, filter, msm,
@@ -442,25 +464,9 @@ def _score_fields(
     fed mode must not pass "wand" (overlay avgdl invalidates the stored
     block-max bounds); the searcher/engine guards do this."""
     if algo == "wand" and _wand_eligible(routed, tombstones):
-        field_postings: dict[str, dict] = {}
-        field_idfs: dict[str, dict] = {}
-        for f in field_order:
-            terms = routed["field_terms"].get(f) or []
-            postings = {t: get_postings(f, t) for t in terms}
-            live = {t: p for t, p in postings.items() if p is not None}
-            if not live:
-                continue
-            w = (
-                (routed.get("field_weights") or {}).get(f)
-                or routed.get("weights")
-                or {}
-            )
-            field_postings[f] = live
-            field_idfs[f] = {
-                t: float(scoring.idf(getattr(p, "gdf", p.df), stats[f].n_docs))
-                * float(w.get(t, 1.0))
-                for t, p in live.items()
-            }
+        field_postings, field_idfs = _field_live_idfs(
+            routed, get_postings, stats, field_order
+        )
         if not field_postings:
             return []
         return wand.topk_wand_fields(field_postings, field_idfs, stats, field_order, k)
@@ -655,8 +661,12 @@ class MultiFieldSearcher:
         return self._vocabs
 
     def search(
-        self, query: str, k: int = 10, algo: str = "wand"
+        self, query: str, k: int = 10, algo: str = "taat"
     ) -> list[tuple[int, float]]:
+        # default matches MultiFieldEngine/MultiFieldServer: vectorized
+        # exact TAAT wins wall-clock for in-memory postings (measured,
+        # BENCH/BASELINE.md round-5); algo="wand" is the opt-in
+        # selective/disk path, rank-identical by construction and test
         if algo == "wand" and self._fed_override:
             algo = "taat"  # stored umax bounds are sub-index-avgdl-based
         routed = route_query(query, self.fields)

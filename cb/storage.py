@@ -41,6 +41,12 @@ def shared_root() -> str:
     return DEFAULT_ROOT
 
 
+# cached verdict of _assert_single_node: a cluster's node count can
+# only matter once per process for this guard, and the check is a GCS
+# RPC — don't pay it per scratch_dir() call
+_single_node_ok = False
+
+
 def _assert_single_node() -> None:
     """Refuse the node-local DEFAULT_ROOT on a real multi-node cluster.
 
@@ -50,11 +56,14 @@ def _assert_single_node() -> None:
     missing files.  Raising here (tested against a 2-node
     ``ray.cluster_utils.Cluster``) converts that into an immediate,
     actionable error instead."""
+    global _single_node_ok
+    if _single_node_ok:
+        return
     try:
         import ray
 
         if not ray.is_initialized():
-            return
+            return  # can't know yet — re-check (uncached) next call
         alive = sum(1 for n in ray.nodes() if n.get("Alive"))
     except Exception:
         return
@@ -67,6 +76,7 @@ def _assert_single_node() -> None:
             "shared by every node (NFS/Lustre/FSx/fuse-mounted object "
             "store), or pass explicit shared work/index dirs."
         )
+    _single_node_ok = True
 
 
 def scratch_dir(kind: str, key: str) -> str:

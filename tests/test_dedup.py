@@ -250,3 +250,19 @@ def test_sql_cluster_pairs_structural_split():
     out = duckdb.sql(sql_cluster_pairs(tricky)).fetchall()
     # {1,2,3} is one cluster with rep 1
     assert out == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_sql_cluster_pairs_line_comments():
+    """'--' line comments may contain quotes or unbalanced parens —
+    the structural scan must skip them, not enter string mode."""
+    import duckdb
+
+    from cb.dedup import sql_cluster_pairs
+
+    tricky = (
+        "WITH p AS (SELECT 1 AS doc_a, 2 AS doc_b) -- don't ((reorder\n"
+        "SELECT doc_a, doc_b FROM p -- trailing 'comment )\n"
+        "ORDER BY doc_a"
+    )
+    out = duckdb.sql(sql_cluster_pairs(tricky)).fetchall()
+    assert out == [(1, 1), (2, 1)]
