@@ -3100,6 +3100,169 @@ GROUP BY 1 ORDER BY 1
 
 
 # --------------------------------------------------------------------------
+# Suggesters (ES completion / term-suggester analog) + cardinality agg
+# --------------------------------------------------------------------------
+
+SUGGEST_PREFIXES = ["s", "b", "co", "qu", "d"]
+SUGGEST_TYPOS = ["sprak", "fitler", "quer", "dta", "stram", "jion"]
+SUGGEST_K = 5
+SUGGEST_MAX_DIST = 2
+
+
+def _sql_vocab_df() -> str:
+    """Shared CTE body: the index vocabulary with corpus-global df —
+    the same (term, df) relation q_term_stats proves against the
+    engine's _termdf summaries."""
+    tok = analyze.sql_token_array("text")
+    return f"""
+toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+vdf AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1)
+"""
+
+
+def q_suggest_prefix(sf_dir: str) -> pa.Table:
+    """Completion suggester: top-k vocabulary terms per prefix ranked
+    (df DESC, term ASC) — distributed over the _termdf summaries with
+    a two-phase top-k (see cb/suggest.py)."""
+    from . import suggest
+
+    meta = get_index(sf_dir)
+    t = suggest.prefix_suggest(meta, SUGGEST_PREFIXES, k=SUGGEST_K)
+    return _widen(t)
+
+
+def sql_suggest_prefix() -> str:
+    vals = ", ".join(f"({i}, '{p}')" for i, p in enumerate(SUGGEST_PREFIXES))
+    return f"""
+WITH {_sql_vocab_df()},
+p(prefix_id, prefix) AS (VALUES {vals}),
+cand AS (SELECT p.prefix_id, v.term, v.df FROM p
+         JOIN vdf v ON starts_with(v.term, p.prefix)),
+ranked AS (SELECT prefix_id, term, df,
+           row_number() OVER (PARTITION BY prefix_id ORDER BY df DESC, term) AS rank
+           FROM cand)
+SELECT prefix_id::BIGINT AS prefix_id, rank::BIGINT AS rank, term, df
+FROM ranked WHERE rank <= {SUGGEST_K} ORDER BY prefix_id, rank
+"""
+
+
+def q_suggest_fuzzy(sf_dir: str) -> pa.Table:
+    """Did-you-mean (ES term suggester): top-k vocabulary terms within
+    Damerau-Levenshtein distance <= 2 per misspelled input, ranked
+    (dist ASC, df DESC, term ASC); the engine's DL kernel is the
+    DuckDB-verified one from cb/querylang.py."""
+    from . import suggest
+
+    meta = get_index(sf_dir)
+    t = suggest.fuzzy_suggest(
+        meta, SUGGEST_TYPOS, max_dist=SUGGEST_MAX_DIST, k=SUGGEST_K
+    )
+    return _widen(t)
+
+
+def sql_suggest_fuzzy() -> str:
+    vals = ", ".join(f"({i}, '{q}')" for i, q in enumerate(SUGGEST_TYPOS))
+    return f"""
+WITH {_sql_vocab_df()},
+q(query_id, qterm) AS (VALUES {vals}),
+cand AS (SELECT q.query_id, v.term, v.df,
+                damerau_levenshtein(v.term, q.qterm)::BIGINT AS dist
+         FROM q CROSS JOIN vdf v),
+ranked AS (SELECT query_id, term, df, dist,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, df DESC, term) AS rank
+           FROM cand WHERE dist <= {SUGGEST_MAX_DIST})
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, term, dist, df
+FROM ranked WHERE rank <= {SUGGEST_K} ORDER BY query_id, rank
+"""
+
+
+def _widen(t: pa.Table) -> pa.Table:
+    for i, f in enumerate(t.schema):
+        if pa.types.is_integer(f.type) and f.type != pa.int64():
+            t = t.set_column(i, f.name, t[f.name].cast(pa.int64()))
+    return t
+
+
+CARDINALITY_REL_ERR = 0.05  # HLL p=14 standard error ~0.8%; 6x headroom
+
+
+def q_cardinality_by_lang(sf_dir: str) -> pa.Table:
+    """EXACT count-distinct of text per language, scale-safe shape:
+    per-batch distinct (lang, md5(text)) pairs -> one all-to-all dedupe
+    keyed (lang, hash) -> per-batch partial counts -> tiny lang sum.
+    No task ever holds a language's full distinct set (a hot language's
+    hashes spread across the keyed exchange), mirroring dedup_exact.
+    The 128-bit md5 stands in for the value (collision-free in any
+    realistic corpus; the fixtures are deterministic so parity is
+    stable), letting wide text values leave the pipeline after phase 1."""
+    import hashlib as _hl
+
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["lang", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        # per-row C digest over document-length text — same shape as
+        # dedup.with_sha (the digest dominates, not the Python loop);
+        # 16-byte binary keeps the keyed exchange half the hex width
+        h = pa.array(
+            [_hl.md5(t.encode()).digest() for t in b["text"].to_pylist()],
+            type=pa.binary(16),
+        )
+        t = pa.table({"lang": b["lang"], "h": h})
+        return t.group_by(["lang", "h"]).aggregate([])
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        t = b.group_by(["lang"]).aggregate([("h", "count")])
+        return t.rename_columns(["lang", "n"])
+
+    deduped = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "h"])
+        .aggregate(Count(alias_name="c"))
+    )
+    out = (
+        deduped.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n_distinct"))
+    )
+    return _collect(out).sort_by("lang")
+
+
+def sql_cardinality_by_lang() -> str:
+    return """
+SELECT lang, count(DISTINCT text)::BIGINT AS n_distinct
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_cardinality_hll(sf_dir: str) -> pa.Table:
+    """Driver-checkable contract for the HyperLogLog cardinality
+    sketch (ES ``cardinality`` aggregation analog): per language,
+    ``ok`` is True iff the HLL estimate's relative error against the
+    exact distinct count is <= CARDINALITY_REL_ERR.  The oracle asserts
+    all-True — a broken hash, register fold, or register merge blows
+    far past the bound and hash-mismatches.  Both legs run inside the
+    dataflow; only per-language scalars reach the driver."""
+    from . import sketch
+
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["lang", "text"])
+    est = sketch.grouped_cardinality(ds, "lang", "text")
+    exact = q_cardinality_by_lang(sf_dir)
+    e = {r["lang"]: r["estimate"] for r in est.to_pylist()}
+    langs = exact["lang"].to_pylist()
+    ok = [
+        abs(e[lang] - n) / n <= CARDINALITY_REL_ERR
+        for lang, n in zip(langs, exact["n_distinct"].to_pylist())
+    ]
+    return pa.table({"lang": pa.array(langs), "ok": pa.array(ok, pa.bool_())})
+
+
+def sql_cardinality_hll() -> str:
+    return "SELECT DISTINCT lang, true AS ok FROM documents ORDER BY lang"
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3166,6 +3329,10 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "top_docs_per_lang": q_top_docs_per_lang,
     "doclen_quantiles": q_doclen_quantiles,
+    "suggest_prefix": q_suggest_prefix,
+    "suggest_fuzzy": q_suggest_fuzzy,
+    "cardinality_by_lang": q_cardinality_by_lang,
+    "cardinality_hll": q_cardinality_hll,
     "filter_pushdown": q_filter_pushdown,
     "events_minute_agg": q_events_minute_agg,
     "events_asof_join": q_events_asof_join,
@@ -3271,6 +3438,10 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": curation.sql_bpe_token_stats(),
         "top_docs_per_lang": sql_top_docs_per_lang(),
         "doclen_quantiles": sql_doclen_quantiles(),
+        "suggest_prefix": sql_suggest_prefix(),
+        "suggest_fuzzy": sql_suggest_fuzzy(),
+        "cardinality_by_lang": sql_cardinality_by_lang(),
+        "cardinality_hll": sql_cardinality_hll(),
         "pack_sequences": curation.sql_pack_sequences(budget=512),
         "orders_by_segment": sql_orders_by_segment(),
         "orders_lineitem_join": sql_orders_lineitem_join(),
