@@ -3262,6 +3262,58 @@ def sql_cardinality_hll() -> str:
     return "SELECT DISTINCT lang, true AS ok FROM documents ORDER BY lang"
 
 
+HH_K_EVENTS = 4  # 5 near-uniform event types -> per-batch trim fires
+HH_K_TOKENS = 32  # 29-term doc vocab -> threshold splits the vocab
+
+
+def q_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Exact heavy hitters over the event stream (which event types
+    exceed a 1/(k+1) frequency share): mergeable Misra-Gries candidate
+    pass + exact candidate-only verify (cb/sketch.py) — the hot-key
+    detector a 100-TB shuffle planner needs, O(k) state per task,
+    never a full count table.  Output is exact, so the oracle is a
+    plain GROUP BY / HAVING."""
+    from . import sketch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type"]
+    )
+    t, _n = sketch.exact_heavy_hitters(ds, "event_type", k=HH_K_EVENTS)
+    return t
+
+
+def sql_heavy_hitters() -> str:
+    return f"""
+WITH tc AS (SELECT event_type AS term, count(*)::BIGINT AS cnt
+            FROM events GROUP BY 1)
+SELECT term, cnt FROM tc
+WHERE cnt * {HH_K_EVENTS + 1} > (SELECT sum(cnt) FROM tc)
+ORDER BY cnt DESC, term
+"""
+
+
+def q_heavy_hitters_tokens(sf_dir: str) -> pa.Table:
+    """Same operator on the tokenized path: heavy TERMS of the corpus
+    (frequency share > 1/(k+1)), tokenizer fused into the candidate
+    and verify passes so raw text never re-ships."""
+    from . import sketch
+
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["text"])
+    t, _n = sketch.exact_heavy_hitters(ds, "text", k=HH_K_TOKENS, tokenize=True)
+    return t
+
+
+def sql_heavy_hitters_tokens() -> str:
+    tok = analyze.sql_token_array("text")
+    return f"""
+WITH toks AS (SELECT unnest({tok}) AS term FROM documents),
+tc AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1)
+SELECT term, cnt FROM tc
+WHERE cnt * {HH_K_TOKENS + 1} > (SELECT sum(cnt) FROM tc)
+ORDER BY cnt DESC, term
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3333,6 +3385,8 @@ QUERIES = {
     "suggest_fuzzy": q_suggest_fuzzy,
     "cardinality_by_lang": q_cardinality_by_lang,
     "cardinality_hll": q_cardinality_hll,
+    "heavy_hitters": q_heavy_hitters,
+    "heavy_hitters_tokens": q_heavy_hitters_tokens,
     "filter_pushdown": q_filter_pushdown,
     "events_minute_agg": q_events_minute_agg,
     "events_asof_join": q_events_asof_join,
@@ -3442,6 +3496,10 @@ def oracle_sql() -> dict[str, str]:
         "suggest_fuzzy": sql_suggest_fuzzy(),
         "cardinality_by_lang": sql_cardinality_by_lang(),
         "cardinality_hll": sql_cardinality_hll(),
+        # Misra-Gries candidates + exact verify pass -> output is exact,
+        # a plain GROUP BY / HAVING mirrors it
+        "heavy_hitters": sql_heavy_hitters(),
+        "heavy_hitters_tokens": sql_heavy_hitters_tokens(),
         "pack_sequences": curation.sql_pack_sequences(budget=512),
         "orders_by_segment": sql_orders_by_segment(),
         "orders_lineitem_join": sql_orders_lineitem_join(),

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -75,6 +76,163 @@ def estimate(regs: np.ndarray) -> float:
         if v:
             return float(m * np.log(m / v))
     return float(e)
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable frequent-items summary)
+# --------------------------------------------------------------------------
+#
+# The hot-key detector: which groupby/shuffle keys (or corpus tokens)
+# are heavy enough to need salting — found in ONE streaming pass with
+# O(k) state, never a full count table.  Misra-Gries summaries are
+# mergeable under arbitrary merge trees (Agarwal et al., "Mergeable
+# Summaries", PODS 2012, public): merge = sum matching counters, then
+# subtract the (k+1)-th largest count from all and keep the positive
+# ones.  Invariants that hold for ANY distribution and ANY block/merge
+# order (so contract booleans built on them are deterministic even
+# though the raw estimates are not):
+#
+#   est(t) <= true(t)                      (never overestimates)
+#   true(t) - est(t) <= (n - M) / (k + 1)  (M = sum of final counters)
+#
+# with est(t) = 0 for absent terms — so any t with true(t) > (n-M)/(k+1)
+# is guaranteed PRESENT in the summary.
+
+
+def mg_trim(terms: np.ndarray, counts: np.ndarray, k: int):
+    """Trim a (term, count) table to at most k Misra-Gries counters:
+    subtract the (k+1)-th largest count from every counter, keep > 0."""
+    if len(terms) <= k:
+        return terms, counts
+    thresh = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    keep = counts > thresh
+    return terms[keep], counts[keep] - thresh
+
+
+_MG_SENTINEL = ""  # tokenizer never emits the empty string
+
+
+def _mg_table(terms, counts, n: int) -> pa.Table:
+    return pa.table(
+        {
+            "term": pa.array([_MG_SENTINEL] + list(terms), type=pa.string()),
+            "est": pa.array([n] + list(np.asarray(counts, dtype=np.int64))),
+        }
+    )
+
+
+def _mg_combine(b: pa.Table, k: int) -> pa.Table:
+    """Sum matching counters within one batch of partials, then trim.
+    The sentinel row carries the exact total item count (summed, never
+    trimmed)."""
+    g = b.group_by("term").aggregate([("est", "sum")])
+    terms = np.asarray(g["term"].to_pylist(), dtype=object)
+    counts = g["est_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sent = terms == _MG_SENTINEL
+    n = int(counts[sent].sum())
+    t, c = mg_trim(terms[~sent], counts[~sent], k)
+    return _mg_table(t, c, n)
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset, col: str, k: int, tokenize: bool = False
+) -> tuple[pa.Table, int]:
+    """One-pass mergeable heavy-hitters over ``col`` (tokenized into
+    terms when ``tokenize``, else the raw values).  Returns the final
+    summary table (term, est) sorted (est DESC, term ASC) and the exact
+    total item count n.  Per batch: exact Arrow value counts -> MG trim
+    to k (a batch leaves as <= k+1 rows no matter its size); one
+    intermediate map_batches combine bounds what the driver collects to
+    O(blocks x k); the final merge is one more trim."""
+
+    def batch_partial(b: pa.Table) -> pa.Table:
+        vals = b[col]
+        if tokenize:
+            from .analyze import token_array
+
+            vals = pc.list_flatten(token_array(vals))
+        vc = vals.value_counts()
+        terms = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = int(counts.sum())
+        t, c = mg_trim(terms, counts, k)
+        return _mg_table(t, c, n)
+
+    partials = ds.map_batches(
+        batch_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    combined = partials.map_batches(
+        lambda b: _mg_combine(b, k), batch_format="pyarrow"
+    )
+    from .collect import collect_table
+
+    collected = collect_table(combined)
+    if collected.num_rows == 0:  # empty input -> schemaless blocks
+        collected = _mg_table([], [], 0)
+    final = _mg_combine(collected, k)
+    n = final["est"][0].as_py()
+    body = final.slice(1)
+    order = pc.sort_indices(
+        body, sort_keys=[("est", "descending"), ("term", "ascending")]
+    )
+    return body.take(order), n
+
+
+def exact_heavy_hitters(
+    ds: ray.data.Dataset, col: str, k: int, tokenize: bool = False
+) -> tuple[pa.Table, int]:
+    """Two-pass EXACT heavy hitters: every term whose true count
+    exceeds n/(k+1), with its exact count — deterministic regardless
+    of block or merge order, so it is value-checkable against a plain
+    SQL GROUP BY / HAVING.
+
+    Pass 1 is the mergeable Misra-Gries summary above: by the MG
+    guarantee (true - est <= (n - M)/(k+1) <= n/(k+1)) its <= k terms
+    are a SUPERSET of every term above the threshold.  Pass 2 counts
+    ONLY those candidates exactly — the candidate set is tiny (<= k
+    strings) so it ships inside the task closure, each batch emits
+    <= k partial rows (vectorized ``pc.is_in`` mask + value counts),
+    and the driver merge is O(blocks x k).  No full count table is
+    ever built: a 100-TB corpus with a billion-term vocabulary costs
+    the same driver memory as a toy one.
+
+    Returns (table(term, cnt) sorted (cnt DESC, term ASC), exact n).
+    """
+    summary, n = heavy_hitters(ds, col, k, tokenize=tokenize)
+    cand = summary["term"].combine_chunks()
+    if len(cand) == 0 or n == 0:
+        empty = pa.table(
+            {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+        return empty, n
+
+    def count_candidates(b: pa.Table) -> pa.Table:
+        vals = b[col]
+        if tokenize:
+            from .analyze import token_array
+
+            vals = pc.list_flatten(token_array(vals))
+        hits = vals.filter(pc.is_in(vals, value_set=cand))
+        vc = hits.value_counts()
+        return pa.table(
+            {
+                "term": vc.field("values").cast(pa.string()),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        count_candidates, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from .collect import collect_table
+
+    g = collect_table(partials).group_by("term").aggregate([("cnt", "sum")])
+    g = g.rename_columns(["term", "cnt"])
+    heavy = g.filter(pc.greater(pc.multiply(g["cnt"], k + 1), n))
+    order = pc.sort_indices(
+        heavy, sort_keys=[("cnt", "descending"), ("term", "ascending")]
+    )
+    return heavy.take(order), n
 
 
 def grouped_cardinality(

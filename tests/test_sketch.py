@@ -82,3 +82,120 @@ def test_grouped_cardinality_matches_single_fold():
     out = grouped_cardinality(ds, "k", "v")
     regs = registers_from_hashes(md5_lower64(sorted(set(vals))))
     assert out["estimate"][0].as_py() == estimate(regs)
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# --------------------------------------------------------------------------
+
+from cb.sketch import exact_heavy_hitters, heavy_hitters, mg_trim
+
+
+def _zipf_items(n_kinds: int, total: int) -> list[str]:
+    """Deterministic Zipf-ish stream: term i appears ~total/(i+1) times,
+    interleaved (not sorted) so batch splits cut across terms."""
+    out = []
+    counts = {}
+    weights = [1.0 / (i + 1) for i in range(n_kinds)]
+    s = sum(weights)
+    for i, w in enumerate(weights):
+        counts[f"t{i:03d}"] = max(1, round(total * w / s))
+    terms = sorted(counts)
+    i = 0
+    while any(counts[t] > 0 for t in terms):
+        t = terms[i % len(terms)]
+        if counts[t] > 0:
+            out.append(t)
+            counts[t] -= 1
+        i += 1
+    return out
+
+
+def _true_counts(items):
+    c = {}
+    for t in items:
+        c[t] = c.get(t, 0) + 1
+    return c
+
+
+def test_mg_trim_invariants():
+    terms = np.asarray([f"x{i}" for i in range(20)], dtype=object)
+    counts = np.arange(1, 21, dtype=np.int64)
+    k = 5
+    t, c = mg_trim(terms, counts, k)
+    assert len(t) <= k
+    assert (c > 0).all()
+    # every kept counter lost exactly the (k+1)-th largest count
+    thresh = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    orig = dict(zip(terms, counts))
+    for term, est in zip(t, c):
+        assert est == orig[term] - thresh
+
+
+def test_heavy_hitters_mg_guarantees():
+    """est <= true, true - est <= (n - M)/(k+1), and every term above
+    n/(k+1) is present — on a skewed stream split across blocks."""
+    items = _zipf_items(60, 5000)
+    true = _true_counts(items)
+    n_true = len(items)
+    k = 8
+    ds = ray.data.from_items([{"v": t} for t in items]).repartition(11)
+    summary, n = heavy_hitters(ds, "v", k)
+    assert n == n_true
+    assert summary.num_rows <= k
+    est = dict(zip(summary["term"].to_pylist(), summary["est"].to_pylist()))
+    m_sum = sum(est.values())
+    bound = (n - m_sum) / (k + 1)
+    for t, e in est.items():
+        assert e <= true[t]
+        assert true[t] - e <= bound + 1e-9
+    for t, c in true.items():
+        if c > n / (k + 1):
+            assert t in est, (t, c, n)
+
+
+def test_exact_heavy_hitters_matches_brute_force():
+    items = _zipf_items(40, 3000)
+    true = _true_counts(items)
+    n = len(items)
+    for k in (3, 8, 16):
+        ds = ray.data.from_items([{"v": t} for t in items]).repartition(7)
+        out, n_got = exact_heavy_hitters(ds, "v", k)
+        assert n_got == n
+        want = sorted(
+            ((t, c) for t, c in true.items() if c * (k + 1) > n),
+            key=lambda tc: (-tc[1], tc[0]),
+        )
+        got = list(zip(out["term"].to_pylist(), out["cnt"].to_pylist()))
+        assert got == want, (k, got, want)
+
+
+def test_exact_heavy_hitters_block_order_independent():
+    """Different partitionings (merge trees) give the identical exact
+    output — the determinism the SQL oracle relies on."""
+    items = _zipf_items(30, 2000)
+    results = []
+    for parts in (1, 4, 13):
+        ds = ray.data.from_items([{"v": t} for t in items]).repartition(parts)
+        out, n = exact_heavy_hitters(ds, "v", 6)
+        results.append((n, out.to_pylist()))
+    assert results[0] == results[1] == results[2]
+
+
+def test_exact_heavy_hitters_tokenized():
+    docs = [
+        {"text": "alpha beta alpha"},
+        {"text": "alpha gamma"},
+        {"text": "beta alpha delta epsilon zeta"},
+    ]
+    ds = ray.data.from_items(docs)
+    out, n = exact_heavy_hitters(ds, "text", k=2, tokenize=True)
+    # 10 tokens; threshold n/3 -> only 'alpha' (4 > 3.33)
+    assert n == 10
+    assert out.to_pylist() == [{"term": "alpha", "cnt": 4}]
+
+
+def test_exact_heavy_hitters_empty():
+    ds = ray.data.from_items([{"v": "a"}]).filter(lambda r: False)
+    out, n = exact_heavy_hitters(ds, "v", 4)
+    assert n == 0 and out.num_rows == 0
