@@ -1262,6 +1262,305 @@ FROM mm JOIN documents d ON d.doc_id = mm.doc_id
 GROUP BY 1 ORDER BY 1"""
 
 
+# ES range aggregation: explicit [lo, hi) buckets (None = unbounded),
+# every (query, range) pair emitted with coalesce-0 counts.
+RANGE_EDGES: tuple[tuple[int | None, int | None], ...] = (
+    (None, 200),
+    (200, 400),
+    (400, 800),
+    (800, None),
+)
+
+
+def q_search_range_agg(sf_dir: str) -> pa.Table:
+    """ES range aggregation over each query's FULL match set: doc
+    counts per explicit half-open ``[lo, hi)`` bucket of n_chars,
+    additively merged across the doc-sharded pool.  Every (query,
+    range) pair emits a row (zero counts included — ES emits empty
+    range buckets, unlike terms facets)."""
+    engine = _facet_engine(sf_dir)
+    try:
+        per_q = [
+            engine.range_agg(q, {"n_chars": list(RANGE_EDGES)}) for q in FACET_SET
+        ]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "range_idx": [], "bounds": [], "cnt": []}
+    for qid, r in enumerate(per_q):
+        for i, ((lo, hi), cnt) in enumerate(zip(RANGE_EDGES, r["n_chars"])):
+            rows["query_id"].append(qid)
+            rows["range_idx"].append(i)
+            rows["bounds"].append(_range_label(lo, hi))
+            rows["cnt"].append(cnt)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "range_idx": pa.array(rows["range_idx"], pa.int64()),
+            "bounds": pa.array(rows["bounds"], pa.string()),
+            "cnt": pa.array(rows["cnt"], pa.int64()),
+        }
+    )
+
+
+def _range_label(lo, hi) -> str:
+    return f"[{'*' if lo is None else lo},{'*' if hi is None else hi})"
+
+
+def sql_search_range_agg() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    rng_rows = ", ".join(
+        f"({i}, '{_range_label(lo, hi)}', "
+        f"CAST({'NULL' if lo is None else lo} AS BIGINT), "
+        f"CAST({'NULL' if hi is None else hi} AS BIGINT))"
+        for i, (lo, hi) in enumerate(RANGE_EDGES)
+    )
+    qid_rows = ", ".join(f"({i})" for i in range(len(FACET_SET)))
+    return f"""{prefix},
+rng(range_idx, bounds, lo, hi) AS (VALUES {rng_rows}),
+qid(query_id) AS (VALUES {qid_rows}),
+cnts AS (
+  SELECT mm.query_id, r.range_idx, count(*)::BIGINT AS cnt
+  FROM mm
+  JOIN documents d ON d.doc_id = mm.doc_id
+  JOIN rng r ON (r.lo IS NULL OR d.n_chars >= r.lo)
+            AND (r.hi IS NULL OR d.n_chars < r.hi)
+  GROUP BY 1, 2
+)
+SELECT q.query_id::BIGINT AS query_id, r.range_idx::BIGINT AS range_idx,
+       r.bounds, coalesce(c.cnt, 0)::BIGINT AS cnt
+FROM qid q
+CROSS JOIN rng r
+LEFT JOIN cnts c ON c.query_id = q.query_id AND c.range_idx = r.range_idx
+ORDER BY query_id, range_idx
+"""
+
+
+COMPOSITE_PAGE = 8  # buckets per composite page; entry emits two pages
+
+
+def q_composite_agg(sf_dir: str) -> pa.Table:
+    """ES composite aggregation over each query's full match set:
+    (lang, source) bucket counts, key-ordered, paged ``COMPOSITE_PAGE``
+    buckets at a time with an after-key cursor — the entry emits the
+    first TWO pages per query so the pagination contract itself is
+    value-checked.  Servers return one row per distinct key tuple;
+    paging is a driver-side sort over the merged (tiny) bucket dict."""
+    engine = _facet_engine(sf_dir)
+    rows = {"query_id": [], "page": [], "lang": [], "source": [], "cnt": []}
+    try:
+        for qid, q in enumerate(FACET_SET):
+            page1, after = engine.composite(q, ["lang", "source"], COMPOSITE_PAGE)
+            pages = [(1, page1)]
+            if after is not None:
+                page2, _ = engine.composite(
+                    q, ["lang", "source"], COMPOSITE_PAGE, after=after
+                )
+                pages.append((2, page2))
+            for pno, buckets in pages:
+                for (lang, source), cnt in buckets:
+                    rows["query_id"].append(qid)
+                    rows["page"].append(pno)
+                    rows["lang"].append(lang)
+                    rows["source"].append(source)
+                    rows["cnt"].append(cnt)
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "page": pa.array(rows["page"], pa.int64()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "source": pa.array(rows["source"], pa.string()),
+            "cnt": pa.array(rows["cnt"], pa.int64()),
+        }
+    )
+
+
+def sql_composite_agg() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    p = COMPOSITE_PAGE
+    return f"""{prefix},
+buckets AS (
+  SELECT mm.query_id, d.lang, d.source, count(*)::BIGINT AS cnt,
+         row_number() OVER (PARTITION BY mm.query_id
+                            ORDER BY d.lang, d.source) AS rn
+  FROM mm JOIN documents d ON d.doc_id = mm.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT query_id::BIGINT AS query_id,
+       (((rn - 1) // {p}) + 1)::BIGINT AS page, lang, source, cnt
+FROM buckets WHERE rn <= {2 * p}
+ORDER BY query_id, page, lang, source
+"""
+
+
+TOP_HITS_PER = 3  # hits kept per group value
+
+
+def q_search_top_hits(sf_dir: str) -> pa.Table:
+    """ES top_hits-inside-terms-agg: for each query, the exact top
+    ``TOP_HITS_PER`` matching docs per lang bucket by BM25 (score desc,
+    doc_id asc) over the FULL match set — each server computes its
+    local per-bucket top-k over its disjoint doc slice, the driver
+    re-cut is exact."""
+    engine = _facet_engine(sf_dir)
+    try:
+        per_q = [engine.top_hits(q, "lang", TOP_HITS_PER) for q in QUERY_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "lang": [], "rank": [], "doc_id": [], "score": []}
+    for qid, hits in enumerate(per_q):
+        for lang in sorted(hits):
+            for rank, (doc_id, score) in enumerate(hits[lang], start=1):
+                rows["query_id"].append(qid)
+                rows["lang"].append(lang)
+                rows["rank"].append(rank)
+                rows["doc_id"].append(doc_id)
+                rows["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_search_top_hits() -> str:
+    """Mirror: the bm25 scored CTE joined to documents, row_number per
+    (query, lang) — the engine's TAAT sum order matches
+    ``sum(contrib ORDER BY q.term)`` (proven bitwise by bm25_topk_scores)."""
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_query_terms_values()}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id, d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rank
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT query_id::BIGINT AS query_id, lang, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_HITS_PER} ORDER BY query_id, lang, rank
+"""
+
+
+RESCORE_WINDOW = 30  # first-pass candidates re-ranked by the rescorer
+RESCORE_W = 0.001  # doc-length boost weight (exact in float64 both sides)
+
+
+def q_rescore_topk(sf_dir: str) -> pa.Table:
+    """ES rescore (query-then-rescore window): first-pass BM25 top
+    ``RESCORE_WINDOW``, then a secondary scoring function
+    ``score + RESCORE_W * n_chars`` re-ranks the window and the final
+    top K is cut by (combined desc, doc_id asc).  Only the window's
+    docmeta is gathered — the rescorer never touches the corpus."""
+    from . import docmeta as docmeta_mod
+
+    meta = get_index(sf_dir)
+    docmeta_mod.ensure_docmeta(
+        meta.index_dir, docs_path(sf_dir), ["lang", "source", "n_chars"]
+    )
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    dm = docmeta_mod.DocMeta(meta.index_dir)
+    try:
+        results = [engine.query(q, k=RESCORE_WINDOW) for q in QUERY_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, res in enumerate(results):
+        if not res:
+            continue
+        ids = np.array([d for d, _ in res], dtype=np.int64)
+        scores = np.array([s for _, s in res], dtype=np.float64)
+        n_chars = dm.gather(ids, "n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        combined = scores + RESCORE_W * n_chars
+        order = np.lexsort((ids, -combined))[:K]
+        for rank, j in enumerate(order, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(int(ids[j]))
+            rows["score"].append(float(combined[j]))
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_rescore_topk() -> str:
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_query_terms_values()}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+),
+re AS (
+  SELECT w.query_id, w.doc_id,
+         w.score + CAST({RESCORE_W} AS DOUBLE) * d.n_chars::DOUBLE AS combined
+  FROM win w JOIN documents d ON d.doc_id = w.doc_id
+  WHERE w.rank <= {RESCORE_WINDOW}
+),
+rr AS (
+  SELECT query_id, doc_id, combined,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY combined DESC, doc_id ASC) AS rank
+  FROM re
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(combined, 6) AS score
+FROM rr WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 # Multi-field query set: unscoped terms score in BOTH fields
 # (most_fields sum), field:term scopes to one analyzed field, -term
 # drops docs containing it in ANY field.
@@ -3314,6 +3613,103 @@ ORDER BY cnt DESC, term
 """
 
 
+QSK_PCTS = (0.5, 0.9, 0.99)
+QSK_EPS = 0.02  # rank-error budget; observed worst ~0.005 at k=256
+QSK_K = 256
+
+
+def q_quantiles_sketch(sf_dir: str) -> pa.Table:
+    """Driver-checkable contract for the mergeable quantile sketch (ES
+    ``percentiles`` aggregation analog; cb/sketch.py QuantileSketch):
+    per (lang, pct), ``ok`` is True iff the sketch's n_chars percentile
+    estimate sits within QSK_EPS RANK error of the target — i.e.
+    ``count(< est)/n - eps <= pct <= count(<= est)/n + eps`` (the
+    inclusive/strict pair makes ties in the value distribution count
+    correctly).  The verification rank pass is itself a two-phase
+    vectorized pipeline: per-batch (lt, le, n) partials per (lang,
+    pct), exact driver fold over the tiny partial table.  The oracle
+    asserts all-True — a broken compaction, weight drift, or merge
+    blows the bound and hash-mismatches."""
+    from . import sketch
+    from .collect import collect_table
+
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["lang", "n_chars"])
+    est = sketch.grouped_quantile_sketch(ds, "lang", "n_chars", QSK_PCTS, k=QSK_K)
+    ests = {(r["lang"], r["pct"]): r["est"] for r in est.to_pylist()}
+    langs = sorted({l for l, _ in ests})
+    est_by_lang = {
+        l: np.array([ests[(l, p)] for p in QSK_PCTS], dtype=np.float64) for l in langs
+    }
+
+    def rank_partial(b: pa.Table) -> pa.Table:
+        lc = b["lang"]
+        if isinstance(lc, pa.ChunkedArray):
+            lc = lc.combine_chunks()
+        enc = lc.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dictionary = enc.dictionary.to_pylist()
+        out = {"lang": [], "pct": [], "lt": [], "le": [], "n": []}
+        order = np.argsort(codes, kind="stable")
+        sc, sv = codes[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        ends = np.append(starts[1:], len(sc))
+        for s, e in zip(starts, ends):
+            lang = dictionary[sc[s]]
+            es = est_by_lang.get(lang)
+            if es is None:
+                continue
+            v = sv[s:e]
+            for p, est_v in zip(QSK_PCTS, es):
+                out["lang"].append(lang)
+                out["pct"].append(p)
+                out["lt"].append(int((v < est_v).sum()))
+                out["le"].append(int((v <= est_v).sum()))
+                out["n"].append(int(e - s))
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], pa.string()),
+                "pct": pa.array(out["pct"], pa.float64()),
+                "lt": pa.array(out["lt"], pa.int64()),
+                "le": pa.array(out["le"], pa.int64()),
+                "n": pa.array(out["n"], pa.int64()),
+            }
+        )
+
+    partials = collect_table(
+        ds.map_batches(rank_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    folded = partials.group_by(["lang", "pct"]).aggregate(
+        [("lt", "sum"), ("le", "sum"), ("n", "sum")]
+    )
+    rows = {"lang": [], "pct": [], "ok": []}
+    for r in sorted(folded.to_pylist(), key=lambda r: (r["lang"], r["pct"])):
+        n = r["n_sum"]
+        ok = (r["lt_sum"] / n - QSK_EPS <= r["pct"]) and (
+            r["pct"] <= r["le_sum"] / n + QSK_EPS
+        )
+        rows["lang"].append(r["lang"])
+        rows["pct"].append(r["pct"])
+        rows["ok"].append(ok)
+    return pa.table(
+        {
+            "lang": pa.array(rows["lang"], pa.string()),
+            "pct": pa.array(rows["pct"], pa.float64()),
+            "ok": pa.array(rows["ok"], pa.bool_()),
+        }
+    )
+
+
+def sql_quantiles_sketch() -> str:
+    pct_rows = ", ".join(f"(CAST({p} AS DOUBLE))" for p in QSK_PCTS)
+    return f"""
+SELECT l.lang, p.pct, true AS ok
+FROM (SELECT DISTINCT lang FROM documents) l
+CROSS JOIN (VALUES {pct_rows}) p(pct)
+ORDER BY lang, pct
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3344,6 +3740,11 @@ QUERIES = {
     "search_facets": q_search_facets,
     "search_facet_stats": q_search_facet_stats,
     "search_histogram": q_search_histogram,
+    "search_range_agg": q_search_range_agg,
+    "composite_agg": q_composite_agg,
+    "search_top_hits": q_search_top_hits,
+    "rescore_topk": q_rescore_topk,
+    "quantiles_sketch": q_quantiles_sketch,
     "significant_terms": q_significant_terms,
     "content_sha256": q_content_sha256,
     "dedup_exact": q_dedup_exact,
@@ -3433,6 +3834,11 @@ def oracle_sql() -> dict[str, str]:
         "search_facets": sql_search_facets(),
         "search_facet_stats": sql_search_facet_stats(),
         "search_histogram": sql_search_histogram(),
+        "search_range_agg": sql_search_range_agg(),
+        "composite_agg": sql_composite_agg(),
+        "search_top_hits": sql_search_top_hits(),
+        "rescore_topk": sql_rescore_topk(),
+        "quantiles_sketch": sql_quantiles_sketch(),
         "significant_terms": sql_significant_terms(),
         "content_sha256": sql_content_sha256(),
         "dedup_exact": dedup.sql_exact_duplicates(),

@@ -369,6 +369,104 @@ def _merge_facets(parts):
     return facets, stats
 
 
+def _ranges_over(ids, dm, ranges: dict) -> dict:
+    """ES range aggregation over one scope's matched doc ids:
+    ``col -> [count per (lo, hi) range]`` with half-open ``[lo, hi)``
+    semantics and ``None`` = unbounded — counts align positionally with
+    the caller's range list so the driver merge is elementwise
+    addition.  Nulls never match any range (mirrors SQL comparison
+    semantics)."""
+    out: dict[str, list[int]] = {}
+    for c, bounds in ranges.items():
+        vals = dm.gather(ids, c).drop_null()
+        v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+        cnts = []
+        for lo, hi in bounds:
+            m = np.ones(len(v), dtype=bool)
+            if lo is not None:
+                m &= v >= lo
+            if hi is not None:
+                m &= v < hi
+            cnts.append(int(m.sum()))
+        out[c] = cnts
+    return out
+
+
+def _merge_ranges(parts: list[dict]) -> dict:
+    """Elementwise fold of per-scope range-count lists (disjoint doc
+    slices -> exact addition)."""
+    out: dict[str, list[int]] = {}
+    for p in parts:
+        for c, cnts in p.items():
+            if c not in out:
+                out[c] = list(cnts)
+            else:
+                out[c] = [a + b for a, b in zip(out[c], cnts)]
+    return out
+
+
+def _composite_over(ids, dm, cols: list[str]) -> dict:
+    """Composite-aggregation bucket counts over one scope's matched doc
+    ids: ``(v1, v2, ...) -> count`` via one vectorized Arrow group_by
+    over the gathered key columns (tiny output: one row per distinct
+    key tuple, never per doc)."""
+    tbl = pa.table({c: dm.gather(ids, c) for c in cols})
+    agg = tbl.group_by(cols).aggregate([([], "count_all")])
+    keys = [agg[c].to_pylist() for c in cols]
+    cnts = agg["count_all"].to_pylist()
+    return {tuple(k[i] for k in keys): int(cnts[i]) for i in range(len(cnts))}
+
+
+def _merge_composite(parts: list[dict]) -> dict:
+    """Additive fold of per-scope composite bucket dicts."""
+    out: dict[tuple, int] = {}
+    for p in parts:
+        for k, n in p.items():
+            out[k] = out.get(k, 0) + n
+    return out
+
+
+def _top_hits_over(ids, scores, dm, group_col: str, k_per: int) -> dict:
+    """Per-bucket top hits over one scope's scored match set:
+    ``group value -> [(doc_id, score), ...]`` cut to ``k_per`` by
+    (score desc, doc_id asc).  Vectorized: dictionary-encode the group
+    column, one lexsort, slice the first ``k_per`` of each group run.
+    Scopes are disjoint doc slices, so the driver merge (concat +
+    re-cut per value) is exact."""
+    arr = dm.gather(ids, group_col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = arr.dictionary_encode()
+    codes = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, -scores, codes))
+    sc, sids, sscores = codes[order], ids[order], scores[order]
+    out: dict = {}
+    starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+    ends = np.append(starts[1:], len(sc))
+    dictionary = enc.dictionary.to_pylist()
+    for s, e in zip(starts, ends):
+        if sc[s] < 0:
+            continue  # null group values drop (mirrors SQL GROUP BY join)
+        cut = min(e, s + k_per)
+        out[dictionary[sc[s]]] = [
+            (int(d), float(x)) for d, x in zip(sids[s:cut], sscores[s:cut])
+        ]
+    return out
+
+
+def _merge_top_hits(parts: list[dict], k_per: int) -> dict:
+    """Fold per-scope top-hit lists: concat per group value, re-sort by
+    (score desc, doc_id asc), cut to k_per — exact because each scope
+    already kept its local top k_per and scopes are disjoint."""
+    out: dict = {}
+    for p in parts:
+        for v, hits in p.items():
+            out.setdefault(v, []).extend(hits)
+    for v in out:
+        out[v] = sorted(out[v], key=lambda h: (-h[1], h[0]))[:k_per]
+    return out
+
+
 def load_vocab(meta: IndexMeta) -> list[str]:
     """Index vocabulary: the union of the partitions' ``_termdf.parquet``
     term columns (vocabulary-sized, NOT corpus-sized — this is the same
@@ -639,6 +737,86 @@ class ShardServer:
         if universe is None:
             return {c: {} for c in histos}
         return _histos_over(universe[keep], self._docmeta, histos)
+
+    def range_counts(
+        self, parsed: dict, ranges: dict, fetched_terms: list[str] = (), *fetched
+    ) -> dict:
+        """ES range aggregation over THIS scope's full match set of a
+        query string: explicit ``[lo, hi)`` buckets per numeric docmeta
+        column (same match plumbing as facet_counts; driver merge is
+        exact elementwise addition)."""
+        from . import docmeta as docmeta_mod, querylang
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        universe, _, keep = querylang.match(
+            parsed,
+            get_postings=self._local,
+            stats=self.stats,
+            docmeta=self._docmeta,
+            decoded_cache=self.decoded,
+            drop_ids=self.tombstones,
+        )
+        if universe is None:
+            return {c: [0] * len(b) for c, b in ranges.items()}
+        return _ranges_over(universe[keep], self._docmeta, ranges)
+
+    def composite_counts(
+        self, parsed: dict, cols: list[str], fetched_terms: list[str] = (), *fetched
+    ) -> dict:
+        """ES composite-aggregation source counts over THIS scope's
+        full match set: ``(v1, v2, ...) -> count`` per distinct key
+        tuple of the requested docmeta columns.  The driver merges
+        additively, orders by key, and applies size/after paging —
+        per-server output is one row per distinct key, never per doc."""
+        from . import docmeta as docmeta_mod, querylang
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        universe, _, keep = querylang.match(
+            parsed,
+            get_postings=self._local,
+            stats=self.stats,
+            docmeta=self._docmeta,
+            decoded_cache=self.decoded,
+            drop_ids=self.tombstones,
+        )
+        if universe is None:
+            return {}
+        return _composite_over(universe[keep], self._docmeta, list(cols))
+
+    def top_hits(
+        self, terms: list[str], k_per: int, group_col: str,
+        fetched_terms: list[str] = (), *fetched,
+    ) -> dict:
+        """ES top_hits-inside-terms-agg over THIS scope: BM25 scores for
+        the full match set (exact TAAT), grouped by a docmeta column,
+        local top ``k_per`` per group value by (score desc, doc_id asc).
+        Same plain-term fetch protocol as :meth:`score`; the driver
+        re-cut per value is exact because scopes are disjoint."""
+        from . import docmeta as docmeta_mod
+
+        postings = dict(zip(fetched_terms, fetched))
+        for t, p in postings.items():
+            self.cache[t] = p
+        for t in terms:
+            if t not in postings:
+                postings[t] = self._local(t)
+        live = {t: p for t, p in postings.items() if p is not None}
+        if not live:
+            return {}
+        idfs = {t: float(scoring.idf(p.gdf, self.n_docs)) for t, p in live.items()}
+        universe, acc = wand.taat_scores(live, idfs, self.stats, decoded_cache=self.decoded)
+        if universe is None:
+            return {}
+        keep = _live_mask(universe, self.tombstones)
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        return _top_hits_over(universe[keep], acc[keep], self._docmeta, group_col, k_per)
 
     def significant(
         self, parsed: dict, min_df: int = 2, fetched_terms: list[str] = (), *fetched
@@ -1384,6 +1562,69 @@ class QueryEngine:
         if isinstance(fut, list):
             return _merge_hists(ray.get(fut))
         return ray.get(fut)
+
+    def range_agg(self, query_string: str, ranges: dict) -> dict:
+        """ES range aggregation over the query's FULL match set:
+        ``{col: [(lo, hi), ...]}`` -> ``{col: [count, ...]}`` aligned
+        with the input ranges (half-open ``[lo, hi)``, ``None`` =
+        unbounded).  Doc mode: scatter-gather + exact elementwise
+        addition; term mode: ownership-routed."""
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return {c: [0] * len(b) for c, b in ranges.items()}
+        fut = self._route_agg("range_counts", parsed, involved, ranges)
+        if isinstance(fut, list):
+            return _merge_ranges(ray.get(fut))
+        return ray.get(fut)
+
+    def composite(
+        self, query_string: str, cols: list[str], size: int, after: tuple | None = None
+    ) -> tuple[list[tuple[tuple, int]], tuple | None]:
+        """ES composite aggregation over the query's full match set:
+        doc counts per distinct key tuple of ``cols``, key-ordered,
+        paged ``size`` buckets at a time.  Returns ``(buckets,
+        after_key)`` where ``buckets`` is ``[(key_tuple, count), ...]``
+        and ``after_key`` feeds the next page (None = exhausted).
+        Servers return one row per distinct key (tiny), the driver
+        merge is exact addition, and paging is a sort + slice over the
+        merged bucket dict — O(distinct keys), never O(docs)."""
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return [], None
+        fut = self._route_agg("composite_counts", parsed, involved, list(cols))
+        merged = _merge_composite(ray.get(fut)) if isinstance(fut, list) else ray.get(fut)
+        keys = sorted(merged)
+        if after is not None:
+            keys = [k for k in keys if k > after]
+        page = keys[:size]
+        after_key = page[-1] if len(keys) > size else None
+        return [(k, merged[k]) for k in page], after_key
+
+    def top_hits(self, text: str, group_col: str, k_per: int) -> dict:
+        """ES top_hits-inside-terms-agg via the pool: per group value of
+        ``group_col``, the exact top ``k_per`` matching docs by BM25
+        (score desc, doc_id asc) over the query's FULL match set.  Doc
+        mode: each server returns its local per-value top k_per, the
+        driver re-cut is exact; term mode: ownership-routed."""
+        terms = sorted(set(analyze.tokenize(text)))
+        if not terms:
+            return {}
+        if self.mode == "doc":
+            futs = [s.top_hits.remote(terms, k_per, group_col, []) for s in self.servers]
+            return _merge_top_hits(ray.get(futs), k_per)
+        owners = {t: self._owner(t) for t in terms}
+        counts = np.bincount([owners[t] for t in terms], minlength=self.num_servers)
+        scorer = int(np.argmax(counts))
+        fetched_terms = [
+            t for t in terms if owners[t] != scorer and t not in self.seen[scorer]
+        ]
+        refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
+        self.seen[scorer].update(terms)
+        return ray.get(
+            self.servers[scorer].top_hits.remote(
+                terms, k_per, group_col, fetched_terms, *refs
+            )
+        )
 
     def query_many(self, texts: list[str], k: int = 10, algo: str = "taat"):
         """Batched fan-out: queries are tokenized on the driver, chunked

@@ -281,3 +281,162 @@ def grouped_cardinality(
     from .collect import collect_table
 
     return collect_table(out).sort_by(key)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (ES ``percentiles`` aggregation analog).
+#
+# KLL-shaped (Karnin-Lang-Liberty 2016) with DETERMINISTIC
+# alternating-parity compaction instead of the paper's coin flip: a
+# level buffer over capacity is sorted and every other element
+# (starting offset alternates per compaction) is promoted with doubled
+# weight.  Determinism keeps runs/processes reproducible (the repo's
+# oracle gate depends on it); the formal randomized guarantee becomes
+# an empirical one, pinned by the contract entry's rank-error bound.
+# Uniform per-level capacity k gives the Manku-Rajagopalan-Lindsay
+# space shape: k * log2(n/k) doubles held, regardless of stream size —
+# a 10^10-value column at k=256 is ~35 levels = ~9 KB per group.
+# Merging concatenates per-level buffers and recompacts, so per-batch
+# partials -> groupby(key).map_groups fold is the natural Ray shape
+# (same as grouped_cardinality above).
+# ---------------------------------------------------------------------------
+
+
+class QuantileSketch:
+    """Mergeable rank/quantile sketch over float64 values."""
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self._parity = 0
+
+    @property
+    def n(self) -> int:
+        return int(sum(len(b) << i for i, b in enumerate(self.levels)))
+
+    def update_many(self, vals: np.ndarray) -> None:
+        self.insert_at_level(np.asarray(vals, dtype=np.float64), 0)
+
+    def insert_at_level(self, vals: np.ndarray, level: int) -> None:
+        """Bulk insert of weight-2^level items (the merge primitive)."""
+        while len(self.levels) <= level:
+            self.levels.append(np.empty(0, dtype=np.float64))
+        self.levels[level] = np.concatenate([self.levels[level], vals])
+        self._compact()
+
+    def merge(self, other: "QuantileSketch") -> None:
+        for i, b in enumerate(other.levels):
+            if len(b):
+                self.insert_at_level(b, i)
+
+    def _compact(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            buf = self.levels[i]
+            if len(buf) <= self.k:
+                i += 1
+                continue
+            buf = np.sort(buf, kind="mergesort")
+            off = self._parity
+            self._parity ^= 1
+            # odd buffer: one element stays behind at ITS OWN weight so
+            # total weight (n) is conserved exactly through compaction
+            if len(buf) % 2:
+                leftover, buf = buf[-1:], buf[:-1]
+            else:
+                leftover = np.empty(0, dtype=np.float64)
+            promoted = buf[off::2]
+            self.levels[i] = leftover
+            if len(self.levels) <= i + 1:
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+            i += 1
+
+    def _items(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate([b for b in self.levels]) if self.levels else np.empty(0)
+        wts = (
+            np.concatenate(
+                [np.full(len(b), 1 << i, dtype=np.int64) for i, b in enumerate(self.levels)]
+            )
+            if self.levels
+            else np.empty(0, dtype=np.int64)
+        )
+        return vals, wts
+
+    def quantile(self, q: float) -> float:
+        """Smallest stored value whose weighted cumulative count reaches
+        ``ceil(q * n)`` (the quantile_disc convention the exact operator
+        uses)."""
+        vals, wts = self._items()
+        if len(vals) == 0:
+            raise ValueError("empty sketch")
+        order = np.argsort(vals, kind="mergesort")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        target = max(1, int(np.ceil(q * cum[-1])))
+        return float(vals[np.searchsorted(cum, target)])
+
+    def to_rows(self) -> list[tuple[int, np.ndarray]]:
+        return [(i, b) for i, b in enumerate(self.levels) if len(b)]
+
+
+def grouped_quantile_sketch(
+    ds: ray.data.Dataset, key: str, value: str, pcts: tuple[float, ...], k: int = 256
+) -> pa.Table:
+    """Approximate percentiles of ``value`` per ``key`` group via
+    mergeable sketches: per-batch partial sketches shrink each batch to
+    O(k log) doubles per key, the per-key fold merges buffers level by
+    level — no group ever materializes its raw values.  Returns
+    (key, pct, est) sorted by (key, pct)."""
+
+    def batch_partial(b: pa.Table) -> pa.Table:
+        kcol = b[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = kcol.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        keys_out, lvl_out, buf_out = [], [], []
+        order = np.argsort(codes, kind="stable")
+        sc, sv = codes[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        ends = np.append(starts[1:], len(sc))
+        dictionary = enc.dictionary.to_pylist()
+        for s, e in zip(starts, ends):
+            sk = QuantileSketch(k)
+            sk.update_many(sv[s:e])
+            for lvl, buf in sk.to_rows():
+                keys_out.append(dictionary[sc[s]])
+                lvl_out.append(lvl)
+                buf_out.append(buf)
+        return pa.table(
+            {
+                key: pa.array(keys_out),
+                "level": pa.array(lvl_out, type=pa.int64()),
+                "buf": pa.array(
+                    [b_.tolist() for b_ in buf_out], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    partials = ds.map_batches(batch_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pa.Table) -> pa.Table:
+        sk = QuantileSketch(k)
+        lvls = g["level"].to_numpy(zero_copy_only=False)
+        bufs = g["buf"].to_pylist()
+        # insert deepest levels first so recompaction order is stable
+        for i in np.argsort(lvls, kind="stable")[::-1]:
+            sk.insert_at_level(np.asarray(bufs[i], dtype=np.float64), int(lvls[i]))
+        return pa.table(
+            {
+                key: pa.concat_arrays([g[key].slice(0, 1).combine_chunks()] * len(pcts)),
+                "pct": pa.array(list(pcts), type=pa.float64()),
+                "est": pa.array([sk.quantile(p) for p in pcts], type=pa.float64()),
+            }
+        )
+
+    out = partials.groupby(key).map_groups(merge, batch_format="pyarrow")
+    from .collect import collect_table
+
+    return collect_table(out).sort_by([(key, "ascending"), ("pct", "ascending")])

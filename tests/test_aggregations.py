@@ -1,0 +1,149 @@
+"""Range, composite, and top_hits aggregations: brute-force parity,
+pool-size invariance, paging, and tombstone masking.  (The DuckDB
+value-parity for the packaged entries lives in test_oracle_parity.)"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from cb import docmeta as dm
+from cb.build import build_index
+from cb.shard import QueryEngine, delete_docs
+
+DOCS = [
+    # (doc_id, text, lang, source, n_chars)
+    (1, "hash join over the big table", "en", "s0", 150),
+    (2, "hash join deprecated path", "en", "s1", 250),
+    (3, "merge sort window frame", "fr", "s0", 350),
+    (4, "join hash reversed words", "en", "s0", 450),
+    (5, "the quick hash join trick", "fr", "s1", 550),
+    (6, "unrelated quantum zebra", "en", "s0", 650),
+    (7, "join column index scan", "de", "s1", 125),
+    (8, "sort merge join pipeline", "de", "s0", 825),
+]
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    d = tmp_path_factory.mktemp("aggs")
+    rows = [
+        {"doc_id": i, "text": t, "lang": lang, "source": src, "n_chars": n}
+        for i, t, lang, src, n in DOCS
+    ]
+    src_file = str(d / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src_file)
+    idx = str(d / "idx")
+    build_index(src_file, idx, text_col="text", id_col="doc_id", num_parts=4)
+    dm.ensure_docmeta(idx, src_file, ["lang", "source", "n_chars"])
+    return idx
+
+
+RANGES = [(None, 200), (200, 500), (500, None)]
+
+
+def _brute_ranges(match_ids):
+    byid = {i: n for i, _, _, _, n in DOCS}
+    out = []
+    for lo, hi in RANGES:
+        out.append(
+            sum(
+                1
+                for i in match_ids
+                if (lo is None or byid[i] >= lo) and (hi is None or byid[i] < hi)
+            )
+        )
+    return out
+
+
+def test_range_agg_counts_and_pool_invariance(built):
+    # 'join' matches docs 1,2,4,5,7,8
+    want = _brute_ranges([1, 2, 4, 5, 7, 8])
+    for ns in (1, 4):
+        eng = QueryEngine(built, num_servers=ns)
+        try:
+            got = eng.range_agg("join", {"n_chars": RANGES})
+        finally:
+            eng.shutdown()
+        assert got["n_chars"] == want, (ns, got)
+
+
+def test_range_agg_zero_match_emits_zeroes(built):
+    eng = QueryEngine(built, num_servers=2)
+    try:
+        got = eng.range_agg("nosuchterm", {"n_chars": RANGES})
+    finally:
+        eng.shutdown()
+    assert got["n_chars"] == [0, 0, 0]
+
+
+def test_composite_paging_partitions_key_order(built):
+    # 'join' buckets by (lang, source):
+    # de: s0{8}, s1{7}; en: s0{1,4}, s1{2}; fr: s1{5}
+    want = [
+        (("de", "s0"), 1),
+        (("de", "s1"), 1),
+        (("en", "s0"), 2),
+        (("en", "s1"), 1),
+        (("fr", "s1"), 1),
+    ]
+    eng = QueryEngine(built, num_servers=2)
+    try:
+        p1, after = eng.composite("join", ["lang", "source"], size=2)
+        assert p1 == want[:2]
+        assert after == ("de", "s1")
+        p2, after2 = eng.composite("join", ["lang", "source"], size=2, after=after)
+        assert p2 == want[2:4]
+        p3, after3 = eng.composite("join", ["lang", "source"], size=2, after=after2)
+        assert p3 == want[4:]
+        assert after3 is None  # exhausted
+        # one big page == concatenation of the small pages
+        full, _ = eng.composite("join", ["lang", "source"], size=100)
+        assert full == want
+    finally:
+        eng.shutdown()
+
+
+def _brute_top_hits(eng, query, k_per):
+    """Recompute per-lang top hits from the flat ranked list."""
+    flat = eng.query(query, k=100)
+    lang = {i: l for i, _, l, _, _ in DOCS}
+    out = {}
+    for d, s in sorted(flat, key=lambda r: (-r[1], r[0])):
+        out.setdefault(lang[d], [])
+        if len(out[lang[d]]) < k_per:
+            out[lang[d]].append((d, s))
+    return out
+
+
+def test_top_hits_matches_flat_ranking(built):
+    for ns in (1, 3):
+        eng = QueryEngine(built, num_servers=ns)
+        try:
+            got = eng.top_hits("hash join", "lang", 2)
+            want = _brute_top_hits(eng, "hash join", 2)
+        finally:
+            eng.shutdown()
+        assert set(got) == set(want)
+        for lang in want:
+            assert [d for d, _ in got[lang]] == [d for d, _ in want[lang]]
+            np.testing.assert_allclose(
+                [s for _, s in got[lang]], [s for _, s in want[lang]], rtol=0, atol=0
+            )
+
+
+def test_top_hits_respects_tombstones(built, tmp_path):
+    import shutil
+
+    idx = str(tmp_path / "idx2")
+    shutil.copytree(built, idx)
+    delete_docs(idx, [1, 5])
+    eng = QueryEngine(idx, num_servers=2)
+    try:
+        got = eng.top_hits("hash join", "lang", 3)
+    finally:
+        eng.shutdown()
+    hit_ids = {d for hits in got.values() for d, _ in hits}
+    assert 1 not in hit_ids and 5 not in hit_ids
+    assert 2 in hit_ids and 4 in hit_ids

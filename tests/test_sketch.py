@@ -199,3 +199,89 @@ def test_exact_heavy_hitters_empty():
     ds = ray.data.from_items([{"v": "a"}]).filter(lambda r: False)
     out, n = exact_heavy_hitters(ds, "v", 4)
     assert n == 0 and out.num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# QuantileSketch
+# ---------------------------------------------------------------------------
+
+from cb.sketch import QuantileSketch, grouped_quantile_sketch
+
+
+def test_quantile_sketch_weight_conserved():
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=12345)
+    sk = QuantileSketch(64)
+    for chunk in np.array_split(x, 17):
+        sk.update_many(chunk)
+    assert sk.n == len(x)
+
+
+def test_quantile_sketch_rank_error_bound():
+    rng = np.random.default_rng(3)
+    x = rng.exponential(size=50000)
+    sk = QuantileSketch(256)
+    for chunk in np.array_split(x, 41):
+        sk.update_many(chunk)
+    xs = np.sort(x)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = sk.quantile(q)
+        lt = np.searchsorted(xs, est, side="left") / len(xs)
+        le = np.searchsorted(xs, est, side="right") / len(xs)
+        assert lt - 0.02 <= q <= le + 0.02, (q, est, lt, le)
+
+
+def test_quantile_sketch_merge_conserves_and_bounds():
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=30001)
+    parts = np.array_split(x, 7)
+    sketches = []
+    for p in parts:
+        s = QuantileSketch(128)
+        s.update_many(p)
+        sketches.append(s)
+    acc = sketches[0]
+    for s in sketches[1:]:
+        acc.merge(s)
+    assert acc.n == len(x)
+    xs = np.sort(x)
+    for q in (0.1, 0.5, 0.9):
+        est = acc.quantile(q)
+        lt = np.searchsorted(xs, est, side="left") / len(xs)
+        le = np.searchsorted(xs, est, side="right") / len(xs)
+        assert lt - 0.03 <= q <= le + 0.03
+
+
+def test_quantile_sketch_small_group_is_exact():
+    # under one level-0 capacity the sketch stores everything verbatim
+    x = np.array([5.0, 1.0, 3.0, 2.0, 4.0])
+    sk = QuantileSketch(64)
+    sk.update_many(x)
+    assert sk.quantile(0.5) == 3.0  # quantile_disc: ceil(0.5*5)=3rd value
+    assert sk.quantile(1.0) == 5.0
+    assert sk.quantile(0.01) == 1.0
+
+
+def test_quantile_sketch_deterministic():
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=20000)
+    outs = []
+    for _ in range(2):
+        sk = QuantileSketch(128)
+        for chunk in np.array_split(x, 13):
+            sk.update_many(chunk)
+        outs.append([sk.quantile(q) for q in (0.1, 0.5, 0.9)])
+    assert outs[0] == outs[1]
+
+
+def test_grouped_quantile_sketch_distributed():
+    rng = np.random.default_rng(21)
+    rows = []
+    for key, mu in (("a", 100.0), ("b", 500.0)):
+        for v in rng.normal(mu, 10.0, size=4000):
+            rows.append({"k": key, "v": float(v)})
+    ds = ray.data.from_items(rows).repartition(8)
+    out = grouped_quantile_sketch(ds, "k", "v", (0.5,), k=128)
+    got = {r["k"]: r["est"] for r in out.to_pylist()}
+    assert abs(got["a"] - 100.0) < 2.0
+    assert abs(got["b"] - 500.0) < 2.0
