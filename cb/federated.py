@@ -980,6 +980,67 @@ class FederatedEngine:
             return {c: {} for c in histos}
         return _merge_hists(ray.get(futs))
 
+    def range_agg(self, query_string: str, ranges: dict, **sel) -> dict:
+        """ES range aggregation across the federation (per-server range
+        counts, one ray.get, exact elementwise fold across disjoint doc
+        sets)."""
+        from .shard import _merge_ranges
+
+        futs = []
+        for n in self._select(**sel):
+            f = self.engines[n]._dispatch_range_agg(query_string, ranges)
+            if f is None:
+                continue
+            futs.extend(f if isinstance(f, list) else [f])
+        if not futs:
+            return {c: [0] * len(b) for c, b in ranges.items()}
+        return _merge_ranges(ray.get(futs))
+
+    def composite(
+        self, query_string: str, cols: list[str], size: int,
+        after: tuple | None = None, **sel,
+    ) -> tuple[list[tuple[tuple, int]], tuple | None]:
+        """ES composite aggregation across the federation: per-server
+        bucket dicts (one row per distinct key tuple) from every
+        selected sub-index, one ray.get, exact additive fold, then the
+        same key-ordered size/after paging as QueryEngine.composite —
+        bitwise the monolithic pool's pages."""
+        from .shard import _merge_composite
+
+        futs = []
+        for n in self._select(**sel):
+            f = self.engines[n]._dispatch_composite(query_string, cols)
+            if f is None:
+                continue
+            futs.extend(f if isinstance(f, list) else [f])
+        if not futs:
+            return [], None
+        merged = _merge_composite(ray.get(futs))
+        keys = sorted(merged)
+        if after is not None:
+            keys = [k for k in keys if k > after]
+        page = keys[:size]
+        after_key = page[-1] if len(keys) > size else None
+        return [(k, merged[k]) for k in page], after_key
+
+    def top_hits(self, text: str, group_col: str, k_per: int, **sel) -> dict:
+        """Federated top_hits-inside-terms-agg: every selected
+        sub-index's servers return their local per-group top k_per
+        (scored with the feddf overlay, so idf is federation-global),
+        one ray.get, exact re-cut per group value — disjoint doc sets
+        make the merge bitwise the monolithic pool's."""
+        from .shard import _merge_top_hits
+
+        futs = []
+        for n in self._select(**sel):
+            f = self.engines[n]._dispatch_top_hits(text, group_col, k_per)
+            if f is None:
+                continue
+            futs.extend(f if isinstance(f, list) else [f])
+        if not futs:
+            return {}
+        return _merge_top_hits(ray.get(futs), k_per)
+
     def query_many(self, texts: list[str], k: int = 10, algo: str = "taat", **sel_kwargs):
         """Batched federation fan-out: in doc mode every server of every
         selected sub-index gets ONE score_many RPC covering all queries
@@ -1053,6 +1114,15 @@ class _MultiFieldFedMember:
 
     def histogram(self, query: str, histos: dict) -> dict:
         return self.searcher.histogram(query, histos)
+
+    def range_counts(self, query: str, ranges: dict) -> dict:
+        return self.searcher.range_counts(query, ranges)
+
+    def composite_counts(self, query: str, cols: list[str]) -> dict:
+        return self.searcher.composite_counts(query, cols)
+
+    def top_hits(self, query: str, group_col: str, k_per: int) -> dict:
+        return self.searcher.top_hits(query, group_col, k_per)
 
     def mlt(self, doc_fields: dict, k: int, max_terms: int):
         """Member MLT WITHOUT source-doc exclusion: term selection uses
@@ -1163,6 +1233,56 @@ class FederatedMultiFieldEngine:
         if not futs:
             return {c: {} for c in histos}
         return _merge_hists(ray.get(futs))
+
+    def range_agg(self, query: str, ranges: dict, **sel) -> dict:
+        """Range aggregation over the federation-wide multifield match
+        set (exact elementwise member fold)."""
+        from .shard import _merge_ranges
+
+        futs = [
+            self.members[n].range_counts.remote(query, ranges)
+            for n in self._select(**sel)
+        ]
+        if not futs:
+            return {c: [0] * len(b) for c, b in ranges.items()}
+        return _merge_ranges(ray.get(futs))
+
+    def composite(
+        self, query: str, cols: list[str], size: int,
+        after: tuple | None = None, **sel,
+    ) -> tuple[list[tuple[tuple, int]], tuple | None]:
+        """Composite aggregation over the federation-wide multifield
+        match set: additive member fold + the shared key-ordered
+        size/after paging — bitwise the monolithic multifield pages."""
+        from .shard import _merge_composite
+
+        futs = [
+            self.members[n].composite_counts.remote(query, list(cols))
+            for n in self._select(**sel)
+        ]
+        if not futs:
+            return [], None
+        merged = _merge_composite(ray.get(futs))
+        keys = sorted(merged)
+        if after is not None:
+            keys = [k for k in keys if k > after]
+        page = keys[:size]
+        after_key = page[-1] if len(keys) > size else None
+        return [(k, merged[k]) for k in page], after_key
+
+    def top_hits(self, query: str, group_col: str, k_per: int, **sel) -> dict:
+        """Federated multifield top_hits: members score with fed-global
+        per-field stats, so per-group candidates merge bitwise to the
+        monolithic multifield per-group top-k."""
+        from .shard import _merge_top_hits
+
+        futs = [
+            self.members[n].top_hits.remote(query, group_col, k_per)
+            for n in self._select(**sel)
+        ]
+        if not futs:
+            return {}
+        return _merge_top_hits(ray.get(futs), k_per)
 
     def more_like_this(
         self,

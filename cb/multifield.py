@@ -678,9 +678,11 @@ class MultiFieldSearcher:
             docmeta=dm, algo=algo,
         )
 
-    def _match(self, query: str):
-        """(matched doc ids, docmeta) for aggregations over the FULL
-        match set of a multifield query (not top-k)."""
+    def _match_scored(self, query: str):
+        """(matched doc ids, their most_fields scores, docmeta) over the
+        FULL match set of a multifield query (not top-k) — the shared
+        core of every full-match aggregation; top_hits consumes the
+        scores, count aggregations ignore them."""
         routed = route_query(query, self.fields)
         if routed.get("expands"):
             routed = expand_routed(routed, self._field_vocabs())
@@ -695,9 +697,14 @@ class MultiFieldSearcher:
             docmeta=dm,
         )
         if m is None:
-            return None, dm
-        all_ids, _, keep = m
-        return all_ids[keep], dm
+            return None, None, dm
+        all_ids, total, keep = m
+        return all_ids[keep], total[keep], dm
+
+    def _match(self, query: str):
+        """(matched doc ids, docmeta) for count-only aggregations."""
+        ids, _, dm = self._match_scored(query)
+        return ids, dm
 
     def facet_counts(self, query: str, facet_cols=(), stats_cols=()):
         """ES aggregations (terms facets + numeric stats from docmeta)
@@ -726,6 +733,45 @@ class MultiFieldSearcher:
         if ids is None:
             return {c: {} for c in histos}
         return _histos_over(ids, dm, histos)
+
+    def range_counts(self, query: str, ranges: dict) -> dict:
+        """ES range aggregation over the full multifield match set
+        (``{col: [(lo, hi), ...]}`` -> counts aligned with the input
+        ranges; ``None`` = unbounded)."""
+        from .shard import _ranges_over
+
+        ids, dm = self._match(query)
+        if dm is None:
+            raise ValueError("range aggregation needs a docmeta table (cb.docmeta)")
+        if ids is None:
+            return {c: [0] * len(b) for c, b in ranges.items()}
+        return _ranges_over(ids, dm, ranges)
+
+    def composite_counts(self, query: str, cols: list[str]) -> dict:
+        """ES composite-aggregation bucket counts over the full
+        multifield match set: ``(v1, v2, ...) -> count`` per distinct
+        key tuple (the caller pages)."""
+        from .shard import _composite_over
+
+        ids, dm = self._match(query)
+        if dm is None:
+            raise ValueError("composite needs a docmeta table (cb.docmeta)")
+        if ids is None:
+            return {}
+        return _composite_over(ids, dm, list(cols))
+
+    def top_hits(self, query: str, group_col: str, k_per: int) -> dict:
+        """ES top_hits-inside-terms-agg over the full multifield match
+        set: per group value, the exact top ``k_per`` docs by the
+        most_fields sum (score desc, doc_id asc)."""
+        from .shard import _top_hits_over
+
+        ids, scores, dm = self._match_scored(query)
+        if dm is None:
+            raise ValueError("top_hits needs a docmeta table (cb.docmeta)")
+        if ids is None:
+            return {}
+        return _top_hits_over(ids, scores, dm, group_col, k_per)
 
     def term_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
         """Corpus-global df per term for one field from its partition
@@ -875,6 +921,58 @@ class MultiFieldServer:
         all_ids, _, keep = m
         return _histos_over(all_ids[keep], dm, histos)
 
+    def range_counts(self, routed: dict, ranges: dict) -> dict:
+        """Range counts over THIS slice's full match set (driver merge
+        is exact elementwise addition across disjoint slices)."""
+        from .shard import _ranges_over
+
+        dm = self._ensure_dm()
+        if dm is None:
+            raise ValueError("range aggregation needs a docmeta table (cb.docmeta)")
+        m = _match_fields(
+            routed, self._get, self.stats, self.fields, self.tombstones,
+            docmeta=dm,
+        )
+        if m is None:
+            return {c: [0] * len(b) for c, b in ranges.items()}
+        all_ids, _, keep = m
+        return _ranges_over(all_ids[keep], dm, ranges)
+
+    def composite_counts(self, routed: dict, cols: list[str]) -> dict:
+        """Composite bucket counts over THIS slice (additive merge; one
+        row per distinct key tuple, never per doc)."""
+        from .shard import _composite_over
+
+        dm = self._ensure_dm()
+        if dm is None:
+            raise ValueError("composite needs a docmeta table (cb.docmeta)")
+        m = _match_fields(
+            routed, self._get, self.stats, self.fields, self.tombstones,
+            docmeta=dm,
+        )
+        if m is None:
+            return {}
+        all_ids, _, keep = m
+        return _composite_over(all_ids[keep], dm, list(cols))
+
+    def top_hits(self, routed: dict, group_col: str, k_per: int) -> dict:
+        """Per-group local top ``k_per`` of THIS slice's scored match
+        set — the most_fields sum is slice-independent (fixed field
+        order), so the driver re-cut per group value is exact."""
+        from .shard import _top_hits_over
+
+        dm = self._ensure_dm()
+        if dm is None:
+            raise ValueError("top_hits needs a docmeta table (cb.docmeta)")
+        m = _match_fields(
+            routed, self._get, self.stats, self.fields, self.tombstones,
+            docmeta=dm,
+        )
+        if m is None:
+            return {}
+        all_ids, total, keep = m
+        return _top_hits_over(all_ids[keep], total[keep], dm, group_col, k_per)
+
     def get_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
         """Corpus-global per-field df from the ``_termdf`` summaries
         (every doc-sharded server holds every partition's summary)."""
@@ -997,6 +1095,42 @@ class MultiFieldEngine:
         routed = self._routed(query)
         futs = [s.histogram.remote(routed, histos) for s in self.servers]
         return _merge_hists(ray.get(futs))
+
+    def range_agg(self, query: str, ranges: dict) -> dict:
+        """ES range aggregation over the full multifield match set
+        (exact elementwise pool merge)."""
+        from .shard import _merge_ranges
+
+        routed = self._routed(query)
+        futs = [s.range_counts.remote(routed, ranges) for s in self.servers]
+        return _merge_ranges(ray.get(futs))
+
+    def composite(
+        self, query: str, cols: list[str], size: int, after: tuple | None = None
+    ) -> tuple[list[tuple[tuple, int]], tuple | None]:
+        """ES composite aggregation over the full multifield match set:
+        additive pool merge, then the same key-ordered size/after
+        paging as the single-field QueryEngine.composite."""
+        from .shard import _merge_composite
+
+        routed = self._routed(query)
+        futs = [s.composite_counts.remote(routed, list(cols)) for s in self.servers]
+        merged = _merge_composite(ray.get(futs))
+        keys = sorted(merged)
+        if after is not None:
+            keys = [k for k in keys if k > after]
+        page = keys[:size]
+        after_key = page[-1] if len(keys) > size else None
+        return [(k, merged[k]) for k in page], after_key
+
+    def top_hits(self, query: str, group_col: str, k_per: int) -> dict:
+        """ES top_hits-inside-terms-agg over the full multifield match
+        set (per-server local per-group top k_per, exact re-cut)."""
+        from .shard import _merge_top_hits
+
+        routed = self._routed(query)
+        futs = [s.top_hits.remote(routed, group_col, k_per) for s in self.servers]
+        return _merge_top_hits(ray.get(futs), k_per)
 
     def term_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
         """One RPC: every doc-sharded server holds every partition's

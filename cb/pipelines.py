@@ -2272,6 +2272,119 @@ GROUP BY 1, 2 ORDER BY query_id, bucket
 """
 
 
+def q_multifield_range_agg(sf_dir: str) -> pa.Table:
+    """ES range aggregation over each MULTIFIELD query's full match set
+    (explicit [lo,hi) n_chars buckets, zero counts emitted), exact
+    elementwise merge across the doc-sharded pool."""
+    from . import multifield
+
+    idx = get_multifield_index(sf_dir)
+    _ensure_mf_docmeta(sf_dir, idx)
+    engine = multifield.MultiFieldEngine(idx, num_servers=2)
+    try:
+        per_q = [
+            engine.range_agg(q, {"n_chars": list(RANGE_EDGES)}) for q in MF_QS_SET
+        ]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "range_idx": [], "bounds": [], "cnt": []}
+    for qid, r in enumerate(per_q):
+        for i, ((lo, hi), cnt) in enumerate(zip(RANGE_EDGES, r["n_chars"])):
+            rows["query_id"].append(qid)
+            rows["range_idx"].append(i)
+            rows["bounds"].append(_range_label(lo, hi))
+            rows["cnt"].append(cnt)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "range_idx": pa.array(rows["range_idx"], pa.int64()),
+            "bounds": pa.array(rows["bounds"], pa.string()),
+            "cnt": pa.array(rows["cnt"], pa.int64()),
+        }
+    )
+
+
+def sql_multifield_range_agg() -> str:
+    rng_rows = ", ".join(
+        f"({i}, '{_range_label(lo, hi)}', "
+        f"CAST({'NULL' if lo is None else lo} AS BIGINT), "
+        f"CAST({'NULL' if hi is None else hi} AS BIGINT))"
+        for i, (lo, hi) in enumerate(RANGE_EDGES)
+    )
+    qid_rows = ", ".join(f"({i})" for i in range(len(MF_QS_SET)))
+    return f"""{_mf_sql_prefix(MF_QS_SET)},
+rng(range_idx, bounds, lo, hi) AS (VALUES {rng_rows}),
+qid(query_id) AS (VALUES {qid_rows}),
+cnts AS (
+  SELECT mm.query_id, r.range_idx, count(*)::BIGINT AS cnt
+  FROM m mm
+  JOIN documents d ON d.doc_id = mm.doc_id
+  JOIN rng r ON (r.lo IS NULL OR d.n_chars >= r.lo)
+            AND (r.hi IS NULL OR d.n_chars < r.hi)
+  GROUP BY 1, 2
+)
+SELECT q.query_id::BIGINT AS query_id, r.range_idx::BIGINT AS range_idx,
+       r.bounds, coalesce(c.cnt, 0)::BIGINT AS cnt
+FROM qid q
+CROSS JOIN rng r
+LEFT JOIN cnts c ON c.query_id = q.query_id AND c.range_idx = r.range_idx
+ORDER BY query_id, range_idx
+"""
+
+
+def q_multifield_top_hits(sf_dir: str) -> pa.Table:
+    """ES top_hits-inside-terms-agg on the MULTIFIELD engine: per
+    (query, lang), the exact top TOP_HITS_PER docs of the full
+    most_fields match set by (score desc, doc_id asc) — per-server
+    local per-group top-k, exact pool re-cut."""
+    from . import multifield
+
+    idx = get_multifield_index(sf_dir)
+    _ensure_mf_docmeta(sf_dir, idx)
+    engine = multifield.MultiFieldEngine(idx, num_servers=2)
+    try:
+        per_q = [engine.top_hits(q, "lang", TOP_HITS_PER) for q in MF_QS_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "lang": [], "rank": [], "doc_id": [], "score": []}
+    for qid, hits in enumerate(per_q):
+        for lang in sorted(hits):
+            for rank, (doc_id, score) in enumerate(hits[lang], start=1):
+                rows["query_id"].append(qid)
+                rows["lang"].append(lang)
+                rows["rank"].append(rank)
+                rows["doc_id"].append(doc_id)
+                rows["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_multifield_top_hits() -> str:
+    """Mirror: the shared multifield match prefix + most_fields total
+    CTE (_MF_RANKED_TAIL), re-windowed per (query, lang)."""
+    return f"""{_mf_sql_prefix(MF_QS_SET)}{_MF_RANKED_TAIL},
+lranked AS (
+  SELECT t.query_id, d.lang, t.doc_id, t.score,
+         row_number() OVER (PARTITION BY t.query_id, d.lang
+                            ORDER BY t.score DESC, t.doc_id ASC) AS lrank
+  FROM total t JOIN documents d ON d.doc_id = t.doc_id
+)
+SELECT query_id::BIGINT AS query_id, lang, lrank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM lranked WHERE lrank <= {TOP_HITS_PER} ORDER BY query_id, lang, rank
+"""
+
+
 def q_content_sha256(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
 
@@ -3745,6 +3858,8 @@ QUERIES = {
     "search_top_hits": q_search_top_hits,
     "rescore_topk": q_rescore_topk,
     "quantiles_sketch": q_quantiles_sketch,
+    "multifield_range_agg": q_multifield_range_agg,
+    "multifield_top_hits": q_multifield_top_hits,
     "significant_terms": q_significant_terms,
     "content_sha256": q_content_sha256,
     "dedup_exact": q_dedup_exact,
@@ -3839,6 +3954,8 @@ def oracle_sql() -> dict[str, str]:
         "search_top_hits": sql_search_top_hits(),
         "rescore_topk": sql_rescore_topk(),
         "quantiles_sketch": sql_quantiles_sketch(),
+        "multifield_range_agg": sql_multifield_range_agg(),
+        "multifield_top_hits": sql_multifield_top_hits(),
         "significant_terms": sql_significant_terms(),
         "content_sha256": sql_content_sha256(),
         "dedup_exact": dedup.sql_exact_duplicates(),

@@ -433,6 +433,8 @@ def _top_hits_over(ids, scores, dm, group_col: str, k_per: int) -> dict:
     column, one lexsort, slice the first ``k_per`` of each group run.
     Scopes are disjoint doc slices, so the driver merge (concat +
     re-cut per value) is exact."""
+    if len(ids) == 0:
+        return {}
     arr = dm.gather(ids, group_col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -1563,19 +1565,30 @@ class QueryEngine:
             return _merge_hists(ray.get(fut))
         return ray.get(fut)
 
+    def _dispatch_range_agg(self, query_string: str, ranges: dict):
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return None
+        return self._route_agg("range_counts", parsed, involved, ranges)
+
     def range_agg(self, query_string: str, ranges: dict) -> dict:
         """ES range aggregation over the query's FULL match set:
         ``{col: [(lo, hi), ...]}`` -> ``{col: [count, ...]}`` aligned
         with the input ranges (half-open ``[lo, hi)``, ``None`` =
         unbounded).  Doc mode: scatter-gather + exact elementwise
         addition; term mode: ownership-routed."""
-        parsed, involved = self._parsed_and_involved(query_string)
-        if not involved:
+        fut = self._dispatch_range_agg(query_string, ranges)
+        if fut is None:
             return {c: [0] * len(b) for c, b in ranges.items()}
-        fut = self._route_agg("range_counts", parsed, involved, ranges)
         if isinstance(fut, list):
             return _merge_ranges(ray.get(fut))
         return ray.get(fut)
+
+    def _dispatch_composite(self, query_string: str, cols: list[str]):
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return None
+        return self._route_agg("composite_counts", parsed, involved, list(cols))
 
     def composite(
         self, query_string: str, cols: list[str], size: int, after: tuple | None = None
@@ -1588,10 +1601,9 @@ class QueryEngine:
         Servers return one row per distinct key (tiny), the driver
         merge is exact addition, and paging is a sort + slice over the
         merged bucket dict — O(distinct keys), never O(docs)."""
-        parsed, involved = self._parsed_and_involved(query_string)
-        if not involved:
+        fut = self._dispatch_composite(query_string, cols)
+        if fut is None:
             return [], None
-        fut = self._route_agg("composite_counts", parsed, involved, list(cols))
         merged = _merge_composite(ray.get(fut)) if isinstance(fut, list) else ray.get(fut)
         keys = sorted(merged)
         if after is not None:
@@ -1600,18 +1612,12 @@ class QueryEngine:
         after_key = page[-1] if len(keys) > size else None
         return [(k, merged[k]) for k in page], after_key
 
-    def top_hits(self, text: str, group_col: str, k_per: int) -> dict:
-        """ES top_hits-inside-terms-agg via the pool: per group value of
-        ``group_col``, the exact top ``k_per`` matching docs by BM25
-        (score desc, doc_id asc) over the query's FULL match set.  Doc
-        mode: each server returns its local per-value top k_per, the
-        driver re-cut is exact; term mode: ownership-routed."""
+    def _dispatch_top_hits(self, text: str, group_col: str, k_per: int):
         terms = sorted(set(analyze.tokenize(text)))
         if not terms:
-            return {}
+            return None
         if self.mode == "doc":
-            futs = [s.top_hits.remote(terms, k_per, group_col, []) for s in self.servers]
-            return _merge_top_hits(ray.get(futs), k_per)
+            return [s.top_hits.remote(terms, k_per, group_col, []) for s in self.servers]
         owners = {t: self._owner(t) for t in terms}
         counts = np.bincount([owners[t] for t in terms], minlength=self.num_servers)
         scorer = int(np.argmax(counts))
@@ -1620,11 +1626,22 @@ class QueryEngine:
         ]
         refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
         self.seen[scorer].update(terms)
-        return ray.get(
-            self.servers[scorer].top_hits.remote(
-                terms, k_per, group_col, fetched_terms, *refs
-            )
+        return self.servers[scorer].top_hits.remote(
+            terms, k_per, group_col, fetched_terms, *refs
         )
+
+    def top_hits(self, text: str, group_col: str, k_per: int) -> dict:
+        """ES top_hits-inside-terms-agg via the pool: per group value of
+        ``group_col``, the exact top ``k_per`` matching docs by BM25
+        (score desc, doc_id asc) over the query's FULL match set.  Doc
+        mode: each server returns its local per-value top k_per, the
+        driver re-cut is exact; term mode: ownership-routed."""
+        fut = self._dispatch_top_hits(text, group_col, k_per)
+        if fut is None:
+            return {}
+        if isinstance(fut, list):
+            return _merge_top_hits(ray.get(fut), k_per)
+        return ray.get(fut)
 
     def query_many(self, texts: list[str], k: int = 10, algo: str = "taat"):
         """Batched fan-out: queries are tokenized on the driver, chunked

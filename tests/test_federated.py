@@ -807,6 +807,16 @@ def test_multifield_federation_aggregations(tmp_path, ray_session):
             assert eng.facets(q, facet_cols=["cat"], stats_cols=["nlen"]) == \
                 mono.facet_counts(q, facet_cols=["cat"], stats_cols=["nlen"]), q
             assert eng.histogram(q, {"nlen": 50}) == mono.histogram(q, {"nlen": 50}), q
+            rngs = {"nlen": [(None, 100), (100, 200), (200, None)]}
+            assert eng.range_agg(q, rngs) == mono.range_counts(q, rngs), q
+            assert eng.top_hits(q, "cat", 3) == mono.top_hits(q, "cat", 3), q
+            merged = mono.composite_counts(q, ["cat"])
+            mkeys = sorted(merged)
+            p1, a1 = eng.composite(q, ["cat"], size=1)
+            assert p1 == [(k, merged[k]) for k in mkeys[:1]], q
+            if a1 is not None:
+                p2, _ = eng.composite(q, ["cat"], size=1, after=a1)
+                assert p2 == [(k, merged[k]) for k in mkeys[1:2]], q
         # day pruning: one member == that member's own slice aggregation
         with open(federated.fed_meta_path(fed_dir)) as f:
             fg = json.load(f)
@@ -835,3 +845,61 @@ def test_multifield_federation_aggregations(tmp_path, ray_session):
                 mono.significant_terms("tok1 tok2", field, top_n=5, min_df=1), field
     finally:
         eng.shutdown()
+
+
+def test_federated_range_composite_top_hits(fed_built, tmp_path):
+    """The round-5 aggregations across the federation: range counts,
+    composite pages, and per-group top hits are each BITWISE the
+    monolithic pool's output (disjoint doc sets; feddf overlay makes
+    top_hits idf federation-global)."""
+    import pyarrow.compute as pc
+
+    from cb import docmeta as docmeta_mod
+    from cb.build import build_index
+    from cb.shard import QueryEngine
+
+    src, _mono, _fed_dir, _meta = fed_built
+    t = pq.read_table(src)
+    t = t.append_column("nlen", pc.utf8_length(t["text"]).cast(pa.int64()))
+    src2 = str(tmp_path / "docs2.parquet")
+    pq.write_table(t, src2)
+
+    fd = str(tmp_path / "fedagg")
+    federated.build_federation(
+        src2, fd, text_col="text", id_col="doc_id", ts_col="ts",
+        prefix="cb-", num_parts=4,
+    )
+    federated.ensure_fed_docmeta(fd, ["kind", "nlen"])
+    mono2 = str(tmp_path / "mono2")
+    build_index(src2, mono2, text_col="text", id_col="doc_id", num_parts=4)
+    docmeta_mod.ensure_docmeta(mono2, src2, ["kind", "nlen"])
+
+    mono_eng = QueryEngine(mono2, num_servers=2)
+    eng = federated.FederatedEngine(fd, num_servers=2)
+    ranges = {"nlen": [(None, 60), (60, 120), (120, None)]}
+    try:
+        for q in ("merge index", "hash kind:type0", "w1 w2", "nosuchterm"):
+            assert eng.range_agg(q, ranges) == mono_eng.range_agg(q, ranges), q
+            for size in (2, 5):
+                pf, af = eng.composite(q, ["kind"], size)
+                pm, am = mono_eng.composite(q, ["kind"], size)
+                assert (pf, af) == (pm, am), (q, size)
+                if af is not None:
+                    assert eng.composite(q, ["kind"], size, after=af) == \
+                        mono_eng.composite(q, ["kind"], size, after=am), (q, size)
+        for q in QUERIES:
+            assert eng.top_hits(q, "kind", 3) == mono_eng.top_hits(q, "kind", 3), q
+        # member selection: one member's range counts == a pool over
+        # that member's own sub-index (membership is stats-independent)
+        with open(federated.fed_meta_path(fd)) as f:
+            fg = json.load(f)
+        name0 = fg["indexes"][0]["name"]
+        sub_eng = QueryEngine(fg["indexes"][0]["dir"], num_servers=2)
+        try:
+            assert eng.range_agg("merge index", ranges, names=[name0]) == \
+                sub_eng.range_agg("merge index", ranges)
+        finally:
+            sub_eng.shutdown()
+    finally:
+        eng.shutdown()
+        mono_eng.shutdown()

@@ -352,3 +352,56 @@ def test_significant_terms_pool_parity_and_sanity(built):
     # "quantum" (in both matched docs' fields) vs the corpus
     top = s.significant_terms("zebra", "title", top_n=5, min_df=1)
     assert any(t == "quantum" for t, _, _, _ in top)
+
+
+def test_multifield_range_composite_top_hits(built, tmp_path):
+    """Round-5 aggregations over the FULL multifield match set:
+    in-process searcher == doc-sharded pool at every server count;
+    top_hits per-group lists equal the flat most_fields ranking
+    regrouped; composite pages partition the key-ordered buckets."""
+    from cb import docmeta as docmeta_mod
+
+    meta_rows = [
+        {"doc_id": i, "cat": ("even" if i % 2 == 0 else "odd"), "nlen": i * 10}
+        for i, _, _ in DOCS
+    ]
+    mp = str(tmp_path / "meta.parquet")
+    pq.write_table(pa.Table.from_pylist(meta_rows), mp)
+    docmeta_mod.ensure_docmeta(
+        multifield.field_dir(built, "title"), mp, ["cat", "nlen"]
+    )
+    s = multifield.MultiFieldSearcher(built)
+    ranges = {"nlen": [(None, 200), (200, 450), (450, None)]}
+
+    # spot check: "table -zebra" matches 11 (nlen 110) and 44 (nlen 440)
+    assert s.range_counts("table -zebra", ranges) == {"nlen": [1, 1, 0]}
+    assert s.range_counts("absentterm", ranges) == {"nlen": [0, 0, 0]}
+    assert s.composite_counts("table -zebra", ["cat"]) == {("odd",): 1, ("even",): 1}
+    assert s.composite_counts("absentterm", ["cat"]) == {}
+
+    # top_hits == flat ranking regrouped by cat
+    cat = {i: ("even" if i % 2 == 0 else "odd") for i, _, _ in DOCS}
+    for q in QUERIES:
+        flat = s.search(q, k=100)
+        want: dict = {}
+        for d, sc in flat:
+            want.setdefault(cat[d], [])
+            if len(want[cat[d]]) < 2:
+                want[cat[d]].append((d, sc))
+        assert s.top_hits(q, "cat", 2) == want, q
+
+    for n in (1, 3):
+        eng = multifield.MultiFieldEngine(built, num_servers=n)
+        try:
+            for q in QUERIES:
+                assert eng.range_agg(q, ranges) == s.range_counts(q, ranges), (n, q)
+                assert eng.top_hits(q, "cat", 2) == s.top_hits(q, "cat", 2), (n, q)
+                merged = s.composite_counts(q, ["cat", "nlen"])
+                keys = sorted(merged)
+                p1, a1 = eng.composite(q, ["cat", "nlen"], size=2)
+                assert p1 == [(k, merged[k]) for k in keys[:2]], (n, q)
+                if a1 is not None:
+                    p2, _ = eng.composite(q, ["cat", "nlen"], size=2, after=a1)
+                    assert p2 == [(k, merged[k]) for k in keys[2:4]], (n, q)
+        finally:
+            eng.shutdown()
