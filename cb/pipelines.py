@@ -1335,6 +1335,168 @@ ORDER BY query_id, range_idx
 """
 
 
+# ES query-time synonym filter (expand=true): analyzed-form groups;
+# some synonyms are deliberately absent from the corpus vocabulary
+# (they must drop out of scoring without changing anything else).
+SYN_MAP: dict[str, list[str]] = {
+    "merge": ["join"],
+    "fast": ["quick", "rapid"],
+    "window": ["frame"],
+    "stream": ["batch"],
+    "table": ["grid"],
+}
+SYN_SET: tuple[str, ...] = (
+    "merge sort",
+    "fast^2 query",
+    "window",
+    "stream data",
+    "table scan column",
+    "merge join",  # synonym collides with an explicit term (explicit wins)
+)
+
+
+def q_synonym_search(sf_dir: str) -> pa.Table:
+    """Query-time synonym expansion (ES synonym filter, expand=true,
+    rewrite scoring_boolean): each scored term adds its synonym-group
+    members at the source term's weight (max over sources; an
+    explicitly-typed term keeps its own weight), then the expanded set
+    scores as a normal weighted OR query.  Synonyms absent from the
+    corpus vocabulary drop out of scoring naturally."""
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = [engine.search(q, k=K, synonyms=SYN_MAP) for q in SYN_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_synonym_search() -> str:
+    """Mirror: the synonym expansion is re-derived IN SQL (q0 join a
+    synonym VALUES table, max source weight, explicit term wins via
+    NOT EXISTS) — the oracle verifies apply_synonyms rather than
+    echoing it.  Scoring = the standard weighted BM25 ordered sum."""
+    from . import querylang
+
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms_weighted(
+        "(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)", "q.w"
+    )
+    q0_rows = []
+    for qid, q in enumerate(SYN_SET):
+        parsed = querylang.parse(q)
+        for t in sorted(parsed["weights"]):
+            q0_rows.append(f"({qid}, '{t}', CAST({parsed['weights'][t]!r} AS DOUBLE))")
+    syn_rows = [
+        f"('{a}', '{b}')" for a in sorted(SYN_MAP) for b in SYN_MAP[a]
+    ]
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q0(query_id, term, w) AS (VALUES {", ".join(q0_rows)}),
+syn(a, b) AS (VALUES {", ".join(syn_rows)}),
+qd AS (
+  SELECT q0.query_id, s.b AS term, max(q0.w) AS w
+  FROM q0 JOIN syn s ON s.a = q0.term
+  WHERE NOT EXISTS (SELECT 1 FROM q0 q2
+                    WHERE q2.query_id = q0.query_id AND q2.term = s.b)
+  GROUP BY 1, 2
+),
+q AS (SELECT query_id, term, w FROM q0
+      UNION ALL SELECT query_id, term, w FROM qd),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
+PCT_RANK_VALUES = (200, 500, 1000)
+
+
+def q_percentile_ranks(sf_dir: str) -> pa.Table:
+    """ES percentile_ranks aggregation: per query, the fraction of
+    matching docs with n_chars <= v for each probe value — integer
+    counts fan out (exact addition), ONE float division per value at
+    the driver, so the doubles are bit-identical to the SQL mirror's
+    count::DOUBLE / n::DOUBLE (no rounding applied).  Zero-match
+    queries emit no rows."""
+    engine = _facet_engine(sf_dir)
+    try:
+        per_q = [
+            engine.percentile_ranks(q, "n_chars", list(PCT_RANK_VALUES))
+            for q in FACET_SET
+        ]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "value": [], "pct_rank": []}
+    for qid, pr in enumerate(per_q):
+        if pr is None:
+            continue
+        for v in PCT_RANK_VALUES:
+            rows["query_id"].append(qid)
+            rows["value"].append(v)
+            rows["pct_rank"].append(pr[v])
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "value": pa.array(rows["value"], pa.int64()),
+            "pct_rank": pa.array(rows["pct_rank"], pa.float64()),
+        }
+    )
+
+
+def sql_percentile_ranks() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    val_rows = ", ".join(f"({v})" for v in PCT_RANK_VALUES)
+    return f"""{prefix},
+vals(value) AS (VALUES {val_rows})
+SELECT mm.query_id::BIGINT AS query_id, v.value::BIGINT AS value,
+       (count(*) FILTER (d.n_chars <= v.value))::DOUBLE
+         / count(*)::DOUBLE AS pct_rank
+FROM mm
+JOIN documents d ON d.doc_id = mm.doc_id
+CROSS JOIN vals v
+GROUP BY 1, 2 ORDER BY query_id, value
+"""
+
+
 COMPOSITE_PAGE = 8  # buckets per composite page; entry emits two pages
 
 
@@ -3854,6 +4016,8 @@ QUERIES = {
     "search_facet_stats": q_search_facet_stats,
     "search_histogram": q_search_histogram,
     "search_range_agg": q_search_range_agg,
+    "percentile_ranks": q_percentile_ranks,
+    "synonym_search": q_synonym_search,
     "composite_agg": q_composite_agg,
     "search_top_hits": q_search_top_hits,
     "rescore_topk": q_rescore_topk,
@@ -3950,6 +4114,8 @@ def oracle_sql() -> dict[str, str]:
         "search_facet_stats": sql_search_facet_stats(),
         "search_histogram": sql_search_histogram(),
         "search_range_agg": sql_search_range_agg(),
+        "percentile_ranks": sql_percentile_ranks(),
+        "synonym_search": sql_synonym_search(),
         "composite_agg": sql_composite_agg(),
         "search_top_hits": sql_search_top_hits(),
         "rescore_topk": sql_rescore_topk(),

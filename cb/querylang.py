@@ -310,6 +310,39 @@ def parse(q: str) -> dict:
     }
 
 
+def apply_synonyms(parsed: dict, syn_map: dict) -> dict:
+    """ES query-time synonym filter (``expand=true``, rewrite
+    ``scoring_boolean``) on the SCORED terms: each scored term whose
+    entry exists in ``syn_map`` (analyzed-form keys/values) adds its
+    synonyms to ``weights``.  A synonym reachable from several query
+    terms takes the MAX source weight; a term the user typed explicitly
+    keeps its own weight (explicit beats derived).  Phrases, required,
+    excluded, and filter clauses are untouched (analysis-chain synonym
+    graphs inside phrases are out of scope); minimum_should_match
+    counts the EXPANDED distinct-term set, and the SQL mirror applies
+    the same rules.  Call AFTER :func:`expand` (wildcard/fuzzy atoms
+    resolve against the vocabulary, not the synonym table)."""
+    if parsed.get("expands"):
+        raise ValueError("apply_synonyms after expand(): unresolved atoms present")
+    weights = parsed.get("weights")
+    if weights is None:  # v1 dict: scored set = terms + phrase terms
+        weights = {
+            t: 1.0
+            for t in set(parsed["terms"]) | {t for p in parsed["phrases"] for t in p}
+        }
+    derived: dict[str, float] = {}
+    for t in sorted(weights):
+        for s in syn_map.get(t, ()):
+            if s in weights:
+                continue
+            derived[s] = max(derived.get(s, 0.0), weights[t])
+    out = dict(parsed)
+    nw = dict(weights)
+    nw.update(derived)
+    out["weights"] = nw
+    return out
+
+
 def expand(parsed: dict, vocab) -> dict:
     """Resolve wildcard/fuzzy atoms against ``vocab`` (an iterable of
     index terms): every matched term joins ``weights`` at the atom's

@@ -945,10 +945,13 @@ class LocalSearcher:
         postings = {t: self.get_postings(t) for t in set(ordered)}
         return _phrase_topk_live(ordered, postings, self.stats, k, self.tombstones, slop=slop)
 
-    def search(self, query_string: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(
+        self, query_string: str, k: int = 10, synonyms: dict | None = None
+    ) -> list[tuple[int, float]]:
         """Lucene-lite query string (terms, "phrases", field:value,
         -exclusions, +required, ^boosts, wildcards, fuzzy, ranges) —
-        see :mod:`cb.querylang`."""
+        see :mod:`cb.querylang`.  ``synonyms`` applies the ES
+        query-time synonym filter (querylang.apply_synonyms)."""
         from . import docmeta as docmeta_mod, querylang
 
         parsed = querylang.parse(query_string)
@@ -958,6 +961,8 @@ class LocalSearcher:
                     {t for p in self.parts.values() for t in p.global_df}
                 )
             parsed = querylang.expand(parsed, self._vocab)
+        if synonyms:
+            parsed = querylang.apply_synonyms(parsed, synonyms)
         dm = None
         if parsed["filters"] or parsed["scoped_phrases"]:
             try:
@@ -1293,7 +1298,7 @@ class QueryEngine:
             return _merge_topk(ray.get(fut), k)
         return ray.get(fut)
 
-    def _dispatch_search(self, query_string: str, k: int):
+    def _dispatch_search(self, query_string: str, k: int, synonyms: dict | None = None):
         """Query-string dispatch WITHOUT the final ray.get: returns a
         list of per-server refs (doc mode) or one ref (term mode), or
         None for an empty query — lets federations collect refs across
@@ -1305,6 +1310,8 @@ class QueryEngine:
             if self._vocab is None:
                 self._vocab = load_vocab(self.meta)
             parsed = querylang.expand(parsed, self._vocab)
+        if synonyms:
+            parsed = querylang.apply_synonyms(parsed, synonyms)
         involved = sorted(
             set(parsed.get("weights") or parsed["terms"])
             | {t for p in parsed["phrases"] for t in p}
@@ -1327,12 +1334,16 @@ class QueryEngine:
         self.seen[scorer].update(involved)
         return self.servers[scorer].query_string.remote(parsed, k, fetched_terms, *refs)
 
-    def search(self, query_string: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(
+        self, query_string: str, k: int = 10, synonyms: dict | None = None
+    ) -> list[tuple[int, float]]:
         """Lucene-lite query string via the pool (scatter-gather in doc
         mode; ownership-routed with postings fetch in term mode).
         Wildcard/fuzzy atoms are rewritten ONCE here against the
-        vocabulary summary; servers receive concrete terms."""
-        fut = self._dispatch_search(query_string, k)
+        vocabulary summary; servers receive concrete terms.
+        ``synonyms`` applies the ES query-time synonym filter
+        (querylang.apply_synonyms) to the scored term set."""
+        fut = self._dispatch_search(query_string, k, synonyms=synonyms)
         if fut is None:
             return []
         if isinstance(fut, list):
@@ -1583,6 +1594,24 @@ class QueryEngine:
         if isinstance(fut, list):
             return _merge_ranges(ray.get(fut))
         return ray.get(fut)
+
+    def percentile_ranks(
+        self, query_string: str, col: str, values: list[int]
+    ) -> dict[int, float] | None:
+        """ES percentile_ranks aggregation over the query's FULL match
+        set: for each value v, the fraction of matching docs with
+        ``col <= v`` (integer columns; <=v is the half-open range
+        [None, v+1)).  Rides entirely on the range-counts machinery —
+        one fan-out, exact integer addition, ONE division per value at
+        the driver, so the result is bit-identical to the SQL mirror's
+        ``count::DOUBLE / n::DOUBLE``.  None when the query matches
+        nothing."""
+        ranges = [(None, int(v) + 1) for v in values] + [(None, None)]
+        cnts = self.range_agg(query_string, {col: ranges})[col]
+        n = cnts[-1]
+        if n == 0:
+            return None
+        return {int(v): c / n for v, c in zip(values, cnts[:-1])}
 
     def _dispatch_composite(self, query_string: str, cols: list[str]):
         parsed, involved = self._parsed_and_involved(query_string)

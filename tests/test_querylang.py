@@ -389,3 +389,53 @@ def test_minimum_should_match(built):
     assert {d for d, _ in s.search("hash join table msm:1", k=10)} == all_docs
     with pytest.raises(ValueError, match="msm"):
         querylang.parse("a msm:x")
+
+
+def test_apply_synonyms_rules():
+    p = querylang.parse("merge fast^2")
+    out = querylang.apply_synonyms(
+        p, {"merge": ["join", "combine"], "fast": ["quick", "join"]}
+    )
+    # derived synonyms take the max source weight; join reachable from
+    # merge (1.0) and fast (2.0) -> 2.0
+    assert out["weights"] == {
+        "merge": 1.0, "fast": 2.0, "join": 2.0, "combine": 1.0, "quick": 2.0,
+    }
+    # explicit term beats derived weight
+    p2 = querylang.parse("merge join")
+    out2 = querylang.apply_synonyms(p2, {"merge": ["join"]})
+    assert out2["weights"] == {"merge": 1.0, "join": 1.0}
+    # original parse dict untouched
+    assert "combine" not in p["weights"]
+
+
+def test_apply_synonyms_requires_expanded():
+    p = querylang.parse("mer* fast")
+    with pytest.raises(ValueError):
+        querylang.apply_synonyms(p, {"fast": ["quick"]})
+    # after expand() it applies cleanly
+    out = querylang.apply_synonyms(
+        querylang.expand(p, ["merge", "fast"]), {"fast": ["quick"]}
+    )
+    assert "quick" in out["weights"]
+
+
+def test_synonym_search_engine(built):
+    s = LocalSearcher(built)
+    # 'sort' alone misses the hash-join docs; synonym sort->hash pulls
+    # them in, scored at hash's own df
+    base = {d for d, _ in s.search("sort", k=10)}
+    syn = {d for d, _ in s.search("sort", k=10, synonyms={"sort": ["hash"]})}
+    assert base < syn
+    assert syn == base | {d for d, _ in s.search("hash", k=10)}
+    # synonym absent from the corpus changes nothing (identical scores)
+    assert s.search("sort", k=10, synonyms={"sort": ["warpdrive"]}) == \
+        s.search("sort", k=10)
+    # pool == in-process searcher with the same synonym map
+    for mode in ("doc", "term"):
+        eng = QueryEngine(built, num_servers=2, mode=mode)
+        try:
+            assert eng.search("sort merge", k=10, synonyms={"sort": ["hash"]}) == \
+                s.search("sort merge", k=10, synonyms={"sort": ["hash"]}), mode
+        finally:
+            eng.shutdown()
