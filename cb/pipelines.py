@@ -1629,6 +1629,83 @@ FROM ranked WHERE rank <= {TOP_HITS_PER} ORDER BY query_id, lang, rank
 """
 
 
+COLLAPSE_K = 4  # collapsed hits kept (>= distinct langs exercises ties)
+
+
+def q_collapse_topk(sf_dir: str) -> pa.Table:
+    """ES field collapsing: per query, the global top COLLAPSE_K hits
+    keeping only the best doc per lang (one champion per group value,
+    ranked by score desc / doc_id asc) — the top_hits fan-out with
+    k_per=1, flattened and re-cut, so collapsing costs one aggregation
+    pass, never a re-query."""
+    engine = _facet_engine(sf_dir)
+    try:
+        per_q = [engine.collapse(q, "lang", COLLAPSE_K) for q in QUERY_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": [], "lang": [], "score": []}
+    for qid, res in enumerate(per_q):
+        for rank, (doc_id, score, lang) in enumerate(res, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["lang"].append(str(lang))
+            rows["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_collapse_topk() -> str:
+    """Mirror: the bm25 scored CTE, rank-1-per-lang window, then the
+    global re-rank of the champions."""
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_query_terms_values()}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+champs AS (
+  SELECT s.query_id, d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id, d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS grank
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, lang, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM champs WHERE grank = 1
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, lang,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {COLLAPSE_K} ORDER BY query_id, rank
+"""
+
+
 RESCORE_WINDOW = 30  # first-pass candidates re-ranked by the rescorer
 RESCORE_W = 0.001  # doc-length boost weight (exact in float64 both sides)
 
@@ -4018,6 +4095,7 @@ QUERIES = {
     "search_range_agg": q_search_range_agg,
     "percentile_ranks": q_percentile_ranks,
     "synonym_search": q_synonym_search,
+    "collapse_topk": q_collapse_topk,
     "composite_agg": q_composite_agg,
     "search_top_hits": q_search_top_hits,
     "rescore_topk": q_rescore_topk,
@@ -4116,6 +4194,7 @@ def oracle_sql() -> dict[str, str]:
         "search_range_agg": sql_search_range_agg(),
         "percentile_ranks": sql_percentile_ranks(),
         "synonym_search": sql_synonym_search(),
+        "collapse_topk": sql_collapse_topk(),
         "composite_agg": sql_composite_agg(),
         "search_top_hits": sql_search_top_hits(),
         "rescore_topk": sql_rescore_topk(),

@@ -1595,6 +1595,21 @@ class QueryEngine:
             return _merge_ranges(ray.get(fut))
         return ray.get(fut)
 
+    def collapse(
+        self, text: str, group_col: str, k: int
+    ) -> list[tuple[int, float, object]]:
+        """ES field collapsing: the global top ``k`` hits keeping only
+        the single best doc per ``group_col`` value (score desc, doc_id
+        asc within a group and across the ranking).  Exactly the
+        top_hits fan-out with k_per=1, flattened and re-ranked — the
+        per-group champion from each disjoint slice is a superset of
+        the global champions, so the driver re-cut is exact.  Returns
+        ``(doc_id, score, group_value)`` triples."""
+        hits = self.top_hits(text, group_col, 1)
+        flat = [(d, s, v) for v, lst in hits.items() for d, s in lst]
+        flat.sort(key=lambda r: (-r[1], r[0]))
+        return flat[:k]
+
     def percentile_ranks(
         self, query_string: str, col: str, values: list[int]
     ) -> dict[int, float] | None:
