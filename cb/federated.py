@@ -1041,6 +1041,30 @@ class FederatedEngine:
             return {}
         return _merge_top_hits(ray.get(futs), k_per)
 
+    def collapse(
+        self, text: str, group_col: str, k: int, **sel
+    ) -> list[tuple[int, float, object]]:
+        """Federated field collapsing: top_hits(k_per=1) across the
+        federation, flattened and re-cut — same driver math as
+        QueryEngine.collapse, bitwise the monolithic result."""
+        hits = self.top_hits(text, group_col, 1, **sel)
+        flat = [(d, s, v) for v, lst in hits.items() for d, s in lst]
+        flat.sort(key=lambda r: (-r[1], r[0]))
+        return flat[:k]
+
+    def percentile_ranks(
+        self, query_string: str, col: str, values: list[int], **sel
+    ) -> dict[int, float] | None:
+        """Federated percentile_ranks: integer range counts fold
+        exactly across members, ONE division per value at the driver
+        (same math as QueryEngine.percentile_ranks)."""
+        ranges = [(None, int(v) + 1) for v in values] + [(None, None)]
+        cnts = self.range_agg(query_string, {col: ranges}, **sel)[col]
+        n = cnts[-1]
+        if n == 0:
+            return None
+        return {int(v): c / n for v, c in zip(values, cnts[:-1])}
+
     def query_many(self, texts: list[str], k: int = 10, algo: str = "taat", **sel_kwargs):
         """Batched federation fan-out: in doc mode every server of every
         selected sub-index gets ONE score_many RPC covering all queries

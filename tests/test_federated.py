@@ -889,6 +889,9 @@ def test_federated_range_composite_top_hits(fed_built, tmp_path):
                         mono_eng.composite(q, ["kind"], size, after=am), (q, size)
         for q in QUERIES:
             assert eng.top_hits(q, "kind", 3) == mono_eng.top_hits(q, "kind", 3), q
+            assert eng.collapse(q, "kind", 2) == mono_eng.collapse(q, "kind", 2), q
+            assert eng.percentile_ranks(q, "nlen", [50, 100]) == \
+                mono_eng.percentile_ranks(q, "nlen", [50, 100]), q
         # member selection: one member's range counts == a pool over
         # that member's own sub-index (membership is stats-independent)
         with open(federated.fed_meta_path(fd)) as f:
