@@ -392,6 +392,46 @@ def run_bench() -> dict:
         extras["mf_wand_queries_per_sec"] = nq / wand_s
         extras["mf_wand_speedup_vs_taat"] = taat_s / wand_s
 
+    if not skip_extras:
+        # phase 9: full-match aggregation family on the documents index
+        # (facets / range / composite / top_hits per second — each is a
+        # FULL-match-set pass, so these are corpus-bound, not top-k-
+        # bound; per-server output stays O(buckets | groups | k)).
+        from cb import docmeta as docmeta_mod
+        from cb.pipelines import FACET_SET, RANGE_EDGES
+
+        docmeta_mod.ensure_docmeta(
+            docs_idx, docs_path, ["lang", "source", "n_chars"]
+        )
+        ag = shard.QueryEngine(docs_idx, num_servers=4)
+        try:
+            reps = 10
+            th_queries = list(QUERY_SET[:5])  # top_hits is plain-term
+            legs = {
+                "agg_facets_per_sec": (FACET_SET, lambda q: ag.facets(
+                    q, facet_cols=["lang", "source"]
+                )),
+                "agg_range_per_sec": (FACET_SET, lambda q: ag.range_agg(
+                    q, {"n_chars": list(RANGE_EDGES)}
+                )),
+                "agg_composite_per_sec": (FACET_SET, lambda q: ag.composite(
+                    q, ["lang", "source"], size=8
+                )),
+                "agg_top_hits_per_sec": (th_queries, lambda q: ag.top_hits(
+                    q, "lang", 3
+                )),
+            }
+            for key, (qs_, fn) in legs.items():
+                for q in qs_:  # warm postings once per leg
+                    fn(q)
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    for q in qs_:
+                        fn(q)
+                extras[key] = reps * len(qs_) / (time.perf_counter() - t0)
+        finally:
+            ag.shutdown()
+
     extras["calib_end_sec"] = _calibrate()
     total = sum(timings.values())
     out = {
