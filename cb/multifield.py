@@ -444,6 +444,43 @@ def _wand_eligible(routed: dict, tombstones: np.ndarray) -> bool:
     )
 
 
+def apply_synonyms_routed(routed: dict, syn_map: dict) -> dict:
+    """ES query-time synonym filter on a ROUTED multifield clause set
+    (``expand=true``, scoring_boolean): each scored term of a field
+    adds its synonym-group members to THAT field's term list (scoped
+    sources produce scoped synonyms), at the MAX source weight across
+    all fields — the weight is global per term, the same way ^boosts
+    scale idf in every field.  A term the user typed anywhere is never
+    re-derived: explicit terms keep their own weight AND their own
+    field scoping.  Phrases / required / excluded / filters untouched;
+    call AFTER :func:`expand_routed` (wildcard/fuzzy atoms resolve
+    against field vocabularies, not the synonym table)."""
+    if routed.get("expands"):
+        raise ValueError(
+            "apply_synonyms_routed after expand_routed(): unresolved atoms present"
+        )
+    orig_weights = dict(routed.get("weights") or {})
+    explicit = {t for ts in routed["field_terms"].values() for t in ts}
+    derived: dict[str, float] = {}
+    new_field_terms: dict[str, list[str]] = {}
+    for f, ts in routed["field_terms"].items():
+        cur = set(ts)
+        for t in ts:
+            w = float(orig_weights.get(t, 1.0))
+            for s in syn_map.get(t, ()):
+                if s in explicit:
+                    continue  # explicit wins: weight AND scoping
+                cur.add(s)
+                derived[s] = max(derived.get(s, 0.0), w)
+        new_field_terms[f] = sorted(cur)
+    out = dict(routed)
+    out["field_terms"] = new_field_terms
+    nw = dict(orig_weights)
+    nw.update(derived)
+    out["weights"] = nw
+    return out
+
+
 def _score_fields(
     routed: dict,
     get_postings,
@@ -661,7 +698,8 @@ class MultiFieldSearcher:
         return self._vocabs
 
     def search(
-        self, query: str, k: int = 10, algo: str = "taat"
+        self, query: str, k: int = 10, algo: str = "taat",
+        synonyms: dict | None = None,
     ) -> list[tuple[int, float]]:
         # default matches MultiFieldEngine/MultiFieldServer: vectorized
         # exact TAAT wins wall-clock for in-memory postings (measured,
@@ -672,6 +710,8 @@ class MultiFieldSearcher:
         routed = route_query(query, self.fields)
         if routed.get("expands"):
             routed = expand_routed(routed, self._field_vocabs())
+        if synonyms:
+            routed = apply_synonyms_routed(routed, synonyms)
         dm = self._docmeta() if routed["filters"] else None
         return _score_fields(
             routed, self._get, self.stats, self.fields, k, self.tombstones,
@@ -1027,12 +1067,15 @@ class MultiFieldEngine:
         ]
 
     def search(
-        self, query: str, k: int = 10, algo: str = "taat"
+        self, query: str, k: int = 10, algo: str = "taat",
+        synonyms: dict | None = None,
     ) -> list[tuple[int, float]]:
         import time as _time
 
         t0 = _time.perf_counter()
         routed = self._routed(query)  # route + expand ONCE per query
+        if synonyms:
+            routed = apply_synonyms_routed(routed, synonyms)
         futs = [s.score.remote(routed, k, algo) for s in self.servers]
         t1 = _time.perf_counter()
         self.telemetry.record("query.dispatch", t1 - t0)

@@ -2624,6 +2624,149 @@ FROM lranked WHERE lrank <= {TOP_HITS_PER} ORDER BY query_id, lang, rank
 """
 
 
+# Multifield synonym set: plain scored terms only (scoping + boosts
+# drive the interesting rules; phrases/filters are orthogonal and
+# covered by multifield_querystring).  'hash^2 title:join' makes
+# merge->join a no-op (join is explicit: weight AND scoping win).
+MF_SYN_SET: tuple[str, ...] = (
+    "merge sort",
+    "fast^2 query",
+    "title:window merge",
+    "table scan",
+    "hash^2 title:join merge",
+)
+
+
+def q_multifield_synonyms(sf_dir: str) -> pa.Table:
+    """Query-time synonyms on the MULTIFIELD engine: a scoped source
+    term produces scoped synonyms (title:window -> frame scores in
+    title only), unscoped sources expand in every field, derived terms
+    take the MAX source weight globally, and explicitly-typed terms
+    keep their own weight and scoping."""
+    from . import multifield
+
+    idx = get_multifield_index(sf_dir)
+    engine = multifield.MultiFieldEngine(idx, num_servers=2)
+    try:
+        results = [engine.search(q, k=K, synonyms=SYN_MAP) for q in MF_SYN_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_multifield_synonyms() -> str:
+    """Mirror: per-field q0 VALUES from the engine's router, but the
+    synonym expansion is RE-DERIVED in SQL — global max derived weight
+    (qd_w over the union of all fields' sources), per-field derived
+    membership (qd_f), NOT EXISTS against the explicit set for both —
+    then the standard per-field weighted BM25 CTEs and the fixed-order
+    most_fields sum."""
+    from . import multifield
+
+    tok = analyze.sql_token_array("text")
+    q0_rows = {"text": [], "title": []}
+    for qid, q in enumerate(MF_SYN_SET):
+        r = multifield.route_query(q, ["text", "title"])
+        w = r.get("weights") or {}
+        for f in ("text", "title"):
+            for t in r["field_terms"][f]:
+                q0_rows[f].append(
+                    f"({qid}, '{t}', CAST({float(w.get(t, 1.0))!r} AS DOUBLE))"
+                )
+    syn_rows = [f"('{a}', '{b}')" for a in sorted(SYN_MAP) for b in SYN_MAP[a]]
+    per_field = []
+    for f in ("text", "title"):
+        contrib = scoring.sql_score_terms_weighted(
+            f"(SELECT n_docs FROM g_{f})", f"(SELECT avgdl FROM g_{f})", "q.w"
+        )
+        per_field.append(f"""
+s_{f} AS (SELECT doc_id, len(t_{f})::BIGINT AS doc_len FROM f),
+g_{f} AS (SELECT count(*)::BIGINT AS n_docs,
+              sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM s_{f}),
+tf_{f} AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM (SELECT doc_id, unnest(t_{f}) AS term FROM f) GROUP BY 1, 2),
+df_{f} AS (SELECT term, count(*)::BIGINT AS df FROM tf_{f} GROUP BY 1),
+q0_{f}(query_id, term, w) AS (VALUES {', '.join(q0_rows[f])}),
+qd_{f} AS (
+  SELECT DISTINCT q0.query_id, s.b AS term
+  FROM q0_{f} q0 JOIN syn s ON s.a = q0.term
+  WHERE NOT EXISTS (SELECT 1 FROM expl e
+                    WHERE e.query_id = q0.query_id AND e.term = s.b)
+),
+q_{f} AS (
+  SELECT query_id, term, w FROM q0_{f}
+  UNION ALL
+  SELECT d.query_id, d.term, dw.w
+  FROM qd_{f} d JOIN qd_w dw ON dw.query_id = d.query_id AND dw.term = d.term
+),
+scored_{f} AS (
+  SELECT q.query_id, tf.doc_id, sum({contrib} ORDER BY q.term) AS score
+  FROM q_{f} q
+  JOIN tf_{f} tf ON tf.term = q.term
+  JOIN df_{f} df ON df.term = q.term
+  JOIN s_{f} stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+)""")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+f AS (SELECT doc_id, toks AS t_text, list_slice(toks, 1, 8) AS t_title FROM docs),
+syn(a, b) AS (VALUES {', '.join(syn_rows)}),
+expl AS (
+  SELECT query_id, term FROM (VALUES {', '.join(q0_rows["text"])}) e0(query_id, term, w)
+  UNION
+  SELECT query_id, term FROM (VALUES {', '.join(q0_rows["title"])}) e1(query_id, term, w)
+),
+qd_w AS (
+  SELECT q0.query_id, s.b AS term, max(q0.w) AS w
+  FROM (SELECT * FROM (VALUES {', '.join(q0_rows["text"])}) a0(query_id, term, w)
+        UNION ALL
+        SELECT * FROM (VALUES {', '.join(q0_rows["title"])}) a1(query_id, term, w)) q0
+  JOIN syn s ON s.a = q0.term
+  WHERE NOT EXISTS (SELECT 1 FROM expl e
+                    WHERE e.query_id = q0.query_id AND e.term = s.b)
+  GROUP BY 1, 2
+),
+{','.join(per_field)},
+m AS (
+  SELECT query_id, doc_id FROM scored_text
+  UNION
+  SELECT query_id, doc_id FROM scored_title
+),
+total AS (
+  SELECT m.query_id, m.doc_id,
+         coalesce(st.score, CAST(0 AS DOUBLE)) + coalesce(sti.score, CAST(0 AS DOUBLE)) AS score
+  FROM m
+  LEFT JOIN scored_text st ON st.query_id = m.query_id AND st.doc_id = m.doc_id
+  LEFT JOIN scored_title sti ON sti.query_id = m.query_id AND sti.doc_id = m.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM total
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 def q_content_sha256(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "text"])
 
@@ -4096,6 +4239,7 @@ QUERIES = {
     "percentile_ranks": q_percentile_ranks,
     "synonym_search": q_synonym_search,
     "collapse_topk": q_collapse_topk,
+    "multifield_synonyms": q_multifield_synonyms,
     "composite_agg": q_composite_agg,
     "search_top_hits": q_search_top_hits,
     "rescore_topk": q_rescore_topk,
@@ -4195,6 +4339,7 @@ def oracle_sql() -> dict[str, str]:
         "percentile_ranks": sql_percentile_ranks(),
         "synonym_search": sql_synonym_search(),
         "collapse_topk": sql_collapse_topk(),
+        "multifield_synonyms": sql_multifield_synonyms(),
         "composite_agg": sql_composite_agg(),
         "search_top_hits": sql_search_top_hits(),
         "rescore_topk": sql_rescore_topk(),

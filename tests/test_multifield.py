@@ -405,3 +405,47 @@ def test_multifield_range_composite_top_hits(built, tmp_path):
                     assert p2 == [(k, merged[k]) for k in keys[2:4]], (n, q)
         finally:
             eng.shutdown()
+
+
+def test_apply_synonyms_routed_rules():
+    routed = multifield.route_query("merge fast^2 title:window", ["title", "body"])
+    out = multifield.apply_synonyms_routed(
+        routed, {"merge": ["combine"], "fast": ["combine"], "window": ["frame"]}
+    )
+    # scoped source -> scoped synonym: frame joins title only
+    assert "frame" in out["field_terms"]["title"]
+    assert "frame" not in out["field_terms"]["body"]
+    # unscoped sources expand in both fields; derived weight = global
+    # max over sources (merge 1.0, fast 2.0 -> combine 2.0)
+    for f in ("title", "body"):
+        assert "combine" in out["field_terms"][f]
+    assert out["weights"]["combine"] == 2.0
+    assert out["weights"]["frame"] == 1.0
+    # explicit wins: a synonym that is already a query term anywhere is
+    # neither re-weighted nor re-scoped
+    routed2 = multifield.route_query("merge^3 title:sort", ["title", "body"])
+    out2 = multifield.apply_synonyms_routed(routed2, {"merge": ["sort"]})
+    assert out2["weights"].get("sort", 1.0) == 1.0
+    assert "sort" not in out2["field_terms"]["body"]
+    # original routed dict untouched
+    assert "combine" not in routed["field_terms"]["body"]
+
+
+def test_multifield_synonym_search_parity(built):
+    s = multifield.MultiFieldSearcher(built)
+    syn = {"sort": ["hash"]}
+    base = {d for d, _ in s.search("sort", k=10)}
+    expanded = {d for d, _ in s.search("sort", k=10, synonyms=syn)}
+    assert base < expanded  # hash docs pulled in
+    # absent synonym changes nothing, scores bitwise
+    assert s.search("sort", k=10, synonyms={"sort": ["warpdrive"]}) == \
+        s.search("sort", k=10)
+    # pool == in-process searcher under the same map
+    for n in (1, 3):
+        eng = multifield.MultiFieldEngine(built, num_servers=n)
+        try:
+            for q in ("sort merge", "title:sort zebra", "table^2 scan"):
+                assert eng.search(q, k=10, synonyms=syn) == \
+                    s.search(q, k=10, synonyms=syn), (n, q)
+        finally:
+            eng.shutdown()
