@@ -233,6 +233,43 @@ def cmd_fed(args) -> int:
                 facets, _ = eng.facets(args.query, facet_cols=cols, **sel)
                 print(json.dumps({"query": args.query, "facets": facets}))
                 res = None
+            elif args.collapse:
+                hits = eng.collapse(args.query, args.collapse, args.k, **sel)
+                print(json.dumps({
+                    "query": args.query, "collapse": args.collapse,
+                    "hits": [
+                        {"doc_id": d, "score": s, "group": v}
+                        for d, s, v in hits
+                    ],
+                }))
+                res = None
+            elif args.top_hits:
+                hits = eng.top_hits(args.query, args.top_hits, args.k, **sel)
+                print(json.dumps({
+                    "query": args.query, "group_col": args.top_hits,
+                    "top_hits": {
+                        str(v): [{"doc_id": d, "score": s} for d, s in lst]
+                        for v, lst in sorted(hits.items(), key=lambda kv: str(kv[0]))
+                    },
+                }))
+                res = None
+            elif args.range:
+                col, _, edge_s = args.range.partition(":")
+                if not edge_s:
+                    raise SystemExit(
+                        f"--range must be 'col:e1,e2,...', got {args.range!r}"
+                    )
+                edges = [int(e) for e in edge_s.split(",")]
+                bounds = list(zip([None] + edges, edges + [None]))
+                cnts = eng.range_agg(args.query, {col: bounds}, **sel)[col]
+                print(json.dumps({
+                    "query": args.query, "col": col,
+                    "ranges": [
+                        {"lo": lo, "hi": hi, "count": c}
+                        for (lo, hi), c in zip(bounds, cnts)
+                    ],
+                }))
+                res = None
             elif after is not None:
                 if not _is_mf and args.qstring:
                     # FederatedEngine.search_after pages the plain-term
@@ -355,6 +392,15 @@ def main(argv=None) -> int:
     fd.add_argument("--facets", default=None,
                     help="comma-separated docmeta columns -> terms aggs "
                          "over the query's full match set")
+    fd.add_argument("--collapse", default=None,
+                    help="docmeta column -> field collapsing (one best "
+                         "hit per value, globally ranked)")
+    fd.add_argument("--top-hits", dest="top_hits", default=None,
+                    help="docmeta column -> top-k hits PER value of the "
+                         "full match set")
+    fd.add_argument("--range", default=None,
+                    help="'col:e1,e2,...' -> range aggregation with "
+                         "cut points e1<e2<... (open-ended outer buckets)")
     fd.add_argument("--start-day", default=None, help="prune: first day YYYYMMDD")
     fd.add_argument("--end-day", default=None, help="prune: last day YYYYMMDD")
     fd.add_argument("doc_ids", nargs="*", help="doc ids (delete)")

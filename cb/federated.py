@@ -1308,6 +1308,16 @@ class FederatedMultiFieldEngine:
             return {}
         return _merge_top_hits(ray.get(futs), k_per)
 
+    def collapse(
+        self, query: str, group_col: str, k: int, **sel
+    ) -> list[tuple[int, float, object]]:
+        """Federated multifield field collapsing (top_hits k_per=1,
+        flatten + re-cut — bitwise the monolithic result)."""
+        hits = self.top_hits(query, group_col, 1, **sel)
+        flat = [(d, s, v) for v, lst in hits.items() for d, s in lst]
+        flat.sort(key=lambda r: (-r[1], r[0]))
+        return flat[:k]
+
     def more_like_this(
         self,
         doc_fields: dict,

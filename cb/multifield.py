@@ -1175,6 +1175,17 @@ class MultiFieldEngine:
         futs = [s.top_hits.remote(routed, group_col, k_per) for s in self.servers]
         return _merge_top_hits(ray.get(futs), k_per)
 
+    def collapse(
+        self, query: str, group_col: str, k: int
+    ) -> list[tuple[int, float, object]]:
+        """ES field collapsing on the multifield match set: top_hits at
+        k_per=1, flattened and re-cut (same exactness argument as the
+        single-field QueryEngine.collapse)."""
+        hits = self.top_hits(query, group_col, 1)
+        flat = [(d, s, v) for v, lst in hits.items() for d, s in lst]
+        flat.sort(key=lambda r: (-r[1], r[0]))
+        return flat[:k]
+
     def term_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
         """One RPC: every doc-sharded server holds every partition's
         summary (same shape as the single-field doc-mode term_dfs)."""

@@ -217,3 +217,74 @@ def test_cli_fed_multifield(tmp_path):
         assert r.returncode == 0, r.stderr[-2000:]
         page2 = json.loads(r.stdout.strip().splitlines()[-1])["results"]
         assert page2[0]["doc_id"] == res["results"][1]["doc_id"]
+
+
+def test_cli_fed_aggregations(tmp_path, ray_session):
+    """fed search --collapse / --top-hits / --range emit the new
+    aggregation families as JSON (single-field fed; docmeta built via
+    the library call the flags document)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cb import federated
+
+    rng = np.random.default_rng(43)
+    vocab = [f"tok{i}" for i in range(20)]
+    rows = []
+    epoch = 1_700_000_000_000_000
+    for i in range(50):
+        rows.append(
+            {
+                "doc_id": 1 + i * 13,
+                "body": " ".join(rng.choice(vocab, size=rng.integers(5, 15))),
+                "kind": f"type{i % 3}",
+                "nlen": int(rng.integers(10, 300)),
+                "ts": epoch + (i % 2) * 86_400_000_000,
+            }
+        )
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.timestamp("us")))
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+    fed = str(tmp_path / "fed")
+
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "fed", "build", "--fed", fed,
+         "--input", src, "--text-col", "body", "--id-col", "doc_id",
+         "--ts-col", "ts", "--prefix", "cb-", "--num-parts", "4"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    federated.ensure_fed_docmeta(fed, ["kind", "nlen"])
+
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "fed", "search", "--fed", fed,
+         "--query", "tok1 tok2", "--collapse", "kind", "-k", "3"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    groups = [h["group"] for h in out["hits"]]
+    assert len(groups) == len(set(groups)) and len(groups) >= 1
+
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "fed", "search", "--fed", fed,
+         "--query", "tok1 tok2", "--top-hits", "kind", "-k", "2"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert all(len(v) <= 2 for v in out["top_hits"].values())
+    assert out["top_hits"]  # at least one group
+
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "fed", "search", "--fed", fed,
+         "--query", "tok1 tok2", "--range", "nlen:100,200"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert [(b["lo"], b["hi"]) for b in out["ranges"]] == \
+        [(None, 100), (100, 200), (200, None)]
+    assert sum(b["count"] for b in out["ranges"]) >= 1
