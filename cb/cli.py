@@ -260,6 +260,10 @@ def cmd_fed(args) -> int:
                         f"--range must be 'col:e1,e2,...', got {args.range!r}"
                     )
                 edges = [int(e) for e in edge_s.split(",")]
+                if edges != sorted(set(edges)):
+                    raise SystemExit(
+                        f"--range cut points must be strictly ascending, got {edge_s!r}"
+                    )
                 bounds = list(zip([None] + edges, edges + [None]))
                 cnts = eng.range_agg(args.query, {col: bounds}, **sel)[col]
                 print(json.dumps({

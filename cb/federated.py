@@ -1015,13 +1015,9 @@ class FederatedEngine:
             futs.extend(f if isinstance(f, list) else [f])
         if not futs:
             return [], None
-        merged = _merge_composite(ray.get(futs))
-        keys = sorted(merged)
-        if after is not None:
-            keys = [k for k in keys if k > after]
-        page = keys[:size]
-        after_key = page[-1] if len(keys) > size else None
-        return [(k, merged[k]) for k in page], after_key
+        from .shard import _page_composite
+
+        return _page_composite(_merge_composite(ray.get(futs)), size, after)
 
     def top_hits(self, text: str, group_col: str, k_per: int, **sel) -> dict:
         """Federated top_hits-inside-terms-agg: every selected
@@ -1047,10 +1043,9 @@ class FederatedEngine:
         """Federated field collapsing: top_hits(k_per=1) across the
         federation, flattened and re-cut — same driver math as
         QueryEngine.collapse, bitwise the monolithic result."""
-        hits = self.top_hits(text, group_col, 1, **sel)
-        flat = [(d, s, v) for v, lst in hits.items() for d, s in lst]
-        flat.sort(key=lambda r: (-r[1], r[0]))
-        return flat[:k]
+        from .shard import _collapse_from_top_hits
+
+        return _collapse_from_top_hits(self.top_hits(text, group_col, 1, **sel), k)
 
     def percentile_ranks(
         self, query_string: str, col: str, values: list[int], **sel
@@ -1058,12 +1053,11 @@ class FederatedEngine:
         """Federated percentile_ranks: integer range counts fold
         exactly across members, ONE division per value at the driver
         (same math as QueryEngine.percentile_ranks)."""
+        from .shard import _pct_ranks_from_counts
+
         ranges = [(None, int(v) + 1) for v in values] + [(None, None)]
         cnts = self.range_agg(query_string, {col: ranges}, **sel)[col]
-        n = cnts[-1]
-        if n == 0:
-            return None
-        return {int(v): c / n for v, c in zip(values, cnts[:-1])}
+        return _pct_ranks_from_counts(cnts, values)
 
     def query_many(self, texts: list[str], k: int = 10, algo: str = "taat", **sel_kwargs):
         """Batched federation fan-out: in doc mode every server of every
@@ -1286,13 +1280,9 @@ class FederatedMultiFieldEngine:
         ]
         if not futs:
             return [], None
-        merged = _merge_composite(ray.get(futs))
-        keys = sorted(merged)
-        if after is not None:
-            keys = [k for k in keys if k > after]
-        page = keys[:size]
-        after_key = page[-1] if len(keys) > size else None
-        return [(k, merged[k]) for k in page], after_key
+        from .shard import _page_composite
+
+        return _page_composite(_merge_composite(ray.get(futs)), size, after)
 
     def top_hits(self, query: str, group_col: str, k_per: int, **sel) -> dict:
         """Federated multifield top_hits: members score with fed-global
@@ -1313,10 +1303,9 @@ class FederatedMultiFieldEngine:
     ) -> list[tuple[int, float, object]]:
         """Federated multifield field collapsing (top_hits k_per=1,
         flatten + re-cut — bitwise the monolithic result)."""
-        hits = self.top_hits(query, group_col, 1, **sel)
-        flat = [(d, s, v) for v, lst in hits.items() for d, s in lst]
-        flat.sort(key=lambda r: (-r[1], r[0]))
-        return flat[:k]
+        from .shard import _collapse_from_top_hits
+
+        return _collapse_from_top_hits(self.top_hits(query, group_col, 1, **sel), k)
 
     def more_like_this(
         self,

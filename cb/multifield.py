@@ -460,17 +460,25 @@ def apply_synonyms_routed(routed: dict, syn_map: dict) -> dict:
             "apply_synonyms_routed after expand_routed(): unresolved atoms present"
         )
     orig_weights = dict(routed.get("weights") or {})
+    orig_fw = routed.get("field_weights")  # set by expand_routed; scoring
+    # prefers it per field, so derived synonyms MUST land there too
     explicit = {t for ts in routed["field_terms"].values() for t in ts}
     derived: dict[str, float] = {}
+    memberships: dict[str, set] = {}
     new_field_terms: dict[str, list[str]] = {}
     for f, ts in routed["field_terms"].items():
         cur = set(ts)
+        w_f = (orig_fw or {}).get(f) or {}
         for t in ts:
-            w = float(orig_weights.get(t, 1.0))
+            # the source weight is the one scoring would use in THIS
+            # field: the expanded per-field weight when present (base +
+            # atom boosts), else the global parse weight
+            w = float(w_f.get(t, orig_weights.get(t, 1.0)))
             for s in syn_map.get(t, ()):
                 if s in explicit:
                     continue  # explicit wins: weight AND scoping
                 cur.add(s)
+                memberships.setdefault(s, set()).add(f)
                 derived[s] = max(derived.get(s, 0.0), w)
         new_field_terms[f] = sorted(cur)
     out = dict(routed)
@@ -478,6 +486,12 @@ def apply_synonyms_routed(routed: dict, syn_map: dict) -> dict:
     nw = dict(orig_weights)
     nw.update(derived)
     out["weights"] = nw
+    if orig_fw is not None:
+        new_fw = {f: dict(w) for f, w in orig_fw.items()}
+        for s, fs in memberships.items():
+            for f in fs:
+                new_fw.setdefault(f, {})[s] = derived[s]
+        out["field_weights"] = new_fw
     return out
 
 
@@ -1154,17 +1168,11 @@ class MultiFieldEngine:
         """ES composite aggregation over the full multifield match set:
         additive pool merge, then the same key-ordered size/after
         paging as the single-field QueryEngine.composite."""
-        from .shard import _merge_composite
+        from .shard import _merge_composite, _page_composite
 
         routed = self._routed(query)
         futs = [s.composite_counts.remote(routed, list(cols)) for s in self.servers]
-        merged = _merge_composite(ray.get(futs))
-        keys = sorted(merged)
-        if after is not None:
-            keys = [k for k in keys if k > after]
-        page = keys[:size]
-        after_key = page[-1] if len(keys) > size else None
-        return [(k, merged[k]) for k in page], after_key
+        return _page_composite(_merge_composite(ray.get(futs)), size, after)
 
     def top_hits(self, query: str, group_col: str, k_per: int) -> dict:
         """ES top_hits-inside-terms-agg over the full multifield match
@@ -1181,10 +1189,9 @@ class MultiFieldEngine:
         """ES field collapsing on the multifield match set: top_hits at
         k_per=1, flattened and re-cut (same exactness argument as the
         single-field QueryEngine.collapse)."""
-        hits = self.top_hits(query, group_col, 1)
-        flat = [(d, s, v) for v, lst in hits.items() for d, s in lst]
-        flat.sort(key=lambda r: (-r[1], r[0]))
-        return flat[:k]
+        from .shard import _collapse_from_top_hits
+
+        return _collapse_from_top_hits(self.top_hits(query, group_col, 1), k)
 
     def term_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
         """One RPC: every doc-sharded server holds every partition's

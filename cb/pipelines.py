@@ -1489,7 +1489,7 @@ def sql_percentile_ranks() -> str:
 vals(value) AS (VALUES {val_rows})
 SELECT mm.query_id::BIGINT AS query_id, v.value::BIGINT AS value,
        (count(*) FILTER (d.n_chars <= v.value))::DOUBLE
-         / count(*)::DOUBLE AS pct_rank
+         / count(d.n_chars)::DOUBLE AS pct_rank
 FROM mm
 JOIN documents d ON d.doc_id = mm.doc_id
 CROSS JOIN vals v
@@ -4137,6 +4137,17 @@ def q_quantiles_sketch(sf_dir: str) -> pa.Table:
     }
 
     def rank_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "pct": pa.array([], pa.float64()),
+                "lt": pa.array([], pa.int64()),
+                "le": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:  # empty blocks: np.r_[True, ...] would
+            return empty  # fabricate a group start at index 0
         lc = b["lang"]
         if isinstance(lc, pa.ChunkedArray):
             lc = lc.combine_chunks()

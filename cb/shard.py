@@ -411,6 +411,8 @@ def _composite_over(ids, dm, cols: list[str]) -> dict:
     over the gathered key columns (tiny output: one row per distinct
     key tuple, never per doc)."""
     tbl = pa.table({c: dm.gather(ids, c) for c in cols})
+    tbl = tbl.drop_null()  # null key values drop (mirrors SQL GROUP BY
+    # join semantics and keeps the driver's key sort total-orderable)
     agg = tbl.group_by(cols).aggregate([([], "count_all")])
     keys = [agg[c].to_pylist() for c in cols]
     cnts = agg["count_all"].to_pylist()
@@ -424,6 +426,38 @@ def _merge_composite(parts: list[dict]) -> dict:
         for k, n in p.items():
             out[k] = out.get(k, 0) + n
     return out
+
+
+def _page_composite(
+    merged: dict, size: int, after: tuple | None
+) -> tuple[list[tuple[tuple, int]], tuple | None]:
+    """Key-ordered size/after paging over a merged composite bucket
+    dict — THE paging definition every engine (single-field, multifield,
+    both federations) shares, so a fix lands once."""
+    keys = sorted(merged)
+    if after is not None:
+        keys = [k for k in keys if k > after]
+    page = keys[:size]
+    after_key = page[-1] if len(keys) > size else None
+    return [(k, merged[k]) for k in page], after_key
+
+
+def _collapse_from_top_hits(hits: dict, k: int) -> list[tuple[int, float, object]]:
+    """Field collapsing from a per-group top_hits(k_per=1) result:
+    flatten the champions and re-cut by (score desc, doc_id asc)."""
+    flat = [(d, s, v) for v, lst in hits.items() for d, s in lst]
+    flat.sort(key=lambda r: (-r[1], r[0]))
+    return flat[:k]
+
+
+def _pct_ranks_from_counts(cnts: list[int], values) -> dict[int, float] | None:
+    """percentile_ranks driver math over the range-counts fan-out
+    output: the last count is the (non-null) match total, one IEEE
+    division per probe value (bit-identical to SQL's c::DOUBLE/n::DOUBLE)."""
+    n = cnts[-1]
+    if n == 0:
+        return None
+    return {int(v): c / n for v, c in zip(values, cnts[:-1])}
 
 
 def _top_hits_over(ids, scores, dm, group_col: str, k_per: int) -> dict:
@@ -1605,28 +1639,23 @@ class QueryEngine:
         per-group champion from each disjoint slice is a superset of
         the global champions, so the driver re-cut is exact.  Returns
         ``(doc_id, score, group_value)`` triples."""
-        hits = self.top_hits(text, group_col, 1)
-        flat = [(d, s, v) for v, lst in hits.items() for d, s in lst]
-        flat.sort(key=lambda r: (-r[1], r[0]))
-        return flat[:k]
+        return _collapse_from_top_hits(self.top_hits(text, group_col, 1), k)
 
     def percentile_ranks(
         self, query_string: str, col: str, values: list[int]
     ) -> dict[int, float] | None:
         """ES percentile_ranks aggregation over the query's FULL match
-        set: for each value v, the fraction of matching docs with
-        ``col <= v`` (integer columns; <=v is the half-open range
-        [None, v+1)).  Rides entirely on the range-counts machinery —
+        set: for each value v, the fraction of matching docs (with a
+        non-null ``col`` — nulls are outside the distribution, like
+        SQL aggregate comparisons) whose ``col <= v`` (integer columns;
+        <=v is the half-open range [None, v+1)).  Rides entirely on the range-counts machinery —
         one fan-out, exact integer addition, ONE division per value at
         the driver, so the result is bit-identical to the SQL mirror's
         ``count::DOUBLE / n::DOUBLE``.  None when the query matches
         nothing."""
         ranges = [(None, int(v) + 1) for v in values] + [(None, None)]
         cnts = self.range_agg(query_string, {col: ranges})[col]
-        n = cnts[-1]
-        if n == 0:
-            return None
-        return {int(v): c / n for v, c in zip(values, cnts[:-1])}
+        return _pct_ranks_from_counts(cnts, values)
 
     def _dispatch_composite(self, query_string: str, cols: list[str]):
         parsed, involved = self._parsed_and_involved(query_string)
@@ -1649,12 +1678,7 @@ class QueryEngine:
         if fut is None:
             return [], None
         merged = _merge_composite(ray.get(fut)) if isinstance(fut, list) else ray.get(fut)
-        keys = sorted(merged)
-        if after is not None:
-            keys = [k for k in keys if k > after]
-        page = keys[:size]
-        after_key = page[-1] if len(keys) > size else None
-        return [(k, merged[k]) for k in page], after_key
+        return _page_composite(merged, size, after)
 
     def _dispatch_top_hits(self, text: str, group_col: str, k_per: int):
         terms = sorted(set(analyze.tokenize(text)))

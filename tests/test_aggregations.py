@@ -147,3 +147,33 @@ def test_top_hits_respects_tombstones(built, tmp_path):
     hit_ids = {d for hits in got.values() for d, _ in hits}
     assert 1 not in hit_ids and 5 not in hit_ids
     assert 2 in hit_ids and 4 in hit_ids
+
+
+def test_composite_and_pct_ranks_with_null_docmeta(tmp_path):
+    """Null key/metric values: composite drops null-key buckets (the
+    driver's key sort needs a total order) and percentile_ranks divides
+    by the NON-NULL count, matching the SQL mirror's count(col)."""
+    rows = [
+        {"doc_id": i, "text": t, "lang": lang, "n_chars": n}
+        for i, t, lang, n in [
+            (1, "alpha beta", "en", 100),
+            (2, "alpha gamma", None, 300),
+            (3, "alpha delta", "fr", None),
+            (4, "alpha zeta", "en", 500),
+        ]
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=2)
+    dm.ensure_docmeta(idx, src, ["lang", "n_chars"])
+    eng = QueryEngine(idx, num_servers=2)
+    try:
+        buckets, after = eng.composite("alpha", ["lang"], size=10)
+        assert buckets == [(("en",), 2), (("fr",), 1)]  # null lang dropped
+        assert after is None
+        pr = eng.percentile_ranks("alpha", "n_chars", [100, 400])
+        # non-null n_chars among matches: {100, 300, 500} -> n=3
+        assert pr == {100: 1 / 3, 400: 2 / 3}
+    finally:
+        eng.shutdown()

@@ -449,3 +449,25 @@ def test_multifield_synonym_search_parity(built):
                     s.search(q, k=10, synonyms=syn), (n, q)
         finally:
             eng.shutdown()
+
+
+def test_synonyms_after_wildcard_expansion_weights(built):
+    """Synonyms derived from boosted terms keep the boost even when the
+    query also carries wildcard atoms (expand_routed sets field_weights,
+    which scoring prefers — derived synonyms must land there too)."""
+    s = multifield.MultiFieldSearcher(built)
+    # fast^2 -> table derived at weight 2 in both fields == typing
+    # table^2 explicitly; has* keeps the expansion machinery engaged
+    got = s.search("fast^2 has*", k=10, synonyms={"fast": ["table"]})
+    want = s.search("fast^2 table^2 has*", k=10)
+    assert got == want
+    # and a boosted wildcard source: synonyms derive from the ATOM
+    # weight sum, not the 1.0 default — and stay scoped to the fields
+    # where the wildcard actually expanded ('fast' lives only in the
+    # title vocabulary here)
+    routed = multifield.route_query("fas*^3", ["title", "body"])
+    routed = multifield.expand_routed(routed, {"title": ["fast"], "body": ["table"]})
+    out = multifield.apply_synonyms_routed(routed, {"fast": ["table"]})
+    assert out["field_weights"]["title"]["table"] == 3.0
+    assert "table" not in out["field_terms"]["body"]
+    assert out["weights"]["table"] == 3.0
