@@ -1497,6 +1497,51 @@ GROUP BY 1, 2 ORDER BY query_id, value
 """
 
 
+SAMPLER_K = 8
+
+
+def q_sampler_agg(sf_dir: str) -> pa.Table:
+    """ES sampler aggregation, made deterministic: per query, a uniform
+    sample of SAMPLER_K matching docs selected by md5(doc_id) order —
+    per-server local top-k by (hash, doc_id) over its disjoint slice,
+    exact driver re-cut, no RNG state anywhere (rerun-stable and
+    SQL-mirrorable, unlike a reservoir)."""
+    engine = _facet_engine(sf_dir)
+    try:
+        per_q = [engine.sample(q, SAMPLER_K) for q in FACET_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": []}
+    for qid, ids in enumerate(per_q):
+        for rank, d in enumerate(ids, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(d)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        }
+    )
+
+
+def sql_sampler_agg() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    return f"""{prefix},
+hashed AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id
+         ) AS rank
+  FROM mm
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id
+FROM hashed WHERE rank <= {SAMPLER_K} ORDER BY query_id, rank
+"""
+
+
 COMPOSITE_PAGE = 8  # buckets per composite page; entry emits two pages
 
 
@@ -4252,6 +4297,7 @@ QUERIES = {
     "collapse_topk": q_collapse_topk,
     "multifield_synonyms": q_multifield_synonyms,
     "composite_agg": q_composite_agg,
+    "sampler_agg": q_sampler_agg,
     "search_top_hits": q_search_top_hits,
     "rescore_topk": q_rescore_topk,
     "quantiles_sketch": q_quantiles_sketch,
@@ -4352,6 +4398,7 @@ def oracle_sql() -> dict[str, str]:
         "collapse_topk": sql_collapse_topk(),
         "multifield_synonyms": sql_multifield_synonyms(),
         "composite_agg": sql_composite_agg(),
+        "sampler_agg": sql_sampler_agg(),
         "search_top_hits": sql_search_top_hits(),
         "rescore_topk": sql_rescore_topk(),
         "quantiles_sketch": sql_quantiles_sketch(),

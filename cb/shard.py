@@ -854,6 +854,44 @@ class ShardServer:
             self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
         return _top_hits_over(universe[keep], acc[keep], self._docmeta, group_col, k_per)
 
+    def sample_hits(
+        self, parsed: dict, k: int, fetched_terms: list[str] = (), *fetched
+    ) -> list[tuple[int, int]]:
+        """ES sampler aggregation, deterministically: the k lowest
+        md5-hashed docs of THIS scope's full match set, as (doc_id,
+        hash) pairs.  Hash order is a fixed uniform shuffle of the doc
+        id space, so per-scope local top-k by (hash, doc_id) re-cut at
+        the driver IS the global sample — no reservoir, no RNG state,
+        rerun-stable and SQL-mirrorable."""
+        from . import docmeta as docmeta_mod, querylang
+        from .hashing import md5_lower64
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        dm = None
+        if parsed.get("filters") or parsed.get("scoped_phrases"):
+            if self._docmeta is None:
+                self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+            dm = self._docmeta
+        universe, _, keep = querylang.match(
+            parsed,
+            get_postings=self._local,
+            stats=self.stats,
+            docmeta=dm,
+            decoded_cache=self.decoded,
+            drop_ids=self.tombstones,
+        )
+        if universe is None:
+            return []
+        ids = universe[keep]
+        if len(ids) == 0:
+            return []
+        import pyarrow.compute as pc_
+
+        h = md5_lower64(pc_.cast(pa.array(ids), pa.string()))
+        order = np.lexsort((ids, h))[:k]
+        return [(int(ids[i]), int(h[i])) for i in order]
+
     def significant(
         self, parsed: dict, min_df: int = 2, fetched_terms: list[str] = (), *fetched
     ) -> tuple[dict, int]:
@@ -1656,6 +1694,21 @@ class QueryEngine:
         ranges = [(None, int(v) + 1) for v in values] + [(None, None)]
         cnts = self.range_agg(query_string, {col: ranges})[col]
         return _pct_ranks_from_counts(cnts, values)
+
+    def sample(self, query_string: str, k: int) -> list[int]:
+        """ES sampler aggregation over the query's FULL match set: a
+        deterministic uniform sample of k matching doc ids (lowest
+        md5(doc_id), ties by id).  Per-server local top-k by (hash, id)
+        re-cuts exactly at the driver; rerun-stable with no RNG."""
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return []
+        fut = self._route_agg("sample_hits", parsed, involved, k)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        merged = sorted(
+            (p for part in parts for p in part), key=lambda r: (r[1], r[0])
+        )[:k]
+        return [d for d, _ in merged]
 
     def _dispatch_composite(self, query_string: str, cols: list[str]):
         parsed, involved = self._parsed_and_involved(query_string)

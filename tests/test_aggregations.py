@@ -177,3 +177,20 @@ def test_composite_and_pct_ranks_with_null_docmeta(tmp_path):
         assert pr == {100: 1 / 3, 400: 2 / 3}
     finally:
         eng.shutdown()
+
+
+def test_sampler_deterministic_and_pool_invariant(built):
+    outs = []
+    for ns in (1, 4):
+        eng = QueryEngine(built, num_servers=ns)
+        try:
+            outs.append(eng.sample("join", 3))
+            # rerun in the same pool: identical (no RNG state)
+            assert eng.sample("join", 3) == outs[-1]
+            assert eng.sample("nosuchterm", 3) == []
+            # k larger than the match set: the whole set, hash-ordered
+            full = eng.sample("join", 100)
+            assert sorted(full) == [1, 2, 4, 5, 7, 8]
+        finally:
+            eng.shutdown()
+    assert outs[0] == outs[1]  # pool-size invariant
