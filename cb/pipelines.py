@@ -1497,6 +1497,70 @@ GROUP BY 1, 2 ORDER BY query_id, value
 """
 
 
+# ES `filters` aggregation: named sub-queries counted against each
+# main query's match set (term, phrase, and filtered shapes).
+FILTERS_AGG: dict[str, str] = {
+    "merge": "merge",
+    "hashjoin": '"hash join"',
+    "window_en": "window lang:en",
+}
+
+
+def q_filters_agg(sf_dir: str) -> pa.Table:
+    """ES filters aggregation: per (query, named filter), the count of
+    main-match docs that also match the named sub-query — per-server
+    intersection counts over disjoint slices, exact additive fold;
+    every (query, name) pair emits a row (zero counts included)."""
+    engine = _facet_engine(sf_dir)
+    try:
+        per_q = [engine.filters_agg(q, FILTERS_AGG) for q in FACET_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "filter": [], "cnt": []}
+    for qid, counts in enumerate(per_q):
+        for name in sorted(FILTERS_AGG):
+            rows["query_id"].append(qid)
+            rows["filter"].append(name)
+            rows["cnt"].append(counts[name])
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "filter": pa.array(rows["filter"], pa.string()),
+            "cnt": pa.array(rows["cnt"], pa.int64()),
+        }
+    )
+
+
+def sql_filters_agg() -> str:
+    """Mirror: the named filters are re-expressed as independent SQL
+    predicates over the joined token string / docmeta (token LIKE,
+    phrase LIKE, term+metadata) — not the engine's parse output."""
+    prefix = _facet_sql_prefix(FACET_SET)
+    qid_rows = ", ".join(f"({i})" for i in range(len(FACET_SET)))
+    return f"""{prefix},
+fnames(filter) AS (VALUES ('hashjoin'), ('merge'), ('window_en')),
+qid(query_id) AS (VALUES {qid_rows}),
+fcnts AS (
+  SELECT mm.query_id, f.filter, count(*)::BIGINT AS cnt
+  FROM mm
+  JOIN joined j ON j.doc_id = mm.doc_id
+  JOIN documents d ON d.doc_id = mm.doc_id
+  JOIN fnames f ON (
+       (f.filter = 'merge' AND j.s LIKE '% merge %')
+    OR (f.filter = 'hashjoin' AND j.s LIKE '% hash join %')
+    OR (f.filter = 'window_en' AND j.s LIKE '% window %' AND d.lang = 'en')
+  )
+  GROUP BY 1, 2
+)
+SELECT q.query_id::BIGINT AS query_id, f.filter,
+       coalesce(c.cnt, 0)::BIGINT AS cnt
+FROM qid q
+CROSS JOIN fnames f
+LEFT JOIN fcnts c ON c.query_id = q.query_id AND c.filter = f.filter
+ORDER BY query_id, f.filter
+"""
+
+
 SAMPLER_K = 8
 
 
@@ -1671,6 +1735,90 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, lang, rank::BIGINT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_HITS_PER} ORDER BY query_id, lang, rank
+"""
+
+
+def q_explain_scores(sf_dir: str) -> pa.Table:
+    """ES explain API: for each query's rank-1 hit, the per-term BM25
+    contribution breakdown — (term, tf, doc_len, contrib) whose sum IS
+    the hit's score bitwise (same idf * u kernel, no re-derivation).
+    Doc-sharded: only the server slice holding the doc emits rows."""
+    engine = _facet_engine(sf_dir)
+    rows = {
+        "query_id": [], "doc_id": [], "term": [],
+        "tf": [], "doc_len": [], "contrib": [],
+    }
+    try:
+        for qid, q in enumerate(QUERY_SET):
+            top = engine.query(q, k=1)
+            if not top:
+                continue
+            doc_id = top[0][0]
+            for term, tf, dl, contrib in engine.explain(q, doc_id):
+                rows["query_id"].append(qid)
+                rows["doc_id"].append(doc_id)
+                rows["term"].append(term)
+                rows["tf"].append(tf)
+                rows["doc_len"].append(dl)
+                rows["contrib"].append(contrib)
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "term": pa.array(rows["term"], pa.string()),
+            "tf": pa.array(rows["tf"], pa.int64()),
+            "doc_len": pa.array(rows["doc_len"], pa.int64()),
+            "contrib": pa.array(
+                np.round(np.array(rows["contrib"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_explain_scores() -> str:
+    """Mirror: the bm25 scored CTE picks each query's rank-1 doc, then
+    the UNSUMMED per-term contribution expression (the same
+    sql_score_terms kernel) emits one row per matching query term."""
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_query_terms_values()}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+top1 AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank = 1
+)
+SELECT q.query_id::BIGINT AS query_id, t1.doc_id, q.term AS term,
+       tf.tf::BIGINT AS tf, stats.doc_len::BIGINT AS doc_len,
+       round({contrib}, 6) AS contrib
+FROM q
+JOIN top1 t1 ON t1.query_id = q.query_id
+JOIN tf ON tf.term = q.term AND tf.doc_id = t1.doc_id
+JOIN df ON df.term = q.term
+JOIN stats ON stats.doc_id = t1.doc_id
+ORDER BY query_id, q.term
 """
 
 
@@ -4298,6 +4446,8 @@ QUERIES = {
     "multifield_synonyms": q_multifield_synonyms,
     "composite_agg": q_composite_agg,
     "sampler_agg": q_sampler_agg,
+    "filters_agg": q_filters_agg,
+    "explain_scores": q_explain_scores,
     "search_top_hits": q_search_top_hits,
     "rescore_topk": q_rescore_topk,
     "quantiles_sketch": q_quantiles_sketch,
@@ -4399,6 +4549,8 @@ def oracle_sql() -> dict[str, str]:
         "multifield_synonyms": sql_multifield_synonyms(),
         "composite_agg": sql_composite_agg(),
         "sampler_agg": sql_sampler_agg(),
+        "filters_agg": sql_filters_agg(),
+        "explain_scores": sql_explain_scores(),
         "search_top_hits": sql_search_top_hits(),
         "rescore_topk": sql_rescore_topk(),
         "quantiles_sketch": sql_quantiles_sketch(),

@@ -892,6 +892,85 @@ class ShardServer:
         order = np.lexsort((ids, h))[:k]
         return [(int(ids[i]), int(h[i])) for i in order]
 
+    def explain(
+        self, terms: list[str], doc_id: int, fetched_terms: list[str] = (), *fetched
+    ) -> list[tuple[str, int, int, float]]:
+        """ES explain API: per-term BM25 contribution breakdown for ONE
+        document — (term, tf, doc_len, contribution) for every query
+        term the doc contains, computed with exactly the scoring
+        kernel's idf * u factors (the sum of contributions IS the doc's
+        TAAT score, bitwise).  Doc-sharded: only the server whose slice
+        holds the doc emits rows."""
+        postings = dict(zip(fetched_terms, fetched))
+        for t, p in postings.items():
+            self.cache[t] = p
+        for t in terms:
+            if t not in postings:
+                postings[t] = self._local(t)
+        out: list[tuple[str, int, int, float]] = []
+        if len(self.tombstones) and not _live_mask(
+            np.array([doc_id], dtype=np.int64), self.tombstones
+        )[0]:
+            return out
+        for t in sorted(terms):
+            p = postings.get(t)
+            if p is None:
+                continue
+            ids, tfs, dls = p.decode_all()
+            j = int(np.searchsorted(ids, doc_id))
+            if j < len(ids) and ids[j] == doc_id:
+                idf = float(scoring.idf(p.gdf, self.n_docs))
+                u = float(scoring.u_factor(tfs[j : j + 1], dls[j : j + 1], self.stats.avgdl)[0])
+                out.append((t, int(tfs[j]), int(dls[j]), idf * u))
+        return out
+
+    def filter_counts(
+        self, parsed: dict, named: dict, fetched_terms: list[str] = (), *fetched
+    ) -> dict[str, int]:
+        """ES ``filters`` aggregation over THIS scope: for each named
+        sub-query, |match(main) ∩ match(sub)| on this disjoint doc
+        slice (both match sets come from the same querylang.match
+        plumbing; the driver fold is exact addition).  Sub-queries are
+        parsed/expanded driver-side and shipped concrete."""
+        from . import docmeta as docmeta_mod, querylang
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        need_dm = parsed.get("filters") or parsed.get("scoped_phrases") or any(
+            sp.get("filters") or sp.get("scoped_phrases") for sp in named.values()
+        )
+        dm = None
+        if need_dm:
+            if self._docmeta is None:
+                self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+            dm = self._docmeta
+
+        def _match_ids(p_):
+            universe, _, keep = querylang.match(
+                p_,
+                get_postings=self._local,
+                stats=self.stats,
+                docmeta=dm,
+                decoded_cache=self.decoded,
+                drop_ids=self.tombstones,
+            )
+            if universe is None:
+                return None
+            return universe[keep]
+
+        main = _match_ids(parsed)
+        out: dict[str, int] = {}
+        for name, sub_parsed in named.items():
+            if main is None or len(main) == 0:
+                out[name] = 0
+                continue
+            sub = _match_ids(sub_parsed)
+            if sub is None or len(sub) == 0:
+                out[name] = 0
+                continue
+            out[name] = int(len(np.intersect1d(main, sub, assume_unique=True)))
+        return out
+
     def significant(
         self, parsed: dict, min_df: int = 2, fetched_terms: list[str] = (), *fetched
     ) -> tuple[dict, int]:
@@ -1694,6 +1773,53 @@ class QueryEngine:
         ranges = [(None, int(v) + 1) for v in values] + [(None, None)]
         cnts = self.range_agg(query_string, {col: ranges})[col]
         return _pct_ranks_from_counts(cnts, values)
+
+    def explain(self, text: str, doc_id: int) -> list[tuple[str, int, int, float]]:
+        """ES explain via the pool: per-term (term, tf, doc_len,
+        contribution) for one doc — doc mode fans out (only the owning
+        slice emits), term mode routes terms to one scorer with the
+        standard fetch protocol."""
+        terms = sorted(set(analyze.tokenize(text)))
+        if not terms:
+            return []
+        if self.mode == "doc":
+            parts = ray.get([s.explain.remote(terms, doc_id, []) for s in self.servers])
+            return sorted((r for p in parts for r in p), key=lambda r: r[0])
+        owners = {t: self._owner(t) for t in terms}
+        counts = np.bincount([owners[t] for t in terms], minlength=self.num_servers)
+        scorer = int(np.argmax(counts))
+        fetched_terms = [
+            t for t in terms if owners[t] != scorer and t not in self.seen[scorer]
+        ]
+        refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
+        self.seen[scorer].update(terms)
+        return ray.get(
+            self.servers[scorer].explain.remote(terms, doc_id, fetched_terms, *refs)
+        )
+
+    def filters_agg(self, query_string: str, filters: dict) -> dict[str, int]:
+        """ES ``filters`` aggregation: per named sub-query string, the
+        count of main-match docs also matching it — per-server
+        intersection counts over disjoint slices, exact additive fold.
+        Both main and sub queries are parsed (and wildcard/fuzzy
+        expanded) ONCE here; servers receive concrete clause sets."""
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return {name: 0 for name in filters}
+        named: dict[str, dict] = {}
+        sub_terms: set[str] = set()
+        for name, fq in filters.items():
+            sp, sterms = self._parsed_and_involved(fq)
+            named[name] = sp
+            sub_terms.update(sterms or ())
+        all_involved = sorted(set(involved) | sub_terms)
+        fut = self._route_agg("filter_counts", parsed, all_involved, named)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        out: dict[str, int] = {name: 0 for name in filters}
+        for p in parts:
+            for name, c in p.items():
+                out[name] += c
+        return out
 
     def sample(self, query_string: str, k: int) -> list[int]:
         """ES sampler aggregation over the query's FULL match set: a

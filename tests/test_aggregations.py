@@ -194,3 +194,39 @@ def test_sampler_deterministic_and_pool_invariant(built):
         finally:
             eng.shutdown()
     assert outs[0] == outs[1]  # pool-size invariant
+
+
+def test_filters_agg_counts_and_pool_invariance(built):
+    # main 'join' matches {1,2,4,5,7,8}
+    filters = {"has_merge": "merge", "hj": '"hash join"', "en_only": "table lang:en"}
+    # merge: {3,8} ∩ main = {8}; "hash join" phrase: {1,2,5} ∩ main = all 3
+    # table+lang:en: {1,6}∩en={1,6} -> ∩ main = {1}
+    want = {"has_merge": 1, "hj": 3, "en_only": 1}
+    for ns in (1, 4):
+        eng = QueryEngine(built, num_servers=ns)
+        try:
+            assert eng.filters_agg("join", filters) == want, ns
+            assert eng.filters_agg("nosuchterm", filters) == \
+                {k: 0 for k in filters}
+        finally:
+            eng.shutdown()
+
+
+def test_explain_sums_to_score(built):
+    for ns in (1, 3):
+        eng = QueryEngine(built, num_servers=ns)
+        try:
+            for q in ("hash join", "merge sort", "join column"):
+                top = eng.query(q, k=3)
+                for doc_id, score in top:
+                    rows = eng.explain(q, doc_id)
+                    assert rows, (q, doc_id)
+                    # accumulate in sorted-term order == TAAT spec order
+                    acc = np.float64(0.0)
+                    for _, _, _, contrib in sorted(rows, key=lambda r: r[0]):
+                        acc += contrib
+                    assert acc == score, (q, doc_id)
+            assert eng.explain("nosuchterm", 1) == []
+            assert eng.explain("hash join", 999999) == []
+        finally:
+            eng.shutdown()
