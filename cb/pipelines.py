@@ -3698,6 +3698,96 @@ def q_events_minute_agg(sf_dir: str) -> pa.Table:
     )
 
 
+def q_pipeline_agg(sf_dir: str) -> pa.Table:
+    """ES pipeline aggregations (cumulative_sum / derivative /
+    moving_avg) over a per-type minute date_histogram of the events
+    stream: bucket counts reduce distributedly as INTEGERS (exact in
+    any fold order), then one O(buckets) vectorized driver post-pass
+    computes the running metrics per event_type over minute-ordered
+    PRESENT buckets; rows emit from the 3rd bucket per type so every
+    metric (incl. the trailing window-3 mean) is defined — no nullable
+    columns.  The single float per row is one division of an exact
+    integer sum, bit-identical to the SQL mirror."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        minute = pc.floor_temporal(batch["ts"], unit="minute")
+        t = pa.table({"minute": minute, "event_type": batch["event_type"]})
+        return (
+            t.group_by(["minute", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["minute", "event_type", "n"])
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = pre.groupby(["minute", "event_type"]).aggregate(Sum("n", alias_name="n"))
+    t = _collect(agg)
+    et = t["event_type"]
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    enc = et.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # normalize the bucket unit BEFORE the int64 round-trip: groupby
+    # may hand back timestamp[s], and rebuilding seconds as [us] would
+    # silently shift every bucket to 1970
+    minutes = t["minute"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    ns = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((minutes, codes))
+    sc, sm, sn = codes[order], minutes[order], ns[order]
+    starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]]) if len(sc) else np.empty(0, np.int64)
+    dictionary = enc.dictionary.to_pylist()
+    rows = {
+        "event_type": [], "minute": [], "n": [],
+        "cum_n": [], "deriv": [], "mavg3": [],
+    }
+    ends = np.append(starts[1:], len(sc))
+    for s, e in zip(starts, ends):
+        n_g = sn[s:e]
+        cum = np.cumsum(n_g)
+        for i in range(2, len(n_g)):  # rank >= 3: deriv + window-3 defined
+            rows["event_type"].append(dictionary[sc[s]])
+            rows["minute"].append(int(sm[s + i]))
+            rows["n"].append(int(n_g[i]))
+            rows["cum_n"].append(int(cum[i]))
+            rows["deriv"].append(int(n_g[i] - n_g[i - 1]))
+            rows["mavg3"].append(int(n_g[i] + n_g[i - 1] + n_g[i - 2]) / 3.0)
+    return pa.table(
+        {
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "minute": pa.array(rows["minute"], pa.int64()).cast(pa.timestamp("us")),
+            "n": pa.array(rows["n"], pa.int64()),
+            "cum_n": pa.array(rows["cum_n"], pa.int64()),
+            "deriv": pa.array(rows["deriv"], pa.int64()),
+            "mavg3": pa.array(rows["mavg3"], pa.float64()),
+        }
+    )
+
+
+def sql_pipeline_agg() -> str:
+    return """
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, minute, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY minute)::BIGINT AS cum_n,
+         (n - lag(n) OVER (PARTITION BY event_type ORDER BY minute))::BIGINT AS deriv,
+         (n + lag(n) OVER (PARTITION BY event_type ORDER BY minute)
+            + lag(n, 2) OVER (PARTITION BY event_type ORDER BY minute))::DOUBLE
+           / CAST(3 AS DOUBLE) AS mavg3,
+         row_number() OVER (PARTITION BY event_type ORDER BY minute) AS rn
+  FROM b
+)
+SELECT event_type, minute, n, cum_n, deriv, mavg3
+FROM w WHERE rn >= 3 ORDER BY event_type, minute
+"""
+
+
 def q_sessionize(sf_dir: str) -> pa.Table:
     """Gap-based session windows over the events stream (W1/W2 analog:
     event-time windows as groupby.map_groups over sorted groups)."""
@@ -4448,6 +4538,7 @@ QUERIES = {
     "sampler_agg": q_sampler_agg,
     "filters_agg": q_filters_agg,
     "explain_scores": q_explain_scores,
+    "pipeline_agg": q_pipeline_agg,
     "search_top_hits": q_search_top_hits,
     "rescore_topk": q_rescore_topk,
     "quantiles_sketch": q_quantiles_sketch,
@@ -4551,6 +4642,7 @@ def oracle_sql() -> dict[str, str]:
         "sampler_agg": sql_sampler_agg(),
         "filters_agg": sql_filters_agg(),
         "explain_scores": sql_explain_scores(),
+        "pipeline_agg": sql_pipeline_agg(),
         "search_top_hits": sql_search_top_hits(),
         "rescore_topk": sql_rescore_topk(),
         "quantiles_sketch": sql_quantiles_sketch(),
