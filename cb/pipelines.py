@@ -1561,6 +1561,74 @@ ORDER BY query_id, f.filter
 """
 
 
+def q_adjacency_matrix(sf_dir: str) -> pa.Table:
+    """ES adjacency_matrix aggregation: per (query, filter pair a<=b),
+    the count of main-match docs in both named filters' match sets —
+    per-name sets computed once per server slice, pairwise numpy
+    intersects, exact additive fold; every pair emits (zeros
+    included)."""
+    engine = _facet_engine(sf_dir)
+    try:
+        per_q = [engine.adjacency_matrix(q, FILTERS_AGG) for q in FACET_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "a": [], "b": [], "cnt": []}
+    for qid, counts in enumerate(per_q):
+        for (a, b) in sorted(counts):
+            rows["query_id"].append(qid)
+            rows["a"].append(a)
+            rows["b"].append(b)
+            rows["cnt"].append(counts[(a, b)])
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "a": pa.array(rows["a"], pa.string()),
+            "b": pa.array(rows["b"], pa.string()),
+            "cnt": pa.array(rows["cnt"], pa.int64()),
+        }
+    )
+
+
+def sql_adjacency_matrix() -> str:
+    """Mirror: the same independent per-filter predicates as
+    sql_filters_agg, applied PAIRWISE (a's predicate AND b's) over the
+    main match set, cross-joined with coalesce-0."""
+    prefix = _facet_sql_prefix(FACET_SET)
+    qid_rows = ", ".join(f"({i})" for i in range(len(FACET_SET)))
+    pred = {
+        "merge": "j.s LIKE '% merge %'",
+        "hashjoin": "j.s LIKE '% hash join %'",
+        "window_en": "(j.s LIKE '% window %' AND d.lang = 'en')",
+    }
+    names = sorted(pred)
+    pair_rows = ", ".join(
+        f"('{a}', '{b}')" for i, a in enumerate(names) for b in names[i:]
+    )
+    cases = " ".join(
+        f"WHEN p.a = '{a}' AND p.b = '{b}' THEN ({pred[a]} AND {pred[b]})"
+        for i, a in enumerate(names)
+        for b in names[i:]
+    )
+    return f"""{prefix},
+pairs(a, b) AS (VALUES {pair_rows}),
+qid(query_id) AS (VALUES {qid_rows}),
+pcnts AS (
+  SELECT mm.query_id, p.a, p.b, count(*)::BIGINT AS cnt
+  FROM mm
+  JOIN joined j ON j.doc_id = mm.doc_id
+  JOIN documents d ON d.doc_id = mm.doc_id
+  JOIN pairs p ON (CASE {cases} ELSE false END)
+  GROUP BY 1, 2, 3
+)
+SELECT q.query_id::BIGINT AS query_id, p.a, p.b,
+       coalesce(c.cnt, 0)::BIGINT AS cnt
+FROM qid q
+CROSS JOIN pairs p
+LEFT JOIN pcnts c ON c.query_id = q.query_id AND c.a = p.a AND c.b = p.b
+ORDER BY query_id, p.a, p.b
+"""
+
+
 SAMPLER_K = 8
 
 
@@ -4539,6 +4607,7 @@ QUERIES = {
     "filters_agg": q_filters_agg,
     "explain_scores": q_explain_scores,
     "pipeline_agg": q_pipeline_agg,
+    "adjacency_matrix": q_adjacency_matrix,
     "search_top_hits": q_search_top_hits,
     "rescore_topk": q_rescore_topk,
     "quantiles_sketch": q_quantiles_sketch,
@@ -4643,6 +4712,7 @@ def oracle_sql() -> dict[str, str]:
         "filters_agg": sql_filters_agg(),
         "explain_scores": sql_explain_scores(),
         "pipeline_agg": sql_pipeline_agg(),
+        "adjacency_matrix": sql_adjacency_matrix(),
         "search_top_hits": sql_search_top_hits(),
         "rescore_topk": sql_rescore_topk(),
         "quantiles_sketch": sql_quantiles_sketch(),

@@ -971,6 +971,58 @@ class ShardServer:
             out[name] = int(len(np.intersect1d(main, sub, assume_unique=True)))
         return out
 
+    def adjacency_counts(
+        self, parsed: dict, named: dict, fetched_terms: list[str] = (), *fetched
+    ) -> dict[tuple[str, str], int]:
+        """ES ``adjacency_matrix`` aggregation over THIS scope: for
+        every named filter pair (a, b) with a <= b, the count of
+        main-match docs in match(a) ∩ match(b) (the diagonal (a, a) is
+        the plain filters-agg bucket).  Per-name match sets are
+        computed ONCE on this slice, pairwise intersections are sorted
+        numpy intersects; the driver fold is exact addition."""
+        from . import docmeta as docmeta_mod, querylang
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        need_dm = parsed.get("filters") or parsed.get("scoped_phrases") or any(
+            sp.get("filters") or sp.get("scoped_phrases") for sp in named.values()
+        )
+        dm = None
+        if need_dm:
+            if self._docmeta is None:
+                self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+            dm = self._docmeta
+
+        def _match_ids(p_):
+            universe, _, keep = querylang.match(
+                p_,
+                get_postings=self._local,
+                stats=self.stats,
+                docmeta=dm,
+                decoded_cache=self.decoded,
+                drop_ids=self.tombstones,
+            )
+            return np.empty(0, np.int64) if universe is None else universe[keep]
+
+        main = _match_ids(parsed)
+        names = sorted(named)
+        sets = {}
+        for name in names:
+            sub = _match_ids(named[name])
+            sets[name] = (
+                np.intersect1d(main, sub, assume_unique=True)
+                if len(main) and len(sub)
+                else np.empty(0, np.int64)
+            )
+        out: dict[tuple[str, str], int] = {}
+        for i, a in enumerate(names):
+            out[(a, a)] = int(len(sets[a]))
+            for b in names[i + 1 :]:
+                out[(a, b)] = int(
+                    len(np.intersect1d(sets[a], sets[b], assume_unique=True))
+                )
+        return out
+
     def significant(
         self, parsed: dict, min_df: int = 2, fetched_terms: list[str] = (), *fetched
     ) -> tuple[dict, int]:
@@ -1819,6 +1871,35 @@ class QueryEngine:
         for p in parts:
             for name, c in p.items():
                 out[name] += c
+        return out
+
+    def adjacency_matrix(
+        self, query_string: str, filters: dict
+    ) -> dict[tuple[str, str], int]:
+        """ES adjacency_matrix via the pool: per named-filter pair
+        (a <= b), |match(main) ∩ match(a) ∩ match(b)| — per-server
+        counts over disjoint slices fold by exact addition (the same
+        dispatch shape as filters_agg)."""
+        parsed, involved = self._parsed_and_involved(query_string)
+        names = sorted(filters)
+        zero = {
+            (a, b): 0 for i, a in enumerate(names) for b in names[i:]
+        }
+        if not involved:
+            return zero
+        named: dict[str, dict] = {}
+        sub_terms: set[str] = set()
+        for name, fq in filters.items():
+            sp, sterms = self._parsed_and_involved(fq)
+            named[name] = sp
+            sub_terms.update(sterms or ())
+        all_involved = sorted(set(involved) | sub_terms)
+        fut = self._route_agg("adjacency_counts", parsed, all_involved, named)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        out = dict(zero)
+        for p in parts:
+            for key, c in p.items():
+                out[key] += c
         return out
 
     def sample(self, query_string: str, k: int) -> list[int]:

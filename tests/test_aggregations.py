@@ -230,3 +230,19 @@ def test_explain_sums_to_score(built):
             assert eng.explain("hash join", 999999) == []
         finally:
             eng.shutdown()
+
+
+def test_adjacency_matrix_counts(built):
+    filters = {"m": "merge", "hj": '"hash join"'}
+    # main 'join' = {1,2,4,5,7,8}; merge∩main={8}; phrase∩main={1,2,5}
+    want = {("hj", "hj"): 3, ("hj", "m"): 0, ("m", "m"): 1}
+    for ns in (1, 4):
+        eng = QueryEngine(built, num_servers=ns)
+        try:
+            assert eng.adjacency_matrix("join", filters) == want, ns
+            # diagonal == filters_agg buckets
+            fa = eng.filters_agg("join", filters)
+            am = eng.adjacency_matrix("join", filters)
+            assert all(am[(n, n)] == fa[n] for n in filters)
+        finally:
+            eng.shutdown()
