@@ -91,6 +91,13 @@ class Range:
         self.lo, self.hi = lo, hi
         self.lo_incl, self.hi_incl = lo_incl, hi_incl
 
+    def __repr__(self):
+        # value-stable (no object id): the server-side request cache
+        # keys on repr(parsed), so range filters must repr by value
+        return (
+            f"Range({self.lo!r}, {self.hi!r}, {self.lo_incl!r}, {self.hi_incl!r})"
+        )
+
     def __eq__(self, other):
         return isinstance(other, Range) and (
             (self.lo, self.hi, self.lo_incl, self.hi_incl)

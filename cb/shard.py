@@ -585,9 +585,43 @@ class ShardServer:
         # (terms, k, algo) -> result, true LRU (hits refresh recency)
         self.results: OrderedDict[tuple, list] = OrderedDict()
         self._results_cap = 4096
+        # ES request-cache analog: parsed clause set -> this scope's
+        # matched doc ids.  Every full-match aggregation (facets,
+        # histogram, range, composite, sampler, filters, adjacency,
+        # significant) shares it, so repeated aggregations over the
+        # same query pay the match pass once per server lifetime.
+        # Safe because the inputs are fixed per server: the index is
+        # immutable, tombstones load once, docmeta is read-only.
+        self._match_cache: OrderedDict[str, np.ndarray | None] = OrderedDict()
+        self._match_cache_cap = 32
         # per-actor stage counters (TelemetryProvider.cs analog);
         # rolled up by QueryEngine.metrics()
         self.telemetry = Telemetry()
+
+    def _cached_match(self, parsed: dict, dm) -> np.ndarray | None:
+        """This scope's matched doc ids for a parsed clause set, LRU-
+        cached (the ES request cache): None = nothing can match."""
+        from . import querylang
+
+        key = repr(parsed)
+        hit = self._match_cache.get(key)
+        if hit is not None or key in self._match_cache:
+            self._match_cache.move_to_end(key)
+            self.telemetry.incr("server.match_cache_hit")
+            return hit
+        universe, _, keep = querylang.match(
+            parsed,
+            get_postings=self._local,
+            stats=self.stats,
+            docmeta=dm,
+            decoded_cache=self.decoded,
+            drop_ids=self.tombstones,
+        )
+        ids = None if universe is None else universe[keep]
+        if len(self._match_cache) >= self._match_cache_cap:
+            self._match_cache.popitem(last=False)
+        self._match_cache[key] = ids
+        return ids
 
     def _local(self, term: str) -> ChunkedPostings | None:
         if term not in self.cache:
@@ -739,17 +773,10 @@ class ShardServer:
             self.cache[t] = p
         if self._docmeta is None:
             self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
-        universe, _, keep = querylang.match(
-            parsed,
-            get_postings=self._local,
-            stats=self.stats,
-            docmeta=self._docmeta,
-            decoded_cache=self.decoded,
-            drop_ids=self.tombstones,
-        )
-        if universe is None:
+        ids = self._cached_match(parsed, self._docmeta)
+        if ids is None:
             return {c: {} for c in facet_cols}, {c: (0, 0, None, None) for c in stats_cols}
-        return _facets_over(universe[keep], self._docmeta, facet_cols, stats_cols)
+        return _facets_over(ids, self._docmeta, facet_cols, stats_cols)
 
     def histogram(
         self, parsed: dict, histos: dict, fetched_terms: list[str] = (), *fetched
@@ -762,17 +789,10 @@ class ShardServer:
             self.cache[t] = p
         if self._docmeta is None:
             self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
-        universe, _, keep = querylang.match(
-            parsed,
-            get_postings=self._local,
-            stats=self.stats,
-            docmeta=self._docmeta,
-            decoded_cache=self.decoded,
-            drop_ids=self.tombstones,
-        )
-        if universe is None:
+        ids = self._cached_match(parsed, self._docmeta)
+        if ids is None:
             return {c: {} for c in histos}
-        return _histos_over(universe[keep], self._docmeta, histos)
+        return _histos_over(ids, self._docmeta, histos)
 
     def range_counts(
         self, parsed: dict, ranges: dict, fetched_terms: list[str] = (), *fetched
@@ -787,17 +807,10 @@ class ShardServer:
             self.cache[t] = p
         if self._docmeta is None:
             self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
-        universe, _, keep = querylang.match(
-            parsed,
-            get_postings=self._local,
-            stats=self.stats,
-            docmeta=self._docmeta,
-            decoded_cache=self.decoded,
-            drop_ids=self.tombstones,
-        )
-        if universe is None:
+        ids = self._cached_match(parsed, self._docmeta)
+        if ids is None:
             return {c: [0] * len(b) for c, b in ranges.items()}
-        return _ranges_over(universe[keep], self._docmeta, ranges)
+        return _ranges_over(ids, self._docmeta, ranges)
 
     def composite_counts(
         self, parsed: dict, cols: list[str], fetched_terms: list[str] = (), *fetched
@@ -813,17 +826,10 @@ class ShardServer:
             self.cache[t] = p
         if self._docmeta is None:
             self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
-        universe, _, keep = querylang.match(
-            parsed,
-            get_postings=self._local,
-            stats=self.stats,
-            docmeta=self._docmeta,
-            decoded_cache=self.decoded,
-            drop_ids=self.tombstones,
-        )
-        if universe is None:
+        ids = self._cached_match(parsed, self._docmeta)
+        if ids is None:
             return {}
-        return _composite_over(universe[keep], self._docmeta, list(cols))
+        return _composite_over(ids, self._docmeta, list(cols))
 
     def top_hits(
         self, terms: list[str], k_per: int, group_col: str,
@@ -873,18 +879,8 @@ class ShardServer:
             if self._docmeta is None:
                 self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
             dm = self._docmeta
-        universe, _, keep = querylang.match(
-            parsed,
-            get_postings=self._local,
-            stats=self.stats,
-            docmeta=dm,
-            decoded_cache=self.decoded,
-            drop_ids=self.tombstones,
-        )
-        if universe is None:
-            return []
-        ids = universe[keep]
-        if len(ids) == 0:
+        ids = self._cached_match(parsed, dm)
+        if ids is None or len(ids) == 0:
             return []
         import pyarrow.compute as pc_
 
@@ -945,26 +941,13 @@ class ShardServer:
                 self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
             dm = self._docmeta
 
-        def _match_ids(p_):
-            universe, _, keep = querylang.match(
-                p_,
-                get_postings=self._local,
-                stats=self.stats,
-                docmeta=dm,
-                decoded_cache=self.decoded,
-                drop_ids=self.tombstones,
-            )
-            if universe is None:
-                return None
-            return universe[keep]
-
-        main = _match_ids(parsed)
+        main = self._cached_match(parsed, dm)
         out: dict[str, int] = {}
         for name, sub_parsed in named.items():
             if main is None or len(main) == 0:
                 out[name] = 0
                 continue
-            sub = _match_ids(sub_parsed)
+            sub = self._cached_match(sub_parsed, dm)
             if sub is None or len(sub) == 0:
                 out[name] = 0
                 continue
@@ -994,15 +977,8 @@ class ShardServer:
             dm = self._docmeta
 
         def _match_ids(p_):
-            universe, _, keep = querylang.match(
-                p_,
-                get_postings=self._local,
-                stats=self.stats,
-                docmeta=dm,
-                decoded_cache=self.decoded,
-                drop_ids=self.tombstones,
-            )
-            return np.empty(0, np.int64) if universe is None else universe[keep]
+            ids = self._cached_match(p_, dm)
+            return np.empty(0, np.int64) if ids is None else ids
 
         main = _match_ids(parsed)
         names = sorted(named)
@@ -1042,17 +1018,10 @@ class ShardServer:
             if self._docmeta is None:
                 self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
             dm = self._docmeta
-        universe, _, keep = querylang.match(
-            parsed,
-            get_postings=self._local,
-            stats=self.stats,
-            docmeta=dm,
-            decoded_cache=self.decoded,
-            drop_ids=self.tombstones,
-        )
-        if universe is None:
+        ids = self._cached_match(parsed, dm)
+        if ids is None:
             return {}, 0
-        matched = np.sort(universe[keep])
+        matched = np.sort(ids)
         if len(matched) == 0:
             return {}, 0
         counts: dict[str, int] = {}

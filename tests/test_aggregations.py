@@ -246,3 +246,24 @@ def test_adjacency_matrix_counts(built):
             assert all(am[(n, n)] == fa[n] for n in filters)
         finally:
             eng.shutdown()
+
+
+def test_match_request_cache(built):
+    """ES request-cache analog: repeated full-match aggregations over
+    the same query reuse the server-side match set (counter grows,
+    outputs identical), and different queries / clause shapes don't
+    collide."""
+    eng = QueryEngine(built, num_servers=2)
+    try:
+        f1 = eng.facets("join lang:en", facet_cols=["source"])
+        r1 = eng.range_agg("join lang:en", {"n_chars": RANGES})
+        f2 = eng.facets("join lang:en", facet_cols=["source"])
+        r2 = eng.range_agg("join lang:en", {"n_chars": RANGES})
+        assert f1 == f2 and r1 == r2
+        hits = eng.metrics()["servers"]["counters"].get("server.match_cache_hit", 0)
+        assert hits >= 2  # facets rep + range reused the facets match
+        # a different query must NOT hit the cached set
+        other = eng.facets("merge", facet_cols=["source"])
+        assert other != f1
+    finally:
+        eng.shutdown()
