@@ -2061,6 +2061,124 @@ FROM rr WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
+# function_score constants: saturation (ES rank_feature) and linear
+# decay over the n_chars docmeta feature.  Both functions are a single
+# division / multiply per doc (no transcendentals), so engine doubles
+# are bitwise the SQL mirror's.
+FSCORE_W = 2.5
+FSCORE_PIVOT = 300
+FSCORE_ORIGIN = 300
+FSCORE_SCALE = 260
+
+
+def _q_function_score(sf_dir: str, spec: dict) -> pa.Table:
+    from . import docmeta as docmeta_mod
+
+    meta = get_index(sf_dir)
+    docmeta_mod.ensure_docmeta(
+        meta.index_dir, docs_path(sf_dir), ["lang", "source", "n_chars"]
+    )
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = [engine.function_score(q, spec, k=K) for q in QUERY_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def q_function_score_sat(sf_dir: str) -> pa.Table:
+    """ES rank_feature (saturation): every matching doc's BM25 score
+    gets ``+ w * n_chars/(n_chars+pivot)`` BEFORE the top-k cut — the
+    feature changes the retrieval ranking itself, unlike rescore's
+    window-only second pass."""
+    return _q_function_score(
+        sf_dir,
+        {"kind": "saturation", "col": "n_chars", "w": FSCORE_W, "pivot": FSCORE_PIVOT},
+    )
+
+
+def q_function_score_decay(sf_dir: str) -> pa.Table:
+    """ES function_score linear decay: ``score * max(0,
+    scale-|n_chars-origin|)/scale`` over the full match set."""
+    return _q_function_score(
+        sf_dir,
+        {
+            "kind": "linear_decay",
+            "col": "n_chars",
+            "origin": FSCORE_ORIGIN,
+            "scale": FSCORE_SCALE,
+        },
+    )
+
+
+def _sql_function_score(combine_expr: str) -> str:
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_query_terms_values()}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+fs AS (
+  SELECT s.query_id, s.doc_id, {combine_expr} AS combined
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, combined,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY combined DESC, doc_id ASC) AS rank
+  FROM fs
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(combined, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
+def sql_function_score_sat() -> str:
+    return _sql_function_score(
+        f"s.score + CAST({FSCORE_W} AS DOUBLE) * "
+        f"(d.n_chars::DOUBLE / (d.n_chars + {FSCORE_PIVOT})::DOUBLE)"
+    )
+
+
+def sql_function_score_decay() -> str:
+    return _sql_function_score(
+        f"s.score * (greatest({FSCORE_SCALE} - abs(d.n_chars - {FSCORE_ORIGIN}), 0)::DOUBLE"
+        f" / CAST({FSCORE_SCALE} AS DOUBLE))"
+    )
+
+
 # Multi-field query set: unscoped terms score in BOTH fields
 # (most_fields sum), field:term scopes to one analyzed field, -term
 # drops docs containing it in ANY field.
@@ -4610,6 +4728,8 @@ QUERIES = {
     "adjacency_matrix": q_adjacency_matrix,
     "search_top_hits": q_search_top_hits,
     "rescore_topk": q_rescore_topk,
+    "function_score_sat": q_function_score_sat,
+    "function_score_decay": q_function_score_decay,
     "quantiles_sketch": q_quantiles_sketch,
     "multifield_range_agg": q_multifield_range_agg,
     "multifield_top_hits": q_multifield_top_hits,
@@ -4715,6 +4835,8 @@ def oracle_sql() -> dict[str, str]:
         "adjacency_matrix": sql_adjacency_matrix(),
         "search_top_hits": sql_search_top_hits(),
         "rescore_topk": sql_rescore_topk(),
+        "function_score_sat": sql_function_score_sat(),
+        "function_score_decay": sql_function_score_decay(),
         "quantiles_sketch": sql_quantiles_sketch(),
         "multifield_range_agg": sql_multifield_range_agg(),
         "multifield_top_hits": sql_multifield_top_hits(),

@@ -888,6 +888,54 @@ class ShardServer:
         order = np.lexsort((ids, h))[:k]
         return [(int(ids[i]), int(h[i])) for i in order]
 
+    def function_score(
+        self, parsed: dict, spec: dict, k: int, fetched_terms: list[str] = (), *fetched
+    ) -> list[tuple[int, float]]:
+        """ES function_score over the query's FULL match set: the BM25
+        score of every matching doc in this scope is combined with a
+        docmeta-feature function BEFORE the top-k cut (unlike rescore,
+        which only re-ranks a first-pass window).  Disjoint doc slices
+        -> per-server local top-k re-cuts exactly at the driver.
+
+        ``spec`` kinds (both bitwise-mirrorable — one division / one
+        multiply per doc, no transcendentals):
+
+        - ``saturation`` (ES rank_feature): ``score + w * x/(x+pivot)``
+        - ``linear_decay``: ``score * max(0, scale-|x-origin|)/scale``
+        """
+        from . import docmeta as docmeta_mod, querylang
+        from .query import rank_topk
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        dm = self._docmeta
+        universe, acc, keep = querylang.match(
+            parsed,
+            get_postings=self._local,
+            stats=self.stats,
+            docmeta=dm,
+            decoded_cache=self.decoded,
+            drop_ids=self.tombstones,
+        )
+        if universe is None:
+            return []
+        ids, sc = universe[keep], acc[keep]
+        if len(ids) == 0:
+            return []
+        x = dm.gather(ids, spec["col"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        if spec["kind"] == "saturation":
+            w, pivot = float(spec["w"]), int(spec["pivot"])
+            combined = sc + w * (x.astype(np.float64) / (x + pivot).astype(np.float64))
+        elif spec["kind"] == "linear_decay":
+            origin, scale = int(spec["origin"]), int(spec["scale"])
+            decay = np.maximum(scale - np.abs(x - origin), 0).astype(np.float64) / float(scale)
+            combined = sc * decay
+        else:
+            raise ValueError(f"unknown function_score kind {spec['kind']!r}")
+        return rank_topk(ids, combined, k)
+
     def explain(
         self, terms: list[str], doc_id: int, fetched_terms: list[str] = (), *fetched
     ) -> list[tuple[str, int, int, float]]:
@@ -1885,6 +1933,19 @@ class QueryEngine:
             (p for part in parts for p in part), key=lambda r: (r[1], r[0])
         )[:k]
         return [d for d, _ in merged]
+
+    def function_score(
+        self, query_string: str, spec: dict, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES function_score: full-match-set BM25 combined with a
+        docmeta-feature function (see ShardServer.function_score for the
+        spec kinds), exact global top-k from disjoint per-server cuts."""
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return []
+        fut = self._route_agg("function_score", parsed, involved, spec, k)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        return _merge_topk(parts, k)
 
     def _dispatch_composite(self, query_string: str, cols: list[str]):
         parsed, involved = self._parsed_and_involved(query_string)

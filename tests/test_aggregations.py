@@ -267,3 +267,67 @@ def test_match_request_cache(built):
         assert other != f1
     finally:
         eng.shutdown()
+
+
+def _brute_function_score(query_terms, spec, k, engine):
+    """Brute-force mirror: full-match scores from explain sums are
+    overkill; instead pull a huge top-k and recombine via docmeta."""
+    base = engine.query_terms(sorted(set(query_terms)), k=100)
+    byid = {i: n for i, _, _, _, n in DOCS}
+    out = []
+    for doc, s in base:
+        x = byid[doc]
+        if spec["kind"] == "saturation":
+            c = s + spec["w"] * (float(x) / float(x + spec["pivot"]))
+        else:
+            c = s * (max(spec["scale"] - abs(x - spec["origin"]), 0) / float(spec["scale"]))
+        out.append((doc, c))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
+def test_function_score_parity_and_pool_invariance(built):
+    sat = {"kind": "saturation", "col": "n_chars", "w": 2.0, "pivot": 200}
+    dec = {"kind": "linear_decay", "col": "n_chars", "origin": 300, "scale": 250}
+    outs = {}
+    for ns in (1, 4):
+        eng = QueryEngine(built, num_servers=ns)
+        try:
+            for name, spec in (("sat", sat), ("dec", dec)):
+                got = eng.function_score("hash join", spec, k=5)
+                want = _brute_function_score(["hash", "join"], spec, 5, eng)
+                assert [d for d, _ in got] == [d for d, _ in want], (name, ns)
+                assert np.allclose([s for _, s in got], [s for _, s in want])
+                outs.setdefault(name, []).append(got)
+            assert eng.function_score("nosuchterm", sat, k=5) == []
+        finally:
+            eng.shutdown()
+    for name in outs:
+        assert outs[name][0] == outs[name][1], name  # pool-size invariant
+
+
+def test_function_score_reorders_vs_bm25(built, tmp_path):
+    """The feature must be able to change the retrieval ranking (that
+    is the point of function_score vs rescore)."""
+    import shutil
+
+    sat = {"kind": "saturation", "col": "n_chars", "w": 50.0, "pivot": 100}
+    priv = str(tmp_path / "idx")  # private copy: the test tombstones it
+    shutil.copytree(built, priv)
+    built = priv
+    eng = QueryEngine(built, num_servers=2)
+    try:
+        base = [d for d, _ in eng.query("join", k=6)]
+        fs = [d for d, _ in eng.function_score("join", sat, k=6)]
+        assert sorted(base) == sorted(fs)  # same match set
+        assert base != fs  # big weight on n_chars flips the order
+        # tombstoned docs must not resurface through function_score
+        delete_docs(built, [fs[0]])
+        eng2 = QueryEngine(built, num_servers=2)
+        try:
+            fs2 = [d for d, _ in eng2.function_score("join", sat, k=6)]
+            assert fs[0] not in fs2
+        finally:
+            eng2.shutdown()
+    finally:
+        eng.shutdown()
