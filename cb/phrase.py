@@ -122,3 +122,73 @@ def phrase_topk(
         j = np.searchsorted(ids, marr)
         scores += idf * scoring.u_factor(tfs[j], dls[j], stats.avgdl)
     return rank_topk(marr, scores, k)
+
+
+def _match_exact(ordered_terms: list[str], decoded: dict) -> np.ndarray:
+    """Sorted doc ids matching the exact-adjacency phrase (slop 0),
+    using pre-decoded postings (same chain algorithm as phrase_topk)."""
+    cand = decoded[ordered_terms[0]][0]
+    for t in set(ordered_terms):
+        cand = np.intersect1d(cand, decoded[t][0], assume_unique=True)
+        if len(cand) == 0:
+            return np.empty(0, dtype=np.int64)
+
+    def positions_for(term: str, doc: int) -> np.ndarray:
+        ids, tfs, dls, pflat, occ = decoded[term]
+        j = int(np.searchsorted(ids, doc))
+        return pflat[occ[j]:occ[j + 1]]
+
+    matches = []
+    for doc in cand:
+        chain = positions_for(ordered_terms[0], int(doc))
+        for t in ordered_terms[1:]:
+            chain = np.intersect1d(chain + 1, positions_for(t, int(doc)))
+            if len(chain) == 0:
+                break
+        else:
+            matches.append(int(doc))
+    return np.array(matches, dtype=np.int64)
+
+
+def phrase_prefix_topk(
+    fixed: list[str],
+    expansions: list[str],
+    postings: dict,
+    stats,
+    k: int,
+    drop_ids: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """ES match_phrase_prefix: a doc matches when the fixed tokens are
+    immediately followed by ANY of the ``expansions`` (the vocabulary
+    terms completing the user's trailing prefix).  Contract: docs are
+    scored by BM25 of the unique FIXED terms only — the prefix position
+    is a matching constraint, not a scored term (it names no single
+    vocabulary term, so giving it an idf would be arbitrary); ties by
+    ascending doc id.  With no fixed terms (a bare prefix), every match
+    scores 0.0 and ranking degenerates to doc id order."""
+    if k <= 0 or not expansions:
+        return []
+    uniq_fixed = sorted(set(fixed))
+    if any(postings.get(t) is None for t in uniq_fixed):
+        return []
+    decoded = {t: _decode_with_positions(postings[t]) for t in uniq_fixed}
+    match = np.empty(0, dtype=np.int64)
+    for e in expansions:
+        if e not in decoded:
+            pe = postings.get(e)
+            if pe is None:
+                continue
+            decoded[e] = _decode_with_positions(pe)
+        match = np.union1d(match, _match_exact(list(fixed) + [e], decoded))
+    if drop_ids is not None and len(drop_ids) and len(match):
+        pos = np.clip(np.searchsorted(drop_ids, match), 0, len(drop_ids) - 1)
+        match = match[drop_ids[pos] != match]
+    if len(match) == 0:
+        return []
+    scores = np.zeros(len(match), dtype=np.float64)
+    for t in uniq_fixed:
+        ids, tfs, dls, _, _ = decoded[t]
+        idf = float(scoring.idf(getattr(postings[t], "gdf", postings[t].df), stats.n_docs))
+        j = np.searchsorted(ids, match)
+        scores += idf * scoring.u_factor(tfs[j], dls[j], stats.avgdl)
+    return rank_topk(match, scores, k)

@@ -819,6 +819,105 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
+# match_phrase_prefix queries: trailing token is a term PREFIX.  Every
+# entry keeps >= 1 fixed token so the BM25-of-fixed-terms score is
+# non-degenerate (bare-prefix behavior is unit-tested instead).
+PHRASE_PREFIX_SET: tuple[str, ...] = (
+    "merge s",
+    "hash j",
+    "group ord",
+    "window t",
+    "zebra qu",
+    "data st",
+    "spark ze",
+    "table s",
+)
+
+
+def q_phrase_prefix_search(sf_dir: str) -> pa.Table:
+    """ES match_phrase_prefix over positional postings: the trailing
+    prefix expands against the index vocabulary (every completion —
+    max_expansions=None — so the LIKE mirror is exact) and a doc
+    matches when the fixed tokens are immediately followed by any
+    completion; scored by BM25 of the fixed terms (prefix = matching
+    constraint, not a scored term)."""
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = [
+            engine.phrase_prefix_query(q, k=K, max_expansions=None)
+            for q in PHRASE_PREFIX_SET
+        ]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6), type=pa.float64()
+            ),
+        }
+    )
+
+
+def sql_phrase_prefix_search() -> str:
+    """LIKE mirror: '% f1 .. fn-1 pre%' on the space-joined token
+    string — the wildcard immediately after the prefix accepts any
+    completion of that token, exactly the unlimited-expansion engine
+    configuration."""
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    ph_rows, qt_rows = [], []
+    for qid, p in enumerate(PHRASE_PREFIX_SET):
+        toks = analyze.tokenize(p)
+        assert len(toks) >= 2, p
+        ph_rows.append(f"({qid}, '{' '.join(toks)}')")
+        for t in sorted(set(toks[:-1])):
+            qt_rows.append(f"({qid}, '{t}')")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+ph(query_id, phrase) AS (VALUES {', '.join(ph_rows)}),
+qt(query_id, term) AS (VALUES {', '.join(qt_rows)}),
+joined AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s FROM docs),
+mdocs AS (
+  SELECT ph.query_id, j.doc_id
+  FROM ph JOIN joined j ON j.s LIKE '% ' || ph.phrase || '%'
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum({contrib} ORDER BY qt.term) AS score
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT m.query_id, m.doc_id, s.score,
+         row_number() OVER (PARTITION BY m.query_id ORDER BY s.score DESC, m.doc_id ASC) AS rank
+  FROM mdocs m JOIN scored s ON s.query_id = m.query_id AND s.doc_id = m.doc_id
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 SEARCH_SET: tuple[str, ...] = (
     "merge sort window",
     '"merge sort"',
@@ -4710,6 +4809,7 @@ QUERIES = {
     "multifield_highlight": q_multifield_highlight,
     "multifield_histogram": q_multifield_histogram,
     "phrase_search": q_phrase_search,
+    "phrase_prefix_search": q_phrase_prefix_search,
     "phrase_slop_search": q_phrase_slop_search,
     "search_querystring": q_search_querystring,
     "search_facets": q_search_facets,
@@ -4817,6 +4917,7 @@ def oracle_sql() -> dict[str, str]:
         "multifield_highlight": sql_multifield_highlight(),
         "multifield_histogram": sql_multifield_histogram(),
         "phrase_search": sql_phrase_search(),
+        "phrase_prefix_search": sql_phrase_prefix_search(),
         "phrase_slop_search": sql_phrase_slop_search(),
         "search_querystring": sql_search_querystring(),
         "search_facets": sql_search_facets(),

@@ -1103,6 +1103,25 @@ class ShardServer:
                 postings[t] = self._local(t)
         return _phrase_topk_live(ordered_terms, postings, self.stats, k, self.tombstones, slop=slop)
 
+    def phrase_prefix(
+        self, fixed: list[str], expansions: list[str], k: int,
+        fetched_terms: list[str] = (), *fetched
+    ):
+        """ES match_phrase_prefix over this scope (see
+        cb.phrase.phrase_prefix_topk for the matching/scoring contract);
+        same fetch protocol as :meth:`score`.  Tombstones are dropped
+        from the FULL match set before ranking (no over-fetch needed —
+        prefix matching computes the whole set anyway)."""
+        postings = dict(zip(fetched_terms, fetched))
+        for t, p in postings.items():
+            self.cache[t] = p
+        for t in set(fixed) | set(expansions):
+            if t not in postings:
+                postings[t] = self._local(t)
+        return phrase_mod.phrase_prefix_topk(
+            fixed, expansions, postings, self.stats, k, drop_ids=self.tombstones
+        )
+
     def score_many(self, term_lists: list[list[str]], k: int, algo: str = "taat"):
         """Batched scoring of pre-tokenized queries whose terms this
         server already holds (warm path; one RPC amortizes round-trips)."""
@@ -1517,6 +1536,47 @@ class QueryEngine:
         if isinstance(fut, list):
             return _merge_topk(ray.get(fut), k)
         return ray.get(fut)
+
+    def phrase_prefix_query(
+        self, text: str, k: int = 10, max_expansions: int | None = 50
+    ) -> list[tuple[int, float]]:
+        """ES match_phrase_prefix: the trailing token is a term PREFIX,
+        expanded against the index vocabulary (the tiny ``_termdf``
+        summaries, never the corpus) in term order up to
+        ``max_expansions`` (None = every completion — the exact,
+        SQL-mirrorable configuration); docs where the fixed tokens are
+        immediately followed by any completion match, scored by BM25 of
+        the fixed terms (cb.phrase.phrase_prefix_topk contract)."""
+        ordered = analyze.tokenize(text)
+        if not ordered:
+            return []
+        fixed, prefix = ordered[:-1], ordered[-1]
+        if self._vocab is None:
+            self._vocab = load_vocab(self.meta)
+        expansions = sorted(t for t in self._vocab if t.startswith(prefix))
+        if max_expansions is not None:
+            expansions = expansions[:max_expansions]
+        if not expansions:
+            return []
+        if self.mode == "doc":
+            futs = [
+                s.phrase_prefix.remote(fixed, expansions, k) for s in self.servers
+            ]
+            return _merge_topk(ray.get(futs), k)
+        involved = sorted(set(fixed) | set(expansions))
+        owners = {t: self._owner(t) for t in involved}
+        counts = np.bincount([owners[t] for t in involved], minlength=self.num_servers)
+        scorer = int(np.argmax(counts))
+        fetched_terms = [
+            t for t in involved if owners[t] != scorer and t not in self.seen[scorer]
+        ]
+        refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
+        self.seen[scorer].update(involved)
+        return ray.get(
+            self.servers[scorer].phrase_prefix.remote(
+                fixed, expansions, k, fetched_terms, *refs
+            )
+        )
 
     def _dispatch_search(self, query_string: str, k: int, synonyms: dict | None = None):
         """Query-string dispatch WITHOUT the final ray.get: returns a

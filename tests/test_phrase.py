@@ -126,3 +126,114 @@ def test_slop_widens_matches_and_zero_is_adjacent():
 
     assert _matches_with_slop(["a", "b", "c"], pf3, 9, 3)   # extra = 3
     assert not _matches_with_slop(["a", "b", "c"], pf3, 9, 2)
+
+
+def _brute_phrase_prefix(oracle, text, k, max_expansions=None):
+    """Brute-force match_phrase_prefix over the oracle corpus: fixed
+    tokens adjacent, then any token completing the prefix; scored by
+    BM25 of the unique fixed terms, ties doc asc."""
+    from cb import analyze, scoring
+
+    toks = analyze.tokenize(text)
+    fixed, prefix = toks[:-1], toks[-1]
+    vocab = sorted(t for t in oracle.df if t.startswith(prefix))
+    if max_expansions is not None:
+        vocab = vocab[:max_expansions]
+    exp = set(vocab)
+    out = []
+    for i, d in enumerate(oracle.doc_ids):
+        tl = oracle.tokens[i]
+        n = len(fixed)
+        hit = any(
+            tl[j:j + n] == fixed and tl[j + n] in exp
+            for j in range(len(tl) - n)
+        )
+        if not hit:
+            continue
+        s = np.float64(0.0)
+        for t in sorted(set(fixed)):
+            tf = oracle.tf[i].get(t)
+            if tf:
+                s = s + scoring.idf(oracle.df[t], oracle.n_docs) * scoring.u_factor(
+                    tf, oracle.doc_len[i], oracle.avgdl
+                )
+        out.append((d, float(s)))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
+def _prefix_queries(oracle):
+    qs = []
+    for toks in oracle.tokens[:40]:
+        if len(toks) >= 2:
+            qs.append(f"{toks[0]} {toks[1][:2]}")
+            qs.append(f"{toks[0]} {toks[1]}")  # full-word prefix
+    # bare prefix (no fixed terms): score-0 contract, doc-id order
+    qs.append(oracle.tokens[0][0][:2])
+    return qs[:25]
+
+
+def test_phrase_prefix_matches_brute_force(built):
+    idx, oracle = built
+    engine = sm.QueryEngine(idx, num_servers=2)
+    try:
+        n_nonempty = 0
+        for q in _prefix_queries(oracle):
+            for k in (3, 20):
+                want = _brute_phrase_prefix(oracle, q, k)
+                got = engine.phrase_prefix_query(q, k=k, max_expansions=None)
+                assert [d for d, _ in got] == [d for d, _ in want], (q, k)
+                assert np.allclose([s for _, s in got], [s for _, s in want])
+                n_nonempty += bool(want)
+        assert n_nonempty > 10
+    finally:
+        engine.shutdown()
+
+
+def test_phrase_prefix_expansion_cap_and_term_mode(built):
+    idx, oracle = built
+    q = None
+    for toks in oracle.tokens:
+        if len(toks) >= 2:
+            q = f"{toks[0]} {toks[1][:1]}"  # 1-char prefix: many completions
+            break
+    for mode in ("doc", "term"):
+        engine = sm.QueryEngine(idx, num_servers=3, mode=mode)
+        try:
+            full = engine.phrase_prefix_query(q, k=50, max_expansions=None)
+            assert [d for d, _ in full] == [
+                d for d, _ in _brute_phrase_prefix(oracle, q, 50)
+            ], mode
+            capped = engine.phrase_prefix_query(q, k=50, max_expansions=1)
+            want = _brute_phrase_prefix(oracle, q, 50, max_expansions=1)
+            assert [d for d, _ in capped] == [d for d, _ in want], mode
+            # the cap can only shrink the match set
+            assert {d for d, _ in capped} <= {d for d, _ in full}
+        finally:
+            engine.shutdown()
+
+
+def test_phrase_prefix_tombstones(built, tmp_path):
+    import shutil
+
+    idx, oracle = built
+    priv = str(tmp_path / "idx")
+    shutil.copytree(idx, priv)
+    q = None
+    for toks in oracle.tokens:
+        if len(toks) >= 2:
+            q = f"{toks[0]} {toks[1][:2]}"
+            break
+    engine = sm.QueryEngine(priv, num_servers=2)
+    try:
+        before = engine.phrase_prefix_query(q, k=10, max_expansions=None)
+        assert before
+    finally:
+        engine.shutdown()
+    sm.delete_docs(priv, [before[0][0]])
+    engine = sm.QueryEngine(priv, num_servers=2)
+    try:
+        after = engine.phrase_prefix_query(q, k=10, max_expansions=None)
+        assert before[0][0] not in {d for d, _ in after}
+    finally:
+        engine.shutdown()
