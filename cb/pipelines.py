@@ -819,6 +819,76 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
+# Registered percolator queries (cb.percolate): full querylang boolean
+# layer — OR terms, phrases, +required, -exclusions, equality filters.
+PERCOLATE_SET: tuple[str, ...] = (
+    "hash join",
+    '"merge sort"',
+    "table -scan",
+    "stream lang:en",
+    '"group order" -window',
+    "+join column",
+    "zebra lang:fr",
+    '-"table scan" merge',
+)
+
+
+def q_percolate(sf_dir: str) -> pa.Table:
+    """ES percolator: the registered query set is parsed once and every
+    document streams through ONE vectorized map_batches pass reporting
+    which stored queries it matches — reverse search, index-free."""
+    from . import percolate as perc
+    from .collect import collect_table
+
+    ds = ray.data.read_parquet(docs_path(sf_dir))
+    pairs = collect_table(perc.percolate(ds, list(PERCOLATE_SET)))
+    order = np.lexsort(
+        (
+            pairs["doc_id"].to_numpy(zero_copy_only=False),
+            pairs["query_id"].to_numpy(zero_copy_only=False),
+        )
+    )
+    return pairs.take(pa.array(order))
+
+
+def sql_percolate() -> str:
+    from . import querylang
+
+    tok = analyze.sql_token_array("text")
+    selects = []
+    for qid, q in enumerate(PERCOLATE_SET):
+        p = querylang.parse(q)
+        weights = p.get("weights") or {}
+        preds = []
+        uni = [f"s LIKE '% {t} %'" for t in sorted(weights)]
+        preds.append("(" + " OR ".join(uni) + ")")
+        for t in p.get("required", []):
+            preds.append(f"s LIKE '% {t} %'")
+        for ph in p["phrases"]:
+            preds.append(f"s LIKE '% {' '.join(ph)} %'")
+        for ph in p.get("excluded_phrases", []):
+            preds.append(f"NOT s LIKE '% {' '.join(ph)} %'")
+        for t in p["excluded"]:
+            preds.append(f"NOT s LIKE '% {t} %'")
+        for col, val in p["filters"].items():
+            preds.append(f"{col} = '{val}'")
+        selects.append(
+            f"SELECT {qid} AS query_id, doc_id FROM joined WHERE "
+            + " AND ".join(preds)
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH docs AS (SELECT doc_id, lang, {tok} AS toks FROM documents),
+joined AS (SELECT doc_id, lang,
+                  ' ' || array_to_string(toks, ' ') || ' ' AS s FROM docs),
+hits AS (
+{body}
+)
+SELECT query_id::BIGINT AS query_id, doc_id
+FROM hits ORDER BY query_id, doc_id
+"""
+
+
 # match_phrase_prefix queries: trailing token is a term PREFIX.  Every
 # entry keeps >= 1 fixed token so the BM25-of-fixed-terms score is
 # non-degenerate (bare-prefix behavior is unit-tested instead).
@@ -4810,6 +4880,7 @@ QUERIES = {
     "multifield_histogram": q_multifield_histogram,
     "phrase_search": q_phrase_search,
     "phrase_prefix_search": q_phrase_prefix_search,
+    "percolate": q_percolate,
     "phrase_slop_search": q_phrase_slop_search,
     "search_querystring": q_search_querystring,
     "search_facets": q_search_facets,
@@ -4918,6 +4989,7 @@ def oracle_sql() -> dict[str, str]:
         "multifield_histogram": sql_multifield_histogram(),
         "phrase_search": sql_phrase_search(),
         "phrase_prefix_search": sql_phrase_prefix_search(),
+        "percolate": sql_percolate(),
         "phrase_slop_search": sql_phrase_slop_search(),
         "search_querystring": sql_search_querystring(),
         "search_facets": sql_search_facets(),

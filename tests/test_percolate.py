@@ -1,0 +1,88 @@
+"""Percolator (reverse search): brute-force parity against the
+querylang boolean semantics, plus validation errors."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from cb import analyze, percolate
+
+
+DOCS = [
+    (1, "hash join over the big table", "en"),
+    (2, "hash join deprecated path", "fr"),
+    (3, "merge sort window frame", "en"),
+    (4, "table scan then merge", "en"),
+    (5, "group order column stream", "fr"),
+    (6, "join column index scan", "en"),
+    (7, "zebra quantum stream", "fr"),
+    (8, "", "en"),  # empty text: matches nothing
+]
+
+QUERIES = [
+    "hash join",               # OR terms
+    '"hash join"',             # phrase
+    "table -scan",             # exclusion
+    "stream lang:fr",          # filter
+    "+join column",            # required + scored
+    '-"table scan" merge',     # negated phrase
+]
+
+
+def _brute(q: str):
+    from cb import querylang
+
+    p = querylang.parse(q)
+    weights = p.get("weights") or {}
+    out = []
+    for doc_id, text, lang in DOCS:
+        toks = analyze.tokenize(text)
+        pad = f" {' '.join(toks)} "
+        if not any(f" {t} " in pad for t in weights):
+            continue
+        if any(f" {t} " not in pad for t in p.get("required", [])):
+            continue
+        if any(f" {' '.join(ph)} " not in pad for ph in p["phrases"]):
+            continue
+        if any(f" {' '.join(ph)} " in pad for ph in p.get("excluded_phrases", [])):
+            continue
+        if any(f" {t} " in pad for t in p["excluded"]):
+            continue
+        if any(lang != v for c, v in p["filters"].items() if c == "lang"):
+            continue
+        out.append(doc_id)
+    return out
+
+
+def _ds():
+    rows = [{"doc_id": i, "text": t, "lang": lang} for i, t, lang in DOCS]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_percolate_matches_brute_force():
+    res = percolate.percolate(_ds(), QUERIES).take_all()
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append(r["doc_id"])
+    n_nonempty = 0
+    for qid, q in enumerate(QUERIES):
+        want = _brute(q)
+        assert sorted(got.get(qid, [])) == sorted(want), q
+        n_nonempty += bool(want)
+    assert n_nonempty >= 5
+
+
+def test_percolate_rejects_unsupported_shapes():
+    with pytest.raises(ValueError, match="wildcard"):
+        percolate.parse_queries(["jo*"])
+    with pytest.raises(ValueError, match="msm"):
+        percolate.parse_queries(["a b msm:2"])
+    with pytest.raises(ValueError, match="range"):
+        percolate.parse_queries(["join n_chars:[10 TO 20]"])
+
+
+def test_percolate_missing_filter_column_raises():
+    ds = _ds().drop_columns(["lang"])
+    with pytest.raises(Exception, match="filter column"):
+        percolate.percolate(ds, ["stream lang:fr"]).take_all()
