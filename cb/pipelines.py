@@ -819,6 +819,61 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
+TV_N_DOCS = 5  # term-vector request size for the packaged entry
+
+
+def q_term_vectors(sf_dir: str) -> pa.Table:
+    """ES _termvectors from the positional index: per requested doc,
+    every (term, tf, doc_len, position) — bucket-pruned + candidate-
+    block decode (cb.termvectors), no corpus re-analysis.  Requests the
+    TV_N_DOCS smallest doc ids (deterministic, SQL-mirrorable)."""
+    meta = get_index(sf_dir)
+    ids = pq.read_table(docs_path(sf_dir), columns=["doc_id"])["doc_id"].to_numpy(
+        zero_copy_only=False
+    )
+    sel = np.sort(ids)[:TV_N_DOCS].tolist()
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        rows = engine.term_vectors(sel)
+    finally:
+        engine.shutdown()
+    out = {"doc_id": [], "term": [], "tf": [], "doc_len": [], "pos": []}
+    for doc, term, tf, dl, pos in rows:
+        for p in pos:
+            out["doc_id"].append(doc)
+            out["term"].append(term)
+            out["tf"].append(tf)
+            out["doc_len"].append(dl)
+            out["pos"].append(p)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "term": pa.array(out["term"], pa.string()),
+            "tf": pa.array(out["tf"], pa.int64()),
+            "doc_len": pa.array(out["doc_len"], pa.int64()),
+            "pos": pa.array(out["pos"], pa.int64()),
+        }
+    )
+
+
+def sql_term_vectors() -> str:
+    tok = analyze.sql_token_array("text")
+    return f"""
+WITH sel AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {TV_N_DOCS}),
+docs AS (SELECT doc_id, {tok} AS toks FROM documents JOIN sel USING (doc_id)),
+exploded AS (
+  SELECT doc_id, t AS term, (i - 1)::BIGINT AS pos, doc_len
+  FROM (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i,
+               len(toks)::BIGINT AS doc_len
+        FROM docs)
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM exploded GROUP BY 1, 2)
+SELECT e.doc_id, e.term, tf.tf, e.doc_len, e.pos
+FROM exploded e JOIN tf ON tf.doc_id = e.doc_id AND tf.term = e.term
+ORDER BY e.doc_id, e.term, e.pos
+"""
+
+
 # Registered percolator queries (cb.percolate): full querylang boolean
 # layer — OR terms, phrases, +required, -exclusions, equality filters.
 PERCOLATE_SET: tuple[str, ...] = (
@@ -4881,6 +4936,7 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "phrase_prefix_search": q_phrase_prefix_search,
     "percolate": q_percolate,
+    "term_vectors": q_term_vectors,
     "phrase_slop_search": q_phrase_slop_search,
     "search_querystring": q_search_querystring,
     "search_facets": q_search_facets,
@@ -4990,6 +5046,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": sql_phrase_search(),
         "phrase_prefix_search": sql_phrase_prefix_search(),
         "percolate": sql_percolate(),
+        "term_vectors": sql_term_vectors(),
         "phrase_slop_search": sql_phrase_slop_search(),
         "search_querystring": sql_search_querystring(),
         "search_facets": sql_search_facets(),

@@ -570,6 +570,7 @@ class ShardServer:
                         zip(t["term"].to_pylist(), t["df"].to_pylist())
                     )
         self.num_parts = meta.num_parts
+        self.range_bits = meta.range_bits
         self.index_dir = index_dir
         self.buckets = buckets  # doc-range subset (doc-sharded mode)
         # tombstones are read ONCE at server start: deletes issued later
@@ -1121,6 +1122,39 @@ class ShardServer:
         return phrase_mod.phrase_prefix_topk(
             fixed, expansions, postings, self.stats, k, drop_ids=self.tombstones
         )
+
+    def term_vectors(self, doc_ids: list[int]) -> list[tuple]:
+        """ES _termvectors API from the positional index: for each
+        requested doc THIS scope owns, every (term, tf, doc_len,
+        positions) posting — bucket-pruned + candidate-block decode
+        (see cb.termvectors).  Tombstoned docs return nothing (ES 404
+        on a deleted doc).  Doc mode: only the owning server emits, so
+        the engine concat is duplicate-free."""
+        import pyarrow.compute as pc_
+
+        from . import termvectors
+        from .build import ID_BITS
+
+        shift = ID_BITS - self.range_bits
+        owned = set(self.buckets) if self.buckets is not None else None
+        rows: list[tuple] = []
+        for doc in doc_ids:
+            doc = int(doc)
+            if len(self.tombstones) and not _live_mask(
+                np.array([doc], dtype=np.int64), self.tombstones
+            )[0]:
+                continue
+            b = doc >> shift
+            if owned is not None and b not in owned:
+                continue
+            for part in self.parts.values():
+                if part.table is None:
+                    continue
+                t = part.table.filter(pc_.equal(part.table["bucket"], b))
+                for term, tf, dl, pos in termvectors.doc_term_vectors(t, doc):
+                    rows.append((doc, term, tf, dl, pos.tolist()))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        return rows
 
     def score_many(self, term_lists: list[list[str]], k: int, algo: str = "taat"):
         """Batched scoring of pre-tokenized queries whose terms this
@@ -2006,6 +2040,16 @@ class QueryEngine:
         fut = self._route_agg("function_score", parsed, involved, spec, k)
         parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
         return _merge_topk(parts, k)
+
+    def term_vectors(self, doc_ids: list[int]) -> list[tuple]:
+        """ES _termvectors: (doc_id, term, tf, doc_len, positions) for
+        each live requested doc, from the positional index (bucket +
+        candidate-block pruned — cb.termvectors).  One fan-out; owners
+        are disjoint in both topologies, so concat needs no dedupe."""
+        futs = [s.term_vectors.remote(list(doc_ids)) for s in self.servers]
+        rows = [r for part in ray.get(futs) for r in part]
+        rows.sort(key=lambda r: (r[0], r[1]))
+        return rows
 
     def _dispatch_composite(self, query_string: str, cols: list[str]):
         parsed, involved = self._parsed_and_involved(query_string)
