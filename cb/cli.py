@@ -132,6 +132,44 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    from . import snapshot as snap
+
+    if args.action == "create":
+        if not (args.name and args.index):
+            raise SystemExit("snapshot create needs --name and --index")
+        m = snap.create(args.index, args.repo, args.name)
+        print(json.dumps({"name": args.name, "files": len(m["files"]),
+                          "new_blobs": m["new_blobs"]}))
+    elif args.action == "restore":
+        if not (args.name and args.index):
+            raise SystemExit("snapshot restore needs --name and --index (target)")
+        n = snap.restore(args.repo, args.name, args.index)
+        print(json.dumps({"name": args.name, "restored_files": n,
+                          "target": args.index}))
+    else:
+        print(json.dumps({"snapshots": snap.list_snapshots(args.repo)}))
+    return 0
+
+
+def cmd_alias(args) -> int:
+    from . import snapshot as snap
+
+    if args.action == "set":
+        if not (args.name and args.index):
+            raise SystemExit("alias set needs --name and --index")
+        snap.set_alias(args.root, args.name, args.index)
+        print(json.dumps({"alias": args.name, "index": args.index}))
+    elif args.action == "resolve":
+        if not args.name:
+            raise SystemExit("alias resolve needs --name")
+        print(json.dumps({"alias": args.name,
+                          "index": snap.resolve_alias(args.root, args.name)}))
+    else:
+        print(json.dumps({"aliases": snap.list_aliases(args.root)}))
+    return 0
+
+
 def cmd_query(args) -> int:
     ray = _init_ray()
     from .shard import QueryEngine
@@ -409,6 +447,25 @@ def main(argv=None) -> int:
     fd.add_argument("--end-day", default=None, help="prune: last day YYYYMMDD")
     fd.add_argument("doc_ids", nargs="*", help="doc ids (delete)")
     fd.set_defaults(fn=cmd_fed)
+
+    sn = sub.add_parser(
+        "snapshot",
+        help="content-addressed index snapshots: create/restore/list (ES _snapshot analog)",
+    )
+    sn.add_argument("action", choices=["create", "restore", "list"])
+    sn.add_argument("--repo", required=True, help="snapshot repository dir")
+    sn.add_argument("--name", default=None, help="snapshot name")
+    sn.add_argument("--index", default=None, help="index dir (create) / restore target")
+    sn.set_defaults(fn=cmd_snapshot)
+
+    al = sub.add_parser(
+        "alias", help="atomic index aliases: set/resolve/list (ES alias analog)"
+    )
+    al.add_argument("action", choices=["set", "resolve", "list"])
+    al.add_argument("--root", required=True, help="dir holding aliases.json")
+    al.add_argument("--name", default=None)
+    al.add_argument("--index", default=None, help="target index dir (set)")
+    al.set_defaults(fn=cmd_alias)
 
     for name in ("query", "query-file", "phrase", "filtered-query", "search"):
         q = sub.add_parser(name, help="top-k BM25 query")
