@@ -1059,6 +1059,55 @@ class FederatedEngine:
         cnts = self.range_agg(query_string, {col: ranges}, **sel)[col]
         return _pct_ranks_from_counts(cnts, values)
 
+    def function_score(
+        self, query_string: str, spec: dict, k: int = 10, **sel
+    ) -> list[tuple[int, float]]:
+        """Federated function_score: each member combines its fed-
+        overlaid BM25 scores (fed-global N/avgdl/df) with the docmeta
+        feature locally; member doc sets are disjoint so the driver
+        re-cut is exact.  Needs ensure_fed_docmeta for the feature
+        column."""
+        futs = []
+        for n in self._select(**sel):
+            f = self.engines[n]._dispatch_function_score(query_string, spec, k)
+            if f is None:
+                continue
+            futs.extend(f if isinstance(f, list) else [f])
+        if not futs:
+            return []
+        return _merge_topk(ray.get(futs), k)
+
+    def phrase_prefix_query(
+        self, text: str, k: int = 10, max_expansions: int | None = None, **sel
+    ) -> list[tuple[int, float]]:
+        """Federated match_phrase_prefix.  The prefix expands per
+        member against ITS vocabulary (ES itself expands per shard); a
+        completion absent from a member can't match that member's
+        disjoint docs, so with max_expansions=None (default here) the
+        union is EXACTLY the monolithic result.  A finite cap applies
+        per member (ES parity) and may admit more total completions
+        than one monolithic index would."""
+        futs = []
+        for n in self._select(**sel):
+            f = self.engines[n]._dispatch_phrase_prefix(text, k, max_expansions)
+            if f is None:
+                continue
+            futs.extend(f if isinstance(f, list) else [f])
+        if not futs:
+            return []
+        return _merge_topk(ray.get(futs), k)
+
+    def term_vectors(self, doc_ids: list[int], **sel) -> list[tuple]:
+        """Federated _termvectors: fan out to every selected member
+        (content-derived doc ids are federation-unique, so concat is
+        duplicate-free), one ray.get."""
+        futs = []
+        for n in self._select(**sel):
+            futs.extend(self.engines[n]._dispatch_term_vectors(list(doc_ids)))
+        rows = [r for part in ray.get(futs) for r in part]
+        rows.sort(key=lambda r: (r[0], r[1]))
+        return rows
+
     def query_many(self, texts: list[str], k: int = 10, algo: str = "taat", **sel_kwargs):
         """Batched federation fan-out: in doc mode every server of every
         selected sub-index gets ONE score_many RPC covering all queries

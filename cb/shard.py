@@ -1571,6 +1571,37 @@ class QueryEngine:
             return _merge_topk(ray.get(fut), k)
         return ray.get(fut)
 
+    def _dispatch_phrase_prefix(
+        self, text: str, k: int, max_expansions: int | None
+    ):
+        ordered = analyze.tokenize(text)
+        if not ordered:
+            return None
+        fixed, prefix = ordered[:-1], ordered[-1]
+        if self._vocab is None:
+            self._vocab = load_vocab(self.meta)
+        expansions = sorted(t for t in self._vocab if t.startswith(prefix))
+        if max_expansions is not None:
+            expansions = expansions[:max_expansions]
+        if not expansions:
+            return None
+        if self.mode == "doc":
+            return [
+                s.phrase_prefix.remote(fixed, expansions, k) for s in self.servers
+            ]
+        involved = sorted(set(fixed) | set(expansions))
+        owners = {t: self._owner(t) for t in involved}
+        counts = np.bincount([owners[t] for t in involved], minlength=self.num_servers)
+        scorer = int(np.argmax(counts))
+        fetched_terms = [
+            t for t in involved if owners[t] != scorer and t not in self.seen[scorer]
+        ]
+        refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
+        self.seen[scorer].update(involved)
+        return self.servers[scorer].phrase_prefix.remote(
+            fixed, expansions, k, fetched_terms, *refs
+        )
+
     def phrase_prefix_query(
         self, text: str, k: int = 10, max_expansions: int | None = 50
     ) -> list[tuple[int, float]]:
@@ -1581,36 +1612,12 @@ class QueryEngine:
         SQL-mirrorable configuration); docs where the fixed tokens are
         immediately followed by any completion match, scored by BM25 of
         the fixed terms (cb.phrase.phrase_prefix_topk contract)."""
-        ordered = analyze.tokenize(text)
-        if not ordered:
+        fut = self._dispatch_phrase_prefix(text, k, max_expansions)
+        if fut is None:
             return []
-        fixed, prefix = ordered[:-1], ordered[-1]
-        if self._vocab is None:
-            self._vocab = load_vocab(self.meta)
-        expansions = sorted(t for t in self._vocab if t.startswith(prefix))
-        if max_expansions is not None:
-            expansions = expansions[:max_expansions]
-        if not expansions:
-            return []
-        if self.mode == "doc":
-            futs = [
-                s.phrase_prefix.remote(fixed, expansions, k) for s in self.servers
-            ]
-            return _merge_topk(ray.get(futs), k)
-        involved = sorted(set(fixed) | set(expansions))
-        owners = {t: self._owner(t) for t in involved}
-        counts = np.bincount([owners[t] for t in involved], minlength=self.num_servers)
-        scorer = int(np.argmax(counts))
-        fetched_terms = [
-            t for t in involved if owners[t] != scorer and t not in self.seen[scorer]
-        ]
-        refs = [self.servers[owners[t]].get_postings.remote(t) for t in fetched_terms]
-        self.seen[scorer].update(involved)
-        return ray.get(
-            self.servers[scorer].phrase_prefix.remote(
-                fixed, expansions, k, fetched_terms, *refs
-            )
-        )
+        if isinstance(fut, list):
+            return _merge_topk(ray.get(fut), k)
+        return ray.get(fut)
 
     def _dispatch_search(self, query_string: str, k: int, synonyms: dict | None = None):
         """Query-string dispatch WITHOUT the final ray.get: returns a
@@ -2028,25 +2035,33 @@ class QueryEngine:
         )[:k]
         return [d for d, _ in merged]
 
+    def _dispatch_function_score(self, query_string: str, spec: dict, k: int):
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return None
+        return self._route_agg("function_score", parsed, involved, spec, k)
+
     def function_score(
         self, query_string: str, spec: dict, k: int = 10
     ) -> list[tuple[int, float]]:
         """ES function_score: full-match-set BM25 combined with a
         docmeta-feature function (see ShardServer.function_score for the
         spec kinds), exact global top-k from disjoint per-server cuts."""
-        parsed, involved = self._parsed_and_involved(query_string)
-        if not involved:
+        fut = self._dispatch_function_score(query_string, spec, k)
+        if fut is None:
             return []
-        fut = self._route_agg("function_score", parsed, involved, spec, k)
         parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
         return _merge_topk(parts, k)
+
+    def _dispatch_term_vectors(self, doc_ids: list[int]) -> list:
+        return [s.term_vectors.remote(list(doc_ids)) for s in self.servers]
 
     def term_vectors(self, doc_ids: list[int]) -> list[tuple]:
         """ES _termvectors: (doc_id, term, tf, doc_len, positions) for
         each live requested doc, from the positional index (bucket +
         candidate-block pruned — cb.termvectors).  One fan-out; owners
         are disjoint in both topologies, so concat needs no dedupe."""
-        futs = [s.term_vectors.remote(list(doc_ids)) for s in self.servers]
+        futs = self._dispatch_term_vectors(doc_ids)
         rows = [r for part in ray.get(futs) for r in part]
         rows.sort(key=lambda r: (r[0], r[1]))
         return rows

@@ -906,3 +906,48 @@ def test_federated_range_composite_top_hits(fed_built, tmp_path):
     finally:
         eng.shutdown()
         mono_eng.shutdown()
+
+
+def test_fed_function_score_prefix_and_term_vectors(tmp_path, ray_session):
+    """Round-5 API closure: function_score, match_phrase_prefix and
+    term_vectors across the federation == the monolithic pool,
+    bitwise."""
+    from cb import docmeta as dm
+    from cb.build import build_index
+    from cb.shard import QueryEngine
+
+    d = tmp_path
+    src = str(d / "docs.parquet")
+    _mk_corpus(src)
+    # add the numeric feature column function_score needs
+    t = pq.read_table(src)
+    n_chars = pa.array([len(x) for x in t["text"].to_pylist()], pa.int64())
+    pq.write_table(t.append_column("n_chars", n_chars), src)
+    mono = str(d / "mono")
+    build_index(src, mono, text_col="text", id_col="doc_id", num_parts=4)
+    dm.ensure_docmeta(mono, src, ["n_chars"])
+    fed_dir = str(d / "fed")
+    meta = federated.build_federation(
+        src, fed_dir, text_col="text", id_col="doc_id", ts_col="ts",
+        prefix="cb-", columns=["doc_id", "text", "n_chars"], num_parts=4,
+    )
+    federated.ensure_fed_docmeta(fed_dir, ["n_chars"])
+    mono_eng = QueryEngine(mono, num_servers=2)
+    eng = federated.FederatedEngine(fed_dir, num_servers=2)
+    try:
+        spec = {"kind": "saturation", "col": "n_chars", "w": 3.0, "pivot": 50}
+        dec = {"kind": "linear_decay", "col": "n_chars", "origin": 80, "scale": 60}
+        for s in (spec, dec):
+            got = eng.function_score("merge join w3", s, k=10)
+            want = mono_eng.function_score("merge join w3", s, k=10)
+            assert got == want and got, s["kind"]
+        for q in ("merge jo", "hash ind", "index sc", "w3 w1"):
+            got = eng.phrase_prefix_query(q, k=10, max_expansions=None)
+            want = mono_eng.phrase_prefix_query(q, k=10, max_expansions=None)
+            assert got == want, q
+        ids = sorted(pq.read_table(src)["doc_id"].to_pylist())[:4]
+        assert eng.term_vectors(ids) == mono_eng.term_vectors(ids)
+        assert eng.term_vectors(ids)  # non-empty
+    finally:
+        eng.shutdown()
+        mono_eng.shutdown()
