@@ -429,8 +429,66 @@ def run_bench() -> dict:
                     for q in qs_:
                         fn(q)
                 extras[key] = reps * len(qs_) / (time.perf_counter() - t0)
+
+            # phase 10: round-5 search-API closure — function_score
+            # (full-match combine), match_phrase_prefix (vocabulary
+            # expansion + positional chains), term vectors (bucket +
+            # candidate-block pruned decode)
+            from cb.pipelines import (
+                FSCORE_PIVOT,
+                FSCORE_W,
+                PHRASE_PREFIX_SET,
+                QUERY_SET as _QS,
+            )
+
+            spec = {"kind": "saturation", "col": "n_chars",
+                    "w": FSCORE_W, "pivot": FSCORE_PIVOT}
+            for q in _QS[:5]:
+                ag.function_score(q, spec, k=10)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                for q in _QS[:5]:
+                    ag.function_score(q, spec, k=10)
+            extras["function_score_per_sec"] = reps * 5 / (time.perf_counter() - t0)
+
+            for q in PHRASE_PREFIX_SET:
+                ag.phrase_prefix_query(q, k=10, max_expansions=None)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                for q in PHRASE_PREFIX_SET:
+                    ag.phrase_prefix_query(q, k=10, max_expansions=None)
+            extras["phrase_prefix_per_sec"] = (
+                reps * len(PHRASE_PREFIX_SET) / (time.perf_counter() - t0)
+            )
+
+            import numpy as np
+            import pyarrow.parquet as _pq
+
+            tv_ids = np.sort(
+                _pq.read_table(docs_path, columns=["doc_id"])["doc_id"]
+                .to_numpy(zero_copy_only=False)
+            )[:20].tolist()
+            ag.term_vectors(tv_ids[:5])  # warm
+            t0 = time.perf_counter()
+            for i in range(0, 20, 5):
+                ag.term_vectors(tv_ids[i : i + 5])
+            extras["term_vectors_docs_per_sec"] = 20 / (time.perf_counter() - t0)
         finally:
             ag.shutdown()
+
+        # phase 10b: percolator throughput — index-free streaming pass
+        # over the whole documents table (docs/sec, vectorized)
+        from cb import percolate as perc_mod
+        from cb.pipelines import PERCOLATE_SET
+
+        n_docs_tbl = meta_docs.n_docs
+        t0 = time.perf_counter()
+        perc_ds = perc_mod.percolate(
+            ray.data.read_parquet(docs_path), list(PERCOLATE_SET)
+        )
+        n_pairs = perc_ds.count()
+        extras["percolate_docs_per_sec"] = n_docs_tbl / (time.perf_counter() - t0)
+        extras["percolate_pairs"] = float(n_pairs)
 
     extras["calib_end_sec"] = _calibrate()
     total = sum(timings.values())

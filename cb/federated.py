@@ -1198,6 +1198,9 @@ class _MultiFieldFedMember:
         keeping the result bitwise the monolithic MLT."""
         return self.searcher.more_like_this(doc_fields, k, max_terms)
 
+    def function_score(self, query: str, spec: dict, k: int):
+        return self.searcher.function_score(query, spec, k)
+
     def significant_counts(self, query: str, field: str, min_df: int):
         return self.searcher.significant_counts(query, field, min_df)
 
@@ -1346,6 +1349,21 @@ class FederatedMultiFieldEngine:
         if not futs:
             return {}
         return _merge_top_hits(ray.get(futs), k_per)
+
+    def function_score(
+        self, query: str, spec: dict, k: int = 10, **sel
+    ) -> list[tuple[int, float]]:
+        """Federated multifield function_score: members combine their
+        fed-global most_fields scores with the docmeta feature locally;
+        disjoint member doc sets -> exact driver re-cut (bitwise the
+        monolithic multifield function_score)."""
+        futs = [
+            self.members[n].function_score.remote(query, spec, k)
+            for n in self._select(**sel)
+        ]
+        if not futs:
+            return []
+        return _merge_topk(ray.get(futs), k)
 
     def collapse(
         self, query: str, group_col: str, k: int, **sel

@@ -827,6 +827,24 @@ class MultiFieldSearcher:
             return {}
         return _top_hits_over(ids, scores, dm, group_col, k_per)
 
+    def function_score(self, query: str, spec: dict, k: int = 10):
+        """ES function_score over the full multifield match set: the
+        most_fields sum of every matching doc combines with the docmeta
+        feature BEFORE the top-k cut (cb.shard._combine_function_score
+        kernel — bitwise the SQL mirror)."""
+        import numpy as np
+
+        from .query import rank_topk
+        from .shard import _combine_function_score
+
+        ids, scores, dm = self._match_scored(query)
+        if dm is None:
+            raise ValueError("function_score needs a docmeta table (cb.docmeta)")
+        if ids is None or len(ids) == 0:
+            return []
+        x = dm.gather(ids, spec["col"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        return rank_topk(ids, _combine_function_score(scores, x, spec), k)
+
     def term_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
         """Corpus-global df per term for one field from its partition
         ``_termdf`` summaries (fed mode: the feddf overlay, so this is
@@ -1027,6 +1045,31 @@ class MultiFieldServer:
         all_ids, total, keep = m
         return _top_hits_over(all_ids[keep], total[keep], dm, group_col, k_per)
 
+    def function_score(self, routed: dict, spec: dict, k: int):
+        """function_score over THIS slice's scored match set; the
+        most_fields sum is slice-independent, so the driver's
+        _merge_topk re-cut over disjoint slices is exact."""
+        import numpy as np
+
+        from .query import rank_topk
+        from .shard import _combine_function_score
+
+        dm = self._ensure_dm()
+        if dm is None:
+            raise ValueError("function_score needs a docmeta table (cb.docmeta)")
+        m = _match_fields(
+            routed, self._get, self.stats, self.fields, self.tombstones,
+            docmeta=dm,
+        )
+        if m is None:
+            return []
+        all_ids, total, keep = m
+        ids, sc = all_ids[keep], total[keep]
+        if len(ids) == 0:
+            return []
+        x = dm.gather(ids, spec["col"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        return rank_topk(ids, _combine_function_score(sc, x, spec), k)
+
     def get_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
         """Corpus-global per-field df from the ``_termdf`` summaries
         (every doc-sharded server holds every partition's summary)."""
@@ -1173,6 +1216,14 @@ class MultiFieldEngine:
         routed = self._routed(query)
         futs = [s.composite_counts.remote(routed, list(cols)) for s in self.servers]
         return _page_composite(_merge_composite(ray.get(futs)), size, after)
+
+    def function_score(self, query: str, spec: dict, k: int = 10):
+        """ES function_score over the full multifield match set: exact
+        pool merge of per-slice combined top-k lists (the most_fields
+        sum is slice-independent, the feature is per-doc)."""
+        routed = self._routed(query)
+        futs = [s.function_score.remote(routed, spec, k) for s in self.servers]
+        return _merge_topk(ray.get(futs), k)
 
     def top_hits(self, query: str, group_col: str, k_per: int) -> dict:
         """ES top_hits-inside-terms-agg over the full multifield match

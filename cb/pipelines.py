@@ -3174,6 +3174,64 @@ ORDER BY query_id, range_idx
 """
 
 
+def q_multifield_function_score(sf_dir: str) -> pa.Table:
+    """ES function_score on the MULTIFIELD engine: the most_fields sum
+    of every matching doc combines with the n_chars saturation feature
+    BEFORE the top-k cut (shared _combine_function_score kernel), exact
+    pool merge."""
+    from . import multifield
+
+    idx = get_multifield_index(sf_dir)
+    _ensure_mf_docmeta(sf_dir, idx)
+    spec = {"kind": "saturation", "col": "n_chars", "w": FSCORE_W, "pivot": FSCORE_PIVOT}
+    engine = multifield.MultiFieldEngine(idx, num_servers=2)
+    try:
+        results = [engine.function_score(q, spec, k=K) for q in MF_QS_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_multifield_function_score() -> str:
+    """Mirror: shared multifield match prefix + most_fields total CTE,
+    then the same one-division saturation combine the single-field
+    function_score mirror uses."""
+    return f"""{_mf_sql_prefix(MF_QS_SET)}{_MF_RANKED_TAIL},
+fs AS (
+  SELECT t.query_id, t.doc_id,
+         t.score + CAST({FSCORE_W} AS DOUBLE) *
+         (d.n_chars::DOUBLE / (d.n_chars + {FSCORE_PIVOT})::DOUBLE) AS combined
+  FROM total t JOIN documents d ON d.doc_id = t.doc_id
+),
+franked AS (
+  SELECT query_id, doc_id, combined,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY combined DESC, doc_id ASC) AS rank
+  FROM fs
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(combined, 6) AS score
+FROM franked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 def q_multifield_top_hits(sf_dir: str) -> pa.Table:
     """ES top_hits-inside-terms-agg on the MULTIFIELD engine: per
     (query, lang), the exact top TOP_HITS_PER docs of the full
@@ -4960,6 +5018,7 @@ QUERIES = {
     "quantiles_sketch": q_quantiles_sketch,
     "multifield_range_agg": q_multifield_range_agg,
     "multifield_top_hits": q_multifield_top_hits,
+    "multifield_function_score": q_multifield_function_score,
     "significant_terms": q_significant_terms,
     "content_sha256": q_content_sha256,
     "dedup_exact": q_dedup_exact,
@@ -5070,6 +5129,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_sketch": sql_quantiles_sketch(),
         "multifield_range_agg": sql_multifield_range_agg(),
         "multifield_top_hits": sql_multifield_top_hits(),
+        "multifield_function_score": sql_multifield_function_score(),
         "significant_terms": sql_significant_terms(),
         "content_sha256": sql_content_sha256(),
         "dedup_exact": dedup.sql_exact_duplicates(),

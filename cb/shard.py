@@ -503,6 +503,22 @@ def _merge_top_hits(parts: list[dict], k_per: int) -> dict:
     return out
 
 
+def _combine_function_score(sc: np.ndarray, x: np.ndarray, spec: dict) -> np.ndarray:
+    """function_score combine kernel, shared by the single-field and
+    multifield servers: ``saturation`` = score + w*x/(x+pivot) (ES
+    rank_feature), ``linear_decay`` = score * max(0,
+    scale-|x-origin|)/scale.  One division / one multiply per doc —
+    bitwise the SQL mirror (no transcendentals)."""
+    if spec["kind"] == "saturation":
+        w, pivot = float(spec["w"]), int(spec["pivot"])
+        return sc + w * (x.astype(np.float64) / (x + pivot).astype(np.float64))
+    if spec["kind"] == "linear_decay":
+        origin, scale = int(spec["origin"]), int(spec["scale"])
+        decay = np.maximum(scale - np.abs(x - origin), 0).astype(np.float64) / float(scale)
+        return sc * decay
+    raise ValueError(f"unknown function_score kind {spec['kind']!r}")
+
+
 def load_vocab(meta: IndexMeta) -> list[str]:
     """Index vocabulary: the union of the partitions' ``_termdf.parquet``
     term columns (vocabulary-sized, NOT corpus-sized — this is the same
@@ -926,16 +942,7 @@ class ShardServer:
         if len(ids) == 0:
             return []
         x = dm.gather(ids, spec["col"]).to_numpy(zero_copy_only=False).astype(np.int64)
-        if spec["kind"] == "saturation":
-            w, pivot = float(spec["w"]), int(spec["pivot"])
-            combined = sc + w * (x.astype(np.float64) / (x + pivot).astype(np.float64))
-        elif spec["kind"] == "linear_decay":
-            origin, scale = int(spec["origin"]), int(spec["scale"])
-            decay = np.maximum(scale - np.abs(x - origin), 0).astype(np.float64) / float(scale)
-            combined = sc * decay
-        else:
-            raise ValueError(f"unknown function_score kind {spec['kind']!r}")
-        return rank_topk(ids, combined, k)
+        return rank_topk(ids, _combine_function_score(sc, x, spec), k)
 
     def explain(
         self, terms: list[str], doc_id: int, fetched_terms: list[str] = (), *fetched

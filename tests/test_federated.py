@@ -951,3 +951,47 @@ def test_fed_function_score_prefix_and_term_vectors(tmp_path, ray_session):
     finally:
         eng.shutdown()
         mono_eng.shutdown()
+
+
+def test_multifield_fed_function_score_bitwise(tmp_path, ray_session):
+    """Federated multifield function_score == monolithic multifield
+    function_score, bitwise (fed-global per-field stats + local feature
+    combine over disjoint member doc sets)."""
+    from cb import docmeta as dm
+    from cb import federated, multifield
+
+    t = _mf_day_corpus()
+    n_chars = pa.array([len(x) for x in t["body"].to_pylist()], pa.int64())
+    t = t.append_column("n_chars", n_chars)
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+
+    fed_dir = str(tmp_path / "fed")
+    federated.build_federation(
+        ray.data.read_parquet(src), fed_dir,
+        fields=["body", "title"], id_col="doc_id", ts_col="ts",
+        prefix="mf-", num_parts=4,
+        columns=["doc_id", "body", "title", "n_chars"],
+    )
+    federated.ensure_fed_docmeta(fed_dir, ["n_chars"])
+
+    mono_dir = str(tmp_path / "mono")
+    multifield.build_multifield(
+        ray.data.read_parquet(src), mono_dir, ["body", "title"],
+        id_col="doc_id", num_parts=4,
+    )
+    dm.ensure_docmeta(multifield.field_dir(mono_dir, "body"), src, ["n_chars"])
+    mono = multifield.MultiFieldSearcher(mono_dir)
+
+    eng = federated.FederatedMultiFieldEngine(fed_dir)
+    try:
+        sat = {"kind": "saturation", "col": "n_chars", "w": 4.0, "pivot": 60}
+        dec = {"kind": "linear_decay", "col": "n_chars", "origin": 90, "scale": 70}
+        for spec in (sat, dec):
+            for q in ("tok1 tok2", "title:tok3 tok4", "tok5 tok7 tok9"):
+                got = eng.function_score(q, spec, k=10)
+                want = mono.function_score(q, spec, k=10)
+                assert got == want, (spec["kind"], q)
+                assert got  # non-degenerate
+    finally:
+        eng.shutdown()
