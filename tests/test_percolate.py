@@ -86,3 +86,29 @@ def test_percolate_missing_filter_column_raises():
     ds = _ds().drop_columns(["lang"])
     with pytest.raises(Exception, match="filter column"):
         percolate.percolate(ds, ["stream lang:fr"]).take_all()
+
+
+def test_percolate_prefilter_exact_and_skips():
+    """Term-indexed query prefiltering (the ES percolator trick) must
+    change nothing about the output — including queries whose universe
+    terms never occur in the corpus — while evaluating fewer queries."""
+    queries = QUERIES + ["absentterm otherabsent", '"missing phrase"']
+    a = percolate.percolate(_ds(), queries, prefilter=True).take_all()
+    b = percolate.percolate(_ds(), queries, prefilter=False).take_all()
+    key = lambda r: (r["query_id"], r["doc_id"])
+    assert sorted(a, key=key) == sorted(b, key=key)
+    # registry ids survive the compaction remap: the last REAL query
+    # keeps its original id even with dead queries interleaved
+    assert {r["query_id"] for r in a} <= set(range(len(QUERIES)))
+
+
+def test_percolate_prefilter_batch_skip():
+    """A batch containing none of any query's universe terms emits
+    nothing (and takes the early-exit path)."""
+    import pyarrow as pa
+    import ray
+
+    rows = [{"doc_id": 1, "text": "completely unrelated words here", "lang": "en"}]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = percolate.percolate(ds, ["hash join", '"merge sort"']).take_all()
+    assert out == []
