@@ -1163,6 +1163,50 @@ class ShardServer:
         rows.sort(key=lambda r: (r[0], r[1]))
         return rows
 
+    def term_vectors_store(
+        self, doc_ids: list[int], text_col: str = "text"
+    ) -> list[tuple]:
+        """Doc-store term vectors: re-analyze the stored docmeta text
+        column (ES's _termvectors-from-_source behavior, and the 100-TB
+        fast path — O(doc length) per request, no index scan).  Output
+        contract identical to :meth:`term_vectors`; the parity test
+        between the two cross-proves the positional index against the
+        analyzer."""
+        from . import docmeta as docmeta_mod
+        from .build import ID_BITS
+
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        dm = self._docmeta
+        if text_col not in dm.cols:
+            raise ValueError(
+                f"doc-store term vectors need docmeta column {text_col!r} "
+                f"(has {sorted(dm.cols)}); build it with cb.docmeta or use "
+                "the index path (term_vectors)"
+            )
+        shift = ID_BITS - self.range_bits
+        owned = set(self.buckets) if self.buckets is not None else None
+        ids = np.array(sorted(set(int(d) for d in doc_ids)), dtype=np.int64)
+        if owned is not None and len(ids):
+            ids = ids[np.isin(ids >> shift, np.array(sorted(owned), dtype=np.int64))]
+        if len(self.tombstones) and len(ids):
+            ids = ids[_live_mask(ids, self.tombstones)]
+        if len(ids) == 0:
+            return []
+        texts = dm.gather(ids, text_col)
+        rows: list[tuple] = []
+        for doc, txt in zip(ids.tolist(), texts.to_pylist()):
+            if txt is None:
+                continue  # id not in this scope's docmeta slice
+            toks = analyze.tokenize(txt)
+            by_term: dict[str, list[int]] = {}
+            for i, t in enumerate(toks):
+                by_term.setdefault(t, []).append(i)
+            for term in sorted(by_term):
+                pos = by_term[term]
+                rows.append((doc, term, len(pos), len(toks), pos))
+        return rows
+
     def score_many(self, term_lists: list[list[str]], k: int, algo: str = "taat"):
         """Batched scoring of pre-tokenized queries whose terms this
         server already holds (warm path; one RPC amortizes round-trips)."""
@@ -2060,15 +2104,31 @@ class QueryEngine:
         parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
         return _merge_topk(parts, k)
 
-    def _dispatch_term_vectors(self, doc_ids: list[int]) -> list:
+    def _dispatch_term_vectors(
+        self, doc_ids: list[int], source: str = "index", text_col: str = "text"
+    ) -> list:
+        if source == "store":
+            # doc mode: each server re-analyzes its own docmeta slice;
+            # term mode: docmeta is whole-corpus on every server, so ONE
+            # server answers (no duplicate rows)
+            servers = self.servers if self.mode == "doc" else self.servers[:1]
+            return [
+                s.term_vectors_store.remote(list(doc_ids), text_col)
+                for s in servers
+            ]
         return [s.term_vectors.remote(list(doc_ids)) for s in self.servers]
 
-    def term_vectors(self, doc_ids: list[int]) -> list[tuple]:
+    def term_vectors(
+        self, doc_ids: list[int], source: str = "index", text_col: str = "text"
+    ) -> list[tuple]:
         """ES _termvectors: (doc_id, term, tf, doc_len, positions) for
-        each live requested doc, from the positional index (bucket +
-        candidate-block pruned — cb.termvectors).  One fan-out; owners
-        are disjoint in both topologies, so concat needs no dedupe."""
-        futs = self._dispatch_term_vectors(doc_ids)
+        each live requested doc.  ``source="index"`` extracts from the
+        positional index (bucket + candidate-block pruned —
+        cb.termvectors); ``source="store"`` re-analyzes the stored
+        docmeta text column (ES-from-_source, the high-QPS scale path).
+        Identical output either way; owners are disjoint, so concat
+        needs no dedupe."""
+        futs = self._dispatch_term_vectors(doc_ids, source, text_col)
         rows = [r for part in ray.get(futs) for r in part]
         rows.sort(key=lambda r: (r[0], r[1]))
         return rows

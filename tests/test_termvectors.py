@@ -89,3 +89,33 @@ def test_term_vectors_requires_positions(built):
         if termvectors.doc_term_vectors(t, doc):  # doc lives in this part
             with pytest.raises(ValueError, match="no positions"):
                 termvectors.doc_term_vectors(stripped, doc)
+
+
+def test_term_vectors_store_path_matches_index_path(built, tmp_path):
+    """Doc-store term vectors (re-analyze stored text) == index-path
+    term vectors — cross-proving the positional index against the
+    analyzer — in both topologies; missing text column raises."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from cb import docmeta as dm
+
+    idx, texts = built
+    # docmeta with the stored text column
+    rows = [{"doc_id": d, "text": t} for d, t in texts.items()]
+    src = str(tmp_path / "d.parquet")
+    pq2.write_table(pa.Table.from_pylist(rows), src)
+    dm.ensure_docmeta(idx, src, ["text"])
+    ids = sorted(texts)
+    sel = [ids[0], ids[50], ids[-1], 424242]  # incl. an absent id
+    for mode in ("doc", "term"):
+        eng = sm.QueryEngine(idx, num_servers=3, mode=mode)
+        try:
+            via_index = eng.term_vectors(sel)
+            via_store = eng.term_vectors(sel, source="store")
+            assert [(d, t, tf, dl, list(p)) for d, t, tf, dl, p in via_index] == [
+                (d, t, tf, dl, list(p)) for d, t, tf, dl, p in via_store
+            ], mode
+            assert via_store
+        finally:
+            eng.shutdown()
