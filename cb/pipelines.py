@@ -3932,6 +3932,188 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
+# Hybrid search (ES/vector-db RRF): fuse a BM25 ranking and an ANN
+# cosine ranking of the SAME corpus by reciprocal rank.  Query i is the
+# i-th smallest doc id: its first-8-token text drives BM25, its
+# md5-derived fake embedding (the value-checked media decoder) drives
+# ANN — both halves have proven SQL mirrors, so the fusion is
+# value-checked end to end.
+HYBRID_W = 30   # per-ranking candidate window
+HYBRID_RRF_K = 60  # the standard RRF dampener
+
+
+def q_hybrid_rrf(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval: per query doc, BM25 top-W (first 8 tokens of
+    its text, distinct-term scoring) and cosine top-W over the
+    md5-derived feature tensors fuse as ``1/(60+rank_bm25) +
+    1/(60+rank_ann)`` (missing rank contributes 0); final top-K by
+    (rrf desc, doc_id asc).  Only integer-ranked inputs and two exact
+    double divisions per doc — bitwise the SQL mirror."""
+    import pyarrow.parquet as _pq
+
+    from . import multimodal
+
+    tbl = _pq.read_table(docs_path(sf_dir), columns=["doc_id", "text"])
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    qpos = order[:5]
+    qids = ids[qpos]
+    qtexts = [tbl["text"][int(i)].as_py() for i in qpos]
+
+    # ANN half: fake-decoded feature tensors (media pipeline machinery)
+    media = pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(["image"] * len(ids), pa.string()),
+            "payload": pa.array(
+                [t.encode() for t in tbl["text"].to_pylist()], pa.binary()
+            ),
+        }
+    )
+    feats = ray.data.from_arrow(media).map_batches(
+        multimodal.DecodeStage,
+        fn_constructor_kwargs={
+            "fake": True, "out_dim": MEDIA_DIM, "out_type": "float64",
+        },
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    ).materialize()
+    qset = pa.array(qids, type=pa.int64())
+    head = sorted(
+        feats.map_batches(
+            lambda b: b.filter(pc.is_in(b["media_id"], value_set=qset)),
+            batch_format="pyarrow",
+        ).take_all(),
+        key=lambda r: r["media_id"],
+    )
+    qmat = np.array([r["feature"] for r in head])
+    ann_tbl = ann.brute_force_topk(
+        feats, qmat, qids, k=HYBRID_W, vec_col="feature", id_col="media_id"
+    )
+    rank_a: dict[tuple[int, int], int] = {}
+    for r in ann_tbl.select(["query_id", "rank", "vec_id"]).to_pylist():
+        rank_a[(int(r["query_id"]), int(r["vec_id"]))] = int(r["rank"])
+
+    # BM25 half: first-8-token queries on the documents index
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        rank_b: dict[tuple[int, int], int] = {}
+        for qid, text in zip(qids.tolist(), qtexts):
+            terms = sorted(set(analyze.tokenize(text)[:8]))
+            for rank, (doc, _s) in enumerate(
+                engine.query_terms(terms, k=HYBRID_W), start=1
+            ):
+                rank_b[(int(qid), doc)] = rank
+    finally:
+        engine.shutdown()
+
+    rows = {"query_id": [], "rank": [], "doc_id": [], "rrf": []}
+    for qid in qids.tolist():
+        cand = {d for (q, d) in rank_a if q == qid} | {
+            d for (q, d) in rank_b if q == qid
+        }
+        fused = []
+        for d in cand:
+            ra = rank_a.get((qid, d))
+            rb = rank_b.get((qid, d))
+            # fixed A-then-B addition order == the SQL coalesce sum
+            s = (1.0 / (HYBRID_RRF_K + ra) if ra else 0.0) + (
+                1.0 / (HYBRID_RRF_K + rb) if rb else 0.0
+            )
+            fused.append((d, s))
+        fused.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (d, s) in enumerate(fused[:K], start=1):
+            rows["query_id"].append(int(qid))
+            rows["rank"].append(rank)
+            rows["doc_id"].append(d)
+            rows["rrf"].append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "rrf": pa.array(
+                np.round(np.array(rows["rrf"], dtype=np.float64), 9),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_hybrid_rrf() -> str:
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    feat = (
+        f"list_transform(range(0, {MEDIA_DIM}), j -> "
+        "(md5_number_lower(concat(lower(hex(encode(text))), ':', j)) "
+        "% 2000001) / 1e6 - 1.0)"
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+feats AS (SELECT doc_id AS media_id, {feat} AS feature FROM documents),
+qv AS (SELECT media_id, feature FROM feats ORDER BY media_id LIMIT 5),
+aranked AS (
+  SELECT query_id, vec_id, rank_a FROM (
+    SELECT qv.media_id AS query_id, f.media_id AS vec_id,
+           row_number() OVER (
+             PARTITION BY qv.media_id
+             ORDER BY list_cosine_similarity(qv.feature, f.feature) DESC,
+                      f.media_id ASC
+           ) AS rank_a
+    FROM qv CROSS JOIN feats f
+  ) WHERE rank_a <= {HYBRID_W}
+),
+qd AS (
+  SELECT d.doc_id AS query_id, list_slice(d.toks, 1, 8) AS qtoks
+  FROM docs d JOIN qv ON qv.media_id = d.doc_id
+),
+qt AS (SELECT DISTINCT query_id, unnest(qtoks) AS term FROM qd),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum({contrib} ORDER BY qt.term) AS score
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+branked AS (
+  SELECT query_id, doc_id, rank_b FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank_b
+    FROM scored
+  ) WHERE rank_b <= {HYBRID_W}
+),
+fused AS (
+  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         coalesce(a.vec_id, b.doc_id) AS doc_id,
+         coalesce(1.0 / ({HYBRID_RRF_K} + a.rank_a), CAST(0 AS DOUBLE))
+         + coalesce(1.0 / ({HYBRID_RRF_K} + b.rank_b), CAST(0 AS DOUBLE)) AS rrf
+  FROM aranked a
+  FULL OUTER JOIN branked b
+    ON a.query_id = b.query_id AND a.vec_id = b.doc_id
+),
+final AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(rrf, 9) AS rrf
+FROM final WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 def q_top_docs_per_lang(sf_dir: str) -> pa.Table:
     """Per-group top-k (top-3 longest docs per language, ties by
     doc_id), TWO-PHASE: a per-batch partial top-3 combiner shrinks the
@@ -4995,6 +5177,7 @@ QUERIES = {
     "phrase_prefix_search": q_phrase_prefix_search,
     "percolate": q_percolate,
     "term_vectors": q_term_vectors,
+    "hybrid_rrf": q_hybrid_rrf,
     "phrase_slop_search": q_phrase_slop_search,
     "search_querystring": q_search_querystring,
     "search_facets": q_search_facets,
@@ -5106,6 +5289,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_prefix_search": sql_phrase_prefix_search(),
         "percolate": sql_percolate(),
         "term_vectors": sql_term_vectors(),
+        "hybrid_rrf": sql_hybrid_rrf(),
         "phrase_slop_search": sql_phrase_slop_search(),
         "search_querystring": sql_search_querystring(),
         "search_facets": sql_search_facets(),
