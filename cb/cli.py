@@ -170,6 +170,45 @@ def cmd_alias(args) -> int:
     return 0
 
 
+def cmd_termvectors(args) -> int:
+    _init_ray()
+    from .shard import QueryEngine
+
+    engine = QueryEngine(args.index, num_servers=args.servers)
+    try:
+        rows = engine.term_vectors(
+            [int(x) for x in args.ids.split(",")],
+            source="store" if args.store else "index",
+        )
+    finally:
+        engine.shutdown()
+    print(json.dumps({
+        "rows": [
+            {"doc_id": d, "term": t, "tf": tf, "doc_len": dl,
+             "positions": list(p)}
+            for d, t, tf, dl, p in rows
+        ]
+    }))
+    return 0
+
+
+def cmd_percolate(args) -> int:
+    ray = _init_ray()
+    from . import percolate as perc
+
+    ds = ray.data.read_parquet(args.input)
+    out = perc.percolate(
+        ds, list(args.query), text_col=args.text_col, id_col=args.id_col
+    )
+    if args.out:
+        out.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "matches": out.count()}))
+    else:
+        rows = out.take_all()
+        print(json.dumps({"matches": len(rows), "pairs": rows[:100]}))
+    return 0
+
+
 def cmd_query(args) -> int:
     ray = _init_ray()
     from .shard import QueryEngine
@@ -466,6 +505,30 @@ def main(argv=None) -> int:
     al.add_argument("--name", default=None)
     al.add_argument("--index", default=None, help="target index dir (set)")
     al.set_defaults(fn=cmd_alias)
+
+    tv = sub.add_parser(
+        "termvectors",
+        help="per-doc term/tf/positions from the positional index (ES _termvectors)",
+    )
+    tv.add_argument("--index", required=True)
+    tv.add_argument("--ids", required=True, help="comma-separated doc ids")
+    tv.add_argument("--store", action="store_true",
+                    help="re-analyze the stored docmeta text column instead "
+                         "of extracting from the index")
+    tv.add_argument("--servers", type=int, default=2)
+    tv.set_defaults(fn=cmd_termvectors)
+
+    pe = sub.add_parser(
+        "percolate",
+        help="reverse search: stream a parquet corpus through registered queries",
+    )
+    pe.add_argument("--input", required=True, help="documents parquet")
+    pe.add_argument("--query", action="append", required=True,
+                    help="registered query (repeatable)")
+    pe.add_argument("--text-col", default="text")
+    pe.add_argument("--id-col", default="doc_id")
+    pe.add_argument("--out", default=None, help="write matches parquet here")
+    pe.set_defaults(fn=cmd_percolate)
 
     for name in ("query", "query-file", "phrase", "filtered-query", "search"):
         q = sub.add_parser(name, help="top-k BM25 query")

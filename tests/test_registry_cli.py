@@ -288,3 +288,45 @@ def test_cli_fed_aggregations(tmp_path, ray_session):
     assert [(b["lo"], b["hi"]) for b in out["ranges"]] == \
         [(None, 100), (100, 200), (200, None)]
     assert sum(b["count"] for b in out["ranges"]) >= 1
+
+
+def test_cli_termvectors_and_percolate(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        {"doc_id": 1, "text": "hash join over the big table", "lang": "en"},
+        {"doc_id": 2, "text": "merge sort window frame", "lang": "fr"},
+        {"doc_id": 3, "text": "table scan then merge", "lang": "en"},
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "build", "--input", src,
+         "--index", idx, "--num-parts", "2", "--text-col", "text",
+         "--id-col", "doc_id"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "termvectors", "--index", idx,
+         "--ids", "1,2"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    got = {(x["doc_id"], x["term"]): x for x in out["rows"]}
+    assert got[(1, "hash")]["positions"] == [0]
+    assert got[(2, "merge")]["tf"] == 1
+
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "percolate", "--input", src,
+         "--query", '"hash join"', "--query", "merge -scan"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    pairs = {(p["query_id"], p["doc_id"]) for p in out["pairs"]}
+    assert pairs == {(0, 1), (1, 2)}
