@@ -1173,8 +1173,11 @@ class _MultiFieldFedMember:
 
         self.searcher = MultiFieldSearcher(index_dir, fed=fed_dir)
 
-    def search(self, query: str, k: int) -> list[tuple[int, float]]:
-        return self.searcher.search(query, k)
+    def search(
+        self, query: str, k: int,
+        mode: str = "most_fields", tie_breaker: float = 0.0,
+    ) -> list[tuple[int, float]]:
+        return self.searcher.search(query, k, mode=mode, tie_breaker=tie_breaker)
 
     def facet_counts(self, query: str, facet_cols, stats_cols):
         return self.searcher.facet_counts(query, facet_cols, stats_cols)
@@ -1257,12 +1260,18 @@ class FederatedMultiFieldEngine:
         cost lands here instead of the first user query."""
         return len(ray.get([m.search.remote("", 1) for m in self.members.values()]))
 
-    def search(self, query: str, k: int = 10, **sel) -> list[tuple[int, float]]:
+    def search(
+        self, query: str, k: int = 10,
+        mode: str = "most_fields", tie_breaker: float = 0.0, **sel,
+    ) -> list[tuple[int, float]]:
         """Fan out the multifield query string, ONE ray.get, exact
         merge by (score desc, doc_id asc) — members hold disjoint doc
-        sets, so the merge is the global top-k."""
+        sets, so the merge is the global top-k.  ``mode="best_fields"``
+        (dis_max) combines per doc, so the disjoint-member merge stays
+        bitwise the monolithic result, exactly like most_fields."""
         futs = [
-            self.members[n].search.remote(query, k) for n in self._select(**sel)
+            self.members[n].search.remote(query, k, mode, tie_breaker)
+            for n in self._select(**sel)
         ]
         if not futs:
             return []

@@ -150,7 +150,10 @@ def route_query(query: str, fields: list[str]) -> dict:
                 field_terms[f].update(toks)
         else:
             filters[f] = raw
-    for f, val in parsed["filters"].items():
+    # scoped_terms, not the filters dict: the dict is keyed by field, so
+    # a repeated analyzed field (``title:hash title:join``) would keep
+    # only the last term — the ordered list keeps them all
+    for f, val in parsed["scoped_terms"]:
         if f in field_terms:
             if isinstance(val, querylang.Range):
                 raise ValueError(f"range filter on analyzed field {f!r}")
@@ -286,6 +289,22 @@ def _match_fields(
     total = np.zeros(len(all_ids), dtype=np.float64)
     for _, universe, acc in per_field:  # manifest field order
         total[np.searchsorted(all_ids, universe)] += acc
+    tb = routed.get("dis_max")
+    if tb is not None:
+        # ES best_fields (dis_max): score = best field + tie_breaker *
+        # the others.  ``best`` is an order-insensitive elementwise max
+        # over the SAME per-field doubles the most_fields loop added
+        # (absent field = 0.0, matching the SQL mirror's coalesce), and
+        # the others are recovered as (total - best): one subtraction,
+        # one exact-binary-fraction scale, one add — so the mirror
+        # ``greatest(a, b, ...) + tb * ((a + b + ...) - greatest(...))``
+        # is bitwise.  Per-doc, hence doc-sharded-slice independent.
+        best = np.zeros(len(all_ids), dtype=np.float64)
+        for _, universe, acc in per_field:
+            aligned = np.zeros(len(all_ids), dtype=np.float64)
+            aligned[np.searchsorted(all_ids, universe)] = acc
+            np.maximum(best, aligned, out=best)
+        total = best + float(tb) * (total - best)
     keep = _live_mask(all_ids, tombstones)
     # filter context: exact match on not_analyzed docmeta columns —
     # membership only, never scores (ES bool.filter)
@@ -428,6 +447,8 @@ def _wand_eligible(routed: dict, tombstones: np.ndarray) -> bool:
     would flip the upper-bound inequality, so they fall back too."""
     return (
         not len(tombstones)
+        and routed.get("dis_max") is None  # max+tie_breaker breaks the
+        # additive upper bound WAND prunes with — exact TAAT only
         and not routed.get("filters")
         and not routed.get("any_phrases")
         and not routed.get("field_phrases")
@@ -442,6 +463,30 @@ def _wand_eligible(routed: dict, tombstones: np.ndarray) -> bool:
             for v in fw.values()
         )
     )
+
+
+def with_mode(routed: dict, mode: str, tie_breaker: float = 0.0) -> dict:
+    """Stamp the multi_match combine mode onto a routed clause set.
+
+    ``most_fields`` (the default everywhere) leaves the routed dict
+    untouched; ``best_fields`` marks it for dis_max combining
+    (:func:`_match_fields`) — the stamp travels INSIDE ``routed`` so
+    doc-sharded servers and federation members need no new plumbing,
+    and every consumer of the match set (aggregations) is unaffected
+    because membership is combine-independent."""
+    if mode == "most_fields":
+        return routed
+    if mode != "best_fields":
+        raise ValueError(
+            f"unknown multi_match mode {mode!r}; "
+            "expected 'most_fields' or 'best_fields'"
+        )
+    tb = float(tie_breaker)
+    if not 0.0 <= tb <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tb}")
+    out = dict(routed)
+    out["dis_max"] = tb
+    return out
 
 
 def apply_synonyms_routed(routed: dict, syn_map: dict) -> dict:
@@ -713,7 +758,8 @@ class MultiFieldSearcher:
 
     def search(
         self, query: str, k: int = 10, algo: str = "taat",
-        synonyms: dict | None = None,
+        synonyms: dict | None = None, mode: str = "most_fields",
+        tie_breaker: float = 0.0,
     ) -> list[tuple[int, float]]:
         # default matches MultiFieldEngine/MultiFieldServer: vectorized
         # exact TAAT wins wall-clock for in-memory postings (measured,
@@ -726,6 +772,7 @@ class MultiFieldSearcher:
             routed = expand_routed(routed, self._field_vocabs())
         if synonyms:
             routed = apply_synonyms_routed(routed, synonyms)
+        routed = with_mode(routed, mode, tie_breaker)
         dm = self._docmeta() if routed["filters"] else None
         return _score_fields(
             routed, self._get, self.stats, self.fields, k, self.tombstones,
@@ -1125,7 +1172,8 @@ class MultiFieldEngine:
 
     def search(
         self, query: str, k: int = 10, algo: str = "taat",
-        synonyms: dict | None = None,
+        synonyms: dict | None = None, mode: str = "most_fields",
+        tie_breaker: float = 0.0,
     ) -> list[tuple[int, float]]:
         import time as _time
 
@@ -1133,6 +1181,7 @@ class MultiFieldEngine:
         routed = self._routed(query)  # route + expand ONCE per query
         if synonyms:
             routed = apply_synonyms_routed(routed, synonyms)
+        routed = with_mode(routed, mode, tie_breaker)
         futs = [s.score.remote(routed, k, algo) for s in self.servers]
         t1 = _time.perf_counter()
         self.telemetry.record("query.dispatch", t1 - t0)

@@ -2834,6 +2834,60 @@ m AS (SELECT b.query_id, b.doc_id FROM base b
       JOIN preds p ON p.query_id = b.query_id AND p.doc_id = b.doc_id)"""
 
 
+DISMAX_TIE_BREAKER = 0.25  # exact binary fraction: the scale is bitwise
+
+
+def q_multifield_dismax(sf_dir: str) -> pa.Table:
+    """ES ``multi_match: best_fields`` (dis_max) over the multi-field
+    index: per doc, the best single field's BM25 score plus
+    ``tie_breaker`` times the other fields' scores — the ES DEFAULT
+    multi_match mode (most_fields is the sum the other multifield
+    entries prove).  Same match set, same doc-sharded exact merge; the
+    combine travels inside the routed clause set (cb/multifield.py
+    ``with_mode``), so servers need no new plumbing."""
+    from . import multifield
+
+    idx = get_multifield_index(sf_dir)
+    _ensure_mf_docmeta(sf_dir, idx)
+    engine = multifield.MultiFieldEngine(idx, num_servers=2)
+    try:
+        results = [
+            engine.search(
+                q, k=K, mode="best_fields", tie_breaker=DISMAX_TIE_BREAKER
+            )
+            for q in MF_QS_SET
+        ]
+    finally:
+        engine.shutdown()
+    return _topk_table(results, with_scores=True)
+
+
+def sql_multifield_dismax() -> str:
+    """dis_max mirror: greatest of the per-field scores plus
+    tie_breaker * (most_fields sum - greatest) — the same per-field
+    score CTEs as the most_fields oracle, combined per doc."""
+    s_t = "coalesce(st.score, CAST(0 AS DOUBLE))"
+    s_ti = "coalesce(sti.score, CAST(0 AS DOUBLE))"
+    return f"""{_mf_sql_prefix(MF_QS_SET)},
+total AS (
+  SELECT m.query_id, m.doc_id,
+         greatest({s_t}, {s_ti})
+         + CAST({DISMAX_TIE_BREAKER!r} AS DOUBLE)
+           * (({s_t} + {s_ti}) - greatest({s_t}, {s_ti})) AS score
+  FROM m
+  LEFT JOIN scored_text st ON st.query_id = m.query_id AND st.doc_id = m.doc_id
+  LEFT JOIN scored_title sti ON sti.query_id = m.query_id AND sti.doc_id = m.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM total
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank"""
+
+
 def sql_multifield_querystring() -> str:
     """Ranked top-k over the shared multifield match prefix."""
     return f"""{_mf_sql_prefix(MF_QS_SET)},
@@ -5169,6 +5223,7 @@ QUERIES = {
     "multifield_wand": q_multifield_wand,
     "federated_multifield": q_federated_multifield,
     "multifield_querystring": q_multifield_querystring,
+    "multifield_dismax": q_multifield_dismax,
     "multifield_facets": q_multifield_facets,
     "multifield_page2": q_multifield_page2,
     "multifield_highlight": q_multifield_highlight,
@@ -5279,6 +5334,7 @@ def oracle_sql() -> dict[str, str]:
         # per-field fed-global stats -> bitwise == monolithic multifield
         "federated_multifield": sql_bm25_multifield(),
         "multifield_querystring": sql_multifield_querystring(),
+        "multifield_dismax": sql_multifield_dismax(),
         # aggregations share the querystring oracle's match prefix,
         # exactly as the engine shares _match_fields
         "multifield_facets": sql_multifield_facets(),

@@ -214,6 +214,14 @@ def parse(q: str) -> dict:
     excluded: list[str] = []
     excluded_phrases: list[list[str]] = []
     scoped_phrases: list[tuple[str, str]] = []
+    # every field:value clause in QUERY ORDER — the filters dict above
+    # is keyed by field, so a repeated field (``title:hash title:join``,
+    # normal ES syntax on an analyzed field) would silently keep only
+    # the last value; executors that score scoped terms must read THIS
+    # list.  (A ^boost on a scoped clause is consumed by the boost
+    # regex before scope routing and is intentionally ignored, matching
+    # the SQL oracles.)
+    scoped_terms: list[tuple[str, object]] = []
     weights: dict[str, float] = {}
     required: list[str] = []
     expands: list[dict] = []
@@ -237,6 +245,7 @@ def parse(q: str) -> dict:
             if r is None:
                 raise ValueError(f"bad range syntax {rng_field}:{rng_val}")
             filters[rng_field] = r
+            scoped_terms.append((rng_field, r))
             continue
         if sc_field is not None:
             scoped_phrases.append((sc_field, sc_val))
@@ -278,6 +287,7 @@ def parse(q: str) -> dict:
                 continue
             r = _parse_range(raw)
             filters[col] = r if r is not None else raw
+            scoped_terms.append((col, r if r is not None else raw))
             continue
         fz = _FUZZY_RE.match(word)
         if fz and word.endswith(("~", "~0", "~1", "~2")):
@@ -310,6 +320,7 @@ def parse(q: str) -> dict:
         "excluded": sorted(set(excluded)),
         "excluded_phrases": excluded_phrases,
         "scoped_phrases": scoped_phrases,
+        "scoped_terms": scoped_terms,
         "weights": weights,
         "required": sorted(set(required)),
         "expands": expands,

@@ -1,0 +1,192 @@
+"""ES ``multi_match: best_fields`` (dis_max) combine: score = best
+single field + tie_breaker * the others.  Proven three ways:
+
+- exact float recompute from the per-field scores (each field's
+  contribution equals the field-scoped query's score — most_fields
+  scoping semantics, already oracle-proven — so dis_max is checkable
+  bitwise from two field-scoped searches);
+- doc-sharded engine == in-process searcher (the combine is per-doc,
+  so disjoint slices merge exactly);
+- multifield federation == monolithic searcher (same contract, with
+  fed-global per-field stats underneath).
+
+WAND must fall back: max + tie_breaker breaks the additive bound the
+block-max heap prunes with.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cb import federated, multifield
+
+_WORDS = ["hash", "join", "sort", "merge", "table", "scan", "index",
+          "tree", "heap", "node"] + [f"w{i:02d}" for i in range(40)]
+
+
+def _synth(n: int, seed: int) -> pa.Table:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rows = []
+    for i in range(n):
+        def words(m):
+            return " ".join(
+                _WORDS[int(rng.integers(len(_WORDS)))] for _ in range(m)
+            )
+
+        rows.append(
+            {
+                "doc_id": 500 + i,
+                "title": words(int(rng.integers(2, 6))),
+                "body": words(int(rng.integers(10, 40))),
+                "ts": 1_700_000_000_000_000 + (i % 3) * 86_400_000_000,
+            }
+        )
+    t = pa.Table.from_pylist(rows)
+    return t.set_column(
+        t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.timestamp("us"))
+    )
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("dismax")
+    src = str(d / "docs.parquet")
+    pq.write_table(_synth(300, seed=11), src)
+    idx = str(d / "idx")
+    multifield.build_multifield(
+        src, idx, ["title", "body"], id_col="doc_id", num_parts=3
+    )
+    return src, idx
+
+
+_QS = [
+    "hash join", "sort merge table", "index", "w03 scan",
+    "hash^2 join", "tree heap node w01",
+]
+
+
+def _field_score_maps(s, q):
+    """Per-field {doc: score} via the SAME TAAT kernel most_fields sums
+    over (itself SQL-oracle-proven) — the independent recompute the
+    dis_max combine is checked against."""
+    from cb import wand
+
+    r = multifield.route_query(q, s.fields)
+    fp, fi = multifield._field_live_idfs(r, s._get, s.stats, s.fields)
+    out = {}
+    for f in s.fields:
+        if f in fp:
+            u, acc = wand.taat_scores(fp[f], fi[f], s.stats[f])
+            out[f] = dict(zip(u.tolist(), acc.tolist()))
+    return [out.get(f, {}) for f in s.fields]
+
+
+def test_dismax_equals_fieldwise_recompute(built):
+    """dis_max score per doc == best + tb * (total - best), recomputed
+    bitwise from the per-field TAAT scores in manifest field order."""
+    _, idx = built
+    s = multifield.MultiFieldSearcher(idx)
+    big = 10**6
+    for q in _QS:
+        a, b = _field_score_maps(s, q)
+        got = dict(s.search(q, k=big, mode="best_fields", tie_breaker=0.25))
+        assert set(got) == set(a) | set(b), q
+        for doc, sc in got.items():
+            av, bv = a.get(doc, 0.0), b.get(doc, 0.0)
+            total = av + bv  # fields[0]-then-fields[1] accumulation
+            best = max(av, bv)
+            assert sc == best + 0.25 * (total - best), (q, doc)
+
+
+def test_dismax_tb_zero_is_pure_max(built):
+    _, idx = built
+    s = multifield.MultiFieldSearcher(idx)
+    big = 10**6
+    for q in _QS[:3]:
+        a, b = _field_score_maps(s, q)
+        got = dict(s.search(q, k=big, mode="best_fields"))
+        for doc, sc in got.items():
+            assert sc == max(a.get(doc, 0.0), b.get(doc, 0.0)), (q, doc)
+
+
+def test_repeated_scoped_field_keeps_every_term(built):
+    """Regression: ``title:hash title:join`` must score BOTH terms —
+    the parse-level filters dict is keyed by field, so route_query has
+    to read the ordered scoped_terms list instead (the second value
+    used to silently replace the first)."""
+    _, idx = built
+    s = multifield.MultiFieldSearcher(idx)
+    r = multifield.route_query("title:hash title:join", s.fields)
+    assert r["field_terms"]["title"] == ["hash", "join"]
+    assert r["field_terms"]["body"] == []
+    # and the scoped pair scores like the equivalent single-field sums
+    both = dict(s.search("title:hash title:join", k=10**6))
+    a = dict(s.search("title:hash", k=10**6))
+    b = dict(s.search("title:join", k=10**6))
+    assert set(both) == set(a) | set(b)
+    for doc, sc in both.items():
+        assert sc == a.get(doc, 0.0) + b.get(doc, 0.0), doc
+
+
+def test_dismax_engine_bitwise_equals_searcher(built):
+    _, idx = built
+    s = multifield.MultiFieldSearcher(idx)
+    eng = multifield.MultiFieldEngine(idx, num_servers=3)
+    try:
+        for q in _QS:
+            want = s.search(q, k=10, mode="best_fields", tie_breaker=0.25)
+            assert (
+                eng.search(q, k=10, mode="best_fields", tie_breaker=0.25)
+                == want
+            ), q
+    finally:
+        eng.shutdown()
+
+
+def test_dismax_forces_taat(built, monkeypatch):
+    """algo='wand' with best_fields must not enter topk_wand_fields."""
+    from cb import wand
+
+    _, idx = built
+    s = multifield.MultiFieldSearcher(idx)
+    want = s.search("hash join", k=10, mode="best_fields", tie_breaker=0.25)
+
+    def boom(*a, **kw):
+        raise AssertionError("WAND taken for a dis_max query")
+
+    monkeypatch.setattr(wand, "topk_wand_fields", boom)
+    got = s.search(
+        "hash join", k=10, algo="wand", mode="best_fields", tie_breaker=0.25
+    )
+    assert got == want
+
+
+def test_dismax_mode_validation(built):
+    _, idx = built
+    s = multifield.MultiFieldSearcher(idx)
+    with pytest.raises(ValueError, match="multi_match mode"):
+        s.search("hash", mode="cross_fields")
+    with pytest.raises(ValueError, match="tie_breaker"):
+        s.search("hash", mode="best_fields", tie_breaker=1.5)
+
+
+def test_dismax_federation_bitwise_equals_monolithic(built, tmp_path):
+    src, idx = built
+    import ray
+
+    fed_dir = str(tmp_path / "fed")
+    federated.build_federation(
+        ray.data.read_parquet(src), fed_dir,
+        fields=["title", "body"], id_col="doc_id", ts_col="ts",
+        prefix="dm-", num_parts=3,
+    )
+    mono = multifield.MultiFieldSearcher(idx)
+    eng = federated.FederatedMultiFieldEngine(fed_dir)
+    try:
+        for q in _QS:
+            assert eng.search(
+                q, k=10, mode="best_fields", tie_breaker=0.25
+            ) == mono.search(q, k=10, mode="best_fields", tie_breaker=0.25), q
+    finally:
+        eng.shutdown()

@@ -42,8 +42,8 @@ def test_querylang_parse_total(q):
         return  # documented rejections: negated scoped clause, bad range, bad msm
     assert set(p) == {
         "terms", "phrases", "filters", "excluded", "excluded_phrases",
-        "scoped_phrases", "weights", "required", "expands", "phrase_boosts",
-        "minimum_should_match",
+        "scoped_phrases", "scoped_terms", "weights", "required", "expands",
+        "phrase_boosts", "minimum_should_match",
     }
     assert all(isinstance(t, str) for t in p["terms"])
     # parsing is deterministic
