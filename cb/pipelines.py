@@ -323,6 +323,71 @@ ORDER BY query_id, rank""",
     )
 
 
+SCROLL_PAGES = 3  # ES scroll / point-in-time: contiguous deep pages
+
+
+def q_scroll_pages(sf_dir: str) -> pa.Table:
+    """ES scroll (point-in-time deep pagination): ``SCROLL_PAGES``
+    consecutive K-sized pages per query, each continued from the
+    previous page's (score, doc_id) cursor — the iteration contract a
+    reindex/export consumer drives.  Exact because scores are
+    bitwise-deterministic over an immutable index, so the cursor
+    comparison never skips or repeats a doc; the driver holds one page
+    at a time, never the full ranking."""
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    rows = {"query_id": [], "page": [], "rank": [], "doc_id": [], "score": []}
+    try:
+        for qid, q in enumerate(QUERY_SET):
+            page = engine.query(q, k=K)
+            rank = 0
+            for pno in range(1, SCROLL_PAGES + 1):
+                for doc_id, score in page:
+                    rank += 1
+                    rows["query_id"].append(qid)
+                    rows["page"].append(pno)
+                    rows["rank"].append(rank)
+                    rows["doc_id"].append(doc_id)
+                    rows["score"].append(score)
+                if len(page) < K or pno == SCROLL_PAGES:
+                    break
+                page = engine.search_after(
+                    q, k=K, after=(page[-1][1], page[-1][0])
+                )
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "page": pa.array(rows["page"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_scroll_pages() -> str:
+    """The concatenated scroll pages are exactly ranks 1..pages*K."""
+    base = sql_bm25(with_scores=True)
+    old_tail = (
+        "SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, "
+        f"doc_id, round(score, 6) AS score\n"
+        f"FROM ranked WHERE rank <= {K} ORDER BY query_id, rank"
+    )
+    assert old_tail in base  # keep the splice honest if sql_bm25 moves
+    return base.replace(
+        old_tail,
+        f"""SELECT query_id::BIGINT AS query_id,
+       (((rank - 1) // {K}) + 1)::BIGINT AS page,
+       rank::BIGINT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {SCROLL_PAGES * K} ORDER BY query_id, rank""",
+    )
+
+
 SLOP_SET: tuple[tuple[str, int], ...] = (
     ("merge sort", 2),
     ("hash join", 3),
@@ -1955,6 +2020,99 @@ SELECT query_id::BIGINT AS query_id,
 FROM buckets WHERE rn <= {2 * p}
 ORDER BY query_id, page, lang, source
 """
+
+
+RARE_MAX_DOC_COUNT = 3  # ES rare_terms: buckets with <= N matching docs
+MULTI_TERMS_TOP = 8  # ES multi_terms: top-N compound buckets by count
+
+
+def q_rare_terms_agg(sf_dir: str) -> pa.Table:
+    """ES ``rare_terms`` aggregation: the long-tail inverse of the
+    terms agg — per query, the ``source`` values matched by at most
+    ``RARE_MAX_DOC_COUNT`` docs in the FULL match set, value-ordered.
+    Rides the exact doc-sharded facet counts (each server counts its
+    disjoint slice, driver adds), so the <=N cut is exact, not the
+    sketchy ES default — at 100 TB the per-(query, value) count table
+    is vocabulary-sized, never corpus-sized."""
+    engine = _facet_engine(sf_dir)
+    try:
+        per_q = [engine.facets(q, facet_cols=["source"]) for q in FACET_SET]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "value": [], "cnt": []}
+    for qid, (facets, _) in enumerate(per_q):
+        src = facets.get("source", {})
+        for v in sorted(src):
+            if src[v] <= RARE_MAX_DOC_COUNT:
+                rows["query_id"].append(qid)
+                rows["value"].append(str(v))
+                rows["cnt"].append(src[v])
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "value": pa.array(rows["value"], pa.string()),
+            "cnt": pa.array(rows["cnt"], pa.int64()),
+        }
+    )
+
+
+def sql_rare_terms_agg() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    return f"""{prefix}
+SELECT mm.query_id::BIGINT AS query_id, d.source::VARCHAR AS value,
+       count(*)::BIGINT AS cnt
+FROM mm JOIN documents d ON d.doc_id = mm.doc_id
+GROUP BY 1, 2 HAVING count(*) <= {RARE_MAX_DOC_COUNT}
+ORDER BY query_id, value"""
+
+
+def q_multi_terms_agg(sf_dir: str) -> pa.Table:
+    """ES ``multi_terms`` aggregation: terms buckets keyed by a tuple
+    of fields ((lang, source) here), ranked count-desc with a
+    deterministic key tie-break, top ``MULTI_TERMS_TOP`` per query.
+    Reuses the composite machinery's exact per-tuple counts (servers
+    count disjoint doc slices; the rank cut happens on the merged
+    bucket dict, which is key-cardinality-sized)."""
+    engine = _facet_engine(sf_dir)
+    rows = {"query_id": [], "rank": [], "lang": [], "source": [], "cnt": []}
+    try:
+        for qid, q in enumerate(FACET_SET):
+            buckets, _ = engine.composite(q, ["lang", "source"], 10**9)
+            ranked = sorted(buckets, key=lambda b: (-b[1], b[0]))
+            for r, ((lang, source), cnt) in enumerate(
+                ranked[:MULTI_TERMS_TOP], start=1
+            ):
+                rows["query_id"].append(qid)
+                rows["rank"].append(r)
+                rows["lang"].append(lang)
+                rows["source"].append(source)
+                rows["cnt"].append(cnt)
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "source": pa.array(rows["source"], pa.string()),
+            "cnt": pa.array(rows["cnt"], pa.int64()),
+        }
+    )
+
+
+def sql_multi_terms_agg() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    return f"""{prefix},
+buckets AS (
+  SELECT mm.query_id, d.lang, d.source, count(*)::BIGINT AS cnt,
+         row_number() OVER (PARTITION BY mm.query_id
+                            ORDER BY count(*) DESC, d.lang, d.source) AS rank
+  FROM mm JOIN documents d ON d.doc_id = mm.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, lang, source, cnt
+FROM buckets WHERE rank <= {MULTI_TERMS_TOP}
+ORDER BY query_id, rank"""
 
 
 TOP_HITS_PER = 3  # hits kept per group value
@@ -5217,6 +5375,7 @@ QUERIES = {
     "federated_querystring": q_federated_querystring,
     "more_like_this": q_more_like_this,
     "bm25_page2": q_bm25_page2,
+    "scroll_pages": q_scroll_pages,
     "highlight_snippets": q_highlight_snippets,
     "bm25_filtered": q_bm25_filtered,
     "bm25_multifield": q_bm25_multifield,
@@ -5244,6 +5403,8 @@ QUERIES = {
     "collapse_topk": q_collapse_topk,
     "multifield_synonyms": q_multifield_synonyms,
     "composite_agg": q_composite_agg,
+    "rare_terms_agg": q_rare_terms_agg,
+    "multi_terms_agg": q_multi_terms_agg,
     "sampler_agg": q_sampler_agg,
     "filters_agg": q_filters_agg,
     "explain_scores": q_explain_scores,
@@ -5325,6 +5486,7 @@ def oracle_sql() -> dict[str, str]:
         "federated_querystring": sql_search_querystring(),
         "more_like_this": sql_more_like_this(),
         "bm25_page2": sql_bm25_page2(),
+        "scroll_pages": sql_scroll_pages(),
         "highlight_snippets": sql_highlight_snippets(),
         "bm25_filtered": sql_bm25_filtered(),
         "bm25_multifield": sql_bm25_multifield(),
@@ -5357,6 +5519,8 @@ def oracle_sql() -> dict[str, str]:
         "collapse_topk": sql_collapse_topk(),
         "multifield_synonyms": sql_multifield_synonyms(),
         "composite_agg": sql_composite_agg(),
+        "rare_terms_agg": sql_rare_terms_agg(),
+        "multi_terms_agg": sql_multi_terms_agg(),
         "sampler_agg": sql_sampler_agg(),
         "filters_agg": sql_filters_agg(),
         "explain_scores": sql_explain_scores(),
