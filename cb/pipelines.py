@@ -1310,6 +1310,112 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
+BOOST_SET: tuple[tuple[str, str], ...] = (
+    ("merge sort window", "hash"),
+    ("hash join table", "scan column"),
+    ("data stream group", "window"),
+    ("column row table", "merge sort"),
+    ("the fast query", "join"),
+)
+NEGATIVE_BOOST = 0.5  # exact binary fraction: the demotion is bitwise
+
+
+def q_boosting_query(sf_dir: str) -> pa.Table:
+    """ES ``boosting`` query: rank by the positive query's BM25 with
+    docs that ALSO match the negative query demoted by
+    ``negative_boost`` — membership-only demotion (the negative clause
+    is never scored), applied per doc on the FULL match set before the
+    top-k cut, so the doc-sharded merge stays the exact global
+    ranking."""
+    from . import docmeta as docmeta_mod
+
+    meta = get_index(sf_dir)
+    docmeta_mod.ensure_docmeta(
+        meta.index_dir, docs_path(sf_dir), ["lang", "source", "n_chars"]
+    )
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = [
+            engine.boosting(pos, neg, NEGATIVE_BOOST, k=K)
+            for pos, neg in BOOST_SET
+        ]
+    finally:
+        engine.shutdown()
+    return _topk_table(results, with_scores=True)
+
+
+def sql_boosting_query() -> str:
+    """Positive-query BM25 (the querystring scoring CTEs) times
+    CASE WHEN the doc matches any negative term THEN nb ELSE 1 —
+    negative membership via the padded-token LIKE contract."""
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms_weighted(
+        "(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)", "q.w"
+    )
+    atom_rows, member_selects = _querystring_sql_parts(
+        [pos for pos, _ in BOOST_SET]
+    )
+    members = " UNION ALL ".join(member_selects).replace("__QT__", "q")
+    neg_selects = []
+    for qid, (_, neg) in enumerate(BOOST_SET):
+        ors = " OR ".join(
+            f"j.s LIKE '% {t} %'" for t in analyze.tokenize(neg)
+        )
+        neg_selects.append(
+            f"SELECT {qid} AS query_id, j.doc_id FROM joined j WHERE {ors}"
+        )
+    negs = " UNION ALL ".join(neg_selects)
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+joined AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s FROM docs),
+qatom(query_id, atom_id, kind, pat, dist, w) AS (VALUES {", ".join(atom_rows)}),
+q AS (
+  SELECT a.query_id, df.term, sum(a.w ORDER BY a.atom_id) AS w
+  FROM qatom a JOIN df ON (
+       (a.kind = 'e' AND df.term = a.pat)
+    OR (a.kind = 'w' AND regexp_full_match(df.term, a.pat))
+    OR (a.kind = 'f' AND abs(length(df.term) - length(a.pat)) <= a.dist
+        AND damerau_levenshtein(df.term, a.pat) <= a.dist)
+  )
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+m AS ({members}),
+neg AS ({negs}),
+total AS (
+  SELECT s.query_id, s.doc_id,
+         s.score * (CASE WHEN ng.doc_id IS NOT NULL
+                         THEN CAST({NEGATIVE_BOOST!r} AS DOUBLE)
+                         ELSE CAST(1 AS DOUBLE) END) AS score
+  FROM scored s
+  JOIN m ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+  LEFT JOIN neg ng ON ng.query_id = s.query_id AND ng.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM total
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 FACET_SET: tuple[str, ...] = (
     "merge sort",
     '"hash join"',
@@ -1549,6 +1655,78 @@ SELECT mm.query_id::BIGINT AS query_id, count(*)::BIGINT AS n,
        min(d.n_chars)::BIGINT AS min_n, max(d.n_chars)::BIGINT AS max_n
 FROM mm JOIN documents d ON d.doc_id = mm.doc_id
 GROUP BY 1 ORDER BY 1"""
+
+
+def q_extended_stats_agg(sf_dir: str) -> pa.Table:
+    """ES extended_stats aggregation: count/sum/min/max plus
+    sum-of-squares, avg, population variance and std of ``n_chars``
+    over each query's full match set.  Server partials are EXACT
+    integers (disjoint doc slices add exactly); each derived moment is
+    one double division/multiply/sqrt on driver-side — sqrt is
+    IEEE-correctly-rounded, so the whole row is bitwise vs DuckDB."""
+    import math
+
+    engine = _facet_engine(sf_dir)
+    try:
+        per_q = [
+            engine.extended_stats(q, cols=["n_chars"]) for q in FACET_SET
+        ]
+    finally:
+        engine.shutdown()
+    rows = {
+        "query_id": [], "n": [], "sum_n": [], "sum_sq": [], "min_n": [],
+        "max_n": [], "avg_n": [], "variance": [], "std_dev": [],
+    }
+    for qid, stats in enumerate(per_q):
+        n, sm, sq, mn, mx = stats["n_chars"]
+        if n == 0:
+            continue
+        avg = sm / n
+        var = sq / n - avg * avg
+        rows["query_id"].append(qid)
+        rows["n"].append(n)
+        rows["sum_n"].append(sm)
+        rows["sum_sq"].append(sq)
+        rows["min_n"].append(mn)
+        rows["max_n"].append(mx)
+        rows["avg_n"].append(avg)
+        rows["variance"].append(var)
+        rows["std_dev"].append(math.sqrt(var))
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "sum_n": pa.array(rows["sum_n"], pa.int64()),
+            "sum_sq": pa.array(rows["sum_sq"], pa.int64()),
+            "min_n": pa.array(rows["min_n"], pa.int64()),
+            "max_n": pa.array(rows["max_n"], pa.int64()),
+            "avg_n": pa.array(rows["avg_n"], pa.float64()),
+            "variance": pa.array(rows["variance"], pa.float64()),
+            "std_dev": pa.array(rows["std_dev"], pa.float64()),
+        }
+    )
+
+
+def sql_extended_stats_agg() -> str:
+    """Mirror with the SAME expression shape as the engine: exact
+    integer sums, then sq/n - (s/n)*(s/n) — never var_pop(), whose
+    Welford accumulation would ULP-diverge."""
+    prefix = _facet_sql_prefix(FACET_SET)
+    return f"""{prefix},
+agg AS (
+  SELECT mm.query_id, count(*)::BIGINT AS n,
+         sum(d.n_chars::BIGINT)::BIGINT AS sum_n,
+         sum(d.n_chars::BIGINT * d.n_chars::BIGINT)::BIGINT AS sum_sq,
+         min(d.n_chars)::BIGINT AS min_n, max(d.n_chars)::BIGINT AS max_n
+  FROM mm JOIN documents d ON d.doc_id = mm.doc_id GROUP BY 1
+)
+SELECT query_id::BIGINT AS query_id, n, sum_n, sum_sq, min_n, max_n,
+       sum_n::DOUBLE / n::DOUBLE AS avg_n,
+       sum_sq::DOUBLE / n::DOUBLE
+         - (sum_n::DOUBLE / n::DOUBLE) * (sum_n::DOUBLE / n::DOUBLE) AS variance,
+       sqrt(sum_sq::DOUBLE / n::DOUBLE
+         - (sum_n::DOUBLE / n::DOUBLE) * (sum_n::DOUBLE / n::DOUBLE)) AS std_dev
+FROM agg ORDER BY query_id"""
 
 
 # ES range aggregation: explicit [lo, hi) buckets (None = unbounded),
@@ -5394,8 +5572,10 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "phrase_slop_search": q_phrase_slop_search,
     "search_querystring": q_search_querystring,
+    "boosting_query": q_boosting_query,
     "search_facets": q_search_facets,
     "search_facet_stats": q_search_facet_stats,
+    "extended_stats_agg": q_extended_stats_agg,
     "search_histogram": q_search_histogram,
     "search_range_agg": q_search_range_agg,
     "percentile_ranks": q_percentile_ranks,
@@ -5510,8 +5690,10 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": sql_hybrid_rrf(),
         "phrase_slop_search": sql_phrase_slop_search(),
         "search_querystring": sql_search_querystring(),
+        "boosting_query": sql_boosting_query(),
         "search_facets": sql_search_facets(),
         "search_facet_stats": sql_search_facet_stats(),
+        "extended_stats_agg": sql_extended_stats_agg(),
         "search_histogram": sql_search_histogram(),
         "search_range_agg": sql_search_range_agg(),
         "percentile_ranks": sql_percentile_ranks(),

@@ -308,6 +308,53 @@ def _facets_over(ids, dm, facet_cols, stats_cols):
     return facets, stats
 
 
+def _stats_ext_over(ids, dm, cols) -> dict:
+    """ES extended_stats partials over one scope's matched doc ids:
+    ``col -> (n, sum, sumsq, min, max)``.  Values are cast to int64
+    first so the sums are EXACT integers (overflow-checked); disjoint
+    doc slices therefore add exactly and the driver finishes
+    avg/variance/std with one division per moment — bitwise equal to
+    the SQL mirror's ``sum::DOUBLE / n`` arithmetic because every
+    integer involved is exactly representable as a double."""
+    import pyarrow.compute as pc_
+
+    out: dict[str, tuple] = {}
+    for c in cols:
+        vals = dm.gather(ids, c).drop_null()
+        if len(vals) == 0:
+            out[c] = (0, 0, 0, None, None)
+            continue
+        v64 = vals.cast(pa.int64())
+        out[c] = (
+            len(v64),
+            pc_.sum(v64).as_py(),
+            pc_.sum(pc_.multiply_checked(v64, v64)).as_py(),
+            pc_.min(v64).as_py(),
+            pc_.max(v64).as_py(),
+        )
+    return out
+
+
+def _merge_stats_ext(parts) -> dict:
+    """Fold per-server extended-stats partials (exact integer adds,
+    min/max folds — disjoint doc slices)."""
+    out: dict[str, tuple] = {}
+    for s in parts:
+        for c, (n, sm, sq, mn, mx) in s.items():
+            if c not in out:
+                out[c] = (n, sm, sq, mn, mx)
+            elif n:
+                N, S, Q, MN, MX = out[c]
+                out[c] = (
+                    N + n,
+                    S + sm,
+                    Q + sq,
+                    mn if MN is None else (MN if mn is None else min(MN, mn)),
+                    mx if MX is None else (MX if mx is None else max(MX, mx)),
+                )
+    return out
+
+
 def _histos_over(ids, dm, histos: dict) -> dict:
     """ES histogram aggregation over one scope's matched ids:
     ``col -> {floor(value/interval)*interval: count}`` (int buckets) —
@@ -795,6 +842,23 @@ class ShardServer:
             return {c: {} for c in facet_cols}, {c: (0, 0, None, None) for c in stats_cols}
         return _facets_over(ids, self._docmeta, facet_cols, stats_cols)
 
+    def stats_ext(
+        self, parsed: dict, cols: list[str], fetched_terms: list[str] = (), *fetched
+    ) -> dict:
+        """ES extended_stats over THIS scope's full match set: the
+        stats agg plus an exact sum-of-squares, so the driver derives
+        avg/variance/std from additive integer partials."""
+        from . import docmeta as docmeta_mod
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        ids = self._cached_match(parsed, self._docmeta)
+        if ids is None:
+            return {c: (0, 0, 0, None, None) for c in cols}
+        return _stats_ext_over(ids, self._docmeta, cols)
+
     def histogram(
         self, parsed: dict, histos: dict, fetched_terms: list[str] = (), *fetched
     ) -> dict:
@@ -943,6 +1007,51 @@ class ShardServer:
             return []
         x = dm.gather(ids, spec["col"]).to_numpy(zero_copy_only=False).astype(np.int64)
         return rank_topk(ids, _combine_function_score(sc, x, spec), k)
+
+    def boosting(
+        self, parsed_pos: dict, parsed_neg: dict, negative_boost: float,
+        k: int, fetched_terms: list[str] = (), *fetched,
+    ) -> list[tuple[int, float]]:
+        """ES ``boosting`` query over THIS scope: the positive clause's
+        full-match BM25 scores, multiplied by ``negative_boost`` for
+        docs that ALSO match the negative clause — demotion is
+        membership-only (ES never scores the negative query).  One
+        multiply by an exact binary fraction per demoted doc, so the
+        SQL mirror (score * CASE WHEN matched THEN nb ELSE 1) is
+        bitwise; per-doc, so disjoint doc slices re-cut exactly."""
+        from . import docmeta as docmeta_mod, querylang
+        from .query import rank_topk
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        dm = self._docmeta
+        universe, acc, keep = querylang.match(
+            parsed_pos,
+            get_postings=self._local,
+            stats=self.stats,
+            docmeta=dm,
+            decoded_cache=self.decoded,
+            drop_ids=self.tombstones,
+        )
+        if universe is None:
+            return []
+        ids, sc = universe[keep], acc[keep]
+        if len(ids) == 0:
+            return []
+        nuni, _, nkeep = querylang.match(
+            parsed_neg,
+            get_postings=self._local,
+            stats=self.stats,
+            docmeta=dm,
+            decoded_cache=self.decoded,
+            drop_ids=self.tombstones,
+        )
+        if nuni is not None:
+            demote = np.isin(ids, nuni[nkeep], assume_unique=True)
+            sc = np.where(demote, sc * float(negative_boost), sc)
+        return rank_topk(ids, sc, k)
 
     def explain(
         self, terms: list[str], doc_id: int, fetched_terms: list[str] = (), *fetched
@@ -1782,6 +1891,52 @@ class QueryEngine:
             )
         if isinstance(fut, list):
             return _merge_facets(ray.get(fut))
+        return ray.get(fut)
+
+    def _dispatch_boosting(
+        self, positive: str, negative: str, negative_boost: float, k: int
+    ):
+        p_pos, inv_pos = self._parsed_and_involved(positive)
+        if not inv_pos:
+            return None
+        p_neg, inv_neg = self._parsed_and_involved(negative)
+        return self._route_agg(
+            "boosting", p_pos, sorted(set(inv_pos) | set(inv_neg)),
+            p_neg, float(negative_boost), k,
+        )
+
+    def boosting(
+        self, positive: str, negative: str,
+        negative_boost: float = 0.5, k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """ES boosting query: rank by the positive query's BM25 with
+        docs matching the negative query demoted by ``negative_boost``
+        (membership-only — the negative clause is never scored).  The
+        demotion is per-doc, so the doc-sharded merge is the exact
+        global top-k."""
+        fut = self._dispatch_boosting(positive, negative, negative_boost, k)
+        if fut is None:
+            return []
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        return _merge_topk(parts, k)
+
+    def _dispatch_stats_ext(self, query_string: str, cols):
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return None
+        return self._route_agg("stats_ext", parsed, involved, list(cols))
+
+    def extended_stats(self, query_string: str, cols=("n_chars",)) -> dict:
+        """ES extended_stats aggregation over the query's FULL match
+        set: ``col -> (n, sum, sumsq, min, max)`` — integer partials
+        per disjoint doc slice, exact additive merge; derive
+        avg / variance / std at the call site (one division per
+        moment keeps the result bitwise vs the SQL mirror)."""
+        fut = self._dispatch_stats_ext(query_string, cols)
+        if fut is None:
+            return {c: (0, 0, 0, None, None) for c in cols}
+        if isinstance(fut, list):
+            return _merge_stats_ext(ray.get(fut))
         return ray.get(fut)
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
