@@ -4828,6 +4828,78 @@ FROM w WHERE rn >= 3 ORDER BY event_type, minute
 """
 
 
+BUCKET_SCRIPT_MIN_RATIO = 0.25  # bucket_selector bound on the script value
+
+
+def q_bucket_script_agg(sf_dir: str) -> pa.Table:
+    """ES ``bucket_script`` + ``bucket_selector`` pipeline aggs over an
+    hour date_histogram of the events stream: per bucket, the click
+    share (a script ratio of two sub-counts) and a selector keeping
+    only buckets whose script value exceeds ``BUCKET_SCRIPT_MIN_RATIO``
+    — the bound is on the scale-free ratio, so the selector actually
+    prunes at every corpus size.  Counts reduce distributedly as exact
+    integers (per-batch Arrow partials, one small groupby); the script
+    is ONE double division per bucket and the selector ONE comparison,
+    both driver-side over the O(buckets) result — bitwise vs SQL."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        is_click = pc.cast(
+            pc.equal(batch["event_type"], "click"), pa.int64()
+        )
+        t = pa.table(
+            {"hour": hour, "one": pa.array(np.ones(len(batch), np.int64)),
+             "is_click": is_click}
+        )
+        return (
+            t.group_by(["hour"])
+            .aggregate([("one", "sum"), ("is_click", "sum")])
+            .rename_columns(["hour", "n", "n_click"])
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = pre.groupby("hour").aggregate(
+        Sum("n", alias_name="n"), Sum("n_click", alias_name="n_click")
+    )
+    t = _collect(agg)
+    # normalize the bucket unit BEFORE the int64 round-trip (groupby
+    # may return timestamp[s]; seconds rebuilt as [us] land in 1970)
+    hours = t["hour"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_click = t["n_click"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ratio = n_click / n  # exact ints < 2^53: division is bitwise vs SQL
+    keep = ratio > BUCKET_SCRIPT_MIN_RATIO
+    order = np.argsort(hours[keep])
+    return pa.table(
+        {
+            "hour": pa.array(hours[keep][order], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "n": pa.array(n[keep][order], pa.int64()),
+            "n_click": pa.array(n_click[keep][order], pa.int64()),
+            "click_ratio": pa.array(ratio[keep][order], pa.float64()),
+        }
+    )
+
+
+def sql_bucket_script_agg() -> str:
+    return f"""
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click
+  FROM events GROUP BY 1
+),
+r AS (SELECT hour, n, n_click, n_click::DOUBLE / n::DOUBLE AS click_ratio FROM b)
+SELECT hour, n, n_click, click_ratio
+FROM r WHERE click_ratio > {BUCKET_SCRIPT_MIN_RATIO!r} ORDER BY hour
+"""
+
+
 def q_sessionize(sf_dir: str) -> pa.Table:
     """Gap-based session windows over the events stream (W1/W2 analog:
     event-time windows as groupby.map_groups over sorted groups)."""
@@ -5589,6 +5661,7 @@ QUERIES = {
     "filters_agg": q_filters_agg,
     "explain_scores": q_explain_scores,
     "pipeline_agg": q_pipeline_agg,
+    "bucket_script_agg": q_bucket_script_agg,
     "adjacency_matrix": q_adjacency_matrix,
     "search_top_hits": q_search_top_hits,
     "rescore_topk": q_rescore_topk,
@@ -5707,6 +5780,7 @@ def oracle_sql() -> dict[str, str]:
         "filters_agg": sql_filters_agg(),
         "explain_scores": sql_explain_scores(),
         "pipeline_agg": sql_pipeline_agg(),
+        "bucket_script_agg": sql_bucket_script_agg(),
         "adjacency_matrix": sql_adjacency_matrix(),
         "search_top_hits": sql_search_top_hits(),
         "rescore_topk": sql_rescore_topk(),
