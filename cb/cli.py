@@ -367,6 +367,7 @@ def cmd_fed(args) -> int:
             elif _is_mf:
                 res = eng.search(
                     args.query, k=args.k,
+                    mode=args.mode, tie_breaker=args.tie_breaker,
                     start_day=args.start_day, end_day=args.end_day,
                 )
             elif args.qstring:
@@ -482,6 +483,11 @@ def main(argv=None) -> int:
     fd.add_argument("--range", default=None,
                     help="'col:e1,e2,...' -> range aggregation with "
                          "cut points e1<e2<... (open-ended outer buckets)")
+    fd.add_argument("--mode", default="most_fields",
+                    choices=["most_fields", "best_fields"],
+                    help="multifield combine: sum (default) or dis_max")
+    fd.add_argument("--tie-breaker", dest="tie_breaker", type=float,
+                    default=0.0, help="best_fields tie_breaker in [0, 1]")
     fd.add_argument("--start-day", default=None, help="prune: first day YYYYMMDD")
     fd.add_argument("--end-day", default=None, help="prune: last day YYYYMMDD")
     fd.add_argument("doc_ids", nargs="*", help="doc ids (delete)")

@@ -171,18 +171,24 @@ def test_dismax_mode_validation(built):
         s.search("hash", mode="best_fields", tie_breaker=1.5)
 
 
-def test_dismax_federation_bitwise_equals_monolithic(built, tmp_path):
-    src, idx = built
+@pytest.fixture(scope="module")
+def fed_built(built, tmp_path_factory):
     import ray
 
-    fed_dir = str(tmp_path / "fed")
+    src, _ = built
+    fed_dir = str(tmp_path_factory.mktemp("dismax_fed") / "fed")
     federated.build_federation(
         ray.data.read_parquet(src), fed_dir,
         fields=["title", "body"], id_col="doc_id", ts_col="ts",
         prefix="dm-", num_parts=3,
     )
+    return fed_dir
+
+
+def test_dismax_federation_bitwise_equals_monolithic(built, fed_built):
+    _, idx = built
     mono = multifield.MultiFieldSearcher(idx)
-    eng = federated.FederatedMultiFieldEngine(fed_dir)
+    eng = federated.FederatedMultiFieldEngine(fed_built)
     try:
         for q in _QS:
             assert eng.search(
@@ -190,3 +196,26 @@ def test_dismax_federation_bitwise_equals_monolithic(built, tmp_path):
             ) == mono.search(q, k=10, mode="best_fields", tie_breaker=0.25), q
     finally:
         eng.shutdown()
+
+
+def test_dismax_fed_cli(built, fed_built):
+    """fed search --mode best_fields through the CLI (subprocess: the
+    CLI owns its own Ray session) == the in-process dis_max ranking."""
+    import json
+    import subprocess
+    import sys
+
+    _, idx = built
+    want = multifield.MultiFieldSearcher(idx).search(
+        "hash join", k=5, mode="best_fields", tie_breaker=0.25
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "fed", "search", "--fed", fed_built,
+         "--query", "hash join", "-k", "5",
+         "--mode", "best_fields", "--tie-breaker", "0.25"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    got = [(h["doc_id"], h["score"]) for h in out["results"]]
+    assert got == [(d, s) for d, s in want]
