@@ -1230,6 +1230,71 @@ def build_index(
     )
 
 
+def reindex(
+    src_index_dir: str,
+    dst_index_dir: str,
+    *,
+    text_col: str = "text",
+    num_parts: int | str = "auto",
+    range_bits: int | str = "auto",
+    positions: bool = True,
+) -> IndexMeta:
+    """ES ``_reindex``: build a NEW index from the SOURCE index's own
+    document store — the docmeta table, whose stored text column the
+    term-vectors store path already re-analyzes — with no access to the
+    original corpus files.  Tombstoned docs are dropped in-stream, so
+    reindex makes deletes physical and (with a changed analyzer or
+    layout knobs) re-analyzes under the new config; pair with
+    ``cb.snapshot.set_alias`` for the ES reindex-then-alias-flip
+    pattern.
+
+    Streaming at 100 TB: the doc store is one parquet file per
+    doc-range bucket, read as a Ray Dataset (parallel, pruned to the
+    id + text columns); the drop set is the tiny sorted tombstone
+    array captured in the filter closure; everything downstream is the
+    standard build pipeline (one tokenize pass, one (part, bucket)
+    exchange).  Reference analog: ConveyorBelt delegates reindexing to
+    Elasticsearch; here it is a first-class engine operator."""
+    from .shard import load_tombstones
+
+    meta_p = os.path.join(src_index_dir, "docmeta", "_meta.json")
+    if not os.path.exists(meta_p):
+        raise ValueError(
+            "reindex reads the source index's document store: build it "
+            "with cb.docmeta.ensure_docmeta(index_dir, corpus, "
+            f"[{text_col!r}, ...]) first"
+        )
+    with open(meta_p) as f:
+        m = json.load(f)
+    if text_col not in m["cols"]:
+        raise ValueError(
+            f"docmeta stores {m['cols']}, not the text column "
+            f"{text_col!r}; rebuild the doc store with it included"
+        )
+    id_col = m.get("id_col", "doc_id")
+    import glob as _glob
+
+    files = sorted(
+        _glob.glob(os.path.join(src_index_dir, "docmeta", "bucket=*.parquet"))
+    )
+    ds = ray.data.read_parquet(files, columns=[id_col, text_col])
+    tomb = load_tombstones(src_index_dir)
+    if len(tomb):
+        def drop_deleted(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(tomb, ids)
+            pos[pos == len(tomb)] = 0
+            return batch.filter(pa.array(tomb[pos] != ids))
+
+        ds = ds.map_batches(
+            drop_deleted, batch_format="pyarrow", zero_copy_batch=True
+        )
+    return build_index(
+        ds, dst_index_dir, text_col=text_col, id_col=id_col,
+        num_parts=num_parts, range_bits=range_bits, positions=positions,
+    )
+
+
 def _build_index_inner(
     source: ray.data.Dataset,
     index_dir: str,

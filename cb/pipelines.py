@@ -323,6 +323,43 @@ ORDER BY query_id, rank""",
     )
 
 
+def get_reindexed_index(sf_dir: str) -> build.IndexMeta:
+    """A cached reindex-from-doc-store copy of the documents index:
+    source index built from the corpus + a doc store carrying the text
+    column, then ``cb.build.reindex`` rebuilds a NEW index reading ONLY
+    that store (never the corpus files)."""
+    from . import docmeta as docmeta_mod
+
+    key = f"{os.path.abspath(sf_dir)}|re-v{INDEX_FORMAT_VERSION}"
+    h = hashlib.md5(key.encode()).hexdigest()[:12]
+    dst = os.path.join("/tmp", "cb_index_cache", "re-" + h)
+    if os.path.exists(os.path.join(dst, "_global.json")):
+        return build.IndexMeta(dst)
+    src = dst + "-src"
+    if not os.path.exists(os.path.join(src, "_global.json")):
+        build.build_index(
+            docs_path(sf_dir), src, text_col="text", id_col="doc_id",
+            columns=["doc_id", "text"], num_parts="auto", range_bits="auto",
+        )
+    docmeta_mod.ensure_docmeta(src, docs_path(sf_dir), ["text"])
+    return build.reindex(src, dst)
+
+
+def q_reindex_topk(sf_dir: str) -> pa.Table:
+    """ES ``_reindex`` proven end-to-end: the reference query set served
+    from an index rebuilt out of the engine's OWN document store
+    (``cb.build.reindex`` — no corpus access) must reproduce the exact
+    BM25 rankings and scores of the directly-built index, which is what
+    the shared ``sql_bm25`` oracle states."""
+    meta = get_reindexed_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = [engine.query(q, k=K) for q in QUERY_SET]
+    finally:
+        engine.shutdown()
+    return _topk_table(results, with_scores=True)
+
+
 SCROLL_PAGES = 3  # ES scroll / point-in-time: contiguous deep pages
 
 
@@ -5626,6 +5663,7 @@ QUERIES = {
     "more_like_this": q_more_like_this,
     "bm25_page2": q_bm25_page2,
     "scroll_pages": q_scroll_pages,
+    "reindex_topk": q_reindex_topk,
     "highlight_snippets": q_highlight_snippets,
     "bm25_filtered": q_bm25_filtered,
     "bm25_multifield": q_bm25_multifield,
@@ -5740,6 +5778,9 @@ def oracle_sql() -> dict[str, str]:
         "more_like_this": sql_more_like_this(),
         "bm25_page2": sql_bm25_page2(),
         "scroll_pages": sql_scroll_pages(),
+        # reindex-from-doc-store must reproduce the direct build's
+        # rankings exactly -> the same BM25 mirror
+        "reindex_topk": sql_bm25(with_scores=True),
         "highlight_snippets": sql_highlight_snippets(),
         "bm25_filtered": sql_bm25_filtered(),
         "bm25_multifield": sql_bm25_multifield(),
