@@ -121,6 +121,68 @@ class BruteForceScorer:
         )
 
 
+class ClusterAssigner:
+    """Actor-pool stage: the centroid matrix is normalized ONCE per
+    actor; each batch is one (n, C) matmul + argmax — the assignment
+    half of spherical k-means / IVF routing, reusable standalone as the
+    cluster step of diversity sampling (SemDeDup-style
+    cluster-then-prune curation).  ``np.argmax`` breaks ties at the
+    lowest index, so with ascending centroid ids the tie-break is
+    (sim DESC, cid ASC) — the SQL mirror's window order."""
+
+    def __init__(self, cents, cent_ids, vec_col: str, id_col: str):
+        c = ray.get(cents) if isinstance(cents, ray.ObjectRef) else cents
+        self.cmat = _normalize(np.asarray(c))
+        self.cids = np.asarray(cent_ids, dtype=np.int64)
+        if not np.all(self.cids[:-1] < self.cids[1:]):
+            raise ValueError("centroid ids must be strictly ascending")
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_matrix(batch, self.vec_col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        best = np.argmax(mat @ self.cmat.T, axis=1)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, type=pa.int64()),
+                "cluster": pa.array(self.cids[best], type=pa.int64()),
+            }
+        )
+
+
+def assign_clusters(
+    ds: ray.data.Dataset,
+    cent_mat: np.ndarray,
+    cent_ids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    """-> Dataset of (id_col, cluster): nearest-centroid (cosine)
+    assignment of every vector, streaming (the output is two skinny
+    int64 columns regardless of dimension).  Size ``concurrency``
+    strictly below the session CPU count (same deadlock note as
+    :func:`brute_force_topk`)."""
+    cent_ids = np.asarray(cent_ids, dtype=np.int64)
+    if not np.all(cent_ids[:-1] < cent_ids[1:]):
+        # checked here too: an actor-ctor failure surfaces as an opaque
+        # ActorDiedError instead of this ValueError
+        raise ValueError("centroid ids must be strictly ascending")
+    return ds.map_batches(
+        ClusterAssigner,
+        fn_constructor_kwargs={
+            "cents": np.asarray(cent_mat),
+            "cent_ids": np.asarray(cent_ids),
+            "vec_col": vec_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 def brute_force_topk(
     ds: ray.data.Dataset,
     query_mat: np.ndarray,

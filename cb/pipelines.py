@@ -4105,6 +4105,103 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
+CLUSTER_NC = 8  # cluster-sample centroids (first NC vectors by id)
+CLUSTER_R = 5  # kept per cluster
+
+
+def q_embedding_cluster_sample(sf_dir: str) -> pa.Table:
+    """Cluster-balanced diversity sampling (the SemDeDup /
+    cluster-then-prune curation shape): every embedding is assigned to
+    its nearest centroid (cosine, deterministic first-``CLUSTER_NC``
+    vectors as centroids so the oracle can re-derive them), then each
+    cluster keeps its ``CLUSTER_R`` lowest-md5(vec_id) members — a
+    uniform within-cluster sample with no RNG state.  Streaming: the
+    assignment batch emits two int64 columns; the sample is a per-batch
+    partial top-R per cluster (<= NC x R rows leave any batch), final
+    cut on the driver over an O(NC x R x batches) table."""
+    from .hashing import md5_lower64
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path).sort_by("vec_id").slice(0, CLUSTER_NC)
+    cmat = np.array(head["embedding"].to_pylist())
+    cids = head["vec_id"].to_numpy()
+    ds = ray.data.read_parquet(path)
+    assigned = ann.assign_clusters(ds, cmat, cids)
+
+    def partial_sample(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = batch["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # order-preserving signed image of the uint64 hash (sign-bit
+        # XOR) so the skinny partial stays an int64 column end to end
+        h = (
+            md5_lower64(pc.cast(pa.array(ids), pa.string()))
+            ^ np.uint64(1 << 63)
+        ).view(np.int64)
+        keep = []
+        for c in np.unique(cl):
+            m = np.flatnonzero(cl == c)
+            keep.append(m[np.lexsort((ids[m], h[m]))[:CLUSTER_R]])
+        k = np.concatenate(keep) if keep else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[k], pa.int64()),
+                "cluster": pa.array(cl[k], pa.int64()),
+                "h": pa.array(h[k], pa.int64()),
+            }
+        )
+
+    t = _collect(
+        assigned.map_batches(
+            partial_sample, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cl = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, h, cl))
+    sc, si = cl[order], ids[order]
+    rows = {"cluster": [], "rank": [], "vec_id": []}
+    starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]]) if len(sc) else []
+    ends = np.append(starts[1:], len(sc)) if len(sc) else []
+    for s, e in zip(starts, ends):
+        for r in range(min(CLUSTER_R, e - s)):
+            rows["cluster"].append(int(sc[s]))
+            rows["rank"].append(r + 1)
+            rows["vec_id"].append(int(si[s + r]))
+    return pa.table(
+        {
+            "cluster": pa.array(rows["cluster"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "vec_id": pa.array(rows["vec_id"], pa.int64()),
+        }
+    )
+
+
+def sql_embedding_cluster_sample() -> str:
+    return f"""
+WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT {CLUSTER_NC}),
+assign AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(c.embedding, e.embedding) DESC, c.cid ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN c
+),
+a AS (SELECT vec_id, cid AS cluster FROM assign WHERE rn = 1),
+sampled AS (
+  SELECT cluster, vec_id,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY md5_number_lower(vec_id::VARCHAR), vec_id
+         ) AS rank
+  FROM a
+)
+SELECT cluster::BIGINT AS cluster, rank::BIGINT AS rank, vec_id
+FROM sampled WHERE rank <= {CLUSTER_R} ORDER BY cluster, rank
+"""
+
+
 IVF_NPROBE = 8  # bench sweep: recall 0.82 vs 0.6 at nprobe=4, same cost class
 IVF_RECALL_BOUND = 0.4  # per-query floor; measured min 0.5 at nprobe=8 across
 # all sf fixtures (UNCLUSTERED worst-case embeddings; clustered data >=0.9)
@@ -5731,6 +5828,7 @@ QUERIES = {
     "neardup_dedup_keep": q_neardup_dedup_keep,
     "simhash_neardup": q_simhash_neardup,
     "ann_cosine_topk": q_ann_topk,
+    "embedding_cluster_sample": q_embedding_cluster_sample,
     "ann_ivf_topk": q_ann_ivf,
     "ann_ivf_exact": q_ann_ivf_exact,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -5866,6 +5964,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_dedup_keep": sql_neardup_dedup_keep(),
         "simhash_neardup": dedup.sql_simhash_neardup(),
         "ann_cosine_topk": sql_ann_topk(),
+        "embedding_cluster_sample": sql_embedding_cluster_sample(),
         # full probing (nprobe = n_centroids) is exact -> same oracle
         "ann_ivf_exact": sql_ann_topk(),
         # approximate path's recall contract: Ray side emits per-query

@@ -208,3 +208,29 @@ def test_scratch_dir_deterministic(tmp_path, monkeypatch):
     import os
 
     assert os.path.isdir(a) and os.path.isdir(c)
+
+
+def test_assign_clusters_brute_parity():
+    """Nearest-centroid assignment == the numpy argmax over normalized
+    cosine, with the (sim DESC, cid ASC) tie-break; centroid ids must
+    be strictly ascending (the tie-break precondition)."""
+    rng = np.random.Generator(np.random.PCG64(3))
+    mat = rng.normal(size=(200, 16))
+    ids = np.arange(7000, 7200, dtype=np.int64)
+    cents = mat[:6].copy()
+    cids = ids[:6]
+    ds = ray.data.from_items(
+        [{"vec_id": int(i), "embedding": v.tolist()} for i, v in zip(ids, mat)]
+    )
+    got = dict(
+        (r["vec_id"], r["cluster"])
+        for r in ann.assign_clusters(ds, cents, cids).take_all()
+    )
+
+    def norm(m):
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    want = cids[np.argmax(norm(mat) @ norm(cents).T, axis=1)]
+    assert [got[int(i)] for i in ids] == list(want)
+    with pytest.raises(ValueError, match="ascending"):
+        ann.assign_clusters(ds, cents, cids[::-1]).take_all()
