@@ -391,6 +391,13 @@ def run_bench() -> dict:
         extras["mf_taat_queries_per_sec"] = nq / taat_s
         extras["mf_wand_queries_per_sec"] = nq / wand_s
         extras["mf_wand_speedup_vs_taat"] = taat_s / wand_s
+        # best_fields (dis_max) combine: same match work as TAAT plus
+        # the per-field max — the delta vs mf_taat is the combine cost
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            for q in eligible:
+                srch.search(q, k=10, mode="best_fields", tie_breaker=0.25)
+        extras["mf_dismax_queries_per_sec"] = nq / (time.perf_counter() - t0)
 
     if not skip_extras:
         # phase 9: full-match aggregation family on the documents index
@@ -489,6 +496,26 @@ def run_bench() -> dict:
         n_pairs = perc_ds.count()
         extras["percolate_docs_per_sec"] = n_docs_tbl / (time.perf_counter() - t0)
         extras["percolate_pairs"] = float(n_pairs)
+
+        # phase 11: cluster-balanced sampling — nearest-centroid
+        # assignment throughput (vectors/sec through the actor-pool
+        # matmul + per-batch partial sample)
+        import numpy as _np
+        import pyarrow.parquet as _pq2
+
+        from cb import ann as _ann
+
+        head = _pq2.read_table(emb_path).sort_by("vec_id").slice(0, 8)
+        cmat = _np.array(head["embedding"].to_pylist())
+        cids = head["vec_id"].to_numpy()
+        n_vecs = _pq2.read_metadata(emb_path).num_rows
+        t0 = time.perf_counter()
+        _ann.assign_clusters(
+            ray.data.read_parquet(emb_path), cmat, cids
+        ).count()
+        extras["cluster_assign_vecs_per_sec"] = (
+            n_vecs / (time.perf_counter() - t0)
+        )
 
     extras["calib_end_sec"] = _calibrate()
     total = sum(timings.values())
