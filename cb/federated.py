@@ -853,6 +853,48 @@ class FederatedEngine:
         self.telemetry.record("query.total", t3 - t0)
         return res
 
+    def query_boosted(
+        self,
+        text: str,
+        k: int = 10,
+        indices_boost: dict[str, float] | None = None,
+        algo: str = "taat",
+        **sel,
+    ) -> list[tuple[int, float]]:
+        """ES ``indices_boost``: each selected member's scores multiply
+        by its per-index boost BEFORE the cross-index merge.  Members
+        hold disjoint doc sets and a POSITIVE constant scale preserves
+        each member's internal order, so the per-server local top-k cut
+        stays valid and the merged result is the exact boosted global
+        ranking; exact-binary boosts keep the multiply bitwise vs a SQL
+        mirror."""
+        ib = dict(indices_boost or {})
+        for n, w in ib.items():
+            if not float(w) > 0.0:
+                raise ValueError(
+                    f"indices_boost[{n!r}] = {w}: boosts must be > 0 "
+                    "(a non-positive scale invalidates the per-member top-k cut)"
+                )
+        member_futs: list[tuple[float, list]] = []
+        for n in self._select(**sel):
+            f = self.engines[n]._dispatch(text, k, algo)
+            if f is None:
+                continue
+            w = float(ib.get(n, 1.0))
+            member_futs.append((w, f if isinstance(f, list) else [f]))
+        if not member_futs:
+            return []
+        got = ray.get([r for _, fs in member_futs for r in fs])
+        scored, i = [], 0
+        for w, fs in member_futs:
+            for _ in fs:
+                part = got[i]
+                i += 1
+                scored.append(
+                    [(d, s * w) for d, s in part] if w != 1.0 else part
+                )
+        return _merge_topk(scored, k)
+
     def phrase_query(
         self, text: str, k: int = 10, slop: int = 0, **sel
     ) -> list[tuple[int, float]]:

@@ -255,6 +255,64 @@ def q_federated_bm25(sf_dir: str) -> pa.Table:
     return _topk_table(results, with_scores=True)
 
 
+# per-day indices_boost weights (exact binary fractions -> bitwise);
+# day d = doc_id % FED_NDAYS, so the oracle re-derives the member from
+# the id alone
+FED_BOOSTS: tuple[float, ...] = (1.0, 0.5, 2.0, 0.25)
+
+
+def q_federated_boosted(sf_dir: str) -> pa.Table:
+    """ES ``indices_boost`` across the per-day federation: each day
+    index's scores scale by its boost before the cross-index merge —
+    per-doc over disjoint members, so the merged top-k is the exact
+    boosted global ranking.  The routing day is ``doc_id % FED_NDAYS``
+    (get_federation), so the oracle re-derives the boost per doc from
+    the monolithic scored CTE."""
+    from . import federated
+
+    fed_dir = get_federation(sf_dir)
+    eng = federated.FederatedEngine(fed_dir, num_servers=2)
+    names = sorted(eng.engines)
+    assert len(names) == FED_NDAYS
+    ib = {n: w for n, w in zip(names, FED_BOOSTS)}
+    try:
+        results = [
+            eng.query_boosted(q, k=K, indices_boost=ib) for q in QUERY_SET
+        ]
+    finally:
+        eng.shutdown()
+    return _topk_table(results, with_scores=True)
+
+
+def sql_federated_boosted() -> str:
+    base = sql_bm25(with_scores=True)
+    whens = " ".join(
+        f"WHEN {d} THEN CAST({w!r} AS DOUBLE)"
+        for d, w in enumerate(FED_BOOSTS[:-1])
+    )
+    case = (
+        f"(CASE doc_id % {FED_NDAYS} {whens} "
+        f"ELSE CAST({FED_BOOSTS[-1]!r} AS DOUBLE) END)"
+    )
+    old = """ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)"""
+    assert old in base  # keep the splice honest if sql_bm25 moves
+    return base.replace(
+        old,
+        f"""boosted AS (
+  SELECT query_id, doc_id, score * {case} AS score FROM scored
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM boosted
+)""",
+    )
+
+
 def q_federated_querystring(sf_dir: str) -> pa.Table:
     """The full query-string surface (boosts, +required, wildcards,
     fuzzy, phrases, negation, metadata range filters) across the
@@ -5756,6 +5814,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_scores": q_bm25_topk_scores,
     "federated_bm25": q_federated_bm25,
+    "federated_boosted": q_federated_boosted,
     "federated_querystring": q_federated_querystring,
     "more_like_this": q_more_like_this,
     "bm25_page2": q_bm25_page2,
@@ -5872,6 +5931,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_scores": sql_bm25(with_scores=True),
         # federation with dfs_query_then_fetch stats == monolithic index
         "federated_bm25": sql_bm25(with_scores=True),
+        "federated_boosted": sql_federated_boosted(),
         "federated_querystring": sql_search_querystring(),
         "more_like_this": sql_more_like_this(),
         "bm25_page2": sql_bm25_page2(),

@@ -995,3 +995,32 @@ def test_multifield_fed_function_score_bitwise(tmp_path, ray_session):
                 assert got  # non-degenerate
     finally:
         eng.shutdown()
+
+
+def test_indices_boost(fed_built):
+    """ES indices_boost: all-1.0 boosts == the plain federated query;
+    a demoted/promoted member reorders with EXACT w*score values; a
+    non-positive boost is rejected (it would invalidate the per-member
+    top-k cut)."""
+    src, mono, fed_dir, meta = fed_built
+    eng = federated.FederatedEngine(fed_dir, num_servers=2)
+    names = [e["name"] for e in meta["indexes"]]
+    try:
+        q = "merge join"
+        plain = eng.query(q, k=30)
+        assert eng.query_boosted(q, k=30) == plain
+        assert eng.query_boosted(
+            q, k=30, indices_boost={n: 1.0 for n in names}
+        ) == plain
+        ib = {names[0]: 0.25, names[1]: 2.0}
+        boosted = dict(eng.query_boosted(q, k=10**6, indices_boost=ib))
+        per_member = {
+            n: dict(eng.query(q, k=10**6, names=[n])) for n in names
+        }
+        for n, w in [(names[0], 0.25), (names[1], 2.0), (names[2], 1.0)]:
+            for d, s in per_member[n].items():
+                assert boosted[d] == (s * w if w != 1.0 else s), (n, d)
+        with pytest.raises(ValueError, match="> 0"):
+            eng.query_boosted(q, indices_boost={names[0]: 0.0})
+    finally:
+        eng.shutdown()
