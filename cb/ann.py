@@ -89,7 +89,7 @@ def _merge_candidates(tbl: pa.Table, k: int) -> pa.Table:
 class BruteForceScorer:
     """Actor-pool stage: query matrix fetched once per actor."""
 
-    def __init__(self, query, k: int, vec_col: str, id_col: str):
+    def __init__(self, query, k: int, vec_col: str, id_col: str, allow=None):
         # ``query`` may be a plain dict (small query sets, shipped in the
         # actor ctor) or an ObjectRef from ray.put (large query matrices,
         # fetched once per actor from the shared object store).
@@ -99,10 +99,34 @@ class BruteForceScorer:
         self.k = k
         self.vec_col = vec_col
         self.id_col = id_col
+        # optional metadata pre-filter: SORTED allowed-id array, fetched
+        # once per actor (filtered vector search).  Scale note: at 100 TB
+        # an id-set broadcast only works for selective filters — the
+        # general design carries the filter COLUMN in the vector table
+        # (or hash-partitions both sides) so the mask is batch-local.
+        a = ray.get(allow) if isinstance(allow, ray.ObjectRef) else allow
+        self.allow = None if a is None else np.asarray(a, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = _normalize(_batch_matrix(batch, self.vec_col))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if self.allow is not None:
+            pos = np.searchsorted(self.allow, ids)
+            pos[pos == len(self.allow)] = 0
+            keep = (
+                self.allow[pos] == ids
+                if len(self.allow)
+                else np.zeros(len(ids), dtype=bool)
+            )
+            if not keep.any():
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "sim": pa.array([], type=pa.float64()),
+                    }
+                )
+            mat, ids = mat[keep], ids[keep]
         sims = mat @ self.qmat.T  # (n, Q)
         k = min(self.k, len(ids))
         out_q, out_v, out_s = [], [], []
@@ -192,13 +216,24 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     concurrency: int = 2,
+    allow_ids: np.ndarray | None = None,
 ) -> pa.Table:
     """-> (query_id, rank, vec_id, sim): exact cosine top-k per query.
+
+    ``allow_ids`` (sorted int64) restricts candidates to that id set —
+    filtered vector search (the ES knn-query ``filter`` clause); see
+    the BruteForceScorer scale note on broadcast-vs-colocated filters.
 
     NOTE: size ``concurrency`` strictly below the session CPU count —
     an actor pool that reserves every CPU starves the read tasks and
     the pipeline deadlocks."""
     query = {"mat": np.asarray(query_mat), "ids": np.asarray(query_ids)}
+    allow = None
+    if allow_ids is not None:
+        allow_ids = np.asarray(allow_ids, dtype=np.int64)
+        if not np.all(allow_ids[:-1] <= allow_ids[1:]):
+            raise ValueError("allow_ids must be sorted ascending")
+        allow = ray.put(allow_ids)
     cands = ds.map_batches(
         BruteForceScorer,
         fn_constructor_kwargs={
@@ -206,6 +241,7 @@ def brute_force_topk(
             "k": k,
             "vec_col": vec_col,
             "id_col": id_col,
+            "allow": allow,
         },
         batch_format="pyarrow",
         concurrency=concurrency,

@@ -4163,6 +4163,52 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
+ANN_FILTER_LANG = "en"  # the knn-query filter clause fixture
+
+
+def q_ann_filtered_topk(sf_dir: str) -> pa.Table:
+    """Filtered vector search (the ES knn query's ``filter`` clause /
+    the vector-db metadata-filter pattern): exact cosine top-k
+    restricted to vectors whose document passes a metadata predicate
+    (lang = 'en').  The allowed-id set is read with pruned columns,
+    ``ray.put`` once, and masked per batch BEFORE the matmul — filtered
+    candidates never cost a dot product.  Scale note in
+    cb/ann.py::BruteForceScorer: broadcast id sets fit selective
+    filters; the general 100-TB design co-locates the filter column
+    with the vectors."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path).sort_by("vec_id").slice(0, 5)
+    qmat = np.array(head["embedding"].to_pylist())
+    qids = head["vec_id"].to_numpy()
+    docs = pq.read_table(docs_path(sf_dir), columns=["doc_id", "lang"])
+    allowed = np.sort(
+        docs.filter(pc.equal(docs["lang"], ANN_FILTER_LANG))["doc_id"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    ds = ray.data.read_parquet(path)
+    out = ann.brute_force_topk(ds, qmat, qids, k=K, allow_ids=allowed)
+    return out.select(["query_id", "rank", "vec_id"])
+
+
+def sql_ann_filtered_topk() -> str:
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5),
+allowed AS (SELECT doc_id FROM documents WHERE lang = '{ANN_FILTER_LANG}'),
+ranked AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC
+         ) AS rank
+  FROM q CROSS JOIN embeddings e
+  JOIN allowed a ON a.doc_id = e.vec_id
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 CLUSTER_NC = 8  # cluster-sample centroids (first NC vectors by id)
 CLUSTER_R = 5  # kept per cluster
 
@@ -5888,6 +5934,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "ann_cosine_topk": q_ann_topk,
     "embedding_cluster_sample": q_embedding_cluster_sample,
+    "ann_filtered_topk": q_ann_filtered_topk,
     "ann_ivf_topk": q_ann_ivf,
     "ann_ivf_exact": q_ann_ivf_exact,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -6025,6 +6072,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": dedup.sql_simhash_neardup(),
         "ann_cosine_topk": sql_ann_topk(),
         "embedding_cluster_sample": sql_embedding_cluster_sample(),
+        "ann_filtered_topk": sql_ann_filtered_topk(),
         # full probing (nprobe = n_centroids) is exact -> same oracle
         "ann_ivf_exact": sql_ann_topk(),
         # approximate path's recall contract: Ray side emits per-query

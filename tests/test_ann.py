@@ -234,3 +234,27 @@ def test_assign_clusters_brute_parity():
     assert [got[int(i)] for i in ids] == list(want)
     with pytest.raises(ValueError, match="ascending"):
         ann.assign_clusters(ds, cents, cids[::-1]).take_all()
+
+
+def test_brute_force_allow_ids_filter():
+    """Filtered vector search == brute force over the pre-restricted
+    corpus; empty allow set -> no rows; unsorted allow set rejected."""
+    rng = np.random.Generator(np.random.PCG64(9))
+    mat = rng.normal(size=(120, 12))
+    ids = np.arange(4000, 4120, dtype=np.int64)
+    rows = [
+        {"vec_id": int(i), "embedding": v.tolist()} for i, v in zip(ids, mat)
+    ]
+    qmat, qids = mat[:3], ids[:3]
+    allow = np.sort(ids[::3])
+    ds = ray.data.from_items(rows)
+    got = ann.brute_force_topk(ds, qmat, qids, k=7, allow_ids=allow)
+    sub = ray.data.from_items([r for r in rows if r["vec_id"] in set(allow.tolist())])
+    want = ann.brute_force_topk(sub, qmat, qids, k=7)
+    assert got.to_pylist() == want.to_pylist()
+    empty = ann.brute_force_topk(
+        ds, qmat, qids, k=7, allow_ids=np.array([], dtype=np.int64)
+    )
+    assert empty.num_rows == 0
+    with pytest.raises(ValueError, match="sorted"):
+        ann.brute_force_topk(ds, qmat, qids, k=7, allow_ids=allow[::-1])
