@@ -484,8 +484,9 @@ def main(argv=None) -> int:
                     help="'col:e1,e2,...' -> range aggregation with "
                          "cut points e1<e2<... (open-ended outer buckets)")
     fd.add_argument("--mode", default="most_fields",
-                    choices=["most_fields", "best_fields"],
-                    help="multifield combine: sum (default) or dis_max")
+                    choices=["most_fields", "best_fields", "cross_fields"],
+                    help="multifield combine: sum (default), dis_max, "
+                         "or blended-stats cross_fields")
     fd.add_argument("--tie-breaker", dest="tie_breaker", type=float,
                     default=0.0, help="best_fields tie_breaker in [0, 1]")
     fd.add_argument("--start-day", default=None, help="prune: first day YYYYMMDD")

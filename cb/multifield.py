@@ -449,6 +449,8 @@ def _wand_eligible(routed: dict, tombstones: np.ndarray) -> bool:
         not len(tombstones)
         and routed.get("dis_max") is None  # max+tie_breaker breaks the
         # additive upper bound WAND prunes with — exact TAAT only
+        and not routed.get("cross_fields")  # blended df invalidates the
+        # stored per-field umax bounds
         and not routed.get("filters")
         and not routed.get("any_phrases")
         and not routed.get("field_phrases")
@@ -469,17 +471,23 @@ def with_mode(routed: dict, mode: str, tie_breaker: float = 0.0) -> dict:
     """Stamp the multi_match combine mode onto a routed clause set.
 
     ``most_fields`` (the default everywhere) leaves the routed dict
-    untouched; ``best_fields`` marks it for dis_max combining
-    (:func:`_match_fields`) — the stamp travels INSIDE ``routed`` so
-    doc-sharded servers and federation members need no new plumbing,
-    and every consumer of the match set (aggregations) is unaffected
-    because membership is combine-independent."""
+    untouched; ``best_fields`` marks it for dis_max combining and
+    ``cross_fields`` for blended-statistics scoring
+    (:func:`_match_fields` / :func:`_cross_fields_scores`) — the stamp
+    travels INSIDE ``routed`` so doc-sharded servers and federation
+    members need no new plumbing, and every consumer of the match set
+    (aggregations) is unaffected because membership is
+    combine-independent."""
     if mode == "most_fields":
         return routed
+    if mode == "cross_fields":
+        out = dict(routed)
+        out["cross_fields"] = True
+        return out
     if mode != "best_fields":
         raise ValueError(
-            f"unknown multi_match mode {mode!r}; "
-            "expected 'most_fields' or 'best_fields'"
+            f"unknown multi_match mode {mode!r}; expected "
+            "'most_fields', 'best_fields' or 'cross_fields'"
         )
     tb = float(tie_breaker)
     if not 0.0 <= tb <= 1.0:
@@ -487,6 +495,76 @@ def with_mode(routed: dict, mode: str, tie_breaker: float = 0.0) -> dict:
     out = dict(routed)
     out["dis_max"] = tb
     return out
+
+
+def _cross_fields_scores(
+    routed: dict,
+    get_postings,
+    stats: dict[str, GlobalStats],
+    field_order: list[str],
+    tombstones: np.ndarray,
+):
+    """ES ``multi_match: cross_fields`` — the documented contract here:
+    the analyzed fields are searched as ONE conceptual field.  Per
+    term, df is BLENDED as the max per-field df (the Lucene
+    BlendedTermQuery shape, so a term common in any field is cheap in
+    all of them) and a doc scores the term at its BEST field
+    (``blended_idf * max_f u_f`` — u keeps each field's own dl/avgdl);
+    the doc total is the term-ordered sum of those contributions.
+    Plain scored terms only (every other clause raises — ES itself
+    changes semantics per clause type under cross_fields); requires
+    equal per-field doc counts (true by construction for
+    build_multifield mappings).  Per-doc, so doc-sharded slices merge
+    exactly."""
+    unsupported = [
+        k for k in (
+            "any_phrases", "field_phrases", "excluded_phrases",
+            "excluded", "required", "expands",
+        ) if routed.get(k)
+    ]
+    if routed.get("filters"):
+        unsupported.append("filters")
+    if int(routed.get("minimum_should_match") or 0) > 1:
+        unsupported.append("minimum_should_match")
+    if unsupported:
+        raise ValueError(
+            f"cross_fields supports plain scored terms only; got {unsupported}"
+        )
+    n_set = {stats[f].n_docs for f in field_order}
+    if len(n_set) != 1:
+        raise ValueError(
+            "cross_fields blends df across fields and needs equal "
+            f"per-field doc counts; got {sorted(n_set)}"
+        )
+    n = n_set.pop()
+    terms = sorted({t for ts in routed["field_terms"].values() for t in ts})
+    w = routed.get("weights") or {}
+    per_term = []
+    for t in terms:
+        fps = [(f, get_postings(f, t)) for f in field_order]
+        fps = [(f, p) for f, p in fps if p is not None]
+        if not fps:
+            continue
+        df_blend = max(getattr(p, "gdf", p.df) for _, p in fps)
+        idf_b = float(scoring.idf(df_blend, n)) * float(w.get(t, 1.0))
+        decoded = []
+        for f, p in fps:
+            ids, tfs, dls = p.decode_all()
+            decoded.append((ids, scoring.u_factor(tfs, dls, stats[f].avgdl)))
+        uni = np.unique(np.concatenate([i for i, _ in decoded]))
+        best = np.zeros(len(uni), dtype=np.float64)
+        for ids, u in decoded:  # field order; max is order-insensitive
+            aligned = np.zeros(len(uni), dtype=np.float64)
+            aligned[np.searchsorted(uni, ids)] = u
+            np.maximum(best, aligned, out=best)
+        per_term.append((uni, idf_b * best))
+    if not per_term:
+        return None
+    all_ids = np.unique(np.concatenate([u for u, _ in per_term]))
+    total = np.zeros(len(all_ids), dtype=np.float64)
+    for uni, contrib in per_term:  # sorted-term order: the float spec
+        total[np.searchsorted(all_ids, uni)] += contrib
+    return all_ids, total, _live_mask(all_ids, tombstones)
 
 
 def apply_synonyms_routed(routed: dict, syn_map: dict) -> dict:
@@ -566,9 +644,14 @@ def _score_fields(
         if not field_postings:
             return []
         return wand.topk_wand_fields(field_postings, field_idfs, stats, field_order, k)
-    m = _match_fields(
-        routed, get_postings, stats, field_order, tombstones, docmeta=docmeta
-    )
+    if routed.get("cross_fields"):
+        m = _cross_fields_scores(
+            routed, get_postings, stats, field_order, tombstones
+        )
+    else:
+        m = _match_fields(
+            routed, get_postings, stats, field_order, tombstones, docmeta=docmeta
+        )
     if m is None:
         return []
     all_ids, total, keep = m

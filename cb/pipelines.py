@@ -3265,6 +3265,119 @@ m AS (SELECT b.query_id, b.doc_id FROM base b
       JOIN preds p ON p.query_id = b.query_id AND p.doc_id = b.doc_id)"""
 
 
+XF_SET: tuple[str, ...] = (
+    "hash join",
+    "merge sort window",
+    "hash^2 join",
+    "table scan",
+    "group order column",
+)
+
+
+def q_multifield_crossfields(sf_dir: str) -> pa.Table:
+    """ES ``multi_match: cross_fields`` (the third multi_match mode,
+    completing the trio): the analyzed fields searched as one
+    conceptual field — per term, df blends as the max per-field df and
+    a doc scores the term at its best field (blended_idf * max u_f),
+    summed in term order.  Plain scored terms (+^boosts); the combine
+    travels inside the routed clause set like the other modes."""
+    from . import multifield
+
+    idx = get_multifield_index(sf_dir)
+    engine = multifield.MultiFieldEngine(idx, num_servers=2)
+    try:
+        results = [
+            engine.search(q, k=K, mode="cross_fields") for q in XF_SET
+        ]
+    finally:
+        engine.shutdown()
+    return _topk_table(results, with_scores=True)
+
+
+def sql_multifield_crossfields() -> str:
+    """Independent mirror of the cross_fields contract: per-field
+    tf/df/dl CTEs, blended df = greatest of the per-field dfs, u kept
+    per field (own dl/avgdl), per-(term, doc) greatest-u, term-ordered
+    sum of (blended_idf * w) * best_u."""
+    from . import multifield, querylang, scoring as _scoring
+
+    tok = analyze.sql_token_array("text")
+    k1 = f"CAST({_scoring.K1} AS DOUBLE)"
+    b = f"CAST({_scoring.B} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    half = "CAST(0.5 AS DOUBLE)"
+    q_rows = []
+    for qid, q in enumerate(XF_SET):
+        r = multifield.route_query(q, ["text", "title"])
+        terms = sorted({t for ts in r["field_terms"].values() for t in ts})
+        for t in terms:
+            w = float((r.get("weights") or {}).get(t, 1.0))
+            q_rows.append(f"({qid}, '{t}', CAST({w!r} AS DOUBLE))")
+
+    def u_of(alias_tf: str, alias_s: str, g: str) -> str:
+        return (
+            f"{alias_tf}.tf * ({k1} + {one}) / ({alias_tf}.tf + {k1} * "
+            f"({one} - {b} + {b} * {alias_s}.doc_len / (SELECT avgdl FROM {g})))"
+        )
+
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+f AS (SELECT doc_id, toks AS t_text, list_slice(toks, 1, 8) AS t_title FROM docs),
+s_text AS (SELECT doc_id, len(t_text)::BIGINT AS doc_len FROM f),
+s_title AS (SELECT doc_id, len(t_title)::BIGINT AS doc_len FROM f),
+g_text AS (SELECT count(*)::BIGINT AS n_docs,
+                  sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM s_text),
+g_title AS (SELECT count(*)::BIGINT AS n_docs,
+                   sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM s_title),
+tf_text AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+            FROM (SELECT doc_id, unnest(t_text) AS term FROM f) GROUP BY 1, 2),
+tf_title AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             FROM (SELECT doc_id, unnest(t_title) AS term FROM f) GROUP BY 1, 2),
+df_text AS (SELECT term, count(*)::BIGINT AS df FROM tf_text GROUP BY 1),
+df_title AS (SELECT term, count(*)::BIGINT AS df FROM tf_title GROUP BY 1),
+q(query_id, term, w) AS (VALUES {", ".join(q_rows)}),
+dfb AS (
+  SELECT q.query_id, q.term, q.w,
+         greatest(coalesce(dt.df, 0), coalesce(dti.df, 0))::DOUBLE AS dfb
+  FROM q
+  LEFT JOIN df_text dt ON dt.term = q.term
+  LEFT JOIN df_title dti ON dti.term = q.term
+  WHERE coalesce(dt.df, 0) + coalesce(dti.df, 0) > 0
+),
+hits AS (
+  SELECT term, doc_id FROM tf_text UNION SELECT term, doc_id FROM tf_title
+),
+ubest AS (
+  SELECT h.term, h.doc_id,
+         greatest(
+           coalesce({u_of("tt", "st", "g_text")}, CAST(0 AS DOUBLE)),
+           coalesce({u_of("tti", "sti", "g_title")}, CAST(0 AS DOUBLE))
+         ) AS u
+  FROM hits h
+  LEFT JOIN tf_text tt ON tt.term = h.term AND tt.doc_id = h.doc_id
+  LEFT JOIN s_text st ON st.doc_id = h.doc_id
+  LEFT JOIN tf_title tti ON tti.term = h.term AND tti.doc_id = h.doc_id
+  LEFT JOIN s_title sti ON sti.doc_id = h.doc_id
+),
+scored AS (
+  SELECT dfb.query_id, ub.doc_id,
+         sum((ln({one} + ((SELECT n_docs FROM g_text) - dfb.dfb + {half})
+                / (dfb.dfb + {half})) * dfb.w) * ub.u
+             ORDER BY dfb.term) AS score
+  FROM dfb JOIN ubest ub ON ub.term = dfb.term
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 DISMAX_TIE_BREAKER = 0.25  # exact binary fraction: the scale is bitwise
 
 
@@ -5873,6 +5986,7 @@ QUERIES = {
     "federated_multifield": q_federated_multifield,
     "multifield_querystring": q_multifield_querystring,
     "multifield_dismax": q_multifield_dismax,
+    "multifield_crossfields": q_multifield_crossfields,
     "multifield_facets": q_multifield_facets,
     "multifield_page2": q_multifield_page2,
     "multifield_highlight": q_multifield_highlight,
@@ -5996,6 +6110,7 @@ def oracle_sql() -> dict[str, str]:
         "federated_multifield": sql_bm25_multifield(),
         "multifield_querystring": sql_multifield_querystring(),
         "multifield_dismax": sql_multifield_dismax(),
+        "multifield_crossfields": sql_multifield_crossfields(),
         # aggregations share the querystring oracle's match prefix,
         # exactly as the engine shares _match_fields
         "multifield_facets": sql_multifield_facets(),

@@ -166,7 +166,7 @@ def test_dismax_mode_validation(built):
     _, idx = built
     s = multifield.MultiFieldSearcher(idx)
     with pytest.raises(ValueError, match="multi_match mode"):
-        s.search("hash", mode="cross_fields")
+        s.search("hash", mode="bogus_fields")
     with pytest.raises(ValueError, match="tie_breaker"):
         s.search("hash", mode="best_fields", tie_breaker=1.5)
 
@@ -219,3 +219,67 @@ def test_dismax_fed_cli(built, fed_built):
     out = json.loads(r.stdout.strip().splitlines()[-1])
     got = [(h["doc_id"], h["score"]) for h in out["results"]]
     assert got == [(d, s) for d, s in want]
+
+
+# ---- cross_fields (the third multi_match mode) ----
+
+def test_crossfields_brute_recompute(built):
+    """cross_fields score == blended_idf(max per-field df) * per-doc
+    max u, summed in term order — recomputed bitwise from the raw
+    postings."""
+    from cb import scoring
+
+    _, idx = built
+    s = multifield.MultiFieldSearcher(idx)
+    n = s.stats[s.fields[0]].n_docs
+    for q in ("hash join", "sort merge table", "index"):
+        got = dict(s.search(q, k=10**6, mode="cross_fields"))
+        total = {}
+        for t in sorted(set(q.split())):
+            ps = [(f, s._get(f, t)) for f in s.fields]
+            ps = [(f, p) for f, p in ps if p is not None]
+            if not ps:
+                continue
+            idf_b = float(scoring.idf(max(p.df for _, p in ps), n))
+            best = {}
+            for f, p in ps:
+                ids, tfs, dls = p.decode_all()
+                u = scoring.u_factor(tfs, dls, s.stats[f].avgdl)
+                for d, uu in zip(ids.tolist(), u.tolist()):
+                    best[d] = max(best.get(d, 0.0), uu)
+            for d, uu in best.items():
+                total[d] = total.get(d, 0.0) + idf_b * uu
+        assert got == total, q
+
+
+def test_crossfields_engine_and_fed_bitwise(built, fed_built):
+    _, idx = built
+    s = multifield.MultiFieldSearcher(idx)
+    eng = multifield.MultiFieldEngine(idx, num_servers=3)
+    fed = federated.FederatedMultiFieldEngine(fed_built)
+    try:
+        for q in ("hash join", "sort merge table", "tree heap w01"):
+            want = s.search(q, k=10, mode="cross_fields")
+            assert eng.search(q, k=10, mode="cross_fields") == want, q
+            assert fed.search(q, k=10, mode="cross_fields") == want, q
+    finally:
+        eng.shutdown()
+        fed.shutdown()
+
+
+def test_crossfields_guards(built, monkeypatch):
+    from cb import wand
+
+    _, idx = built
+    s = multifield.MultiFieldSearcher(idx)
+    with pytest.raises(ValueError, match="plain scored terms"):
+        s.search('"hash join" sort', mode="cross_fields")
+    with pytest.raises(ValueError, match="plain scored terms"):
+        s.search("hash -join", mode="cross_fields")
+    want = s.search("hash join", k=10, mode="cross_fields")
+
+    def boom(*a, **kw):
+        raise AssertionError("WAND taken for a cross_fields query")
+
+    monkeypatch.setattr(wand, "topk_wand_fields", boom)
+    assert s.search("hash join", k=10, algo="wand", mode="cross_fields") == want
