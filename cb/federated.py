@@ -1319,6 +1319,39 @@ class FederatedMultiFieldEngine:
             return []
         return _merge_topk(ray.get(futs), k)
 
+    def search_boosted(
+        self,
+        query: str,
+        k: int = 10,
+        indices_boost: dict[str, float] | None = None,
+        mode: str = "most_fields",
+        tie_breaker: float = 0.0,
+        **sel,
+    ) -> list[tuple[int, float]]:
+        """ES ``indices_boost`` on the MULTIFIELD federation: member
+        scores scale by the per-index boost before the merge — same
+        positive-scale-preserves-order argument as
+        FederatedEngine.query_boosted, composing with any multi_match
+        mode."""
+        ib = dict(indices_boost or {})
+        for n, w in ib.items():
+            if not float(w) > 0.0:
+                raise ValueError(
+                    f"indices_boost[{n!r}] = {w}: boosts must be > 0"
+                )
+        names = self._select(**sel)
+        futs = [
+            self.members[n].search.remote(query, k, mode, tie_breaker)
+            for n in names
+        ]
+        if not futs:
+            return []
+        parts = []
+        for n, res in zip(names, ray.get(futs)):
+            w = float(ib.get(n, 1.0))
+            parts.append([(d, s * w) for d, s in res] if w != 1.0 else res)
+        return _merge_topk(parts, k)
+
     def facets(
         self, query: str, facet_cols=(), stats_cols=(), **sel
     ) -> tuple[dict, dict]:

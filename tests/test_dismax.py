@@ -283,3 +283,45 @@ def test_crossfields_guards(built, monkeypatch):
 
     monkeypatch.setattr(wand, "topk_wand_fields", boom)
     assert s.search("hash join", k=10, algo="wand", mode="cross_fields") == want
+
+
+def test_multifield_indices_boost(built, fed_built):
+    """indices_boost on the multifield federation: identity at w=1;
+    exact per-member scale values; composes with best_fields."""
+    eng = federated.FederatedMultiFieldEngine(fed_built)
+    names = sorted(eng.members)
+    try:
+        q = "hash join"
+        assert eng.search_boosted(q, k=20) == eng.search(q, k=20)
+        ib = {names[0]: 0.5}
+        big = 10**6
+        boosted = dict(eng.search_boosted(q, k=big, indices_boost=ib))
+        per_member = {
+            n: dict(eng.search(q, k=big, names=[n])) for n in names
+        }
+        for n in names:
+            w = 0.5 if n == names[0] else 1.0
+            for d, s in per_member[n].items():
+                assert boosted[d] == (s * w if w != 1.0 else s), (n, d)
+        # composes with dis_max
+        want = dict(
+            eng.search(q, k=big, mode="best_fields", tie_breaker=0.25)
+        )
+        got = dict(
+            eng.search_boosted(
+                q, k=big, mode="best_fields", tie_breaker=0.25,
+                indices_boost={names[0]: 0.5},
+            )
+        )
+        member0 = set(
+            d for d, _ in eng.search(
+                q, k=big, names=[names[0]], mode="best_fields",
+                tie_breaker=0.25,
+            )
+        )
+        for d, s in got.items():
+            assert s == (want[d] * 0.5 if d in member0 else want[d]), d
+        with pytest.raises(ValueError, match="> 0"):
+            eng.search_boosted(q, indices_boost={names[0]: -1.0})
+    finally:
+        eng.shutdown()
