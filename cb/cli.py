@@ -286,6 +286,14 @@ def cmd_fed(args) -> int:
         print(json.dumps({
             "fed": args.fed, "n_docs": fed["n_docs"], "avgdl": fed["avgdl"],
         }))
+    elif args.action == "expire":
+        if not args.before_day:
+            raise SystemExit("fed expire requires --before-day YYYYMMDD")
+        fed = federated.expire_members(args.fed, args.before_day)
+        print(json.dumps({
+            "fed": args.fed, "dropped": fed["dropped"],
+            "kept": [e["name"] for e in fed["indexes"]],
+        }))
     elif args.action == "search":
         with open(federated.fed_meta_path(args.fed)) as f:
             _is_mf = bool(json.load(f).get("fields"))
@@ -451,7 +459,10 @@ def main(argv=None) -> int:
     )
     fd.add_argument("action", choices=[
         "build", "init", "refresh", "ingest", "search", "delete", "compact",
+        "expire",
     ])
+    fd.add_argument("--before-day", dest="before_day", default=None,
+                    help="expire: drop members with day < YYYYMMDD")
     fd.add_argument("--fed", required=True, help="federation dir")
     fd.add_argument("--input", default=None,
                     help="corpus parquet (build/refresh) or drain dir (ingest)")

@@ -561,6 +561,54 @@ def refresh_federation(source: "ray.data.Dataset | str", fed_dir: str) -> dict:
     return fed
 
 
+def expire_members(fed_dir: str, before_day: str) -> dict:
+    """Retention for day-routed federations — the ES ILM delete-phase /
+    curator analog (and the reference's whole operating domain: rolling
+    time-partitioned log indexes): drop every member whose day key
+    sorts before ``before_day`` (YYYYMMDD) and republish feddf +
+    fed.json over the survivors, so the federation-global (N, avgdl,
+    per-partition df) shrink EXACTLY to the remaining corpus — the
+    merged top-k equals a federation freshly built without the expired
+    days (bitwise, the delete+compact contract).  Ordering: publish the
+    shrunk manifest FIRST, then remove the expired member dirs and
+    staging slices — a crash in between leaves a correct federation
+    plus orphan bytes, never a manifest naming missing dirs.  Running
+    engines keep serving the OLD federation; construct a new one to
+    pick up the retention (same contract as refresh/compact)."""
+    import shutil
+
+    with open(fed_meta_path(fed_dir)) as f:
+        fg = json.load(f)
+    if not fg.get("ts_col"):
+        raise ValueError(
+            "expire_members needs day-routed members (ts_col federations)"
+        )
+    cfg = _cfg_from(fg)
+
+    def day(e: dict) -> str:
+        return e["name"][-8:]
+
+    keep = [e for e in fg["indexes"] if day(e) >= before_day]
+    dropped = [e for e in fg["indexes"] if day(e) < before_day]
+    if not keep:
+        raise ValueError(
+            f"retention before_day={before_day} would drop every member; "
+            "refusing (delete the federation dir explicitly instead)"
+        )
+    if not dropped:
+        fg["dropped"] = []
+        return fg
+    fed = _publish(fed_dir, cfg, keep)
+    if fg.get("docmeta_cols"):
+        fed["docmeta_cols"] = fg["docmeta_cols"]
+        manifest.write_atomic(fed_meta_path(fed_dir), fed)
+    for e in dropped:
+        shutil.rmtree(e["dir"], ignore_errors=True)
+        shutil.rmtree(staging_dir(fed_dir, e["name"]), ignore_errors=True)
+    fed["dropped"] = [e["name"] for e in dropped]
+    return fed
+
+
 @ray.remote
 def _stage_shard(shard_path: str, fed_dir: str, cfg: dict) -> list[str]:
     """Route ONE immutable stream shard into staging with DETERMINISTIC

@@ -1024,3 +1024,82 @@ def test_indices_boost(fed_built):
             eng.query_boosted(q, indices_boost={names[0]: 0.0})
     finally:
         eng.shutdown()
+
+
+def test_retention_expire_members(fed_built, tmp_path):
+    """ILM delete-phase analog: expiring the oldest day republishes
+    fed-global stats over the survivors, so the retained federation is
+    BITWISE a federation freshly built without that day; dropping
+    everything is refused; member dirs/staging actually go away.
+    (Builds its own federation — fed.json member dirs are absolute, so
+    mutating a copied tree would reach into the shared fixture.)"""
+    src, mono, fed_dir, meta = fed_built
+    fd = str(tmp_path / "fed_ret")
+    federated.build_federation(
+        src, fd, text_col="text", id_col="doc_id", ts_col="ts",
+        prefix="cb-", columns=["doc_id", "text"], num_parts=4,
+    )
+    out = federated.expire_members(fd, "20260106")
+    assert out["dropped"] == ["cb-20260105"]
+    with open(federated.fed_meta_path(fd)) as f:
+        fg = json.load(f)
+    assert [e["name"] for e in fg["indexes"]] == ["cb-20260106", "cb-20260107"]
+    for e in out["indexes"]:
+        assert os.path.exists(e["dir"]), e["name"]
+    assert not os.path.exists(os.path.join(fd, "index=cb-20260105"))
+    assert not os.path.exists(federated.staging_dir(fd, "cb-20260105"))
+
+    # fresh federation over only the surviving days
+    t = pq.read_table(src)
+    cutoff = pa.scalar(
+        1_767_571_200_000_000 + 86_400_000_000, type=pa.timestamp("us")
+    )
+    import pyarrow.compute as pc
+
+    surv = t.filter(pc.greater_equal(t["ts"], cutoff))
+    src2 = str(tmp_path / "surv.parquet")
+    pq.write_table(surv, src2)
+    fresh_dir = str(tmp_path / "fed_fresh")
+    federated.build_federation(
+        src2, fresh_dir, text_col="text", id_col="doc_id", ts_col="ts",
+        prefix="cb-", columns=["doc_id", "text"], num_parts=4,
+    )
+    a = federated.FederatedEngine(fd, num_servers=2)
+    b = federated.FederatedEngine(fresh_dir, num_servers=2)
+    try:
+        for q in ["merge join", "index scan", "w3 w7", "hash index w1"]:
+            assert a.query(q, k=20) == b.query(q, k=20), q
+    finally:
+        a.shutdown()
+        b.shutdown()
+
+    with pytest.raises(ValueError, match="every member"):
+        federated.expire_members(fd, "99999999")
+    # no-op retention
+    again = federated.expire_members(fd, "20260101")
+    assert again["dropped"] == []
+
+
+def test_fed_expire_cli(tmp_path):
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "docs.parquet")
+    _mk_corpus(src, n=60)
+    fd = str(tmp_path / "fed")
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "fed", "build", "--fed", fd,
+         "--input", src, "--text-col", "text", "--id-col", "doc_id",
+         "--ts-col", "ts", "--prefix", "cb-", "--num-parts", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        [sys.executable, "-m", "cb.cli", "fed", "expire", "--fed", fd,
+         "--before-day", "20260106"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["dropped"] == ["cb-20260105"]
+    assert out["kept"] == ["cb-20260106", "cb-20260107"]
