@@ -2299,6 +2299,39 @@ RARE_MAX_DOC_COUNT = 3  # ES rare_terms: buckets with <= N matching docs
 MULTI_TERMS_TOP = 8  # ES multi_terms: top-N compound buckets by count
 
 
+CONSTANT_SCORE_BOOST = 1.5  # exact binary
+
+
+def q_constant_score(sf_dir: str) -> pa.Table:
+    """ES ``constant_score``: every matching doc scores exactly the
+    boost — membership only (filter context), no BM25 work.  All
+    scores tie, so the deterministic ranking is doc_id order: each
+    disjoint server slice ships its first-k sorted ids, the driver
+    re-cuts."""
+    engine = _facet_engine(sf_dir)
+    try:
+        results = [
+            engine.constant_score(q, boost=CONSTANT_SCORE_BOOST, k=K)
+            for q in FACET_SET
+        ]
+    finally:
+        engine.shutdown()
+    return _topk_table(results, with_scores=True)
+
+
+def sql_constant_score() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    return f"""{prefix},
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY doc_id) AS rank
+  FROM mm
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       CAST({CONSTANT_SCORE_BOOST!r} AS DOUBLE) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank"""
+
+
 def q_rare_terms_agg(sf_dir: str) -> pa.Table:
     """ES ``rare_terms`` aggregation: the long-tail inverse of the
     terms agg — per query, the ``source`` values matched by at most
@@ -6010,6 +6043,7 @@ QUERIES = {
     "multifield_synonyms": q_multifield_synonyms,
     "composite_agg": q_composite_agg,
     "rare_terms_agg": q_rare_terms_agg,
+    "constant_score": q_constant_score,
     "multi_terms_agg": q_multi_terms_agg,
     "sampler_agg": q_sampler_agg,
     "filters_agg": q_filters_agg,
@@ -6136,6 +6170,7 @@ def oracle_sql() -> dict[str, str]:
         "multifield_synonyms": sql_multifield_synonyms(),
         "composite_agg": sql_composite_agg(),
         "rare_terms_agg": sql_rare_terms_agg(),
+        "constant_score": sql_constant_score(),
         "multi_terms_agg": sql_multi_terms_agg(),
         "sampler_agg": sql_sampler_agg(),
         "filters_agg": sql_filters_agg(),

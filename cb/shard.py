@@ -941,6 +941,26 @@ class ShardServer:
             self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
         return _top_hits_over(universe[keep], acc[keep], self._docmeta, group_col, k_per)
 
+    def match_first(
+        self, parsed: dict, k: int, fetched_terms: list[str] = (), *fetched
+    ) -> list[int]:
+        """The first ``k`` matching doc ids (id order) of THIS scope —
+        the scoring-free half of ES ``constant_score``: disjoint sorted
+        slices re-cut exactly at the driver."""
+        from . import docmeta as docmeta_mod
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        dm = None
+        if parsed.get("filters") or parsed.get("scoped_phrases"):
+            if self._docmeta is None:
+                self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+            dm = self._docmeta
+        ids = self._cached_match(parsed, dm)
+        if ids is None:
+            return []
+        return np.sort(ids)[:k].tolist()
+
     def sample_hits(
         self, parsed: dict, k: int, fetched_terms: list[str] = (), *fetched
     ) -> list[tuple[int, int]]:
@@ -2240,6 +2260,23 @@ class QueryEngine:
             (p for part in parts for p in part), key=lambda r: (r[1], r[0])
         )[:k]
         return [d for d, _ in merged]
+
+    def constant_score(
+        self, query_string: str, boost: float = 1.0, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES ``constant_score``: every matching doc scores exactly
+        ``boost`` — membership only, no BM25 work, no postings decode
+        beyond the match.  All scores tie, so the ranking is the
+        deterministic (score, doc_id asc) order: the first k matching
+        ids, each disjoint server slice contributing its own sorted
+        prefix."""
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return []
+        fut = self._route_agg("match_first", parsed, involved, k)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        ids = sorted(d for part in parts for d in part)[:k]
+        return [(d, float(boost)) for d in ids]
 
     def _dispatch_function_score(self, query_string: str, spec: dict, k: int):
         parsed, involved = self._parsed_and_involved(query_string)
