@@ -538,6 +538,13 @@ def _cross_fields_scores(
         )
     n = n_set.pop()
     terms = sorted({t for ts in routed["field_terms"].values() for t in ts})
+    if any(set(routed["field_terms"][f]) != set(terms) for f in field_order):
+        # a field:term scope would silently widen to every field under
+        # blended statistics — refuse instead of reinterpreting
+        raise ValueError(
+            "cross_fields searches every field as one; field-scoped "
+            "terms are unsupported (use most_fields/best_fields)"
+        )
     w = routed.get("weights") or {}
     per_term = []
     for t in terms:

@@ -325,3 +325,10 @@ def test_multifield_indices_boost(built, fed_built):
             eng.search_boosted(q, indices_boost={names[0]: -1.0})
     finally:
         eng.shutdown()
+
+
+def test_crossfields_rejects_scoped_terms(built):
+    _, idx = built
+    s = multifield.MultiFieldSearcher(idx)
+    with pytest.raises(ValueError, match="field-scoped"):
+        s.search("title:hash join", mode="cross_fields")
