@@ -499,23 +499,25 @@ def run_bench() -> dict:
 
         # phase 11: cluster-balanced sampling — nearest-centroid
         # assignment throughput (vectors/sec through the actor-pool
-        # matmul + per-batch partial sample)
-        import numpy as _np
-        import pyarrow.parquet as _pq2
+        # matmul + per-batch partial sample); same embeddings-fixture
+        # guard as the phase-2 ANN block
+        if os.path.exists(emb_path):
+            import numpy as _np
+            import pyarrow.parquet as _pq2
 
-        from cb import ann as _ann
+            from cb import ann as _ann
 
-        head = _pq2.read_table(emb_path).sort_by("vec_id").slice(0, 8)
-        cmat = _np.array(head["embedding"].to_pylist())
-        cids = head["vec_id"].to_numpy()
-        n_vecs = _pq2.read_metadata(emb_path).num_rows
-        t0 = time.perf_counter()
-        _ann.assign_clusters(
-            ray.data.read_parquet(emb_path), cmat, cids
-        ).count()
-        extras["cluster_assign_vecs_per_sec"] = (
-            n_vecs / (time.perf_counter() - t0)
-        )
+            head = _pq2.read_table(emb_path).sort_by("vec_id").slice(0, 8)
+            cmat = _np.array(head["embedding"].to_pylist())
+            cids = head["vec_id"].to_numpy()
+            n_vecs = _pq2.read_metadata(emb_path).num_rows
+            t0 = time.perf_counter()
+            _ann.assign_clusters(
+                ray.data.read_parquet(emb_path), cmat, cids
+            ).count()
+            extras["cluster_assign_vecs_per_sec"] = (
+                n_vecs / (time.perf_counter() - t0)
+            )
 
     extras["calib_end_sec"] = _calibrate()
     total = sum(timings.values())

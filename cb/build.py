@@ -1272,19 +1272,21 @@ def reindex(
             f"{text_col!r}; rebuild the doc store with it included"
         )
     id_col = m.get("id_col", "doc_id")
-    import glob as _glob
-
-    files = sorted(
-        _glob.glob(os.path.join(src_index_dir, "docmeta", "bucket=*.parquet"))
-    )
+    # file list from _meta.json bucket MEMBERSHIP, not a glob: a stale
+    # bucket file from an earlier, larger docmeta build must never
+    # resurrect phantom docs (the same rule DocMeta loads by)
+    files = [
+        os.path.join(src_index_dir, "docmeta", f"bucket={b}.parquet")
+        for b in sorted(int(k) for k in m["buckets"])
+    ]
     ds = ray.data.read_parquet(files, columns=[id_col, text_col])
     tomb = load_tombstones(src_index_dir)
     if len(tomb):
+        from .shard import _live_mask
+
         def drop_deleted(batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(tomb, ids)
-            pos[pos == len(tomb)] = 0
-            return batch.filter(pa.array(tomb[pos] != ids))
+            return batch.filter(pa.array(_live_mask(ids, tomb)))
 
         ds = ds.map_batches(
             drop_deleted, batch_format="pyarrow", zero_copy_batch=True

@@ -575,8 +575,15 @@ def expire_members(fed_dir: str, before_day: str) -> dict:
     plus orphan bytes, never a manifest naming missing dirs.  Running
     engines keep serving the OLD federation; construct a new one to
     pick up the retention (same contract as refresh/compact)."""
+    import re
     import shutil
 
+    if not re.fullmatch(r"\d{8}", before_day):
+        # retention is destructive: a malformed cutoff (ISO dashes, a
+        # bare month) would lexicographically no-op or misfire silently
+        raise ValueError(
+            f"before_day must be YYYYMMDD, got {before_day!r}"
+        )
     with open(fed_meta_path(fed_dir)) as f:
         fg = json.load(f)
     if not fg.get("ts_col"):

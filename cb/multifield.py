@@ -287,8 +287,11 @@ def _match_fields(
         return None
     all_ids = np.unique(np.concatenate([u for _, u, _ in per_field]))
     total = np.zeros(len(all_ids), dtype=np.float64)
+    aligned_idx = []  # reused by the dis_max branch (identical lookups)
     for _, universe, acc in per_field:  # manifest field order
-        total[np.searchsorted(all_ids, universe)] += acc
+        idx = np.searchsorted(all_ids, universe)
+        aligned_idx.append(idx)
+        total[idx] += acc
     tb = routed.get("dis_max")
     if tb is not None:
         # ES best_fields (dis_max): score = best field + tie_breaker *
@@ -300,9 +303,10 @@ def _match_fields(
         # ``greatest(a, b, ...) + tb * ((a + b + ...) - greatest(...))``
         # is bitwise.  Per-doc, hence doc-sharded-slice independent.
         best = np.zeros(len(all_ids), dtype=np.float64)
-        for _, universe, acc in per_field:
-            aligned = np.zeros(len(all_ids), dtype=np.float64)
-            aligned[np.searchsorted(all_ids, universe)] = acc
+        aligned = np.zeros(len(all_ids), dtype=np.float64)
+        for (_, universe, acc), idx in zip(per_field, aligned_idx):
+            aligned[:] = 0.0
+            aligned[idx] = acc
             np.maximum(best, aligned, out=best)
         total = best + float(tb) * (total - best)
     keep = _live_mask(all_ids, tombstones)
@@ -503,6 +507,7 @@ def _cross_fields_scores(
     stats: dict[str, GlobalStats],
     field_order: list[str],
     tombstones: np.ndarray,
+    dfs_of,
 ):
     """ES ``multi_match: cross_fields`` — the documented contract here:
     the analyzed fields are searched as ONE conceptual field.  Per
@@ -546,13 +551,23 @@ def _cross_fields_scores(
             "terms are unsupported (use most_fields/best_fields)"
         )
     w = routed.get("weights") or {}
+    # blended df from the FIELD-GLOBAL _termdf/feddf summaries — NOT
+    # from locally-present postings: a doc-range slice (or federation
+    # member) may hold a term in only SOME fields, and blending over
+    # the local subset would give that slice a different idf than the
+    # monolith, breaking the exact-merge contract (caught by a
+    # doc-sharded repro: title-only docs on one server, body-only on
+    # the other)
+    field_gdfs = {f: dfs_of(f, terms) for f in field_order}
     per_term = []
     for t in terms:
+        df_blend = max(field_gdfs[f].get(t, 0) for f in field_order)
+        if df_blend == 0:
+            continue
         fps = [(f, get_postings(f, t)) for f in field_order]
         fps = [(f, p) for f, p in fps if p is not None]
         if not fps:
-            continue
-        df_blend = max(getattr(p, "gdf", p.df) for _, p in fps)
+            continue  # the term exists globally but not in this slice
         idf_b = float(scoring.idf(df_blend, n)) * float(w.get(t, 1.0))
         decoded = []
         for f, p in fps:
@@ -634,6 +649,7 @@ def _score_fields(
     tombstones: np.ndarray,
     docmeta=None,
     algo: str = "taat",
+    dfs_of=None,
 ) -> list[tuple[int, float]]:
     """Top-k over :func:`_match_fields` (the original scoring entry
     point; aggregations reuse the match half directly).
@@ -652,8 +668,12 @@ def _score_fields(
             return []
         return wand.topk_wand_fields(field_postings, field_idfs, stats, field_order, k)
     if routed.get("cross_fields"):
+        if dfs_of is None:
+            raise ValueError(
+                "cross_fields needs a field-global df lookup (dfs_of)"
+            )
         m = _cross_fields_scores(
-            routed, get_postings, stats, field_order, tombstones
+            routed, get_postings, stats, field_order, tombstones, dfs_of
         )
     else:
         m = _match_fields(
@@ -866,7 +886,7 @@ class MultiFieldSearcher:
         dm = self._docmeta() if routed["filters"] else None
         return _score_fields(
             routed, self._get, self.stats, self.fields, k, self.tombstones,
-            docmeta=dm, algo=algo,
+            docmeta=dm, algo=algo, dfs_of=self.term_dfs,
         )
 
     def _match_scored(self, query: str):
@@ -1090,7 +1110,7 @@ class MultiFieldServer:
         dm = self._ensure_dm() if routed.get("filters") else None
         return _score_fields(
             routed, self._get, self.stats, self.fields, k, self.tombstones,
-            docmeta=dm, algo=algo,
+            docmeta=dm, algo=algo, dfs_of=self.get_dfs,
         )
 
     def facet_counts(self, routed: dict, facet_cols=(), stats_cols=()):

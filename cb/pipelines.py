@@ -1786,7 +1786,10 @@ def q_extended_stats_agg(sf_dir: str) -> pa.Table:
         rows["max_n"].append(mx)
         rows["avg_n"].append(avg)
         rows["variance"].append(var)
-        rows["std_dev"].append(math.sqrt(var))
+        # clamp: FP cancellation on near-constant large values can push
+        # var a few ulps below 0 — sqrt must not raise; the SQL mirror
+        # clamps with greatest(var, 0) identically
+        rows["std_dev"].append(math.sqrt(max(var, 0.0)))
     return pa.table(
         {
             "query_id": pa.array(rows["query_id"], pa.int64()),
@@ -1819,8 +1822,9 @@ SELECT query_id::BIGINT AS query_id, n, sum_n, sum_sq, min_n, max_n,
        sum_n::DOUBLE / n::DOUBLE AS avg_n,
        sum_sq::DOUBLE / n::DOUBLE
          - (sum_n::DOUBLE / n::DOUBLE) * (sum_n::DOUBLE / n::DOUBLE) AS variance,
-       sqrt(sum_sq::DOUBLE / n::DOUBLE
-         - (sum_n::DOUBLE / n::DOUBLE) * (sum_n::DOUBLE / n::DOUBLE)) AS std_dev
+       sqrt(greatest(sum_sq::DOUBLE / n::DOUBLE
+         - (sum_n::DOUBLE / n::DOUBLE) * (sum_n::DOUBLE / n::DOUBLE),
+         CAST(0 AS DOUBLE))) AS std_dev
 FROM agg ORDER BY query_id"""
 
 

@@ -325,13 +325,19 @@ def _stats_ext_over(ids, dm, cols) -> dict:
             out[c] = (0, 0, 0, None, None)
             continue
         v64 = vals.cast(pa.int64())
-        out[c] = (
-            len(v64),
-            pc_.sum(v64).as_py(),
-            pc_.sum(pc_.multiply_checked(v64, v64)).as_py(),
-            pc_.min(v64).as_py(),
-            pc_.max(v64).as_py(),
-        )
+        mx = pc_.max(v64).as_py()
+        mn = pc_.min(v64).as_py()
+        bound = max(abs(mx), abs(mn))
+        if len(v64) * bound * bound < (1 << 62):
+            # whole sum provably fits: vectorized (the multiply is
+            # overflow-CHECKED; this bound makes the SUM safe too —
+            # Arrow's sum wraps silently)
+            sq = pc_.sum(pc_.multiply_checked(v64, v64)).as_py()
+        else:
+            # exact Python-int fold (unbounded precision) for slices
+            # where n * max^2 could wrap int64
+            sq = sum(int(x) * int(x) for x in v64.to_pylist())
+        out[c] = (len(v64), pc_.sum(v64).as_py(), sq, mn, mx)
     return out
 
 
@@ -1044,9 +1050,16 @@ class ShardServer:
 
         for t, p in zip(fetched_terms, fetched):
             self.cache[t] = p
-        if self._docmeta is None:
-            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
-        dm = self._docmeta
+        dm = None
+        if any(
+            p.get("filters") or p.get("scoped_phrases")
+            for p in (parsed_pos, parsed_neg)
+        ):
+            if self._docmeta is None:
+                self._docmeta = docmeta_mod.DocMeta(
+                    self.index_dir, buckets=self.buckets
+                )
+            dm = self._docmeta
         universe, acc, keep = querylang.match(
             parsed_pos,
             get_postings=self._local,

@@ -332,3 +332,34 @@ def test_crossfields_rejects_scoped_terms(built):
     s = multifield.MultiFieldSearcher(idx)
     with pytest.raises(ValueError, match="field-scoped"):
         s.search("title:hash join", mode="cross_fields")
+
+
+def test_crossfields_blend_is_global_across_slices(tmp_path, ray_session):
+    """Review repro: a term living in title ONLY on one doc-range
+    slice and body ONLY on another must blend the SAME (global) df on
+    every server — blending over locally-present postings gave
+    doc-sharded engines a different idf than the monolith."""
+    rows = []
+    hi = 1 << 62
+    for i in range(40):
+        rows.append({"doc_id": 100 + i, "title": "alpha beta",
+                     "body": "gamma delta epsilon"})
+        rows.append({"doc_id": hi + 100 + i, "title": "alpha beta",
+                     "body": "gamma delta epsilon"})
+    rows.append({"doc_id": 50, "title": "zebraterm alpha", "body": "gamma"})
+    rows.append({"doc_id": hi + 50, "title": "alpha",
+                 "body": "zebraterm gamma delta"})
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "idx")
+    multifield.build_multifield(
+        src, idx, ["title", "body"], id_col="doc_id", num_parts=2
+    )
+    s = multifield.MultiFieldSearcher(idx)
+    eng = multifield.MultiFieldEngine(idx, num_servers=2)
+    try:
+        for q in ("zebraterm", "zebraterm alpha", "zebraterm gamma"):
+            want = s.search(q, k=30, mode="cross_fields")
+            assert eng.search(q, k=30, mode="cross_fields") == want, q
+    finally:
+        eng.shutdown()
