@@ -2303,6 +2303,43 @@ RARE_MAX_DOC_COUNT = 3  # ES rare_terms: buckets with <= N matching docs
 MULTI_TERMS_TOP = 8  # ES multi_terms: top-N compound buckets by count
 
 
+MGET_N = 20  # known ids fetched (+ absent and tombstone-free 404s)
+
+
+def q_mget_docs(sf_dir: str) -> pa.Table:
+    """ES ``_mget``: stored fields for an explicit id list straight
+    from the doc store — each doc-sharded server answers for its
+    disjoint doc-range slice, absent ids 404 away, the driver
+    concatenates duplicate-free.  Request mixes the first MGET_N real
+    ids with two ids that exist nowhere."""
+    engine = _facet_engine(sf_dir)
+    docs = pq.read_table(docs_path(sf_dir), columns=["doc_id"])
+    ids = np.sort(docs["doc_id"].to_numpy(zero_copy_only=False))[:MGET_N]
+    ask = ids.tolist() + [-1, 2**61 + 12345]  # guaranteed-absent ids
+    try:
+        rows = engine.mget(ask, cols=("lang", "source", "n_chars"))
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def sql_mget_docs() -> str:
+    return f"""
+WITH want AS (
+  SELECT doc_id FROM documents ORDER BY doc_id LIMIT {MGET_N}
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars::BIGINT AS n_chars
+FROM documents d JOIN want w ON w.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
 CONSTANT_SCORE_BOOST = 1.5  # exact binary
 
 
@@ -6048,6 +6085,7 @@ QUERIES = {
     "composite_agg": q_composite_agg,
     "rare_terms_agg": q_rare_terms_agg,
     "constant_score": q_constant_score,
+    "mget_docs": q_mget_docs,
     "multi_terms_agg": q_multi_terms_agg,
     "sampler_agg": q_sampler_agg,
     "filters_agg": q_filters_agg,
@@ -6175,6 +6213,7 @@ def oracle_sql() -> dict[str, str]:
         "composite_agg": sql_composite_agg(),
         "rare_terms_agg": sql_rare_terms_agg(),
         "constant_score": sql_constant_score(),
+        "mget_docs": sql_mget_docs(),
         "multi_terms_agg": sql_multi_terms_agg(),
         "sampler_agg": sql_sampler_agg(),
         "filters_agg": sql_filters_agg(),

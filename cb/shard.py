@@ -967,6 +967,30 @@ class ShardServer:
             return []
         return np.sort(ids)[:k].tolist()
 
+    def get_docs(self, doc_ids: list[int], cols: list[str]) -> list[tuple]:
+        """ES ``_mget`` over THIS doc-range slice: (doc_id, *col
+        values) for every requested id this slice's doc store holds;
+        absent and tombstoned ids are omitted (the 404 half of mget),
+        so the disjoint-slice fan-out concatenates duplicate-free."""
+        from . import docmeta as docmeta_mod
+
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        dm = self._docmeta
+        ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        ids = ids[_live_mask(ids, self.tombstones)]
+        if len(ids) == 0 or len(dm.ids) == 0:
+            return []
+        pos = np.clip(np.searchsorted(dm.ids, ids), 0, len(dm.ids) - 1)
+        ids = ids[dm.ids[pos] == ids]
+        if len(ids) == 0:
+            return []
+        out_cols = [dm.gather(ids, c).to_pylist() for c in cols]
+        return [
+            tuple([int(i)] + [col[j] for col in out_cols])
+            for j, i in enumerate(ids)
+        ]
+
     def sample_hits(
         self, parsed: dict, k: int, fetched_terms: list[str] = (), *fetched
     ) -> list[tuple[int, int]]:
@@ -2273,6 +2297,18 @@ class QueryEngine:
             (p for part in parts for p in part), key=lambda r: (r[1], r[0])
         )[:k]
         return [d for d, _ in merged]
+
+    def mget(self, doc_ids, cols=("lang", "source", "n_chars")) -> list[tuple]:
+        """ES ``_mget``: stored fields by id from the doc store.  Doc
+        mode: each server answers for its disjoint doc-range slice
+        (absent/tombstoned ids 404 away); term mode: docmeta is
+        whole-corpus on every server, so ONE server answers (the
+        term_vectors_store duplicate-free rule)."""
+        servers = self.servers if self.mode == "doc" else self.servers[:1]
+        parts = ray.get(
+            [s.get_docs.remote(list(doc_ids), list(cols)) for s in servers]
+        )
+        return sorted(p for part in parts for p in part)
 
     def constant_score(
         self, query_string: str, boost: float = 1.0, k: int = 10
