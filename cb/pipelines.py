@@ -418,6 +418,61 @@ def q_reindex_topk(sf_dir: str) -> pa.Table:
     return _topk_table(results, with_scores=True)
 
 
+DELETE_QUERY = "window"  # plain term: SQL-mirrorable tombstone set
+
+
+def get_dbq_index(sf_dir: str) -> build.IndexMeta:
+    """A dedicated index with ``delete_by_query(DELETE_QUERY)`` applied
+    — dedicated because tombstoning the shared index would corrupt
+    every other entry.  The delete is re-applied on every call
+    (``delete_docs`` unions idempotently), so a cached dir that raced a
+    crash between build and delete still converges."""
+    key = f"{os.path.abspath(sf_dir)}|dbq-v{INDEX_FORMAT_VERSION}"
+    h = hashlib.md5(key.encode()).hexdigest()[:12]
+    dst = os.path.join("/tmp", "cb_index_cache", "dbq-" + h)
+    if not os.path.exists(os.path.join(dst, "_global.json")):
+        build.build_index(
+            docs_path(sf_dir), dst, text_col="text", id_col="doc_id",
+            columns=["doc_id", "text"], num_parts="auto", range_bits="auto",
+        )
+    engine = shard.QueryEngine(dst, num_servers=2)
+    try:
+        engine.delete_by_query(DELETE_QUERY)
+    finally:
+        engine.shutdown()
+    return build.IndexMeta(dst)
+
+
+def q_delete_by_query(sf_dir: str) -> pa.Table:
+    """ES ``_delete_by_query`` proven end-to-end: tombstone every doc
+    matching ``DELETE_QUERY``, then serve the reference query set from
+    a NEW engine (tombstones load once at server start — the
+    delete_docs contract).  Survivor scores keep the BUILD-time
+    df/N/avgdl (exactly ES before a merge expunges deletes), so the
+    mirror is the standard BM25 ranking re-ranked over non-matching
+    docs only."""
+    meta = get_dbq_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = [engine.query(q, k=K) for q in QUERY_SET]
+    finally:
+        engine.shutdown()
+    return _topk_table(results, with_scores=True)
+
+
+def sql_delete_by_query() -> str:
+    """sql_bm25 with the deleted docs removed BEFORE ranking: scores
+    (build-time stats) are untouched, membership shrinks."""
+    base = sql_bm25(with_scores=True)
+    old = "  FROM scored\n)"
+    assert old in base  # keep the splice honest if sql_bm25 moves
+    return base.replace(
+        old,
+        "  FROM scored\n"
+        f"  WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{DELETE_QUERY}')\n)",
+    )
+
+
 SCROLL_PAGES = 3  # ES scroll / point-in-time: contiguous deep pages
 
 
@@ -6086,6 +6141,7 @@ QUERIES = {
     "rare_terms_agg": q_rare_terms_agg,
     "constant_score": q_constant_score,
     "mget_docs": q_mget_docs,
+    "delete_by_query": q_delete_by_query,
     "multi_terms_agg": q_multi_terms_agg,
     "sampler_agg": q_sampler_agg,
     "filters_agg": q_filters_agg,
@@ -6214,6 +6270,7 @@ def oracle_sql() -> dict[str, str]:
         "rare_terms_agg": sql_rare_terms_agg(),
         "constant_score": sql_constant_score(),
         "mget_docs": sql_mget_docs(),
+        "delete_by_query": sql_delete_by_query(),
         "multi_terms_agg": sql_multi_terms_agg(),
         "sampler_agg": sql_sampler_agg(),
         "filters_agg": sql_filters_agg(),

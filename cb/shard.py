@@ -2298,6 +2298,29 @@ class QueryEngine:
         )[:k]
         return [d for d, _ in merged]
 
+    def delete_by_query(self, query_string: str) -> int:
+        """ES ``_delete_by_query``: tombstone every doc matching the
+        query.  Each disjoint server slice reports its full match set
+        (``match_first`` at k = slice size — the same id-list shape a
+        tombstone file stores, and the same materialization ES itself
+        does via scroll), the driver writes ONE atomic tombstone
+        update.  Returns the number of newly tombstoned docs.  Running
+        servers keep serving the old tombstones (they load once at
+        start — the delete_docs contract); construct a new engine to
+        observe the deletes."""
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return 0
+        big = 1 << 62
+        fut = self._route_agg("match_first", parsed, involved, big)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        ids = sorted({d for part in parts for d in part})
+        if not ids:
+            return 0
+        before = len(load_tombstones(self.meta.index_dir))
+        delete_docs(self.meta.index_dir, ids)
+        return len(load_tombstones(self.meta.index_dir)) - before
+
     def mget(self, doc_ids, cols=("lang", "source", "n_chars")) -> list[tuple]:
         """ES ``_mget``: stored fields by id from the doc store.  Doc
         mode: each server answers for its disjoint doc-range slice

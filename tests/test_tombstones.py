@@ -75,6 +75,34 @@ def test_delete_idempotent_and_cumulative(built):
     assert list(load_tombstones(built)) == [3, 4]
 
 
+def test_delete_by_query_counts_and_serving(built):
+    for mode in ("doc", "term"):
+        engine = QueryEngine(built, num_servers=2, mode=mode)
+        try:
+            # no-match query tombstones nothing
+            assert engine.delete_by_query("zebraquantum") == 0
+            # "deprecated" matches exactly doc 2
+            assert engine.delete_by_query("deprecated") == 1
+            # idempotent: matched docs already tombstoned
+            assert engine.delete_by_query("deprecated") == 0
+            # boolean queries work: phrase restricts the match set
+            assert engine.delete_by_query('"merge sort"') == 1  # doc 3
+        finally:
+            engine.shutdown()
+        # the DELETING engine keeps serving its start-time tombstones…
+        # …a NEW engine observes them (the delete_docs contract)
+        fresh = QueryEngine(built, num_servers=2, mode=mode)
+        try:
+            assert {d for d, _ in fresh.query("hash join", k=10)} == {1, 4, 5}
+            assert fresh.query("sort", k=10) == []
+        finally:
+            fresh.shutdown()
+        # reset tombstones for the second mode's pass
+        import os
+
+        os.remove(os.path.join(built, "_tombstones.json"))
+
+
 def test_compaction_byte_identical_to_fresh_survivor_build(tmp_path):
     """compact_index physically drops tombstoned docs; the result must
     be byte-identical (postings + docstats parquet) to a FRESH build
