@@ -2395,6 +2395,71 @@ FROM documents d JOIN want w ON w.doc_id = d.doc_id
 ORDER BY d.doc_id"""
 
 
+SUGGEST_TEXT = "windoow mrege tabel join sprak zz the"
+# misspellings of common corpus terms + an in-vocab token (skipped by
+# suggest_mode=missing), a too-short token (length gate) and a stopword
+# (analyzer drop) — each gate is exercised whatever the corpus holds
+# (k rides the shared SUGGEST_K; the raw-typo-list variant of this API
+# is suggest_fuzzy / cb/suggest.py)
+
+
+def q_suggest_term(sf_dir: str) -> pa.Table:
+    """ES term suggester ("did you mean"): per analyzed token of
+    SUGGEST_TEXT, the top-k vocabulary terms within 2 Damerau-
+    Levenshtein edits sharing the first character, ranked by
+    (distance, df desc, term) — distances and dfs both integer, so the
+    mirror is value-exact with no float hazard."""
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        rows = engine.suggest_term(SUGGEST_TEXT, k=SUGGEST_K)
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "pos": pa.array([r[0] for r in rows], pa.int64()),
+            "token": pa.array([r[1] for r in rows], pa.string()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+            "suggestion": pa.array([r[3] for r in rows], pa.string()),
+            "dist": pa.array([r[4] for r in rows], pa.int64()),
+            "df": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+def sql_suggest_term() -> str:
+    tok = analyze.sql_token_array("text")
+    tok_lit = analyze.sql_token_array(f"'{SUGGEST_TEXT}'")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+tf AS (SELECT DISTINCT doc_id, term
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs)),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+inp AS (SELECT generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok
+        FROM (SELECT {tok_lit} AS arr)),
+cand AS (
+  SELECT i.pos, i.tok, d.term,
+         damerau_levenshtein(i.tok, d.term)::BIGINT AS dist, d.df
+  FROM inp i JOIN df d
+    ON length(d.term) BETWEEN length(i.tok) - 2 AND length(i.tok) + 2
+   AND substr(d.term, 1, 1) = substr(i.tok, 1, 1)
+   AND d.term <> i.tok
+  WHERE length(i.tok) >= 4
+    AND NOT EXISTS (SELECT 1 FROM df x WHERE x.term = i.tok)
+    AND damerau_levenshtein(i.tok, d.term) <= 2
+),
+ranked AS (
+  SELECT pos, tok, term, dist, df,
+         row_number() OVER (PARTITION BY pos
+                            ORDER BY dist, df DESC, term) AS rn
+  FROM cand
+)
+SELECT pos::BIGINT AS pos, tok AS token, rn::BIGINT AS rank,
+       term AS suggestion, dist, df
+FROM ranked WHERE rn <= {SUGGEST_K} ORDER BY pos, rank
+"""
+
+
 CONSTANT_SCORE_BOOST = 1.5  # exact binary
 
 
@@ -6142,6 +6207,7 @@ QUERIES = {
     "constant_score": q_constant_score,
     "mget_docs": q_mget_docs,
     "delete_by_query": q_delete_by_query,
+    "suggest_term": q_suggest_term,
     "multi_terms_agg": q_multi_terms_agg,
     "sampler_agg": q_sampler_agg,
     "filters_agg": q_filters_agg,
@@ -6271,6 +6337,7 @@ def oracle_sql() -> dict[str, str]:
         "constant_score": sql_constant_score(),
         "mget_docs": sql_mget_docs(),
         "delete_by_query": sql_delete_by_query(),
+        "suggest_term": sql_suggest_term(),
         "multi_terms_agg": sql_multi_terms_agg(),
         "sampler_agg": sql_sampler_agg(),
         "filters_agg": sql_filters_agg(),

@@ -2052,6 +2052,65 @@ class QueryEngine:
             res = [r for r in res if r[0] != exclude][:k]
         return res
 
+    def suggest_term(
+        self,
+        text: str,
+        k: int = 5,
+        max_edits: int = 2,
+        prefix_length: int = 1,
+        min_word_length: int = 4,
+        suggest_mode: str = "missing",
+    ) -> list[tuple[int, str, int, str, int, int]]:
+        """ES term suggester ("did you mean"): per analyzed input token,
+        the top-``k`` index-vocabulary terms within ``max_edits``
+        Damerau-Levenshtein edits, ranked by (distance asc, df desc,
+        term asc) — ES's default score-then-frequency sort.  Tokens
+        shorter than ``min_word_length`` are skipped; ``missing`` mode
+        (the ES default) skips tokens that already exist in the index.
+        Candidates are prefiltered by length window and shared
+        ``prefix_length`` prefix (the ES candidate-generator contract),
+        so the DL pass touches a tiny slice of the vocabulary.  Vocab
+        and df both come from the vocabulary-sized ``_termdf``
+        summaries — no postings decode, and the only RPC is one batched
+        df fetch; at 100-TB corpus scale the vocabulary stays the small
+        side by construction (Heaps' law), so this remains driver-side.
+        Returns ``(pos, token, rank, suggestion, distance, df)`` rows,
+        ``pos``/``rank`` 1-based.  (The raw candidate machinery over an
+        explicit typo list — no analyzer, no mode gates — is
+        ``cb.suggest.fuzzy_suggest``; prefix completion is
+        ``cb.suggest.prefix_suggest``.)"""
+        from . import querylang
+
+        toks = analyze.tokenize(text)
+        if self._vocab is None:
+            self._vocab = load_vocab(self.meta)
+        vocab = sorted(set(self._vocab))
+        vset = set(vocab)
+        staged: list[tuple[int, str, list[tuple[str, int]]]] = []
+        need: set[str] = set()
+        for pos, tok in enumerate(toks, start=1):
+            if len(tok) < min_word_length:
+                continue
+            if suggest_mode == "missing" and tok in vset:
+                continue
+            lo, hi = len(tok) - max_edits, len(tok) + max_edits
+            pre = tok[:prefix_length]
+            cands = [
+                (t, d)
+                for t in vocab
+                if t != tok and lo <= len(t) <= hi and t.startswith(pre)
+                and (d := querylang.damerau_levenshtein(tok, t)) <= max_edits
+            ]
+            staged.append((pos, tok, cands))
+            need.update(t for t, _ in cands)
+        dfs = self.term_dfs(sorted(need))
+        out: list[tuple[int, str, int, str, int, int]] = []
+        for pos, tok, cands in staged:
+            ranked = sorted(cands, key=lambda td: (td[1], -dfs[td[0]], td[0]))
+            for rank, (t, d) in enumerate(ranked[:k], start=1):
+                out.append((pos, tok, rank, t, d, dfs[t]))
+        return out
+
     def search_after(
         self,
         text: str,
