@@ -2460,6 +2460,92 @@ FROM ranked WHERE rn <= {SUGGEST_K} ORDER BY pos, rank
 """
 
 
+def q_search_count(sf_dir: str) -> pa.Table:
+    """ES ``_count``: match-set size per query string, scoring-free —
+    each disjoint server slice counts locally and the driver sums, so
+    ids never cross the wire.  Runs the full query-string surface
+    (phrase, wildcard, +required, metadata filters) via FACET_SET."""
+    engine = _facet_engine(sf_dir)
+    try:
+        rows = [(qid, engine.count(q)) for qid, q in enumerate(FACET_SET)]
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "total": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def sql_search_count() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    return f"""{prefix}
+SELECT q.query_id::BIGINT AS query_id, count(mm.doc_id)::BIGINT AS total
+FROM (SELECT DISTINCT query_id FROM qatom) q
+LEFT JOIN mm ON mm.query_id = q.query_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+REGEXP_PATTERNS: tuple[str, ...] = (
+    "wind[ow]+", "m[ae]rge", "jo.n", "(spark|stream)s?", "[a-c]a.*",
+    "zz[0-9]+",  # no vocabulary match -> empty result set
+)
+
+
+def q_regexp_query(sf_dir: str) -> pa.Table:
+    """ES ``regexp`` query: anchored RE2 over whole vocabulary terms,
+    matched terms scored as a scoring_boolean BM25 term set.  The
+    engine matches with pyarrow's RE2 (DuckDB's regex engine), so the
+    mirror re-derives the expansion independently."""
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = [engine.regexp_query(p, k=K) for p in REGEXP_PATTERNS]
+    finally:
+        engine.shutdown()
+    return _topk_table(results, with_scores=True)
+
+
+def sql_regexp_query() -> str:
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms(
+        "(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)"
+    )
+    vals = ", ".join(f"({i}, '{p}')" for i, p in enumerate(REGEXP_PATTERNS))
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+pats(query_id, pat) AS (VALUES {vals}),
+q AS (SELECT p.query_id, d.term FROM pats p
+      JOIN df d ON regexp_full_match(d.term, p.pat)),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 CONSTANT_SCORE_BOOST = 1.5  # exact binary
 
 
@@ -6208,6 +6294,8 @@ QUERIES = {
     "mget_docs": q_mget_docs,
     "delete_by_query": q_delete_by_query,
     "suggest_term": q_suggest_term,
+    "regexp_query": q_regexp_query,
+    "search_count": q_search_count,
     "multi_terms_agg": q_multi_terms_agg,
     "sampler_agg": q_sampler_agg,
     "filters_agg": q_filters_agg,
@@ -6338,6 +6426,8 @@ def oracle_sql() -> dict[str, str]:
         "mget_docs": sql_mget_docs(),
         "delete_by_query": sql_delete_by_query(),
         "suggest_term": sql_suggest_term(),
+        "regexp_query": sql_regexp_query(),
+        "search_count": sql_search_count(),
         "multi_terms_agg": sql_multi_terms_agg(),
         "sampler_agg": sql_sampler_agg(),
         "filters_agg": sql_filters_agg(),

@@ -967,6 +967,24 @@ class ShardServer:
             return []
         return np.sort(ids)[:k].tolist()
 
+    def match_count(
+        self, parsed: dict, fetched_terms: list[str] = (), *fetched
+    ) -> int:
+        """ES ``_count`` over THIS scope: size of the match set — ids
+        never leave the server, disjoint slice counts add exactly at
+        the driver."""
+        from . import docmeta as docmeta_mod
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        dm = None
+        if parsed.get("filters") or parsed.get("scoped_phrases"):
+            if self._docmeta is None:
+                self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+            dm = self._docmeta
+        ids = self._cached_match(parsed, dm)
+        return 0 if ids is None else int(len(ids))
+
     def get_docs(self, doc_ids: list[int], cols: list[str]) -> list[tuple]:
         """ES ``_mget`` over THIS doc-range slice: (doc_id, *col
         values) for every requested id this slice's doc store holds;
@@ -2024,6 +2042,29 @@ class QueryEngine:
             return _merge_topk(ray.get(fut), k)
         return ray.get(fut)
 
+    def regexp_query(
+        self, pattern: str, k: int = 10, algo: str = "taat"
+    ) -> list[tuple[int, float]]:
+        """ES ``regexp`` query, ``rewrite=scoring_boolean``: the pattern
+        is anchored and matched against WHOLE vocabulary terms (ES
+        regexp semantics — never substrings), every matched term joins
+        a standard BM25 term query at weight 1.  Matching runs through
+        pyarrow's RE2 kernel, the same engine DuckDB's
+        ``regexp_full_match`` uses, so the expansion contract is RE2
+        syntax exactly (no lookaround) and the SQL mirror can't drift.
+        Vocabulary from the tiny ``_termdf`` summaries, one vectorized
+        pass (same scale story as wildcard/fuzzy rewrite)."""
+        import pyarrow.compute as pc
+
+        if self._vocab is None:
+            self._vocab = load_vocab(self.meta)
+        arr = pa.array(sorted(set(self._vocab)), type=pa.string())
+        mask = pc.match_substring_regex(arr, f"^(?:{pattern})$")
+        terms = arr.filter(mask).to_pylist()
+        if not terms:
+            return []
+        return self.query_terms(terms, k=k, algo=algo)
+
     def more_like_this(
         self,
         doc_text: str,
@@ -2408,6 +2449,18 @@ class QueryEngine:
         parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
         ids = sorted(d for part in parts for d in part)[:k]
         return [(d, float(boost)) for d in ids]
+
+    def count(self, query_string: str) -> int:
+        """ES ``_count``: the match-set size for a query string —
+        scoring-free, ids never leave the servers (each disjoint slice
+        reports its count, the driver sums; term mode asks the one
+        scorer holding the full match)."""
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return 0
+        fut = self._route_agg("match_count", parsed, involved)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        return int(sum(parts))
 
     def _dispatch_function_score(self, query_string: str, spec: dict, k: int):
         parsed, involved = self._parsed_and_involved(query_string)

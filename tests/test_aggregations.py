@@ -331,3 +331,50 @@ def test_function_score_reorders_vs_bm25(built, tmp_path):
             eng2.shutdown()
     finally:
         eng.shutdown()
+
+
+def test_count_api_all_query_shapes(built):
+    """ES _count: match-set sizes across the query-string surface,
+    identical in both pool modes, ids never shipped."""
+    for mode in ("doc", "term"):
+        engine = QueryEngine(built, num_servers=2, mode=mode)
+        try:
+            assert engine.count("hash join") == 6, mode       # OR match
+            assert engine.count('"hash join"') == 3, mode     # phrase
+            assert engine.count("join -deprecated") == 5, mode
+            assert engine.count("join lang:en") == 3, mode    # filter
+            assert engine.count("zzznope") == 0, mode
+        finally:
+            engine.shutdown()
+
+
+def test_count_respects_tombstones(tmp_path):
+    rows = [{"doc_id": i, "text": "hash join"} for i in range(1, 6)]
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=2)
+    delete_docs(idx, [2, 4])
+    engine = QueryEngine(idx, num_servers=2)
+    try:
+        assert engine.count("hash") == 3
+    finally:
+        engine.shutdown()
+
+
+def test_regexp_query_whole_terms_re2(built):
+    """ES regexp semantics: anchored on whole vocabulary terms (never
+    substrings), expansion == scoring_boolean BM25 over matched terms."""
+    for mode in ("doc", "term"):
+        engine = QueryEngine(built, num_servers=2, mode=mode)
+        try:
+            # 'jo.n' matches whole term 'join' but NOT 'joined' substrings
+            want = engine.query_terms(["join"], k=10)
+            assert engine.regexp_query("jo.n", k=10) == want, mode
+            # alternation expands to a multi-term set
+            want2 = engine.query_terms(["merge", "sort"], k=10)
+            assert engine.regexp_query("(merge|sort)", k=10) == want2, mode
+            # unanchored fragment must NOT match ('as' inside 'hash')
+            assert engine.regexp_query("as", k=10) == [], mode
+        finally:
+            engine.shutdown()
