@@ -124,6 +124,22 @@ def phrase_topk(
     return rank_topk(marr, scores, k)
 
 
+def span_first_docs(chunked, end: int) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``span_first`` for a single-term inner span: docs whose FIRST
+    occurrence of the term ends at position <= ``end`` (ES's ``end`` is
+    the exclusive span-end bound; a term at 0-based position p spans
+    [p, p+1), so the condition is ``p < end``).  Per-doc position lists
+    are stored ascending, so the first occurrence is one gather off the
+    occurrence offsets — no per-doc loop.  Returns (doc_ids,
+    first_positions), both filtered."""
+    ids, tfs, dls, pflat, occ = _decode_with_positions(chunked)
+    if len(ids) == 0:
+        return ids, np.empty(0, dtype=np.int64)
+    first = pflat[occ[:-1]]
+    keep = first < end
+    return ids[keep], first[keep]
+
+
 def _match_exact(ordered_terms: list[str], decoded: dict) -> np.ndarray:
     """Sorted doc ids matching the exact-adjacency phrase (slop 0),
     using pre-decoded postings (same chain algorithm as phrase_topk)."""

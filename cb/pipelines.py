@@ -2460,6 +2460,49 @@ FROM ranked WHERE rn <= {SUGGEST_K} ORDER BY pos, rank
 """
 
 
+SPAN_FIRST_SPECS: tuple[tuple[str, int], ...] = (
+    ("window", 3), ("merge", 1), ("join", 5), ("customer", 2),
+)
+
+
+def q_span_first(sf_dir: str) -> pa.Table:
+    """ES ``span_first``: docs whose first occurrence of the term ends
+    by position ``end``, straight off the positional postings —
+    filter-context, so rows are (spec, doc_id, first 0-based
+    position)."""
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    rows = []
+    try:
+        for sid, (term, end) in enumerate(SPAN_FIRST_SPECS):
+            rows.extend((sid, d, p) for d, p in engine.span_first(term, end))
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "span_id": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "pos": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def sql_span_first() -> str:
+    tok = analyze.sql_token_array("text")
+    vals = ", ".join(
+        f"({i}, '{t}', {e})" for i, (t, e) in enumerate(SPAN_FIRST_SPECS)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+specs(span_id, term, end_pos) AS (VALUES {vals})
+SELECT s.span_id::BIGINT AS span_id, d.doc_id,
+       (list_position(d.toks, s.term) - 1)::BIGINT AS pos
+FROM specs s JOIN docs d
+  ON list_position(d.toks, s.term) BETWEEN 1 AND s.end_pos
+ORDER BY span_id, doc_id
+"""
+
+
 def q_search_count(sf_dir: str) -> pa.Table:
     """ES ``_count``: match-set size per query string, scoring-free —
     each disjoint server slice counts locally and the driver sums, so
@@ -6296,6 +6339,7 @@ QUERIES = {
     "suggest_term": q_suggest_term,
     "regexp_query": q_regexp_query,
     "search_count": q_search_count,
+    "span_first": q_span_first,
     "multi_terms_agg": q_multi_terms_agg,
     "sampler_agg": q_sampler_agg,
     "filters_agg": q_filters_agg,
@@ -6428,6 +6472,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_term": sql_suggest_term(),
         "regexp_query": sql_regexp_query(),
         "search_count": sql_search_count(),
+        "span_first": sql_span_first(),
         "multi_terms_agg": sql_multi_terms_agg(),
         "sampler_agg": sql_sampler_agg(),
         "filters_agg": sql_filters_agg(),

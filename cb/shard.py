@@ -985,6 +985,24 @@ class ShardServer:
         ids = self._cached_match(parsed, dm)
         return 0 if ids is None else int(len(ids))
 
+    def span_first(
+        self, term: str, end: int, fetched_terms: list[str] = (), *fetched
+    ) -> list[tuple[int, int]]:
+        """ES ``span_first`` over THIS scope: (doc_id, first_position)
+        for live docs whose first occurrence of ``term`` ends by
+        position ``end`` — decoded straight off the positional
+        postings, tombstone-masked, id-sorted."""
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        p = self._local(term)
+        if p is None:
+            return []
+        ids, first = phrase_mod.span_first_docs(p, end)
+        if len(ids) == 0:
+            return []
+        keep = _live_mask(ids, self.tombstones)
+        return list(zip(ids[keep].tolist(), first[keep].tolist()))
+
     def get_docs(self, doc_ids: list[int], cols: list[str]) -> list[tuple]:
         """ES ``_mget`` over THIS doc-range slice: (doc_id, *col
         values) for every requested id this slice's doc store holds;
@@ -2449,6 +2467,20 @@ class QueryEngine:
         parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
         ids = sorted(d for part in parts for d in part)[:k]
         return [(d, float(boost)) for d in ids]
+
+    def span_first(self, text: str, end: int) -> list[tuple[int, int]]:
+        """ES ``span_first`` (single-term inner span): docs whose first
+        occurrence of the analyzed term ends by position ``end``,
+        with that 0-based position — filter-context (no scores; ES span
+        scoring is sloppy-freq, intentionally out of contract).  Doc
+        mode: disjoint slices concatenate; term mode: the term's owner
+        answers."""
+        toks = analyze.tokenize(text)
+        if len(toks) != 1:
+            raise ValueError(f"span_first wants exactly one analyzed term, got {toks}")
+        fut = self._route_agg("span_first", toks[0], toks, end)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        return sorted(p for part in parts for p in part)
 
     def count(self, query_string: str) -> int:
         """ES ``_count``: the match-set size for a query string —
