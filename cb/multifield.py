@@ -992,14 +992,14 @@ class MultiFieldSearcher:
         import numpy as np
 
         from .query import rank_topk
-        from .shard import _combine_function_score
+        from .shard import _combine_function_score, _fscore_feature
 
         ids, scores, dm = self._match_scored(query)
         if dm is None:
             raise ValueError("function_score needs a docmeta table (cb.docmeta)")
         if ids is None or len(ids) == 0:
             return []
-        x = dm.gather(ids, spec["col"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _fscore_feature(ids, dm, spec)
         return rank_topk(ids, _combine_function_score(scores, x, spec), k)
 
     def term_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
@@ -1209,7 +1209,7 @@ class MultiFieldServer:
         import numpy as np
 
         from .query import rank_topk
-        from .shard import _combine_function_score
+        from .shard import _combine_function_score, _fscore_feature
 
         dm = self._ensure_dm()
         if dm is None:
@@ -1224,7 +1224,7 @@ class MultiFieldServer:
         ids, sc = all_ids[keep], total[keep]
         if len(ids) == 0:
             return []
-        x = dm.gather(ids, spec["col"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _fscore_feature(ids, dm, spec)
         return rank_topk(ids, _combine_function_score(sc, x, spec), k)
 
     def get_dfs(self, field: str, terms: list[str]) -> dict[str, int]:

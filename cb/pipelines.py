@@ -3157,6 +3157,27 @@ def sql_function_score_decay() -> str:
     )
 
 
+FSCORE_RAND_W = 2.0  # binary-exact blend weight for random_score
+
+
+def q_function_score_random(sf_dir: str) -> pa.Table:
+    """ES function_score ``random_score`` (seeded): a deterministic
+    per-doc value r = md5_lower64(str(doc_id)) / 2^64 blended as
+    ``score + w*r`` over the FULL match set — reproducible "random"
+    tie-spreading that is rerun-stable and pool-invariant (ES seeds on
+    _seq_no similarly; a true RNG would be neither).  The uint64 ->
+    double cast and the power-of-two scaling are correctly rounded, so
+    scores are bitwise vs the SQL mirror."""
+    return _q_function_score(sf_dir, {"kind": "random", "w": FSCORE_RAND_W})
+
+
+def sql_function_score_random() -> str:
+    return _sql_function_score(
+        f"s.score + CAST({FSCORE_RAND_W} AS DOUBLE) * "
+        "(md5_number_lower(s.doc_id::VARCHAR)::DOUBLE / 18446744073709551616.0)"
+    )
+
+
 # Multi-field query set: unscoped terms score in BOTH fields
 # (most_fields sum), field:term scopes to one analyzed field, -term
 # drops docs containing it in ANY field.
@@ -5574,6 +5595,186 @@ FROM r WHERE click_ratio > {BUCKET_SCRIPT_MIN_RATIO!r} ORDER BY hour
 """
 
 
+def q_bucket_stats_pipeline(sf_dir: str) -> pa.Table:
+    """ES sibling pipeline aggs (``max_bucket`` / ``min_bucket`` /
+    ``sum_bucket`` / ``avg_bucket``) over a per-type minute
+    date_histogram of the events stream: ONE summary row per
+    event_type — the extreme buckets' keys and counts, the bucket-count
+    sum, and the mean bucket size.  Bucket counts reduce distributedly
+    as exact integers (per-batch Arrow partials + one small groupby);
+    the sibling fold is an O(buckets) driver pass, extreme-key ties
+    broken to the EARLIEST minute (deterministic; ES returns a keys
+    LIST on ties — we pin the contract to its first element).  The
+    single double per row is one division of exact ints — bitwise vs
+    SQL."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        minute = pc.floor_temporal(batch["ts"], unit="minute")
+        t = pa.table({"minute": minute, "event_type": batch["event_type"]})
+        return (
+            t.group_by(["minute", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["minute", "event_type", "n"])
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = pre.groupby(["minute", "event_type"]).aggregate(Sum("n", alias_name="n"))
+    t = _collect(agg)
+    et = t["event_type"]
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    enc = et.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    minutes = t["minute"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    ns = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((minutes, codes))
+    sc, sm, sn = codes[order], minutes[order], ns[order]
+    starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]]) if len(sc) else np.empty(0, np.int64)
+    ends = np.append(starts[1:], len(sc))
+    dictionary = enc.dictionary.to_pylist()
+    rows = {
+        "event_type": [], "n_buckets": [], "sum_n": [], "avg_n": [],
+        "max_minute": [], "max_n": [], "min_minute": [], "min_n": [],
+    }
+    for s, e in zip(starts, ends):
+        n_g, m_g = sn[s:e], sm[s:e]
+        # minute-ascending within the type: argmax/argmin take the
+        # FIRST (earliest) extreme bucket — the documented tie rule
+        imax, imin = int(np.argmax(n_g)), int(np.argmin(n_g))
+        rows["event_type"].append(dictionary[sc[s]])
+        rows["n_buckets"].append(len(n_g))
+        rows["sum_n"].append(int(n_g.sum()))
+        rows["avg_n"].append(int(n_g.sum()) / len(n_g))
+        rows["max_minute"].append(int(m_g[imax]))
+        rows["max_n"].append(int(n_g[imax]))
+        rows["min_minute"].append(int(m_g[imin]))
+        rows["min_n"].append(int(n_g[imin]))
+    return pa.table(
+        {
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "n_buckets": pa.array(rows["n_buckets"], pa.int64()),
+            "sum_n": pa.array(rows["sum_n"], pa.int64()),
+            "avg_n": pa.array(rows["avg_n"], pa.float64()),
+            "max_minute": pa.array(rows["max_minute"], pa.int64()).cast(pa.timestamp("us")),
+            "max_n": pa.array(rows["max_n"], pa.int64()),
+            "min_minute": pa.array(rows["min_minute"], pa.int64()).cast(pa.timestamp("us")),
+            "min_n": pa.array(rows["min_n"], pa.int64()),
+        }
+    )
+
+
+def sql_bucket_stats_pipeline() -> str:
+    return """
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, minute, n,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS n_buckets,
+         sum(n) OVER (PARTITION BY event_type)::BIGINT AS sum_n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, minute ASC) AS rmax,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n ASC, minute ASC) AS rmin
+  FROM b
+)
+SELECT mx.event_type, mx.n_buckets, mx.sum_n,
+       mx.sum_n::DOUBLE / mx.n_buckets::DOUBLE AS avg_n,
+       mx.minute AS max_minute, mx.n AS max_n,
+       mn.minute AS min_minute, mn.n AS min_n
+FROM (SELECT * FROM w WHERE rmax = 1) mx
+JOIN (SELECT * FROM w WHERE rmin = 1) mn ON mn.event_type = mx.event_type
+ORDER BY mx.event_type
+"""
+
+
+# auto_date_histogram interval ladder (minutes) and bucket-count target
+AUTO_HIST_LADDER_MIN: tuple[int, ...] = (1, 5, 15, 60, 240, 1440, 10080)
+AUTO_HIST_TARGET = 40
+
+
+def q_auto_date_histogram(sf_dir: str) -> pa.Table:
+    """ES ``auto_date_histogram``: the interval is CHOSEN from a fixed
+    ladder — the smallest rung whose epoch-floored bucket count over
+    [min_ts, max_ts] fits the target (last rung if none fits; buckets
+    anchor at the epoch, not ISO weeks — documented contract).  One
+    distributed pass: per-batch MINUTE value_counts (every rung is a
+    minute multiple, so flooring minutes == flooring raw ts) reduce as
+    exact ints; span, rung pick and the O(minutes) re-bucket fold are
+    driver-side."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        minute = pc.floor_temporal(batch["ts"], unit="minute")
+        t = pa.table({"minute": minute})
+        return (
+            t.group_by(["minute"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["minute", "n"])
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = pre.groupby("minute").aggregate(Sum("n", alias_name="n"))
+    t = _collect(agg)
+    minutes = t["minute"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    ns = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(minutes) == 0:
+        return pa.table(
+            {
+                "interval_min": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()).cast(pa.timestamp("us")),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    mn, mx = int(minutes.min()), int(minutes.max())
+    iv_us = AUTO_HIST_LADDER_MIN[-1] * 60_000_000
+    for rung in AUTO_HIST_LADDER_MIN:
+        r_us = rung * 60_000_000
+        if mx // r_us - mn // r_us + 1 <= AUTO_HIST_TARGET:
+            iv_us = r_us
+            break
+    buckets = minutes // iv_us * iv_us
+    order = np.argsort(buckets, kind="stable")
+    sb, sn2 = buckets[order], ns[order]
+    starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+    cnts = np.add.reduceat(sn2, starts)
+    return pa.table(
+        {
+            "interval_min": pa.array(
+                np.full(len(starts), iv_us // 60_000_000, np.int64), pa.int64()
+            ),
+            "bucket": pa.array(sb[starts], pa.int64()).cast(pa.timestamp("us")),
+            "cnt": pa.array(cnts, pa.int64()),
+        }
+    )
+
+
+def sql_auto_date_histogram() -> str:
+    lad = ", ".join(f"({m * 60_000_000})" for m in AUTO_HIST_LADDER_MIN)
+    last = AUTO_HIST_LADDER_MIN[-1] * 60_000_000
+    return f"""
+WITH lad(iv_us) AS (VALUES {lad}),
+g AS (SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx FROM events),
+pick AS (
+  SELECT coalesce(min(iv_us), {last})::BIGINT AS iv_us
+  FROM lad, g WHERE (g.mx // lad.iv_us) - (g.mn // lad.iv_us) + 1 <= {AUTO_HIST_TARGET}
+)
+SELECT (p.iv_us // 60000000)::BIGINT AS interval_min,
+       make_timestamp(epoch_us(e.ts) // p.iv_us * p.iv_us) AS bucket,
+       count(*)::BIGINT AS cnt
+FROM events e, pick p
+GROUP BY 1, 2 ORDER BY bucket
+"""
+
+
 def q_sessionize(sf_dir: str) -> pa.Table:
     """Gap-based session windows over the events stream (W1/W2 analog:
     event-time windows as groupby.map_groups over sorted groups)."""
@@ -6340,6 +6541,9 @@ QUERIES = {
     "regexp_query": q_regexp_query,
     "search_count": q_search_count,
     "span_first": q_span_first,
+    "function_score_random": q_function_score_random,
+    "bucket_stats_pipeline": q_bucket_stats_pipeline,
+    "auto_date_histogram": q_auto_date_histogram,
     "multi_terms_agg": q_multi_terms_agg,
     "sampler_agg": q_sampler_agg,
     "filters_agg": q_filters_agg,
@@ -6473,6 +6677,9 @@ def oracle_sql() -> dict[str, str]:
         "regexp_query": sql_regexp_query(),
         "search_count": sql_search_count(),
         "span_first": sql_span_first(),
+        "function_score_random": sql_function_score_random(),
+        "bucket_stats_pipeline": sql_bucket_stats_pipeline(),
+        "auto_date_histogram": sql_auto_date_histogram(),
         "multi_terms_agg": sql_multi_terms_agg(),
         "sampler_agg": sql_sampler_agg(),
         "filters_agg": sql_filters_agg(),

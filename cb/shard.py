@@ -569,7 +569,30 @@ def _combine_function_score(sc: np.ndarray, x: np.ndarray, spec: dict) -> np.nda
         origin, scale = int(spec["origin"]), int(spec["scale"])
         decay = np.maximum(scale - np.abs(x - origin), 0).astype(np.float64) / float(scale)
         return sc * decay
+    if spec["kind"] == "random":
+        # ES random_score (seeded): deterministic per-doc hash blended
+        # into the score — here ``x`` IS the doc-id array (no docmeta
+        # gather).  r = md5_lower64(str(doc_id)) / 2^64: the uint64 ->
+        # double cast and the exact power-of-two scaling are both
+        # correctly rounded, so this mirrors DuckDB's
+        # ``md5_number_lower(doc_id::VARCHAR)::DOUBLE / 2^64`` bitwise.
+        import pyarrow.compute as pc_
+
+        from .hashing import md5_lower64
+
+        w = float(spec["w"])
+        h = md5_lower64(pc_.cast(pa.array(x.astype(np.int64)), pa.string()))
+        return sc + w * (h.astype(np.float64) / 18446744073709551616.0)
     raise ValueError(f"unknown function_score kind {spec['kind']!r}")
+
+
+def _fscore_feature(ids: np.ndarray, dm, spec: dict) -> np.ndarray:
+    """The function_score feature vector: ``random`` keys off the doc
+    id itself (hashed in the kernel); every other kind gathers its
+    docmeta feature column."""
+    if spec["kind"] == "random":
+        return ids.astype(np.int64)
+    return dm.gather(ids, spec["col"]).to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def load_vocab(meta: IndexMeta) -> list[str]:
@@ -1091,7 +1114,7 @@ class ShardServer:
         ids, sc = universe[keep], acc[keep]
         if len(ids) == 0:
             return []
-        x = dm.gather(ids, spec["col"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _fscore_feature(ids, dm, spec)
         return rank_topk(ids, _combine_function_score(sc, x, spec), k)
 
     def boosting(
