@@ -1883,6 +1883,139 @@ SELECT query_id::BIGINT AS query_id, n, sum_n, sum_sq, min_n, max_n,
 FROM agg ORDER BY query_id"""
 
 
+def _matrix_sums(sf_dir: str) -> list[tuple[int, int, int, int, int, int]]:
+    """Per-FACET_SET-query exact integer moment partials for the pair
+    (n_chars, doc token length): (n, sx, sy, sxx, syy, sxy)."""
+    engine = _facet_engine(sf_dir)
+    try:
+        return [engine.matrix_stats(q, col="n_chars") for q in FACET_SET]
+    finally:
+        engine.shutdown()
+
+
+_MATRIX_SUMS_SQL = """
+vals AS (
+  SELECT mm.query_id, d.n_chars::BIGINT AS x, len(dd.toks)::BIGINT AS y
+  FROM mm
+  JOIN documents d ON d.doc_id = mm.doc_id
+  JOIN docs dd ON dd.doc_id = mm.doc_id
+),
+s AS (
+  SELECT query_id, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+         sum(x * y)::BIGINT AS sxy
+  FROM vals GROUP BY 1
+)"""
+
+
+def q_matrix_stats_agg(sf_dir: str) -> pa.Table:
+    """ES matrix_stats aggregation over each query's FULL match set:
+    the joint second-order moments of (n_chars, doc token length) —
+    means, population variances, covariance and Pearson correlation.
+    Server partials are EXACT integers (disjoint doc slices add
+    exactly, overflow-guarded); every derived moment is the SAME
+    double expression tree as the SQL mirror (division / multiply /
+    IEEE-exact sqrt only), so rows are bitwise.  Queries with n < 2 or
+    a zero variance emit no row (correlation undefined — identical
+    predicate both sides, no nullable columns)."""
+    import math
+
+    sums = _matrix_sums(sf_dir)
+    rows = {
+        "query_id": [], "n": [], "mean_chars": [], "mean_len": [],
+        "var_chars": [], "var_len": [], "covariance": [], "correlation": [],
+    }
+    for qid, (n, sx, sy, sxx, syy, sxy) in enumerate(sums):
+        if n < 2:
+            continue
+        mean_x, mean_y = sx / n, sy / n
+        var_x = sxx / n - mean_x * mean_x
+        var_y = syy / n - mean_y * mean_y
+        cov = sxy / n - mean_x * mean_y
+        if not (var_x > 0 and var_y > 0):
+            continue
+        corr = cov / (math.sqrt(var_x) * math.sqrt(var_y))
+        rows["query_id"].append(qid)
+        rows["n"].append(n)
+        rows["mean_chars"].append(mean_x)
+        rows["mean_len"].append(mean_y)
+        rows["var_chars"].append(var_x)
+        rows["var_len"].append(var_y)
+        rows["covariance"].append(cov)
+        rows["correlation"].append(corr)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "mean_chars": pa.array(rows["mean_chars"], pa.float64()),
+            "mean_len": pa.array(rows["mean_len"], pa.float64()),
+            "var_chars": pa.array(rows["var_chars"], pa.float64()),
+            "var_len": pa.array(rows["var_len"], pa.float64()),
+            "covariance": pa.array(rows["covariance"], pa.float64()),
+            "correlation": pa.array(rows["correlation"], pa.float64()),
+        }
+    )
+
+
+def sql_matrix_stats_agg() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    return f"""{prefix},
+{_MATRIX_SUMS_SQL},
+mom AS (
+  SELECT query_id, n,
+         sx::DOUBLE / n::DOUBLE AS mean_x, sy::DOUBLE / n::DOUBLE AS mean_y,
+         sxx::DOUBLE / n::DOUBLE
+           - (sx::DOUBLE / n::DOUBLE) * (sx::DOUBLE / n::DOUBLE) AS var_x,
+         syy::DOUBLE / n::DOUBLE
+           - (sy::DOUBLE / n::DOUBLE) * (sy::DOUBLE / n::DOUBLE) AS var_y,
+         sxy::DOUBLE / n::DOUBLE
+           - (sx::DOUBLE / n::DOUBLE) * (sy::DOUBLE / n::DOUBLE) AS cov
+  FROM s WHERE n >= 2
+)
+SELECT query_id::BIGINT AS query_id, n, mean_x AS mean_chars,
+       mean_y AS mean_len, var_x AS var_chars, var_y AS var_len,
+       cov AS covariance, cov / (sqrt(var_x) * sqrt(var_y)) AS correlation
+FROM mom WHERE var_x > 0 AND var_y > 0 ORDER BY query_id
+"""
+
+
+def q_weighted_avg_agg(sf_dir: str) -> pa.Table:
+    """ES weighted_avg aggregation over each query's full match set:
+    mean n_chars weighted by doc token length — sum(x*w)/sum(w) from
+    the SAME exact integer moment partials as matrix_stats (sxy / sy),
+    ONE double division per row."""
+    sums = _matrix_sums(sf_dir)
+    rows = {"query_id": [], "n": [], "sum_w": [], "sum_xw": [], "wavg_chars": []}
+    for qid, (n, _sx, sy, _sxx, _syy, sxy) in enumerate(sums):
+        if n == 0 or sy == 0:
+            continue
+        rows["query_id"].append(qid)
+        rows["n"].append(n)
+        rows["sum_w"].append(sy)
+        rows["sum_xw"].append(sxy)
+        rows["wavg_chars"].append(sxy / sy)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "sum_w": pa.array(rows["sum_w"], pa.int64()),
+            "sum_xw": pa.array(rows["sum_xw"], pa.int64()),
+            "wavg_chars": pa.array(rows["wavg_chars"], pa.float64()),
+        }
+    )
+
+
+def sql_weighted_avg_agg() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    return f"""{prefix},
+{_MATRIX_SUMS_SQL}
+SELECT query_id::BIGINT AS query_id, n, sy AS sum_w, sxy AS sum_xw,
+       sxy::DOUBLE / sy::DOUBLE AS wavg_chars
+FROM s WHERE n > 0 AND sy <> 0 ORDER BY query_id
+"""
+
+
 # ES range aggregation: explicit [lo, hi) buckets (None = unbounded),
 # every (query, range) pair emitted with coalesce-0 counts.
 RANGE_EDGES: tuple[tuple[int | None, int | None], ...] = (
@@ -2292,6 +2425,66 @@ hashed AS (
 )
 SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id
 FROM hashed WHERE rank <= {SAMPLER_K} ORDER BY query_id, rank
+"""
+
+
+DIVERSE_K = 12
+DIVERSE_MAX_PER = 3  # max docs per lang in the diversified sample
+
+
+def q_diversified_sampler(sf_dir: str) -> pa.Table:
+    """ES diversified_sampler aggregation, deterministically: per
+    query, the md5(doc_id)-order uniform sample of ``DIVERSE_K``
+    matching docs with at most ``DIVERSE_MAX_PER`` per lang — the
+    de-biased sampler ES uses to stop one dominant category flooding a
+    sampled sub-aggregation.  Per-server per-value candidate cuts are
+    supersets of the global survivors (exact driver re-cut);
+    rerun-stable and pool-invariant because the "randomness" is the
+    fixed doc-id hash shuffle, not a reservoir."""
+    engine = _facet_engine(sf_dir)
+    try:
+        per_q = [
+            engine.diversified_sample(q, "lang", DIVERSE_K, DIVERSE_MAX_PER)
+            for q in FACET_SET
+        ]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": [], "lang": []}
+    for qid, hits in enumerate(per_q):
+        for rank, (d, v) in enumerate(hits, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(d)
+            rows["lang"].append(v)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "lang": pa.array(rows["lang"], pa.string()),
+        }
+    )
+
+
+def sql_diversified_sampler() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    return f"""{prefix},
+hashed AS (
+  SELECT mm.query_id, mm.doc_id, d.lang,
+         md5_number_lower(mm.doc_id::VARCHAR) AS h,
+         row_number() OVER (
+           PARTITION BY mm.query_id, d.lang
+           ORDER BY md5_number_lower(mm.doc_id::VARCHAR), mm.doc_id
+         ) AS rv
+  FROM mm JOIN documents d ON d.doc_id = mm.doc_id
+),
+kept AS (
+  SELECT query_id, doc_id, lang,
+         row_number() OVER (PARTITION BY query_id ORDER BY h, doc_id) AS rank
+  FROM hashed WHERE rv <= {DIVERSE_MAX_PER}
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, lang
+FROM kept WHERE rank <= {DIVERSE_K} ORDER BY query_id, rank
 """
 
 
@@ -6526,6 +6719,8 @@ QUERIES = {
     "search_facets": q_search_facets,
     "search_facet_stats": q_search_facet_stats,
     "extended_stats_agg": q_extended_stats_agg,
+    "matrix_stats_agg": q_matrix_stats_agg,
+    "weighted_avg_agg": q_weighted_avg_agg,
     "search_histogram": q_search_histogram,
     "search_range_agg": q_search_range_agg,
     "percentile_ranks": q_percentile_ranks,
@@ -6546,6 +6741,7 @@ QUERIES = {
     "auto_date_histogram": q_auto_date_histogram,
     "multi_terms_agg": q_multi_terms_agg,
     "sampler_agg": q_sampler_agg,
+    "diversified_sampler": q_diversified_sampler,
     "filters_agg": q_filters_agg,
     "explain_scores": q_explain_scores,
     "pipeline_agg": q_pipeline_agg,
@@ -6662,6 +6858,8 @@ def oracle_sql() -> dict[str, str]:
         "search_facets": sql_search_facets(),
         "search_facet_stats": sql_search_facet_stats(),
         "extended_stats_agg": sql_extended_stats_agg(),
+        "matrix_stats_agg": sql_matrix_stats_agg(),
+        "weighted_avg_agg": sql_weighted_avg_agg(),
         "search_histogram": sql_search_histogram(),
         "search_range_agg": sql_search_range_agg(),
         "percentile_ranks": sql_percentile_ranks(),
@@ -6682,6 +6880,7 @@ def oracle_sql() -> dict[str, str]:
         "auto_date_histogram": sql_auto_date_histogram(),
         "multi_terms_agg": sql_multi_terms_agg(),
         "sampler_agg": sql_sampler_agg(),
+        "diversified_sampler": sql_diversified_sampler(),
         "filters_agg": sql_filters_agg(),
         "explain_scores": sql_explain_scores(),
         "pipeline_agg": sql_pipeline_agg(),

@@ -85,11 +85,18 @@ class DocStats:
         self.avgdl = avgdl
 
     @classmethod
-    def load(cls, index_dir: str) -> "DocStats":
+    def load(cls, index_dir: str, buckets: list[int] | None = None) -> "DocStats":
+        """``buckets`` restricts the read to those doc-range bucket
+        files (docstats/bucket=<b>.parquet) — a doc-sharded server
+        loads only its own slice's lengths, same pruning contract as
+        the postings read."""
         meta = IndexMeta(index_dir)
         ds_dir = meta.docstats_dir()
+        want = None if buckets is None else {f"bucket={b}.parquet" for b in buckets}
         files = sorted(
-            os.path.join(ds_dir, f) for f in os.listdir(ds_dir) if f.endswith(".parquet")
+            os.path.join(ds_dir, f)
+            for f in os.listdir(ds_dir)
+            if f.endswith(".parquet") and (want is None or f in want)
         )
         import pyarrow as pa
 
@@ -669,6 +676,7 @@ class ShardServer:
         # need a new engine (documented delete_docs contract)
         self.tombstones = load_tombstones(index_dir)
         self._docmeta = None  # lazy DocMeta for filtered search
+        self._docstats = None  # lazy bucket-pruned doc-length lookup
         from collections import OrderedDict
 
         from .telemetry import Telemetry
@@ -888,6 +896,50 @@ class ShardServer:
             return {c: (0, 0, 0, None, None) for c in cols}
         return _stats_ext_over(ids, self._docmeta, cols)
 
+    def matrix_stats(
+        self, parsed: dict, col: str, fetched_terms: list[str] = (), *fetched
+    ) -> tuple[int, int, int, int, int, int]:
+        """ES matrix_stats partials over THIS scope's full match set
+        for the pair (x = docmeta ``col``, y = doc token length from
+        the bucket-pruned docstats): EXACT integer
+        (n, sx, sy, sxx, syy, sxy) — disjoint doc slices add exactly,
+        and the driver derives means/variances/covariance/correlation
+        with one double op per moment, bitwise vs the SQL mirror.
+        Overflow-guarded like _stats_ext_over: vectorized when the
+        whole sum provably fits int64, Python-int fold otherwise."""
+        from . import docmeta as docmeta_mod
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        ids = self._cached_match(parsed, self._docmeta)
+        if ids is None or len(ids) == 0:
+            return (0, 0, 0, 0, 0, 0)
+        if self._docstats is None:
+            self._docstats = DocStats.load(self.index_dir, buckets=self.buckets)
+        x = (
+            self._docmeta.gather(ids, col)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        y = self._docstats.lookup(ids)
+        n = len(ids)
+        bx = int(np.abs(x).max())
+        by = int(np.abs(y).max())
+        if n * max(bx * bx, by * by, bx * by) < (1 << 62):
+            return (
+                n, int(x.sum()), int(y.sum()),
+                int((x * x).sum()), int((y * y).sum()), int((x * y).sum()),
+            )
+        xi = [int(v) for v in x]
+        yi = [int(v) for v in y]
+        return (
+            n, sum(xi), sum(yi),
+            sum(v * v for v in xi), sum(v * v for v in yi),
+            sum(a * b for a, b in zip(xi, yi)),
+        )
+
     def histogram(
         self, parsed: dict, histos: dict, fetched_terms: list[str] = (), *fetched
     ) -> dict:
@@ -1077,6 +1129,49 @@ class ShardServer:
         h = md5_lower64(pc_.cast(pa.array(ids), pa.string()))
         order = np.lexsort((ids, h))[:k]
         return [(int(ids[i]), int(h[i])) for i in order]
+
+    def diversified_hits(
+        self, parsed: dict, col: str, k: int, max_per: int,
+        fetched_terms: list[str] = (), *fetched,
+    ) -> list[tuple[int, int, str]]:
+        """ES diversified_sampler over THIS scope, deterministically:
+        candidates for the md5(doc_id)-order uniform sample with at
+        most ``max_per`` docs per distinct ``col`` value.  Per scope we
+        keep the max_per LOWEST (hash, id) per value — a superset of
+        every global survivor (the global per-value cut can only drop
+        more), so the driver's identical re-cut is exact.  Returns
+        (doc_id, hash, value) triples, ≤ max_per per value."""
+        from . import docmeta as docmeta_mod
+        from .hashing import md5_lower64
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        dm = self._docmeta
+        ids = self._cached_match(parsed, dm)
+        if ids is None or len(ids) == 0:
+            return []
+        import pyarrow.compute as pc_
+
+        vals = dm.gather(ids, col)
+        enc = vals.combine_chunks().dictionary_encode() if isinstance(
+            vals, pa.ChunkedArray
+        ) else vals.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dictionary = enc.dictionary.to_pylist()
+        h = md5_lower64(pc_.cast(pa.array(ids), pa.string()))
+        order = np.lexsort((ids, h, codes))
+        sc, si, sh = codes[order], ids[order], h[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        rank_in_val = np.arange(len(sc)) - np.repeat(
+            starts, np.diff(np.append(starts, len(sc)))
+        )
+        keep = rank_in_val < max_per
+        return [
+            (int(d), int(x), dictionary[c])
+            for d, x, c in zip(si[keep], sh[keep], sc[keep])
+        ]
 
     def function_score(
         self, parsed: dict, spec: dict, k: int, fetched_terms: list[str] = (), *fetched
@@ -2055,6 +2150,24 @@ class QueryEngine:
             return _merge_stats_ext(ray.get(fut))
         return ray.get(fut)
 
+    def matrix_stats(
+        self, query_string: str, col: str = "n_chars"
+    ) -> tuple[int, int, int, int, int, int]:
+        """ES matrix_stats over the query's FULL match set for the pair
+        (docmeta ``col``, doc token length): exact additive integer
+        moment partials (n, sx, sy, sxx, syy, sxy) — derive mean /
+        variance / covariance / correlation at the call site with one
+        double op per moment."""
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return (0, 0, 0, 0, 0, 0)
+        fut = self._route_agg("matrix_stats", parsed, involved, col)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        out = (0, 0, 0, 0, 0, 0)
+        for p in parts:
+            out = tuple(a + b for a, b in zip(out, p))
+        return out
+
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Corpus-global df per term via the tiny ``_termdf`` summaries
         (no postings decode).  Doc mode: every server holds every
@@ -2438,6 +2551,32 @@ class QueryEngine:
             (p for part in parts for p in part), key=lambda r: (r[1], r[0])
         )[:k]
         return [d for d, _ in merged]
+
+    def diversified_sample(
+        self, query_string: str, col: str, k: int, max_per: int = 1
+    ) -> list[tuple[int, str]]:
+        """ES diversified_sampler over the query's FULL match set: the
+        md5(doc_id)-order uniform sample of k matching docs with at
+        most ``max_per`` docs sharing a ``col`` value.  Per-server
+        per-value local cuts are supersets of the global survivors, so
+        the driver redoes the SAME per-value + global cut exactly —
+        rerun-stable, pool-invariant, no RNG.  Returns (doc_id, value)
+        in sample (hash) order."""
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return []
+        fut = self._route_agg("diversified_hits", parsed, involved, col, k, max_per)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        per_val: dict[str, list[tuple[int, int]]] = {}
+        for part in parts:
+            for d, h, v in part:
+                per_val.setdefault(v, []).append((h, d))
+        survivors = []
+        for v, cand in per_val.items():
+            for h, d in sorted(cand)[:max_per]:
+                survivors.append((h, d, v))
+        survivors.sort()
+        return [(d, v) for _, d, v in survivors[:k]]
 
     def delete_by_query(self, query_string: str) -> int:
         """ES ``_delete_by_query``: tombstone every doc matching the
