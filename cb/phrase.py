@@ -140,6 +140,60 @@ def span_first_docs(chunked, end: int) -> tuple[np.ndarray, np.ndarray]:
     return ids[keep], first[keep]
 
 
+def _ragged_arange(lens: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated (vectorized per-segment
+    arange for ragged gathers)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.r_[np.int64(0), np.cumsum(lens)[:-1]]
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+
+def span_near_docs(
+    chunked_a, chunked_b, slop: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``span_near`` with ``in_order: false`` over two single-term
+    clauses: a doc matches when SOME occurrence pair sits within
+    ``slop`` intervening positions, i.e. ``min |pa - pb| - 1 <= slop``
+    (for two unit-length spans, ES's unordered slop is exactly the
+    token count between them).  Fully vectorized across docs: per-doc
+    position lists are keyed as ``doc_rank * 2^32 + pos`` so ONE
+    searchsorted finds each a-occurrence's nearest b neighbours on
+    both sides, and a per-doc ``minimum.reduceat`` folds occurrence
+    minima.  Returns (doc_ids, intervening-token gap) for matching
+    docs, id-sorted."""
+    ids_a, tfs_a, _, pa_flat, occ_a = _decode_with_positions(chunked_a)
+    ids_b, tfs_b, _, pb_flat, occ_b = _decode_with_positions(chunked_b)
+    common, ia, ib = np.intersect1d(
+        ids_a, ids_b, assume_unique=True, return_indices=True
+    )
+    if len(common) == 0:
+        return common.astype(np.int64), np.empty(0, dtype=np.int64)
+    la, lb = tfs_a[ia].astype(np.int64), tfs_b[ib].astype(np.int64)
+    m = len(common)
+    SHIFT = np.int64(1) << np.int64(32)
+    ra = np.repeat(np.arange(m, dtype=np.int64), la)
+    ka = ra * SHIFT + pa_flat[np.repeat(occ_a[ia], la) + _ragged_arange(la)]
+    rb = np.repeat(np.arange(m, dtype=np.int64), lb)
+    kb = rb * SHIFT + pb_flat[np.repeat(occ_b[ib], lb) + _ragged_arange(lb)]
+    INF = np.int64(1) << np.int64(40)
+    dist = np.full(len(ka), INF, dtype=np.int64)
+    j = np.searchsorted(kb, ka)  # first b-key >= each a-key
+    hi_ok = j < len(kb)
+    same_hi = np.zeros(len(ka), dtype=bool)
+    same_hi[hi_ok] = (kb[j[hi_ok]] >> np.int64(32)) == ra[hi_ok]
+    dist[same_hi] = kb[j[same_hi]] - ka[same_hi]
+    lo_ok = j > 0
+    same_lo = np.zeros(len(ka), dtype=bool)
+    same_lo[lo_ok] = (kb[j[lo_ok] - 1] >> np.int64(32)) == ra[lo_ok]
+    dist[same_lo] = np.minimum(dist[same_lo], ka[same_lo] - kb[j[same_lo] - 1])
+    seg_starts = np.r_[np.int64(0), np.cumsum(la)[:-1]]
+    mind = np.minimum.reduceat(dist, seg_starts)
+    keep = mind - 1 <= slop
+    return common[keep].astype(np.int64), (mind[keep] - 1)
+
+
 def _match_exact(ordered_terms: list[str], decoded: dict) -> np.ndarray:
     """Sorted doc ids matching the exact-adjacency phrase (slop 0),
     using pre-decoded postings (same chain algorithm as phrase_topk)."""

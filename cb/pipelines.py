@@ -2696,6 +2696,59 @@ ORDER BY span_id, doc_id
 """
 
 
+SPAN_NEAR_SPECS: tuple[tuple[str, str, int], ...] = (
+    ("hash", "join", 0), ("merge", "sort", 2),
+    ("window", "stream", 5), ("customer", "table", 1),
+)
+
+
+def q_span_near(sf_dir: str) -> pa.Table:
+    """ES ``span_near`` with ``in_order: false`` (two single-term
+    clauses): docs where the terms co-occur within ``slop`` intervening
+    tokens, with the minimum gap — value-checking the proximity math
+    itself, not just membership.  Filter-context rows (spec, doc_id,
+    gap); the engine computes gaps vectorized off the positional
+    postings (one searchsorted per side + per-doc reduceat, no per-doc
+    loop)."""
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    rows = []
+    try:
+        for sid, (ta, tb, slop) in enumerate(SPAN_NEAR_SPECS):
+            rows.extend(
+                (sid, d, g) for d, g in engine.span_near(f"{ta} {tb}", slop)
+            )
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "span_id": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "gap": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def sql_span_near() -> str:
+    tok = analyze.sql_token_array("text")
+    vals = ", ".join(
+        f"({i}, '{a}', '{b}', {s})" for i, (a, b, s) in enumerate(SPAN_NEAR_SPECS)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM docs),
+specs(span_id, ta, tb, slop) AS (VALUES {vals})
+SELECT s.span_id::BIGINT AS span_id, a.doc_id,
+       (min(abs(a.i - b.i)) - 1)::BIGINT AS gap
+FROM specs s
+JOIN t a ON a.w = s.ta
+JOIN t b ON b.doc_id = a.doc_id AND b.w = s.tb
+GROUP BY s.span_id, a.doc_id, s.slop
+HAVING min(abs(a.i - b.i)) - 1 <= s.slop
+ORDER BY span_id, a.doc_id
+"""
+
+
 def q_search_count(sf_dir: str) -> pa.Table:
     """ES ``_count``: match-set size per query string, scoring-free —
     each disjoint server slice counts locally and the driver sums, so
@@ -6736,6 +6789,7 @@ QUERIES = {
     "regexp_query": q_regexp_query,
     "search_count": q_search_count,
     "span_first": q_span_first,
+    "span_near": q_span_near,
     "function_score_random": q_function_score_random,
     "bucket_stats_pipeline": q_bucket_stats_pipeline,
     "auto_date_histogram": q_auto_date_histogram,
@@ -6875,6 +6929,7 @@ def oracle_sql() -> dict[str, str]:
         "regexp_query": sql_regexp_query(),
         "search_count": sql_search_count(),
         "span_first": sql_span_first(),
+        "span_near": sql_span_near(),
         "function_score_random": sql_function_score_random(),
         "bucket_stats_pipeline": sql_bucket_stats_pipeline(),
         "auto_date_histogram": sql_auto_date_histogram(),

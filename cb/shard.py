@@ -1078,6 +1078,26 @@ class ShardServer:
         keep = _live_mask(ids, self.tombstones)
         return list(zip(ids[keep].tolist(), first[keep].tolist()))
 
+    def span_near(
+        self, term_a: str, term_b: str, slop: int,
+        fetched_terms: list[str] = (), *fetched,
+    ) -> list[tuple[int, int]]:
+        """ES ``span_near`` (in_order=false, two terms) over THIS
+        scope: (doc_id, intervening-token gap) for live docs where the
+        terms co-occur within ``slop`` positions — vectorized off the
+        positional postings (cb.phrase.span_near_docs), tombstone-
+        masked, id-sorted."""
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        pa_, pb_ = self._local(term_a), self._local(term_b)
+        if pa_ is None or pb_ is None:
+            return []
+        ids, gaps = phrase_mod.span_near_docs(pa_, pb_, slop)
+        if len(ids) == 0:
+            return []
+        keep = _live_mask(ids, self.tombstones)
+        return list(zip(ids[keep].tolist(), gaps[keep].tolist()))
+
     def get_docs(self, doc_ids: list[int], cols: list[str]) -> list[tuple]:
         """ES ``_mget`` over THIS doc-range slice: (doc_id, *col
         values) for every requested id this slice's doc store holds;
@@ -2641,6 +2661,22 @@ class QueryEngine:
         if len(toks) != 1:
             raise ValueError(f"span_first wants exactly one analyzed term, got {toks}")
         fut = self._route_agg("span_first", toks[0], toks, end)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        return sorted(p for part in parts for p in part)
+
+    def span_near(self, text: str, slop: int) -> list[tuple[int, int]]:
+        """ES ``span_near`` with ``in_order: false`` over two
+        single-term clauses: docs where the two analyzed terms co-occur
+        within ``slop`` intervening tokens, with that minimum gap —
+        filter-context (span scoring is out of contract, same as
+        span_first).  Doc mode: disjoint slices concatenate; term mode:
+        the majority owner scores with fetched postings."""
+        toks = analyze.tokenize(text)
+        if len(toks) != 2 or toks[0] == toks[1]:
+            raise ValueError(
+                f"span_near wants exactly two distinct analyzed terms, got {toks}"
+            )
+        fut = self._route_agg("span_near", toks[0], toks, toks[1], int(slop))
         parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
         return sorted(p for part in parts for p in part)
 

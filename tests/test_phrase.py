@@ -237,3 +237,95 @@ def test_phrase_prefix_tombstones(built, tmp_path):
         assert before[0][0] not in {d for d, _ in after}
     finally:
         engine.shutdown()
+
+
+def _brute_span_near(oracle, ta, tb, slop):
+    out = []
+    for d, toks in zip(oracle.doc_ids, oracle.tokens):
+        pa_ = [i for i, w in enumerate(toks) if w == ta]
+        pb_ = [i for i, w in enumerate(toks) if w == tb]
+        if not pa_ or not pb_:
+            continue
+        gap = min(abs(x - y) for x in pa_ for y in pb_) - 1
+        if gap <= slop:
+            out.append((d, gap))
+    return sorted(out)
+
+
+def _brute_span_first(oracle, term, end):
+    out = []
+    for d, toks in zip(oracle.doc_ids, oracle.tokens):
+        pos = [i for i, w in enumerate(toks) if w == term]
+        if pos and pos[0] < end:
+            out.append((d, pos[0]))
+    return sorted(out)
+
+
+def test_span_near_modes_match_brute_force(built):
+    idx, oracle = built
+    # pick real co-occurring pairs from the corpus plus a miss
+    pairs = []
+    for toks in oracle.tokens:
+        uniq = sorted(set(toks))
+        if len(uniq) >= 2:
+            pairs.append((uniq[0], uniq[1]))
+        if len(pairs) >= 4:
+            break
+    specs = [(a, b, s) for a, b in pairs for s in (0, 3, 50)]
+    specs.append((pairs[0][0], "zebraqq", 5))
+    n_hits = 0
+    for mode in ("doc", "term"):
+        engine = sm.QueryEngine(idx, num_servers=3, mode=mode)
+        try:
+            for ta, tb, slop in specs:
+                if ta == "zebraqq" or tb == "zebraqq":
+                    continue
+                got = engine.span_near(f"{ta} {tb}", slop)
+                want = _brute_span_near(oracle, ta, tb, slop)
+                assert got == want, (mode, ta, tb, slop)
+                n_hits += len(got)
+        finally:
+            engine.shutdown()
+    assert n_hits > 0
+
+
+def test_span_first_matches_brute_force(built):
+    idx, oracle = built
+    terms = sorted({t[0] for t in oracle.tokens if t})[:4]
+    engine = sm.QueryEngine(idx, num_servers=2)
+    try:
+        for term in terms:
+            for end in (1, 3, 10**9):
+                got = engine.span_first(term, end)
+                assert got == _brute_span_first(oracle, term, end), (term, end)
+    finally:
+        engine.shutdown()
+
+
+def test_span_near_tombstones(built, tmp_path):
+    import shutil
+
+    idx, oracle = built
+    a, b = None, None
+    for toks in oracle.tokens:
+        uniq = sorted(set(toks))
+        if len(uniq) >= 2:
+            a, b = uniq[0], uniq[1]
+            break
+    priv = str(tmp_path / "idx")
+    shutil.copytree(idx, priv)
+    engine = sm.QueryEngine(priv, num_servers=2)
+    try:
+        before = engine.span_near(f"{a} {b}", 100)
+        assert before
+    finally:
+        engine.shutdown()
+    victim = before[0][0]
+    sm.delete_docs(priv, [victim])
+    engine = sm.QueryEngine(priv, num_servers=2)
+    try:
+        after = engine.span_near(f"{a} {b}", 100)
+        assert victim not in {d for d, _ in after}
+        assert sorted(set(before) - {before[0]}) == after
+    finally:
+        engine.shutdown()
