@@ -3406,6 +3406,99 @@ def sql_function_score_decay() -> str:
 FSCORE_RAND_W = 2.0  # binary-exact blend weight for random_score
 
 
+# terms_set: per-doc minimum_should_match = min(CAP, 1 + n_chars//DIV)
+TERMS_SET_QUERIES: tuple[str, ...] = (
+    "merge sort join hash",
+    "window stream batch",
+    "customer part key value",
+    "group order column table scan",
+)
+TERMS_SET_DIV = 400
+TERMS_SET_CAP = 3
+
+
+def q_terms_set(sf_dir: str) -> pa.Table:
+    """ES ``terms_set`` query: BM25-scored term-OR match where each
+    doc's own minimum_should_match comes from a doc field
+    (``minimum_should_match_field``): required = min(CAP, 1 +
+    n_chars // DIV) — longer docs must match more of the term set.
+    The integer field math is exact both sides; scores are the
+    standard sorted-term TAAT sum (bitwise the SQL mirror)."""
+    from . import docmeta as docmeta_mod
+
+    meta = get_index(sf_dir)
+    docmeta_mod.ensure_docmeta(
+        meta.index_dir, docs_path(sf_dir), ["lang", "source", "n_chars"]
+    )
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    spec = {"col": "n_chars", "div": TERMS_SET_DIV, "cap": TERMS_SET_CAP}
+    try:
+        results = [engine.terms_set(q, spec, k=K) for q in TERMS_SET_QUERIES]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_terms_set() -> str:
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    qrows = []
+    for qid, q in enumerate(TERMS_SET_QUERIES):
+        for t in sorted(set(analyze.tokenize(q))):
+            qrows.append(f"({qid}, '{t}')")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {", ".join(qrows)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score,
+         count(*)::BIGINT AS nmatched
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE s.nmatched >= least({TERMS_SET_CAP}, 1 + d.n_chars // {TERMS_SET_DIV})
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM kept
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 def q_function_score_random(sf_dir: str) -> pa.Table:
     """ES function_score ``random_score`` (seeded): a deterministic
     per-doc value r = md5_lower64(str(doc_id)) / 2^64 blended as
@@ -6791,6 +6884,7 @@ QUERIES = {
     "span_first": q_span_first,
     "span_near": q_span_near,
     "function_score_random": q_function_score_random,
+    "terms_set": q_terms_set,
     "bucket_stats_pipeline": q_bucket_stats_pipeline,
     "auto_date_histogram": q_auto_date_histogram,
     "multi_terms_agg": q_multi_terms_agg,
@@ -6931,6 +7025,7 @@ def oracle_sql() -> dict[str, str]:
         "span_first": sql_span_first(),
         "span_near": sql_span_near(),
         "function_score_random": sql_function_score_random(),
+        "terms_set": sql_terms_set(),
         "bucket_stats_pipeline": sql_bucket_stats_pipeline(),
         "auto_date_histogram": sql_auto_date_histogram(),
         "multi_terms_agg": sql_multi_terms_agg(),

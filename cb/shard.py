@@ -1078,6 +1078,59 @@ class ShardServer:
         keep = _live_mask(ids, self.tombstones)
         return list(zip(ids[keep].tolist(), first[keep].tolist()))
 
+    def terms_set(
+        self, terms: list[str], spec: dict, k: int,
+        fetched_terms: list[str] = (), *fetched,
+    ) -> list[tuple[int, float]]:
+        """ES ``terms_set`` over THIS scope: BM25-scored term-OR match
+        where each doc's own minimum_should_match comes from a doc
+        field — ``required = min(cap, 1 + x // div)`` over the docmeta
+        integer column ``spec['col']`` (the minimum_should_match_field
+        contract, with the integer field derived by exact int ops so
+        the SQL mirror reproduces it bit-for-bit).  Scores are the
+        standard sorted-term TAAT sum; disjoint slices re-cut exactly
+        at the driver."""
+        from . import docmeta as docmeta_mod
+        from .query import rank_topk
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        live = {t: self._local(t) for t in sorted(set(terms))}
+        live = {t: p for t, p in live.items() if p is not None}
+        if not live:
+            return []
+        idfs = {
+            t: float(scoring.idf(getattr(p, "gdf", p.df), self.stats.n_docs))
+            for t, p in live.items()
+        }
+        universe, acc = wand.taat_scores(
+            live, idfs, self.stats, decoded_cache=self.decoded
+        )
+        if universe is None or len(universe) == 0:
+            return []
+        keep = _live_mask(universe, self.tombstones)
+        cnt = np.zeros(len(universe), dtype=np.int64)
+        for t, p in live.items():
+            ids = (
+                self.decoded[t][0]
+                if self.decoded is not None and t in self.decoded
+                else p.decode_all()[0]
+            )
+            cnt[np.searchsorted(universe, ids)] += 1
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        x = (
+            self._docmeta.gather(universe, spec["col"])
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        required = np.minimum(int(spec["cap"]), 1 + x // int(spec["div"]))
+        keep &= cnt >= required
+        ids, sc = universe[keep], acc[keep]
+        if len(ids) == 0:
+            return []
+        return rank_topk(ids, sc, k)
+
     def span_near(
         self, term_a: str, term_b: str, slop: int,
         fetched_terms: list[str] = (), *fetched,
@@ -2663,6 +2716,22 @@ class QueryEngine:
         fut = self._route_agg("span_first", toks[0], toks, end)
         parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
         return sorted(p for part in parts for p in part)
+
+    def terms_set(
+        self, text: str, spec: dict, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES ``terms_set`` query: BM25-scored term-OR match where the
+        per-doc minimum_should_match is read off a doc field —
+        ``required = min(cap, 1 + col // div)`` (the
+        minimum_should_match_field contract over an integer docmeta
+        column).  Doc mode: disjoint local top-k re-cut exactly; term
+        mode: the majority owner scores with fetched postings."""
+        toks = sorted(set(analyze.tokenize(text)))
+        if not toks:
+            return []
+        fut = self._route_agg("terms_set", toks, toks, spec, k)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        return _merge_topk(parts, k)
 
     def span_near(self, text: str, slop: int) -> list[tuple[int, int]]:
         """ES ``span_near`` with ``in_order: false`` over two
