@@ -2777,6 +2777,152 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+JOIN_FIELD_SET: tuple[str, ...] = (
+    "join table", "window", "merge sort", "zebra quantum", "stream batch group",
+)
+JOIN_FIELD_COL = "source"
+HAS_CHILD_MIN = 2
+
+
+def _join_field_values() -> str:
+    rows = []
+    for qid, q in enumerate(JOIN_FIELD_SET):
+        for t in sorted(set(analyze.tokenize(q))):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _join_field_scored_sql() -> str:
+    """Shared oracle prefix for the join-field entries: the full-match
+    BM25 scored set of JOIN_FIELD_SET (same CTE shape as sql_bm25) plus
+    each doc's parent key (the ``source`` column — the ES join field's
+    parent side)."""
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_join_field_values()}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+par AS (
+  SELECT s.query_id, d.{JOIN_FIELD_COL} AS parent,
+         max(s.score) AS mscore, count(*)::BIGINT AS n_children
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+def q_has_child(sf_dir: str) -> pa.Table:
+    """ES join-field ``has_child`` (score_mode=max, min_children):
+    parents (``source`` groups) whose child docs match the query,
+    scored by the best-matching child's full-match BM25 score, with
+    the matching-child count — thin parents dropped by min_children.
+    Per-server per-parent (max, count) partials merge exactly at the
+    driver (max of maxes, sum of counts): no float-sum order hazard,
+    no ids crossing the wire."""
+    engine = _facet_engine(sf_dir)
+    rows = []
+    try:
+        for qid, q in enumerate(JOIN_FIELD_SET):
+            res = engine.has_child(
+                q, JOIN_FIELD_COL, k=K, min_children=HAS_CHILD_MIN
+            )
+            rows.extend(
+                (qid, rank, v, s, n)
+                for rank, (v, s, n) in enumerate(res, start=1)
+            )
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "parent": pa.array([r[2] for r in rows], pa.string()),
+            "score": pa.array(
+                np.round(np.array([r[3] for r in rows], dtype=np.float64), 6),
+                pa.float64(),
+            ),
+            "n_children": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def sql_has_child() -> str:
+    return f"""{_join_field_scored_sql()},
+ranked AS (
+  SELECT query_id, parent, mscore, n_children,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY mscore DESC, parent ASC) AS rank
+  FROM par WHERE n_children >= {HAS_CHILD_MIN}
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, parent,
+       round(mscore, 6) AS score, n_children
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
+def q_has_parent(sf_dir: str) -> pa.Table:
+    """ES join-field ``has_parent`` (score=true): child docs whose
+    parent group contains a doc matching the parent query, each scored
+    with its parent's max-child BM25 score.  Phase 1 = the has_child
+    kernel (per-parent score map, exactly merged); phase 2 broadcasts
+    that tiny map and each disjoint doc slice picks its members with
+    one vectorized is_in over docmeta — exact top-k re-cut at the
+    driver, no postings touched in phase 2."""
+    engine = _facet_engine(sf_dir)
+    rows = []
+    try:
+        for qid, q in enumerate(JOIN_FIELD_SET):
+            res = engine.has_parent(q, JOIN_FIELD_COL, k=K)
+            rows.extend(
+                (qid, rank, d, s) for rank, (d, s) in enumerate(res, start=1)
+            )
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+            "score": pa.array(
+                np.round(np.array([r[3] for r in rows], dtype=np.float64), 6),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_has_parent() -> str:
+    return f"""{_join_field_scored_sql()},
+child AS (
+  SELECT p.query_id, d2.doc_id, p.mscore
+  FROM par p JOIN documents d2 ON d2.{JOIN_FIELD_COL} = p.parent
+),
+ranked AS (
+  SELECT query_id, doc_id, mscore,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY mscore DESC, doc_id ASC) AS rank
+  FROM child
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(mscore, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 REGEXP_PATTERNS: tuple[str, ...] = (
     "wind[ow]+", "m[ae]rge", "jo.n", "(spark|stream)s?", "[a-c]a.*",
     "zz[0-9]+",  # no vocabulary match -> empty result set
@@ -6883,6 +7029,8 @@ QUERIES = {
     "search_count": q_search_count,
     "span_first": q_span_first,
     "span_near": q_span_near,
+    "has_child": q_has_child,
+    "has_parent": q_has_parent,
     "function_score_random": q_function_score_random,
     "terms_set": q_terms_set,
     "bucket_stats_pipeline": q_bucket_stats_pipeline,
@@ -7024,6 +7172,8 @@ def oracle_sql() -> dict[str, str]:
         "search_count": sql_search_count(),
         "span_first": sql_span_first(),
         "span_near": sql_span_near(),
+        "has_child": sql_has_child(),
+        "has_parent": sql_has_parent(),
         "function_score_random": sql_function_score_random(),
         "terms_set": sql_terms_set(),
         "bucket_stats_pipeline": sql_bucket_stats_pipeline(),

@@ -1151,6 +1151,87 @@ class ShardServer:
         keep = _live_mask(ids, self.tombstones)
         return list(zip(ids[keep].tolist(), gaps[keep].tolist()))
 
+    def join_children(
+        self, parsed: dict, parent_col: str,
+        fetched_terms: list[str] = (), *fetched,
+    ) -> list[tuple]:
+        """ES join-field ``has_child`` kernel over THIS scope: the
+        query's FULL match set scored, grouped by the parent key read
+        off the docmeta column — ``(parent_value, max_score,
+        n_children)`` per parent seen in this scope.  Vectorized
+        (dictionary-encode + lexsort + maximum.reduceat); max and count
+        merge exactly across disjoint doc slices at the driver.  Null
+        parent keys drop (the SQL GROUP-BY-join convention shared with
+        _top_hits_over)."""
+        from . import docmeta as docmeta_mod, querylang
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        dm = self._docmeta
+        universe, acc, keep = querylang.match(
+            parsed,
+            get_postings=self._local,
+            stats=self.stats,
+            docmeta=dm,
+            decoded_cache=self.decoded,
+            drop_ids=self.tombstones,
+        )
+        if universe is None:
+            return []
+        ids, sc = universe[keep], acc[keep]
+        if len(ids) == 0:
+            return []
+        arr = dm.gather(ids, parent_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        enc = arr.dictionary_encode()
+        codes = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, codes))
+        scodes, ssc = codes[order], sc[order]
+        starts = np.flatnonzero(np.r_[True, scodes[1:] != scodes[:-1]])
+        maxes = np.maximum.reduceat(ssc, starts)
+        counts = np.diff(np.append(starts, len(scodes)))
+        dictionary = enc.dictionary.to_pylist()
+        return [
+            (dictionary[scodes[s]], float(m), int(c))
+            for s, m, c in zip(starts, maxes, counts)
+            if scodes[s] >= 0
+        ]
+
+    def parent_docs(
+        self, parent_scores: dict, parent_col: str, k: int
+    ) -> list[tuple[int, float]]:
+        """ES ``has_parent`` second phase over THIS doc slice: every
+        live doc whose parent key is in ``parent_scores`` gets its
+        parent's score; local (score desc, doc_id asc) top-k.  One
+        vectorized is_in over the slice's docmeta column — no postings
+        touched; disjoint slices re-cut exactly at the driver."""
+        import pyarrow.compute as pc_
+
+        from . import docmeta as docmeta_mod
+        from .query import rank_topk
+
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        dm = self._docmeta
+        if len(dm.ids) == 0 or not parent_scores:
+            return []
+        parents = sorted(parent_scores)
+        col = dm.cols[parent_col]
+        m = pc_.fill_null(
+            pc_.is_in(col, value_set=pa.array(parents)), False
+        ).to_numpy(zero_copy_only=False)
+        ids = dm.ids[np.asarray(m, dtype=bool)]
+        if len(self.tombstones):
+            ids = ids[_live_mask(ids, self.tombstones)]
+        if len(ids) == 0:
+            return []
+        vals = dm.gather(ids, parent_col).to_pylist()
+        sc = np.array([parent_scores[v] for v in vals], dtype=np.float64)
+        return rank_topk(ids, sc, k)
+
     def get_docs(self, doc_ids: list[int], cols: list[str]) -> list[tuple]:
         """ES ``_mget`` over THIS doc-range slice: (doc_id, *col
         values) for every requested id this slice's doc store holds;
@@ -2748,6 +2829,68 @@ class QueryEngine:
         fut = self._route_agg("span_near", toks[0], toks, toks[1], int(slop))
         parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
         return sorted(p for part in parts for p in part)
+
+    def _merged_parents(
+        self, query_string: str, parent_col: str
+    ) -> dict[object, tuple[float, int]]:
+        """Shared join-field phase: per-parent (max child BM25 score,
+        n_children) over the query's FULL match set, merged exactly
+        across scopes (max of maxes, sum of counts)."""
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return {}
+        fut = self._route_agg("join_children", parsed, involved, parent_col)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        merged: dict[object, tuple[float, int]] = {}
+        for part in parts:
+            for v, mx, n in part:
+                if v in merged:
+                    omx, on = merged[v]
+                    merged[v] = (max(omx, mx), on + n)
+                else:
+                    merged[v] = (mx, n)
+        return merged
+
+    def has_child(
+        self, query_string: str, parent_col: str,
+        k: int = 10, min_children: int = 1,
+    ) -> list[tuple[object, float, int]]:
+        """ES join-field ``has_child`` (score_mode=max): parents whose
+        child docs match the query, scored by the best-matching child's
+        BM25, with the matching-child count — ``min_children`` drops
+        thin parents.  Parents never exist as index docs (the join
+        field's parent side is metadata), so the result rows are
+        (parent_value, score, n_children) ranked (score desc, parent
+        asc) — max and count both merge exactly across disjoint doc
+        slices, no float-sum order hazard."""
+        merged = self._merged_parents(query_string, parent_col)
+        rows = [
+            (v, mx, n) for v, (mx, n) in merged.items() if n >= min_children
+        ]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k]
+
+    def has_parent(
+        self, parent_query: str, parent_col: str, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES join-field ``has_parent`` (score=true): child docs whose
+        parent group contains a doc matching the parent query, each
+        scored with its parent's (max-child) score.  Phase 1 reuses the
+        has_child kernel for the matched-parent score map; phase 2
+        broadcasts that tiny map and each doc slice selects its members
+        with one vectorized is_in over docmeta — exact local top-k
+        re-cuts at the driver.  Term mode: docmeta is whole-corpus on
+        every server, so ONE server answers phase 2 (the mget
+        duplicate-free rule)."""
+        merged = self._merged_parents(parent_query, parent_col)
+        if not merged:
+            return []
+        scores = {v: mx for v, (mx, n) in merged.items()}
+        servers = self.servers if self.mode == "doc" else self.servers[:1]
+        parts = ray.get(
+            [s.parent_docs.remote(scores, parent_col, k) for s in servers]
+        )
+        return _merge_topk(parts, k)
 
     def count(self, query_string: str) -> int:
         """ES ``_count``: the match-set size for a query string —
