@@ -148,6 +148,86 @@ def ensure_docmeta(
     build_docmeta(source, index_dir, meta_cols, id_col=id_col)
 
 
+@ray.remote
+def _update_bucket(
+    fpath: str, ids: np.ndarray, id_col: str, col: str, op: str, value
+) -> int:
+    """Rewrite ONE docmeta bucket file with the update applied to its
+    matched rows (vectorized if_else; atomic tmp+rename).  Returns the
+    number of rows changed."""
+    tbl = pq.read_table(fpath)
+    bids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = np.isin(bids, ids, assume_unique=True)
+    n = int(m.sum())
+    if n == 0:
+        return 0
+    cur = tbl[col]
+    if op == "set":
+        new = pc.if_else(pa.array(m), pa.scalar(value, type=cur.type), cur)
+    elif op == "add":
+        new = pc.if_else(
+            pa.array(m), pc.add(cur, pa.scalar(value, type=cur.type)), cur
+        )
+    else:
+        raise ValueError(f"unknown update op {op!r}")
+    out = tbl.set_column(tbl.column_names.index(col), col, new)
+    pq.write_table(out, fpath + ".tmp")
+    os.replace(fpath + ".tmp", fpath)
+    return n
+
+
+def update_docs(
+    index_dir: str, doc_ids, col: str, op: str, value, *, update_id: str | None = None
+) -> int:
+    """ES ``_update_by_query``'s write half: apply ``col op value``
+    (op = ``set`` | ``add``, the painless-script analog) to the given
+    doc ids IN PLACE in the docmeta store.  Bucket-pruned — only the
+    bucket files whose doc-id range holds a matched id are rewritten,
+    one Ray task each (task memory = one bucket file, parallelism =
+    touched buckets).  With ``update_id``, per-bucket ``.done``
+    sentinels under ``docmeta/_updates/<update_id>/`` make a crashed
+    run convergent on re-run (finished buckets skip; ``add`` is never
+    applied twice) — the same deterministic-replay shape as federated
+    shard ingest.  Note: a later docmeta REBUILD from the source corpus
+    (refresh_docmeta / lineage change) reverts in-place updates, as an
+    ES reindex-from-source would."""
+    out_dir = os.path.join(index_dir, "docmeta")
+    with open(os.path.join(out_dir, "_meta.json")) as f:
+        m = json.load(f)
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if len(ids) == 0:
+        return 0
+    shift = ID_BITS - int(m["range_bits"])
+    live = set(map(int, m["buckets"]))
+    touched = sorted(set((ids >> shift).tolist()) & live)
+    sdir = None
+    if update_id is not None:
+        sdir = os.path.join(out_dir, "_updates", str(update_id))
+        os.makedirs(sdir, exist_ok=True)
+        touched = [
+            b for b in touched if not os.path.exists(os.path.join(sdir, f"b{b}.done"))
+        ]
+    if not touched:
+        return 0
+    ids_ref = ray.put(ids)
+    futs = {
+        b: _update_bucket.remote(
+            os.path.join(out_dir, f"bucket={b}.parquet"),
+            ids_ref, m["id_col"], col, op, value,
+        )
+        for b in touched
+    }
+    total = 0
+    for b, f in futs.items():
+        total += ray.get(f)
+        if sdir is not None:
+            done = os.path.join(sdir, f"b{b}.done")
+            with open(done + ".tmp", "w") as fh:
+                fh.write("1")
+            os.replace(done + ".tmp", done)
+    return total
+
+
 def refresh_docmeta(index_dir: str, source: str | list) -> bool:
     """Re-run :func:`ensure_docmeta` with the PREVIOUS build's column
     config if a docmeta table exists (no-op otherwise) — the hook the

@@ -140,6 +140,89 @@ def span_first_docs(chunked, end: int) -> tuple[np.ndarray, np.ndarray]:
     return ids[keep], first[keep]
 
 
+def span_or_first_docs(
+    chunkeds: list, end: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``span_first`` whose inner clause is a ``span_or`` over
+    single-term spans: docs where the EARLIEST occurrence of ANY of
+    the terms ends by ``end``.  Union of the per-term span_first sets
+    with an unbounded end, folded to the per-doc minimum position
+    (sort + minimum.reduceat), then the bound applied once — the
+    per-term firsts are each one gather, no per-doc loop."""
+    parts = [span_first_docs(c, 1 << 40) for c in chunkeds if c is not None]
+    parts = [(i, p) for i, p in parts if len(i)]
+    if not parts:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    ids = np.concatenate([i for i, _ in parts])
+    pos = np.concatenate([p for _, p in parts])
+    order = np.lexsort((pos, ids))
+    ids, pos = ids[order], pos[order]
+    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    uids = ids[starts]
+    firsts = np.minimum.reduceat(pos, starts)
+    keep = firsts < end
+    return uids[keep].astype(np.int64), firsts[keep].astype(np.int64)
+
+
+def span_not_docs(
+    chunked_a, chunked_b, slop: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``span_not`` (include=term_a, exclude=term_b, symmetric
+    pre/post window ``slop``): docs having at least one occurrence of
+    ``a`` with NO occurrence of ``b`` within ``slop`` intervening
+    tokens (the span_near gap convention: excluded iff
+    ``|pa - pb| - 1 <= slop``), with the first such valid position.
+    Same keyed-searchsorted shape as span_near_docs: nearest-b
+    distance per a-occurrence, per-doc minimum over VALID positions
+    via minimum.reduceat.  Docs containing ``a`` but not ``b`` are
+    valid at their first occurrence outright."""
+    ids_a, tfs_a, _, pa_flat, occ_a = _decode_with_positions(chunked_a)
+    if len(ids_a) == 0:
+        return ids_a.astype(np.int64), np.empty(0, dtype=np.int64)
+    if chunked_b is None:
+        first = pa_flat[occ_a[:-1]]
+        return ids_a.astype(np.int64), first.astype(np.int64)
+    ids_b, tfs_b, _, pb_flat, occ_b = _decode_with_positions(chunked_b)
+    only = np.setdiff1d(ids_a, ids_b, assume_unique=True)
+    oj = np.searchsorted(ids_a, only)
+    out_ids = [only.astype(np.int64)]
+    out_pos = [pa_flat[occ_a[oj]].astype(np.int64)]
+    common, ia, ib = np.intersect1d(
+        ids_a, ids_b, assume_unique=True, return_indices=True
+    )
+    if len(common):
+        la, lb = tfs_a[ia].astype(np.int64), tfs_b[ib].astype(np.int64)
+        m = len(common)
+        SHIFT = np.int64(1) << np.int64(32)
+        ra = np.repeat(np.arange(m, dtype=np.int64), la)
+        apos = pa_flat[np.repeat(occ_a[ia], la) + _ragged_arange(la)]
+        ka = ra * SHIFT + apos
+        rb = np.repeat(np.arange(m, dtype=np.int64), lb)
+        kb = rb * SHIFT + pb_flat[np.repeat(occ_b[ib], lb) + _ragged_arange(lb)]
+        INF = np.int64(1) << np.int64(40)
+        dist = np.full(len(ka), INF, dtype=np.int64)
+        j = np.searchsorted(kb, ka)
+        hi_ok = j < len(kb)
+        same_hi = np.zeros(len(ka), dtype=bool)
+        same_hi[hi_ok] = (kb[j[hi_ok]] >> np.int64(32)) == ra[hi_ok]
+        dist[same_hi] = kb[j[same_hi]] - ka[same_hi]
+        lo_ok = j > 0
+        same_lo = np.zeros(len(ka), dtype=bool)
+        same_lo[lo_ok] = (kb[j[lo_ok] - 1] >> np.int64(32)) == ra[lo_ok]
+        dist[same_lo] = np.minimum(dist[same_lo], ka[same_lo] - kb[j[same_lo] - 1])
+        valid_pos = np.where(dist - 1 > slop, apos, INF)
+        seg_starts = np.r_[np.int64(0), np.cumsum(la)[:-1]]
+        minp = np.minimum.reduceat(valid_pos, seg_starts)
+        keep = minp < INF
+        out_ids.append(common[keep].astype(np.int64))
+        out_pos.append(minp[keep].astype(np.int64))
+    ids = np.concatenate(out_ids)
+    pos = np.concatenate(out_pos)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], pos[order]
+
+
 def _ragged_arange(lens: np.ndarray) -> np.ndarray:
     """[0..l0), [0..l1), ... concatenated (vectorized per-segment
     arange for ragged gathers)."""

@@ -443,6 +443,66 @@ def get_dbq_index(sf_dir: str) -> build.IndexMeta:
     return build.IndexMeta(dst)
 
 
+UBQ_QUERY = "window"
+UBQ_ADD = 1000
+
+
+def get_ubq_index(sf_dir: str) -> build.IndexMeta:
+    """A dedicated index+docmeta with ``update_by_query`` applied —
+    dedicated because the in-place docmeta rewrite would corrupt every
+    other entry sharing the cached index.  The update carries a fixed
+    ``update_id``, so per-bucket done-sentinels make the re-apply on
+    every call (and any crashed half-run) convergent: ``add`` is never
+    applied twice to a bucket."""
+    from . import docmeta as docmeta_mod
+
+    key = f"{os.path.abspath(sf_dir)}|ubq-v{INDEX_FORMAT_VERSION}"
+    h = hashlib.md5(key.encode()).hexdigest()[:12]
+    dst = os.path.join("/tmp", "cb_index_cache", "ubq-" + h)
+    if not os.path.exists(os.path.join(dst, "_global.json")):
+        build.build_index(
+            docs_path(sf_dir), dst, text_col="text", id_col="doc_id",
+            columns=["doc_id", "text"], num_parts="auto", range_bits="auto",
+        )
+    docmeta_mod.ensure_docmeta(dst, docs_path(sf_dir), ["lang", "source", "n_chars"])
+    engine = shard.QueryEngine(dst, num_servers=2)
+    try:
+        engine.update_by_query(
+            UBQ_QUERY, "n_chars", "add", UBQ_ADD, update_id="ubq1"
+        )
+    finally:
+        engine.shutdown()
+    return build.IndexMeta(dst)
+
+
+def q_update_by_query(sf_dir: str) -> pa.Table:
+    """ES ``_update_by_query`` proven end-to-end: every doc matching
+    UBQ_QUERY gets ``n_chars += UBQ_ADD`` written in place to its
+    docmeta bucket (bucket-pruned Ray tasks, atomic rewrites,
+    crash-convergent done-sentinels), then the WHOLE doc store is read
+    back — the oracle recomputes the update from the raw corpus, so
+    both the matched-set routing and the arithmetic are value-checked
+    for all docs, updated and untouched alike."""
+    import glob as _glob
+
+    meta = get_ubq_index(sf_dir)
+    files = sorted(_glob.glob(os.path.join(meta.index_dir, "docmeta", "bucket=*.parquet")))
+    t = _collect(ray.data.read_parquet(files))
+    return t.select(["doc_id", "lang", "source", "n_chars"]).sort_by("doc_id")
+
+
+def sql_update_by_query() -> str:
+    tok = analyze.sql_token_array("text")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents)
+SELECT d.doc_id, d.lang, d.source,
+       (d.n_chars + CASE WHEN list_contains(t.toks, '{UBQ_QUERY}')
+                         THEN {UBQ_ADD} ELSE 0 END)::BIGINT AS n_chars
+FROM documents d JOIN docs t ON t.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_delete_by_query(sf_dir: str) -> pa.Table:
     """ES ``_delete_by_query`` proven end-to-end: tombstone every doc
     matching ``DELETE_QUERY``, then serve the reference query set from
@@ -2749,6 +2809,113 @@ ORDER BY span_id, a.doc_id
 """
 
 
+SPAN_OR_FIRST_SPECS: tuple[tuple[str, int], ...] = (
+    ("window merge", 3), ("join scan", 2), ("customer table", 5),
+    ("zebra quantum", 4),
+)
+
+
+def q_span_or_first(sf_dir: str) -> pa.Table:
+    """ES ``span_first`` whose inner clause is a ``span_or`` over
+    single-term spans: docs where the EARLIEST occurrence of any
+    listed term ends by ``end``, with that position — the union fold
+    is a per-doc minimum off the positional postings (one gather per
+    term + one reduceat, no per-doc loop).  Filter-context rows
+    (spec, doc_id, pos)."""
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    rows = []
+    try:
+        for sid, (terms, end) in enumerate(SPAN_OR_FIRST_SPECS):
+            rows.extend(
+                (sid, d, p) for d, p in engine.span_or_first(terms, end)
+            )
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "span_id": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "pos": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def sql_span_or_first() -> str:
+    tok = analyze.sql_token_array("text")
+    vals = []
+    for sid, (terms, end) in enumerate(SPAN_OR_FIRST_SPECS):
+        for t in sorted(set(analyze.tokenize(terms))):
+            vals.append(f"({sid}, '{t}', {end})")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+st(span_id, term, end_pos) AS (VALUES {", ".join(vals)})
+SELECT st.span_id::BIGINT AS span_id, d.doc_id,
+       (min(list_position(d.toks, st.term)) - 1)::BIGINT AS pos
+FROM st JOIN docs d
+  ON list_position(d.toks, st.term) BETWEEN 1 AND st.end_pos
+GROUP BY 1, 2
+ORDER BY span_id, doc_id
+"""
+
+
+SPAN_NOT_SPECS: tuple[tuple[str, str, int], ...] = (
+    ("join", "hash", 0), ("sort", "merge", 1),
+    ("window", "stream", 3), ("table", "scan", 2),
+)
+
+
+def q_span_not(sf_dir: str) -> pa.Table:
+    """ES ``span_not`` (include term, exclude term, symmetric slop
+    window): docs keeping an include occurrence at least ``slop+1``
+    tokens clear of EVERY exclude occurrence, with the first such
+    position — value-checks the exclusion geometry itself.  The
+    engine computes it vectorized as the dual of span_near (nearest-
+    exclude distance per occurrence, per-doc min over valid
+    positions)."""
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    rows = []
+    try:
+        for sid, (ta, tb, slop) in enumerate(SPAN_NOT_SPECS):
+            rows.extend(
+                (sid, d, p) for d, p in engine.span_not(f"{ta} {tb}", slop)
+            )
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "span_id": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "pos": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def sql_span_not() -> str:
+    tok = analyze.sql_token_array("text")
+    vals = ", ".join(
+        f"({i}, '{a}', '{b}', {s})" for i, (a, b, s) in enumerate(SPAN_NOT_SPECS)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM docs),
+specs(span_id, ta, tb, slop) AS (VALUES {vals}),
+apos AS (SELECT s.span_id, a.doc_id, a.i, s.tb, s.slop
+         FROM specs s JOIN t a ON a.w = s.ta),
+valid AS (
+  SELECT ap.span_id, ap.doc_id, ap.i FROM apos ap
+  WHERE NOT EXISTS (
+    SELECT 1 FROM t b
+    WHERE b.doc_id = ap.doc_id AND b.w = ap.tb
+      AND abs(b.i - ap.i) <= ap.slop + 1
+  )
+)
+SELECT span_id::BIGINT AS span_id, doc_id, (min(i) - 1)::BIGINT AS pos
+FROM valid GROUP BY 1, 2 ORDER BY span_id, doc_id
+"""
+
+
 def q_search_count(sf_dir: str) -> pa.Table:
     """ES ``_count``: match-set size per query string, scoring-free —
     each disjoint server slice counts locally and the driver sums, so
@@ -2919,6 +3086,221 @@ ranked AS (
 )
 SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
        round(mscore, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
+def q_rank_eval(sf_dir: str) -> pa.Table:
+    """ES ``_rank_eval``: per-query ranking quality of the BM25 top-k
+    against a rated-document set — precision@k (relevant retrieved /
+    retrieved), recall@k (relevant retrieved / all relevant), and MRR
+    (1/rank of the first relevant hit; 0 when none).  Ratings are
+    request-side data in ES; here they derive deterministically as the
+    conjunctive match set (docs containing EVERY analyzed query term),
+    fetched through the constant_score path.  Counts are exact ints
+    and each metric is ONE correctly-rounded division, so the mirror
+    is bitwise.  Queries retrieving nothing emit no row (SQL GROUP
+    BY)."""
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    rows = []
+    try:
+        for qid, q in enumerate(QUERY_SET):
+            hits = engine.query(q, k=K)
+            if not hits:
+                continue
+            toks = sorted(set(analyze.tokenize(q)))
+            andq = " ".join("+" + t for t in toks)
+            relevant = {d for d, _ in engine.constant_score(andq, k=1 << 40)}
+            ranks = [
+                r for r, (d, _) in enumerate(hits, start=1) if d in relevant
+            ]
+            n_ret, n_rel, n_rr = len(hits), len(relevant), len(ranks)
+            rows.append(
+                (
+                    qid, n_rel, n_ret, n_rr,
+                    float(n_rr) / float(n_ret),
+                    float(n_rr) / float(n_rel) if n_rel else 0.0,
+                    1.0 / float(ranks[0]) if ranks else 0.0,
+                )
+            )
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_relevant": pa.array([r[1] for r in rows], pa.int64()),
+            "n_retrieved": pa.array([r[2] for r in rows], pa.int64()),
+            "n_relevant_retrieved": pa.array([r[3] for r in rows], pa.int64()),
+            "precision_k": pa.array([r[4] for r in rows], pa.float64()),
+            "recall_k": pa.array([r[5] for r in rows], pa.float64()),
+            "mrr": pa.array([r[6] for r in rows], pa.float64()),
+        }
+    )
+
+
+def sql_rank_eval() -> str:
+    base = sql_bm25(with_scores=False)
+    # reuse the ranked CTE wholesale: strip sql_bm25's final SELECT and
+    # append the evaluation layer (the CTE list is the shared contract)
+    cut = base.rindex("SELECT query_id::BIGINT")
+    prefix = base[:cut].rstrip()
+    assert prefix.endswith(")")
+    return f"""{prefix},
+rk AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {K}),
+qterm AS (SELECT DISTINCT query_id, term FROM q),
+rel AS (
+  SELECT qt.query_id, d.doc_id
+  FROM qterm qt JOIN docs d ON list_contains(d.toks, qt.term)
+  GROUP BY 1, 2
+  HAVING count(*) = (SELECT count(*) FROM qterm x
+                     WHERE x.query_id = qt.query_id)
+),
+m AS (
+  SELECT r.query_id,
+         (SELECT count(*) FROM rel WHERE rel.query_id = r.query_id)::BIGINT
+           AS n_relevant,
+         count(*)::BIGINT AS n_retrieved,
+         count(rel.doc_id)::BIGINT AS n_relevant_retrieved,
+         min(CASE WHEN rel.doc_id IS NOT NULL THEN r.rank END) AS first_rank
+  FROM rk r
+  LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+  GROUP BY 1
+)
+SELECT query_id::BIGINT AS query_id, n_relevant, n_retrieved,
+       n_relevant_retrieved,
+       n_relevant_retrieved::DOUBLE / n_retrieved::DOUBLE AS precision_k,
+       CASE WHEN n_relevant > 0
+            THEN n_relevant_retrieved::DOUBLE / n_relevant::DOUBLE
+            ELSE CAST(0 AS DOUBLE) END AS recall_k,
+       CASE WHEN first_rank IS NOT NULL
+            THEN CAST(1.0 AS DOUBLE) / first_rank::DOUBLE
+            ELSE CAST(0 AS DOUBLE) END AS mrr
+FROM m ORDER BY query_id
+"""
+
+
+def q_top_metrics(sf_dir: str) -> pa.Table:
+    """ES ``top_metrics`` inside a terms agg: per (query, lang) bucket
+    of the FULL match set, the doc with the max ``n_chars`` (doc_id
+    asc on ties) and its ``source`` metric — the "fields of the newest
+    doc per group" workload.  Winners carry their metrics from the
+    server, so the driver merge is a pure re-cut.  Runs the full
+    query-string surface via FACET_SET."""
+    engine = _facet_engine(sf_dir)
+    rows = []
+    try:
+        for qid, q in enumerate(FACET_SET):
+            hits = engine.top_metrics(
+                q, "lang", "n_chars", metric_cols=("source",), k_per=1
+            )
+            for lang in sorted(hits):
+                d, s, (src,) = hits[lang][0]
+                rows.append((qid, lang, d, int(s), src))
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+            "n_chars": pa.array([r[3] for r in rows], pa.int64()),
+            "source": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+
+
+def sql_top_metrics() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    return f"""{prefix},
+ranked AS (
+  SELECT mm.query_id, d.lang, d.doc_id, d.n_chars, d.source,
+         row_number() OVER (PARTITION BY mm.query_id, d.lang
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM mm JOIN documents d ON d.doc_id = mm.doc_id
+  WHERE d.lang IS NOT NULL
+)
+SELECT query_id::BIGINT AS query_id, lang, doc_id, n_chars::BIGINT AS n_chars, source
+FROM ranked WHERE rn = 1 ORDER BY query_id, lang
+"""
+
+
+MBP_SET: tuple[str, ...] = (
+    "merge sor", "hash joi", "stream windo", "quantum zeb", "tab",
+)
+
+
+def q_match_bool_prefix(sf_dir: str) -> pa.Table:
+    """ES ``match_bool_prefix`` (the search-as-you-type primitive):
+    all analyzed terms but the last score as BM25 shoulds, the
+    trailing token matches as a prefix expanded once against the tiny
+    _termdf vocabulary and contributes a constant 1.0 per matching doc
+    (ES's constant_score prefix rewrite) — union semantics, so
+    prefix-only docs rank too.  The mirror re-derives the expansion
+    independently with LIKE over the corpus term table."""
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = [engine.match_bool_prefix(q, k=K) for q in MBP_SET]
+    finally:
+        engine.shutdown()
+    return _topk_table(results, with_scores=True)
+
+
+def sql_match_bool_prefix() -> str:
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    crows, prows = [], []
+    for qid, q in enumerate(MBP_SET):
+        toks = analyze.tokenize(q)
+        complete, prefix = toks[:-1], toks[-1]
+        for t in sorted(set(complete)):
+            crows.append(f"({qid}, '{t}')")
+        if not complete:
+            crows.append(f"({qid}, '__none__')")  # VALUES needs a row; never matches
+        prows.append(f"({qid}, '{prefix}')")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qc(query_id, term) AS (VALUES {", ".join(crows)}),
+qp(query_id, prefix) AS (VALUES {", ".join(prows)}),
+exp AS (SELECT qp.query_id, df.term FROM qp
+        JOIN df ON df.term LIKE qp.prefix || '%'),
+pmatch AS (SELECT DISTINCT e.query_id, tf.doc_id
+           FROM exp e JOIN tf ON tf.term = e.term),
+cscored AS (
+  SELECT qc.query_id, tf.doc_id,
+         sum({contrib} ORDER BY qc.term) AS score
+  FROM qc
+  JOIN tf ON tf.term = qc.term
+  JOIN df ON df.term = qc.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+allm AS (SELECT query_id, doc_id FROM pmatch
+         UNION SELECT query_id, doc_id FROM cscored),
+final AS (
+  SELECT a.query_id, a.doc_id,
+         coalesce(c.score, CAST(0 AS DOUBLE)) +
+         CASE WHEN p.doc_id IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS score
+  FROM allm a
+  LEFT JOIN cscored c ON c.query_id = a.query_id AND c.doc_id = a.doc_id
+  LEFT JOIN pmatch p ON p.query_id = a.query_id AND p.doc_id = a.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM final
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
 FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
@@ -3495,6 +3877,38 @@ def q_function_score_decay(sf_dir: str) -> pa.Table:
             "origin": FSCORE_ORIGIN,
             "scale": FSCORE_SCALE,
         },
+    )
+
+
+DFEAT_ORIGIN = 500
+DFEAT_PIVOT = 200
+DFEAT_W = 3.0
+
+
+def q_distance_feature(sf_dir: str) -> pa.Table:
+    """ES ``distance_feature`` query: docs closer to the origin on a
+    stored numeric field get a bigger additive boost — ``score + w *
+    pivot/(pivot+|n_chars-origin|)`` over the FULL match set (the
+    recency/proximity-boost workload).  Rides the function_score
+    server kernel: one docmeta gather + one division per doc, exact
+    per-slice top-k re-cut."""
+    return _q_function_score(
+        sf_dir,
+        {
+            "kind": "distance_feature",
+            "col": "n_chars",
+            "w": DFEAT_W,
+            "origin": DFEAT_ORIGIN,
+            "pivot": DFEAT_PIVOT,
+        },
+    )
+
+
+def sql_distance_feature() -> str:
+    return _sql_function_score(
+        f"s.score + CAST({DFEAT_W} AS DOUBLE) * "
+        f"(CAST({DFEAT_PIVOT} AS DOUBLE) / "
+        f"(abs(d.n_chars - {DFEAT_ORIGIN}) + {DFEAT_PIVOT})::DOUBLE)"
     )
 
 
@@ -7031,6 +7445,13 @@ QUERIES = {
     "span_near": q_span_near,
     "has_child": q_has_child,
     "has_parent": q_has_parent,
+    "update_by_query": q_update_by_query,
+    "distance_feature": q_distance_feature,
+    "match_bool_prefix": q_match_bool_prefix,
+    "top_metrics": q_top_metrics,
+    "rank_eval": q_rank_eval,
+    "span_or_first": q_span_or_first,
+    "span_not": q_span_not,
     "function_score_random": q_function_score_random,
     "terms_set": q_terms_set,
     "bucket_stats_pipeline": q_bucket_stats_pipeline,
@@ -7174,6 +7595,13 @@ def oracle_sql() -> dict[str, str]:
         "span_near": sql_span_near(),
         "has_child": sql_has_child(),
         "has_parent": sql_has_parent(),
+        "update_by_query": sql_update_by_query(),
+        "distance_feature": sql_distance_feature(),
+        "match_bool_prefix": sql_match_bool_prefix(),
+        "top_metrics": sql_top_metrics(),
+        "rank_eval": sql_rank_eval(),
+        "span_or_first": sql_span_or_first(),
+        "span_not": sql_span_not(),
         "function_score_random": sql_function_score_random(),
         "terms_set": sql_terms_set(),
         "bucket_stats_pipeline": sql_bucket_stats_pipeline(),

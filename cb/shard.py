@@ -27,6 +27,7 @@ dimension is exactly this module applied per group.
 
 from __future__ import annotations
 
+import glob
 import os
 
 import numpy as np
@@ -576,6 +577,15 @@ def _combine_function_score(sc: np.ndarray, x: np.ndarray, spec: dict) -> np.nda
         origin, scale = int(spec["origin"]), int(spec["scale"])
         decay = np.maximum(scale - np.abs(x - origin), 0).astype(np.float64) / float(scale)
         return sc * decay
+    if spec["kind"] == "distance_feature":
+        # ES distance_feature query: score + boost * pivot/(pivot+dist)
+        # with dist = |x - origin| — the close-to-origin analog of
+        # rank_feature's saturation (integer dist, one division, so the
+        # SQL mirror is bitwise).
+        w = float(spec["w"])
+        origin, pivot = int(spec["origin"]), int(spec["pivot"])
+        dist = np.abs(x - origin)
+        return sc + w * (float(pivot) / (dist + pivot).astype(np.float64))
     if spec["kind"] == "random":
         # ES random_score (seeded): deterministic per-doc hash blended
         # into the score — here ``x`` IS the doc-id array (no docmeta
@@ -1022,6 +1032,43 @@ class ShardServer:
             self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
         return _top_hits_over(universe[keep], acc[keep], self._docmeta, group_col, k_per)
 
+    def top_metrics(
+        self, parsed: dict, group_col: str, sort_col: str,
+        metric_cols: list[str], k_per: int,
+        fetched_terms: list[str] = (), *fetched,
+    ) -> dict:
+        """ES top_metrics-inside-terms-agg over THIS scope: the match
+        set grouped by ``group_col``, each group keeping the local top
+        ``k_per`` rows by (``sort_col`` desc, doc_id asc), with the
+        requested metric columns read off docmeta for the winners only.
+        Rides _top_hits_over with the numeric sort column in the score
+        slot — integer metric, so cross-slice re-cuts are exact."""
+        from . import docmeta as docmeta_mod
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        dm = self._docmeta
+        ids = self._cached_match(parsed, dm)
+        if ids is None or len(ids) == 0:
+            return {}
+        import pyarrow.compute as pc_
+
+        sort_vals = pc_.fill_null(
+            dm.gather(ids, sort_col).cast(pa.float64()), float("-inf")
+        ).to_numpy(zero_copy_only=False)
+        hits = _top_hits_over(ids, sort_vals, dm, group_col, k_per)
+        out = {}
+        for v, rows in hits.items():
+            wids = np.array([d for d, _ in rows], dtype=np.int64)
+            metrics = {c: dm.gather(wids, c).to_pylist() for c in metric_cols}
+            out[v] = [
+                (int(d), float(s), tuple(metrics[c][i] for c in metric_cols))
+                for i, (d, s) in enumerate(rows)
+            ]
+        return out
+
     def match_first(
         self, parsed: dict, k: int, fetched_terms: list[str] = (), *fetched
     ) -> list[int]:
@@ -1127,6 +1174,97 @@ class ShardServer:
         required = np.minimum(int(spec["cap"]), 1 + x // int(spec["div"]))
         keep &= cnt >= required
         ids, sc = universe[keep], acc[keep]
+        if len(ids) == 0:
+            return []
+        return rank_topk(ids, sc, k)
+
+    def span_or_first(
+        self, terms: list[str], end: int, fetched_terms: list[str] = (), *fetched
+    ) -> list[tuple[int, int]]:
+        """ES ``span_first`` over a ``span_or`` of single-term clauses,
+        THIS scope: (doc_id, earliest position over the term union)
+        for live docs where ANY term first occurs before ``end`` —
+        straight off the positional postings, tombstone-masked,
+        id-sorted."""
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        chunkeds = [self._local(t) for t in sorted(set(terms))]
+        ids, first = phrase_mod.span_or_first_docs(chunkeds, end)
+        if len(ids) == 0:
+            return []
+        keep = _live_mask(ids, self.tombstones)
+        return list(zip(ids[keep].tolist(), first[keep].tolist()))
+
+    def span_not(
+        self, term_a: str, term_b: str, slop: int,
+        fetched_terms: list[str] = (), *fetched,
+    ) -> list[tuple[int, int]]:
+        """ES ``span_not`` over THIS scope: (doc_id, first valid
+        position) for live docs with an occurrence of ``term_a`` no
+        closer than ``slop`` intervening tokens to any ``term_b`` —
+        the exclusion dual of span_near, same vectorized keyed-
+        searchsorted kernel (cb.phrase.span_not_docs)."""
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        pa_ = self._local(term_a)
+        if pa_ is None:
+            return []
+        ids, pos = phrase_mod.span_not_docs(pa_, self._local(term_b), slop)
+        if len(ids) == 0:
+            return []
+        keep = _live_mask(ids, self.tombstones)
+        return list(zip(ids[keep].tolist(), pos[keep].tolist()))
+
+    def bool_prefix(
+        self, terms: list[str], prefix_terms: list[str], k: int,
+        fetched_terms: list[str] = (), *fetched,
+    ) -> list[tuple[int, float]]:
+        """ES ``match_bool_prefix`` over THIS scope: the complete terms
+        score as BM25 shoulds (TAAT) and the trailing prefix, already
+        expanded against the vocabulary driver-side, contributes a
+        constant 1.0 to any doc matching ANY expansion (the ES
+        ``rewrite: constant_score`` default for the prefix clause).
+        Union semantics: prefix-only docs match too.  One float add in
+        a fixed order, so the SQL mirror (coalesce(score,0)+1.0) is
+        bitwise."""
+        from .query import rank_topk
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        live = {t: self._local(t) for t in sorted(set(terms))}
+        live = {t: p for t, p in live.items() if p is not None}
+        idfs = {
+            t: float(scoring.idf(getattr(p, "gdf", p.df), self.stats.n_docs))
+            for t, p in live.items()
+        }
+        universe, acc = (None, None)
+        if live:
+            universe, acc = wand.taat_scores(
+                live, idfs, self.stats, decoded_cache=self.decoded
+            )
+        pid_arrays = []
+        for t in sorted(set(prefix_terms)):
+            p = self._local(t)
+            if p is None:
+                continue
+            hit = self.decoded.get(t)
+            pid_arrays.append(hit[0] if hit is not None else p.decode_all()[0])
+        pids = (
+            np.unique(np.concatenate(pid_arrays))
+            if pid_arrays
+            else np.empty(0, dtype=np.int64)
+        )
+        if universe is None and len(pids) == 0:
+            return []
+        base = universe if universe is not None else np.empty(0, dtype=np.int64)
+        full = np.union1d(base, pids)
+        sc = np.zeros(len(full), dtype=np.float64)
+        if universe is not None:
+            sc[np.searchsorted(full, universe)] = acc
+        if len(pids):
+            sc[np.searchsorted(full, pids)] += 1.0
+        keep = _live_mask(full, self.tombstones)
+        ids, sc = full[keep], sc[keep]
         if len(ids) == 0:
             return []
         return rank_topk(ids, sc, k)
@@ -1898,8 +2036,22 @@ class QueryEngine:
                     f"(2^range_bits doc-range buckets)"
                 )
             all_parts = list(range(self.meta.num_parts))
+            # the bucket universe: enumerable for realistic range_bits;
+            # a sparse layout (huge range_bits over few live buckets)
+            # is discovered from the docstats listing instead — the
+            # ownership RULE (bucket % num_servers) is identical either
+            # way, so routing and parity are unchanged
+            if self.meta.range_bits <= 16:
+                universe = range(n_buckets)
+            else:
+                universe = sorted(
+                    int(os.path.basename(f)[len("bucket="):-len(".parquet")])
+                    for f in glob.glob(
+                        os.path.join(index_dir, "docstats", "bucket=*.parquet")
+                    )
+                )
             assignments = [
-                [b for b in range(n_buckets) if b % num_servers == s]
+                [b for b in universe if b % num_servers == s]
                 for s in range(num_servers)
             ]
             # bucket-pruned layout: every server reads ONLY its assigned
@@ -2755,6 +2907,35 @@ class QueryEngine:
         delete_docs(self.meta.index_dir, ids)
         return len(load_tombstones(self.meta.index_dir)) - before
 
+    def update_by_query(
+        self, query_string: str, col: str, op: str, value,
+        update_id: str | None = None,
+    ) -> int:
+        """ES ``_update_by_query``: apply ``col op value`` (op =
+        ``set`` | ``add`` — the painless-script analog) to the stored
+        fields of every doc matching the query.  The match half is
+        delete_by_query's (each disjoint slice reports its match set);
+        the write half is docmeta.update_docs — bucket-pruned in-place
+        rewrites, one Ray task per touched bucket, crash-convergent
+        under ``update_id``.  Returns the number of docs updated.
+        Running servers keep serving their loaded docmeta (it loads
+        lazily once per server); construct a new engine to observe the
+        updates — the same visibility contract as delete_docs."""
+        from . import docmeta as docmeta_mod
+
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return 0
+        big = 1 << 62
+        fut = self._route_agg("match_first", parsed, involved, big)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        ids = sorted({d for part in parts for d in part})
+        if not ids:
+            return 0
+        return docmeta_mod.update_docs(
+            self.meta.index_dir, ids, col, op, value, update_id=update_id
+        )
+
     def mget(self, doc_ids, cols=("lang", "source", "n_chars")) -> list[tuple]:
         """ES ``_mget``: stored fields by id from the doc store.  Doc
         mode: each server answers for its disjoint doc-range slice
@@ -2891,6 +3072,80 @@ class QueryEngine:
             [s.parent_docs.remote(scores, parent_col, k) for s in servers]
         )
         return _merge_topk(parts, k)
+
+    def top_metrics(
+        self, query_string: str, group_col: str, sort_col: str,
+        metric_cols=(), k_per: int = 1,
+    ) -> dict:
+        """ES ``top_metrics`` inside a terms agg: per ``group_col``
+        value of the query's FULL match set, the metric column values
+        at the top ``k_per`` rows by (``sort_col`` desc, doc_id asc) —
+        the "value at the max" workload (e.g. the newest doc's fields
+        per group).  Per-scope winners carry their metrics with them,
+        so the driver re-cut never re-reads docmeta."""
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return {}
+        fut = self._route_agg(
+            "top_metrics", parsed, involved, group_col, sort_col,
+            list(metric_cols), k_per,
+        )
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        return _merge_top_hits(parts, k_per)
+
+    def match_bool_prefix(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """ES ``match_bool_prefix``: every analyzed term but the last
+        is a BM25 should; the trailing term matches as a PREFIX,
+        expanded once driver-side against the tiny _termdf vocabulary
+        (the wildcard/fuzzy rewrite path) and contributing a constant
+        1.0 (ES's constant_score prefix rewrite).  Union semantics —
+        prefix-only docs match.  Doc mode: disjoint local top-k re-cut
+        exactly; term mode: the majority owner scores with fetched
+        postings."""
+        toks = analyze.tokenize(text)
+        if not toks:
+            return []
+        complete, prefix = toks[:-1], toks[-1]
+        if self._vocab is None:
+            self._vocab = load_vocab(self.meta)
+        expansions = sorted(t for t in self._vocab if t.startswith(prefix))
+        involved = sorted(set(complete) | set(expansions))
+        if not involved:
+            return []
+        fut = self._route_agg(
+            "bool_prefix", sorted(set(complete)), involved, expansions, k
+        )
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        return _merge_topk(parts, k)
+
+    def span_or_first(self, text: str, end: int) -> list[tuple[int, int]]:
+        """ES ``span_first`` whose match clause is a ``span_or`` over
+        the analyzed terms of ``text``: docs where the earliest
+        occurrence of ANY term ends by ``end``, with that position —
+        filter-context like span_first.  Doc mode: disjoint slices
+        concatenate; term mode: the majority owner answers with
+        fetched postings."""
+        toks = sorted(set(analyze.tokenize(text)))
+        if not toks:
+            return []
+        fut = self._route_agg("span_or_first", toks, toks, end)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        return sorted(p for part in parts for p in part)
+
+    def span_not(self, text: str, slop: int) -> list[tuple[int, int]]:
+        """ES ``span_not`` over two single-term clauses (include,
+        exclude) with a symmetric ``slop`` window: docs keeping an
+        include occurrence clear of every exclude occurrence, with the
+        first such position — filter-context, the exclusion dual of
+        span_near."""
+        toks = analyze.tokenize(text)
+        if len(toks) != 2 or toks[0] == toks[1]:
+            raise ValueError(
+                f"span_not wants exactly two distinct analyzed terms, got {toks}"
+            )
+        fut = self._route_agg("span_not", toks[0], toks, toks[1], int(slop))
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        return sorted(p for part in parts for p in part)
 
     def count(self, query_string: str) -> int:
         """ES ``_count``: the match-set size for a query string —
