@@ -345,3 +345,94 @@ def phrase_prefix_topk(
         j = np.searchsorted(ids, match)
         scores += idf * scoring.u_factor(tfs[j], dls[j], stats.avgdl)
     return rank_topk(match, scores, k)
+
+
+def intervals_docs(
+    chunkeds: list, max_gaps: int, ordered: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``intervals`` query with a ``match`` rule over N single-term
+    clauses (``max_gaps``, ``ordered`` — the all_of core of ES
+    intervals; reference search side is ES, same contract family as
+    span_near): a doc matches when SOME tuple of positions, one
+    occurrence per term (in query order when ``ordered``), spans an
+    interval with at most ``max_gaps`` intervening non-term positions
+    — gaps = (max_pos - min_pos + 1) - n_terms, minimized over tuples.
+    Returns (doc_ids, min_gaps), id-sorted.
+
+    Candidates are the intersection of all N posting lists, so the
+    per-doc work is bounded by the rarest term's df (the same
+    partitioning assumption as phrase_topk); within a doc the ordered
+    flavor uses the exact greedy earliest-next chain (minimal chain
+    end per start, provably minimal over in-order tuples) and the
+    unordered flavor the classic two-pointer smallest-range sweep over
+    the label-merged position stream."""
+    e = np.empty(0, dtype=np.int64)
+    if max_gaps < 0 or any(c is None for c in chunkeds):
+        return e, e
+    n = len(chunkeds)
+    decoded = [_decode_with_positions(c) for c in chunkeds]
+    cand = decoded[0][0]
+    for d in decoded[1:]:
+        cand = np.intersect1d(cand, d[0], assume_unique=True)
+        if len(cand) == 0:
+            return e, e
+
+    def positions_for(ti: int, doc: int) -> np.ndarray:
+        ids, _, _, pflat, occ = decoded[ti]
+        j = int(np.searchsorted(ids, doc))
+        return pflat[occ[j]:occ[j + 1]]
+
+    out_ids: list[int] = []
+    out_gaps: list[int] = []
+    for doc in cand:
+        doc = int(doc)
+        if ordered:
+            starts = positions_for(0, doc)
+            cur = starts
+            alive = True
+            for ti in range(1, n):
+                nxt = positions_for(ti, doc)
+                j = np.searchsorted(nxt, cur, side="right")
+                ok = j < len(nxt)
+                starts, j = starts[ok], j[ok]
+                if len(starts) == 0:
+                    alive = False
+                    break
+                cur = nxt[j]
+            if not alive:
+                continue
+            g = int(np.min(cur - starts)) - (n - 1)
+            if g <= max_gaps:
+                out_ids.append(doc)
+                out_gaps.append(g)
+            continue
+        parts = [positions_for(ti, doc) for ti in range(n)]
+        lab = np.concatenate(
+            [np.full(len(p), ti, dtype=np.int64) for ti, p in enumerate(parts)]
+        )
+        pos = np.concatenate(parts)
+        order = np.argsort(pos, kind="stable")
+        pos, lab = pos[order], lab[order]
+        count = np.zeros(n, dtype=np.int64)
+        covered, left, best = 0, 0, -1
+        for right in range(len(pos)):
+            if count[lab[right]] == 0:
+                covered += 1
+            count[lab[right]] += 1
+            while covered == n:
+                w = int(pos[right] - pos[left])
+                if best < 0 or w < best:
+                    best = w
+                count[lab[left]] -= 1
+                if count[lab[left]] == 0:
+                    covered -= 1
+                left += 1
+        if best >= 0:
+            g = best + 1 - n
+            if g <= max_gaps:
+                out_ids.append(doc)
+                out_gaps.append(g)
+    return (
+        np.array(out_ids, dtype=np.int64),
+        np.array(out_gaps, dtype=np.int64),
+    )

@@ -2809,6 +2809,78 @@ ORDER BY span_id, a.doc_id
 """
 
 
+INTERVALS_SPECS: tuple[tuple[str, int, bool], ...] = (
+    ("hash join", 1, True),
+    ("merge sort window", 4, False),
+    ("customer table scan", 6, True),
+    ("filter stream", 3, False),
+)
+
+
+def q_intervals(sf_dir: str) -> pa.Table:
+    """ES ``intervals`` query (match rule, ``max_gaps`` + ``ordered``)
+    over 2- and 3-term phrases: docs where some one-occurrence-per-term
+    position tuple — in query order when ordered — spans at most
+    ``max_gaps`` intervening positions, with the minimal gap count.
+    Filter-context rows (interval_id, doc_id, gaps); candidates are
+    posting-list intersections, per-doc minima via greedy chain
+    (ordered) / smallest-range sweep (unordered)."""
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    rows = []
+    try:
+        for sid, (text, g, ordered) in enumerate(INTERVALS_SPECS):
+            rows.extend(
+                (sid, d, gg) for d, gg in engine.intervals(text, g, ordered)
+            )
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "interval_id": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "gaps": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def sql_intervals() -> str:
+    """Mirror: per spec, min over one-occurrence-per-term tuples (the
+    in-order subset when ordered) of (span width - n_terms), kept at
+    <= max_gaps — exact integer mins, same (interval_id, doc_id)
+    order."""
+    tok = analyze.sql_token_array("text")
+    selects = []
+    for sid, (text, g, ordered) in enumerate(INTERVALS_SPECS):
+        terms = analyze.tokenize(text)
+        n = len(terms)
+        joins = []
+        for j in range(2, n + 1):
+            cond = f"a{j}.doc_id = a1.doc_id AND a{j}.w = '{terms[j-1]}'"
+            if ordered:
+                cond += f" AND a{j-1}.i < a{j}.i"
+            joins.append(f"JOIN t a{j} ON {cond}")
+        cols = ", ".join(f"a{j}.i" for j in range(1, n + 1))
+        width = (
+            f"a{n}.i - a1.i + 1 - {n}"
+            if ordered
+            else f"greatest({cols}) - least({cols}) + 1 - {n}"
+        )
+        selects.append(
+            f"SELECT {sid}::BIGINT AS interval_id, a1.doc_id, "
+            f"min({width})::BIGINT AS gaps "
+            f"FROM t a1 {' '.join(joins)} WHERE a1.w = '{terms[0]}' "
+            f"GROUP BY a1.doc_id HAVING min({width}) <= {g}"
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM docs)
+{body}
+ORDER BY interval_id, doc_id
+"""
+
+
 SPAN_OR_FIRST_SPECS: tuple[tuple[str, int], ...] = (
     ("window merge", 3), ("join scan", 2), ("customer table", 5),
     ("zebra quantum", 4),
@@ -7452,6 +7524,7 @@ QUERIES = {
     "rank_eval": q_rank_eval,
     "span_or_first": q_span_or_first,
     "span_not": q_span_not,
+    "intervals_match": q_intervals,
     "function_score_random": q_function_score_random,
     "terms_set": q_terms_set,
     "bucket_stats_pipeline": q_bucket_stats_pipeline,
@@ -7602,6 +7675,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_eval": sql_rank_eval(),
         "span_or_first": sql_span_or_first(),
         "span_not": sql_span_not(),
+        "intervals_match": sql_intervals(),
         "function_score_random": sql_function_score_random(),
         "terms_set": sql_terms_set(),
         "bucket_stats_pipeline": sql_bucket_stats_pipeline(),

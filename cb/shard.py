@@ -1289,6 +1289,24 @@ class ShardServer:
         keep = _live_mask(ids, self.tombstones)
         return list(zip(ids[keep].tolist(), gaps[keep].tolist()))
 
+    def intervals_q(
+        self, terms: list[str], max_gaps: int, ordered: bool,
+        fetched_terms: list[str] = (), *fetched,
+    ) -> list[tuple[int, int]]:
+        """ES ``intervals`` (match rule, N single-term clauses) over
+        THIS scope: (doc_id, min_gaps) for live docs where some
+        one-occurrence-per-term tuple — in query order when
+        ``ordered`` — spans at most ``max_gaps`` intervening positions
+        (cb.phrase.intervals_docs), tombstone-masked, id-sorted."""
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        chunkeds = [self._local(t) for t in terms]
+        ids, gaps = phrase_mod.intervals_docs(chunkeds, max_gaps, ordered)
+        if len(ids) == 0:
+            return []
+        keep = _live_mask(ids, self.tombstones)
+        return list(zip(ids[keep].tolist(), gaps[keep].tolist()))
+
     def join_children(
         self, parsed: dict, parent_col: str,
         fetched_terms: list[str] = (), *fetched,
@@ -3144,6 +3162,29 @@ class QueryEngine:
                 f"span_not wants exactly two distinct analyzed terms, got {toks}"
             )
         fut = self._route_agg("span_not", toks[0], toks, toks[1], int(slop))
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        return sorted(p for part in parts for p in part)
+
+    def intervals(
+        self, text: str, max_gaps: int, ordered: bool = False
+    ) -> list[tuple[int, int]]:
+        """ES ``intervals`` query (the ``match`` rule with ``max_gaps``
+        / ``ordered``) over the analyzed terms of ``text``: docs where
+        some tuple of positions, one occurrence per term (query order
+        when ``ordered``), spans at most ``max_gaps`` intervening
+        positions, with that minimal gap count — filter-context like
+        the span family (ES interval scoring is sloppy-freq,
+        intentionally out of contract).  Doc mode: disjoint slices
+        concatenate; term mode: the majority owner answers with
+        fetched postings."""
+        toks = analyze.tokenize(text)
+        if len(toks) < 2 or len(set(toks)) != len(toks):
+            raise ValueError(
+                f"intervals wants >=2 distinct analyzed terms, got {toks}"
+            )
+        fut = self._route_agg(
+            "intervals_q", toks, sorted(set(toks)), int(max_gaps), bool(ordered)
+        )
         parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
         return sorted(p for part in parts for p in part)
 
