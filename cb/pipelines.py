@@ -1348,6 +1348,26 @@ SEARCH_SET: tuple[str, ...] = (
 )
 
 
+def q_msearch(sf_dir: str) -> pa.Table:
+    """ES ``_msearch``: the full querystring set dispatched as ONE
+    batched fan-out (every query's per-server refs in flight before any
+    result is awaited, one driver drain) — bitwise identical rows to
+    the sequential search loop, so it shares search_querystring's
+    oracle."""
+    from . import docmeta as docmeta_mod
+
+    meta = get_index(sf_dir)
+    docmeta_mod.ensure_docmeta(
+        meta.index_dir, docs_path(sf_dir), ["lang", "source", "n_chars"]
+    )
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = engine.msearch(list(SEARCH_SET), k=K)
+    finally:
+        engine.shutdown()
+    return _topk_table(results, with_scores=True)
+
+
 def q_search_querystring(sf_dir: str) -> pa.Table:
     """Lucene-lite query strings end-to-end (terms + phrases + field
     filters + exclusions) served by the doc-sharded pool."""
@@ -7493,6 +7513,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "phrase_slop_search": q_phrase_slop_search,
     "search_querystring": q_search_querystring,
+    "msearch": q_msearch,
     "boosting_query": q_boosting_query,
     "search_facets": q_search_facets,
     "search_facet_stats": q_search_facet_stats,
@@ -7644,6 +7665,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": sql_hybrid_rrf(),
         "phrase_slop_search": sql_phrase_slop_search(),
         "search_querystring": sql_search_querystring(),
+        "msearch": sql_search_querystring(),
         "boosting_query": sql_boosting_query(),
         "search_facets": sql_search_facets(),
         "search_facet_stats": sql_search_facet_stats(),

@@ -2366,6 +2366,40 @@ class QueryEngine:
             return _merge_topk(ray.get(fut), k)
         return ray.get(fut)
 
+    def msearch(
+        self, query_strings: list[str], k: int = 10,
+        synonyms: dict | None = None,
+    ) -> list[list[tuple[int, float]]]:
+        """ES ``_msearch`` over full query strings (terms + phrases +
+        filters + exclusions — the whole querylang surface, unlike the
+        term-only query_many batcher): EVERY query's per-server refs
+        are dispatched before any result is awaited, then ONE ray.get
+        drains the flat ref list, so server work for query i+1 overlaps
+        the wait for query i.  Same kernels and merge as search() —
+        results are bitwise identical to the sequential loop."""
+        futs = [
+            self._dispatch_search(q, k, synonyms=synonyms)
+            for q in query_strings
+        ]
+        flat: list = []
+        for f in futs:
+            if f is None:
+                continue
+            flat.extend(f if isinstance(f, list) else [f])
+        got = ray.get(flat)
+        out: list[list[tuple[int, float]]] = []
+        pos = 0
+        for f in futs:
+            if f is None:
+                out.append([])
+            elif isinstance(f, list):
+                out.append(_merge_topk(got[pos:pos + len(f)], k))
+                pos += len(f)
+            else:
+                out.append(got[pos])
+                pos += 1
+        return out
+
     def _parsed_and_involved(self, query_string: str):
         from . import querylang
 
