@@ -3488,6 +3488,119 @@ SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
 FROM ranked WHERE rank <= {K} ORDER BY query_id, rank"""
 
 
+PINNED_SPECS: tuple[tuple[str, tuple[int, ...]], ...] = (
+    ("hash join", (7, 3, 11)),
+    ("merge sort", (999_999_999, 5, 2)),  # absent id 404s away
+    ("zebra quantum", (1, 9)),
+    ("xyzzyunseen", (4, 8)),  # organic matches nothing: pins still emit
+)
+
+
+def q_pinned(sf_dir: str) -> pa.Table:
+    """ES ``pinned`` query: listed ids first in the given order (absent
+    ids dropped), then organic BM25 matches with pinned ids deduped
+    out, k rows total.  Pinned rows carry score 0.0 (ES's near-FLT_MAX
+    sentinels are out of contract) and pinned=1."""
+    from . import docmeta as docmeta_mod
+
+    meta = get_index(sf_dir)
+    docmeta_mod.ensure_docmeta(
+        meta.index_dir, docs_path(sf_dir), ["lang", "source", "n_chars"]
+    )
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    rows = {"query_id": [], "rank": [], "doc_id": [], "pinned": [], "score": []}
+    try:
+        for qid, (text, ids) in enumerate(PINNED_SPECS):
+            for rank, (d, s, flag) in enumerate(
+                engine.pinned(text, list(ids), k=K), start=1
+            ):
+                rows["query_id"].append(qid)
+                rows["rank"].append(rank)
+                rows["doc_id"].append(d)
+                rows["pinned"].append(flag)
+                rows["score"].append(s)
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "pinned": pa.array(rows["pinned"], pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_pinned() -> str:
+    """Mirror: pinned rows rank by given order over EXISTING ids;
+    organic ranks continue after the pinned block, pinned ids excluded,
+    cut to K total."""
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms(
+        "(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)"
+    )
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, (text, _) in enumerate(PINNED_SPECS)
+        for t in sorted(set(analyze.tokenize(text)))
+    )
+    pvals = ", ".join(
+        f"({qid}, {i}, {d})"
+        for qid, (_, ids) in enumerate(PINNED_SPECS)
+        for i, d in enumerate(ids)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {qvals}),
+pin(query_id, pidx, doc_id) AS (VALUES {pvals}),
+pe AS (
+  SELECT pin.query_id, pin.doc_id,
+         row_number() OVER (PARTITION BY pin.query_id ORDER BY pin.pidx) AS rank
+  FROM pin JOIN documents d ON d.doc_id = pin.doc_id
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+org AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC
+         ) AS orank
+  FROM scored s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pe WHERE pe.query_id = s.query_id AND pe.doc_id = s.doc_id
+  )
+),
+np AS (SELECT query_id, count(*)::BIGINT AS n FROM pe GROUP BY 1)
+SELECT * FROM (
+  SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+         doc_id::BIGINT AS doc_id, 1::BIGINT AS pinned, 0.0::DOUBLE AS score
+  FROM pe
+  UNION ALL
+  SELECT o.query_id::BIGINT, (o.orank + coalesce(np.n, 0))::BIGINT,
+         o.doc_id::BIGINT, 0::BIGINT, round(o.score, 6)
+  FROM org o LEFT JOIN np ON np.query_id = o.query_id
+  WHERE o.orank <= {K} - coalesce(np.n, 0)
+) ORDER BY query_id, rank
+"""
+
+
 def q_rare_terms_agg(sf_dir: str) -> pa.Table:
     """ES ``rare_terms`` aggregation: the long-tail inverse of the
     terms agg — per query, the ``source`` values matched by at most
@@ -7529,6 +7642,7 @@ QUERIES = {
     "composite_agg": q_composite_agg,
     "rare_terms_agg": q_rare_terms_agg,
     "constant_score": q_constant_score,
+    "pinned_query": q_pinned,
     "mget_docs": q_mget_docs,
     "delete_by_query": q_delete_by_query,
     "suggest_term": q_suggest_term,
@@ -7681,6 +7795,7 @@ def oracle_sql() -> dict[str, str]:
         "composite_agg": sql_composite_agg(),
         "rare_terms_agg": sql_rare_terms_agg(),
         "constant_score": sql_constant_score(),
+        "pinned_query": sql_pinned(),
         "mget_docs": sql_mget_docs(),
         "delete_by_query": sql_delete_by_query(),
         "suggest_term": sql_suggest_term(),

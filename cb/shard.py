@@ -3017,6 +3017,30 @@ class QueryEngine:
         ids = sorted(d for part in parts for d in part)[:k]
         return [(d, float(boost)) for d in ids]
 
+    def pinned(
+        self, query_string: str, pinned_ids, k: int = 10
+    ) -> list[tuple[int, float, int]]:
+        """ES ``pinned`` query: the listed ids surface first IN THE
+        GIVEN ORDER — provided they exist and are live (absent /
+        tombstoned ids 404 away, matching ES) — then organic matches
+        for ``query_string`` with pinned ids deduped out, k rows total.
+        Rows are (doc_id, score, pinned): pinned rows keep score 0.0
+        (ES's pinned constants are sentinel floats near FLT_MAX,
+        intentionally out of contract) and organic rows their BM25.
+        Pinned docs appear even when the organic query matches
+        nothing.  Requires docmeta (the liveness probe is one mget)."""
+        live = {t[0] for t in self.mget(pinned_ids, cols=("n_chars",))}
+        pins = [int(d) for d in pinned_ids if int(d) in live][:k]
+        pinset = set(pins)
+        organic = self.search(query_string, k=k)
+        org = [
+            (d, s) for d, s in organic if d not in pinset
+        ][: max(0, k - len(pins))]
+        return (
+            [(d, 0.0, 1) for d in pins]
+            + [(d, float(s), 0) for d, s in org]
+        )
+
     def span_first(self, text: str, end: int) -> list[tuple[int, int]]:
         """ES ``span_first`` (single-term inner span): docs whose first
         occurrence of the analyzed term ends by position ``end``,
