@@ -436,3 +436,44 @@ def intervals_docs(
         np.array(out_ids, dtype=np.int64),
         np.array(out_gaps, dtype=np.int64),
     )
+
+
+def decode_live(chunked, tombstones=None):
+    """ChunkedPostings -> (ids, tfs, pflat, occ) with tombstoned docs
+    (sorted int64 array) filtered OUT of both the doc axis and the
+    flat position stream — the shape lm kernels count over."""
+    ids, tfs, _, pflat, occ = _decode_with_positions(chunked)
+    if tombstones is not None and len(tombstones) and len(ids):
+        pos = np.clip(np.searchsorted(tombstones, ids), 0, len(tombstones) - 1)
+        keep = tombstones[pos] != ids
+        if not keep.all():
+            pflat = pflat[np.repeat(keep, tfs)]
+            ids, tfs = ids[keep], tfs[keep]
+            occ = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(tfs, out=occ[1:])
+    return ids, tfs, pflat, occ
+
+
+def adjacent_pair_count(dec_a, dec_b) -> int:
+    """Number of positions where term A is immediately followed by
+    term B (the bigram count a phrase-suggester LM needs), summed over
+    the docs both terms appear in — vectorized with the span_near
+    keyed-searchsorted shape (doc_rank * 2^32 + pos), no per-doc
+    loop."""
+    ids_a, tfs_a, pa_flat, occ_a = dec_a
+    ids_b, tfs_b, pb_flat, occ_b = dec_b
+    common, ia, ib = np.intersect1d(
+        ids_a, ids_b, assume_unique=True, return_indices=True
+    )
+    if len(common) == 0:
+        return 0
+    la, lb = tfs_a[ia].astype(np.int64), tfs_b[ib].astype(np.int64)
+    m = len(common)
+    SHIFT = np.int64(1) << np.int64(32)
+    ra = np.repeat(np.arange(m, dtype=np.int64), la)
+    ka = ra * SHIFT + pa_flat[np.repeat(occ_a[ia], la) + _ragged_arange(la)] + 1
+    rb = np.repeat(np.arange(m, dtype=np.int64), lb)
+    kb = rb * SHIFT + pb_flat[np.repeat(occ_b[ib], lb) + _ragged_arange(lb)]
+    j = np.searchsorted(kb, ka)
+    ok = j < len(kb)
+    return int(np.count_nonzero(kb[j[ok]] == ka[ok]))

@@ -2733,6 +2733,121 @@ FROM ranked WHERE rn <= {SUGGEST_K} ORDER BY pos, rank
 """
 
 
+PHRASE_SUGGEST_SPECS: tuple[str, ...] = (
+    "hsh jion",
+    "merge sort windw",
+    "tble scan",
+    "stream batc filtr",
+)
+PS_K = 3
+PS_C = 4  # candidates per position
+PS_DISCOUNT = 0.4
+
+
+def q_suggest_phrase(sf_dir: str) -> pa.Table:
+    """ES phrase suggester: per-position Damerau-Levenshtein candidate
+    sets (dist<=1, shared first char, top-4 by dist/df/term) crossed
+    into whole-phrase candidates, each scored by a Stupid-Backoff
+    bigram LM (discount 0.4) whose cf/bigram evidence comes straight
+    off the positional postings — top-3 phrases per input by (score
+    desc, phrase asc)."""
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    rows = {"query_id": [], "rank": [], "phrase": [], "score": []}
+    try:
+        for qid, text in enumerate(PHRASE_SUGGEST_SPECS):
+            for rank, phrase, s in engine.suggest_phrase(
+                text, k=PS_K, num_candidates=PS_C, discount=PS_DISCOUNT
+            ):
+                rows["query_id"].append(qid)
+                rows["rank"].append(rank)
+                rows["phrase"].append(phrase)
+                rows["score"].append(s)
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "phrase": pa.array(rows["phrase"], pa.string()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_suggest_phrase() -> str:
+    """Mirror: same candidate generator (damerau_levenshtein, the
+    kernel cb.querylang verified against DuckDB), same Stupid-Backoff
+    expression tree with cf/bigram counts from the token stream."""
+    tok = analyze.sql_token_array("text")
+    qtoks = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, text in enumerate(PHRASE_SUGGEST_SPECS)
+        for pos, t in enumerate(analyze.tokenize(text), start=1)
+    )
+    selects = []
+    for qid, text in enumerate(PHRASE_SUGGEST_SPECS):
+        n = len(analyze.tokenize(text))
+        joins, score = [], "log10(u1.cf::DOUBLE / tot.n::DOUBLE)"
+        for j in range(2, n + 1):
+            joins.append(
+                f"JOIN ck c{j} ON c{j}.query_id = {qid} AND c{j}.pos = {j} "
+                f"JOIN uni u{j} ON u{j}.w = c{j}.term "
+                f"LEFT JOIN big b{j} ON b{j}.w1 = c{j-1}.term "
+                f"AND b{j}.w2 = c{j}.term"
+            )
+            score += (
+                f" + CASE WHEN b{j}.c IS NOT NULL "
+                f"THEN log10(b{j}.c::DOUBLE / u{j-1}.cf::DOUBLE) "
+                f"ELSE log10({PS_DISCOUNT} * u{j}.cf::DOUBLE / tot.n::DOUBLE) "
+                f"END"
+            )
+        phrase = " || ' ' || ".join(f"c{j}.term" for j in range(1, n + 1))
+        selects.append(
+            f"SELECT {qid}::BIGINT AS query_id, {phrase} AS phrase, "
+            f"{score} AS score "
+            f"FROM ck c1 JOIN uni u1 ON u1.w = c1.term {' '.join(joins)} "
+            f"CROSS JOIN tot WHERE c1.query_id = {qid} AND c1.pos = 1"
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM docs),
+uni AS (SELECT w, count(*)::BIGINT AS cf FROM t GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS n FROM t),
+df AS (SELECT w AS term, count(DISTINCT doc_id)::BIGINT AS df FROM t GROUP BY 1),
+big AS (SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS c
+        FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        GROUP BY 1, 2),
+qtok(query_id, pos, tok) AS (VALUES {qtoks}),
+cand AS (
+  SELECT q.query_id, q.pos, u.w AS term,
+         row_number() OVER (
+           PARTITION BY q.query_id, q.pos
+           ORDER BY damerau_levenshtein(u.w, q.tok) ASC, d.df DESC, u.w ASC
+         ) AS rn
+  FROM qtok q
+  JOIN uni u ON length(u.w) BETWEEN length(q.tok) - 1 AND length(q.tok) + 1
+    AND substr(u.w, 1, 1) = substr(q.tok, 1, 1)
+    AND damerau_levenshtein(u.w, q.tok) <= 1
+  JOIN df d ON d.term = u.w
+),
+ck AS (SELECT query_id, pos, term FROM cand WHERE rn <= {PS_C}),
+phr AS ({body}),
+rankedp AS (
+  SELECT query_id, phrase, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, phrase ASC) AS rank
+  FROM phr
+)
+SELECT query_id, rank::BIGINT AS rank, phrase, round(score, 6) AS score
+FROM rankedp WHERE rank <= {PS_K} ORDER BY query_id, rank
+"""
+
+
 SPAN_FIRST_SPECS: tuple[tuple[str, int], ...] = (
     ("window", 3), ("merge", 1), ("join", 5), ("customer", 2),
 )
@@ -7646,6 +7761,7 @@ QUERIES = {
     "mget_docs": q_mget_docs,
     "delete_by_query": q_delete_by_query,
     "suggest_term": q_suggest_term,
+    "suggest_phrase": q_suggest_phrase,
     "regexp_query": q_regexp_query,
     "search_count": q_search_count,
     "span_first": q_span_first,
@@ -7799,6 +7915,7 @@ def oracle_sql() -> dict[str, str]:
         "mget_docs": sql_mget_docs(),
         "delete_by_query": sql_delete_by_query(),
         "suggest_term": sql_suggest_term(),
+        "suggest_phrase": sql_suggest_phrase(),
         "regexp_query": sql_regexp_query(),
         "search_count": sql_search_count(),
         "span_first": sql_span_first(),

@@ -1307,6 +1307,36 @@ class ShardServer:
         keep = _live_mask(ids, self.tombstones)
         return list(zip(ids[keep].tolist(), gaps[keep].tolist()))
 
+    def lm_counts(
+        self, unigrams: list[str], bigrams: list[tuple[str, str]],
+        fetched_terms: list[str] = (), *fetched,
+    ) -> tuple[dict, dict]:
+        """Language-model count kernel over THIS scope (the phrase
+        suggester's evidence): collection frequency (total occurrences,
+        live docs) per requested unigram, and adjacent-pair counts per
+        requested bigram off the positional postings — exact integers,
+        so disjoint doc slices sum at the driver.  Only the
+        candidate-set terms are decoded: the broadcast stays
+        query-sized, never vocabulary-sized."""
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        decs = {}
+        cf: dict[str, int] = {}
+        for t in unigrams:
+            p = self._local(t)
+            if p is None:
+                continue
+            d = phrase_mod.decode_live(p, self.tombstones)
+            decs[t] = d
+            cf[t] = int(d[1].sum())
+        bc: dict[tuple[str, str], int] = {}
+        for a, b in bigrams:
+            if a in decs and b in decs:
+                c = phrase_mod.adjacent_pair_count(decs[a], decs[b])
+                if c:
+                    bc[(a, b)] = c
+        return cf, bc
+
     def join_children(
         self, parsed: dict, parent_col: str,
         fetched_terms: list[str] = (), *fetched,
@@ -2663,6 +2693,109 @@ class QueryEngine:
             for rank, (t, d) in enumerate(ranked[:k], start=1):
                 out.append((pos, tok, rank, t, d, dfs[t]))
         return out
+
+    def suggest_phrase(
+        self,
+        text: str,
+        k: int = 3,
+        max_edits: int = 1,
+        prefix_length: int = 1,
+        num_candidates: int = 4,
+        discount: float = 0.4,
+    ) -> list[tuple[int, str, float]]:
+        """ES phrase suggester ("did you mean", whole-phrase): per
+        analyzed token, a direct-generator candidate set — the token
+        itself (distance 0, when indexed) plus vocabulary terms within
+        ``max_edits`` Damerau-Levenshtein edits sharing the
+        ``prefix_length`` prefix, capped to ``num_candidates`` by
+        (distance asc, df desc, term asc) — then every candidate
+        phrase is scored by a Stupid-Backoff bigram LM (ES's default
+        smoothing, ``discount`` 0.4):
+
+            score = log10(cf(w1)/T) + sum_i [ bigram(w_{i-1}, w_i) > 0
+                      ? log10(bigram/cf(w_{i-1}))
+                      : log10(discount * cf(w_i)/T) ]
+
+        with cf = collection frequency and bigram counts read straight
+        off the positional postings by ONE routed lm_counts kernel
+        (doc mode: disjoint slices sum; term mode: the majority owner
+        answers with fetched postings) and T = the index's exact
+        total_tokens.  The broadcast evidence is candidate-set-sized.
+        Returns (rank, phrase, score) top-k by (score desc, phrase
+        asc); phrases whose words all vanished (cf 0) drop.  With
+        tombstones, cf/bigram counts are live-doc exact while T stays
+        build-time (document-level LM drift, not a ranking hazard)."""
+        import math
+
+        from . import querylang
+
+        toks = analyze.tokenize(text)
+        if not 2 <= len(toks) <= 4:
+            raise ValueError(
+                f"suggest_phrase wants 2-4 analyzed terms, got {toks}"
+            )
+        if self._vocab is None:
+            self._vocab = load_vocab(self.meta)
+        vocab = sorted(set(self._vocab))
+        vset = set(vocab)
+        staged = []
+        need: set[str] = set()
+        for tok in toks:
+            lo, hi = len(tok) - max_edits, len(tok) + max_edits
+            pre = tok[:prefix_length]
+            cands = [
+                (t, d)
+                for t in vocab
+                if lo <= len(t) <= hi and t.startswith(pre)
+                and (d := querylang.damerau_levenshtein(tok, t)) <= max_edits
+            ]
+            staged.append(cands)
+            need.update(t for t, _ in cands)
+        dfs = self.term_dfs(sorted(need))
+        cand_sets = [
+            [
+                t for t, _ in sorted(
+                    cands, key=lambda td: (td[1], -dfs[td[0]], td[0])
+                )[:num_candidates]
+            ]
+            for cands in staged
+        ]
+        if any(not c for c in cand_sets):
+            return []
+        from itertools import product as _product
+
+        phrases = list(_product(*cand_sets))
+        unigrams = sorted({t for c in cand_sets for t in c})
+        bigrams = sorted(
+            {(p[i], p[i + 1]) for p in phrases for i in range(len(p) - 1)}
+        )
+        fut = self._route_agg("lm_counts", unigrams, unigrams, bigrams)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        cf: dict[str, int] = {}
+        bc: dict[tuple[str, str], int] = {}
+        for pcf, pbc in parts:
+            for t, c in pcf.items():
+                cf[t] = cf.get(t, 0) + c
+            for kpair, c in pbc.items():
+                bc[kpair] = bc.get(kpair, 0) + c
+        total = float(self.meta.total_tokens)
+        scored: list[tuple[str, float]] = []
+        for p in phrases:
+            if any(cf.get(w, 0) == 0 for w in p):
+                continue
+            s = math.log10(cf[p[0]] / total)
+            for i in range(1, len(p)):
+                c = bc.get((p[i - 1], p[i]), 0)
+                if c > 0:
+                    s += math.log10(c / cf[p[i - 1]])
+                else:
+                    s += math.log10(discount * cf[p[i]] / total)
+            scored.append((" ".join(p), s))
+        scored.sort(key=lambda ps: (-ps[1], ps[0]))
+        return [
+            (rank, phrase, s)
+            for rank, (phrase, s) in enumerate(scored[:k], start=1)
+        ]
 
     def search_after(
         self,
