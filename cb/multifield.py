@@ -589,6 +589,62 @@ def _cross_fields_scores(
     return all_ids, total, _live_mask(all_ids, tombstones)
 
 
+def _combined_fields_scores(
+    terms: list[str],
+    weights: dict[str, float],
+    get_postings,
+    field_order: list[str],
+    docstats_of,
+    gdfs: dict[str, int],
+    avgdl_c: float,
+    n_docs: int,
+    tombstones: np.ndarray,
+):
+    """ES ``combined_fields`` (Lucene CombinedFieldQuery — true BM25F,
+    term-centric): the fields are merged into ONE synthetic field —
+    per (term, doc), tf' = sum_f w_f * tf_f and dl' = sum_f w_f *
+    dl_f(d) (field order fixed, so float summation is deterministic),
+    scored as a single BM25 with idf from the CORPUS-GLOBAL combined
+    df (docs holding the term in ANY field — ``gdfs``, computed by the
+    exact disjoint-slice sum) against the combined avgdl'.  Unlike
+    cross_fields (best field per term), every field occurrence
+    contributes to one saturation curve.  Per-doc, so doc-sharded
+    slices merge exactly."""
+    per_term = []
+    for t in terms:  # sorted: the float-summation spec
+        df = int(gdfs.get(t, 0))
+        if df <= 0:
+            continue
+        decs = []
+        for f in field_order:
+            p = get_postings(f, t)
+            if p is None:
+                continue
+            ids, tfs, _ = p.decode_all()
+            decs.append((f, ids, tfs))
+        if not decs:
+            continue  # global df > 0 but not in this slice
+        uni = np.unique(np.concatenate([i for _, i, _ in decs]))
+        tfc = np.zeros(len(uni), dtype=np.float64)
+        for f, ids, tfs in decs:  # field order preserved
+            tfc[np.searchsorted(uni, ids)] += weights[f] * tfs
+        dlc = np.zeros(len(uni), dtype=np.float64)
+        for f in field_order:
+            ds = docstats_of(f)
+            dlc += weights[f] * ds.lens[np.searchsorted(ds.ids, uni)]
+        contrib = float(scoring.idf(df, n_docs)) * scoring.u_factor(
+            tfc, dlc, avgdl_c
+        )
+        per_term.append((uni, contrib))
+    if not per_term:
+        return None
+    all_ids = np.unique(np.concatenate([u for u, _ in per_term]))
+    total = np.zeros(len(all_ids), dtype=np.float64)
+    for uni, contrib in per_term:
+        total[np.searchsorted(all_ids, uni)] += contrib
+    return all_ids, total, _live_mask(all_ids, tombstones)
+
+
 def apply_synonyms_routed(routed: dict, syn_map: dict) -> dict:
     """ES query-time synonym filter on a ROUTED multifield clause set
     (``expand=true``, scoring_boolean): each scored term of a field
@@ -1227,6 +1283,52 @@ class MultiFieldServer:
         x = _fscore_feature(ids, dm, spec)
         return rank_topk(ids, _combine_function_score(sc, x, spec), k)
 
+    def _field_docstats(self, field: str):
+        """Per-field doc_id -> doc_len lookup for THIS slice's buckets
+        (the combined-fields dl' gather), loaded once per server."""
+        from .shard import DocStats
+
+        if not hasattr(self, "_fds"):
+            self._fds = {}
+        if field not in self._fds:
+            self._fds[field] = DocStats.load(
+                field_dir(self.index_dir, field), buckets=self.buckets
+            )
+        return self._fds[field]
+
+    def combined_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Combined df over THIS disjoint doc slice: docs holding the
+        term in ANY field — slices sum exactly at the driver to the
+        corpus-global combined df (build-time membership, the same
+        tombstone convention as the _termdf summaries)."""
+        out: dict[str, int] = {}
+        for t in terms:
+            idsets = [
+                p.decode_all()[0]
+                for p in (self._get(f, t) for f in self.fields)
+                if p is not None
+            ]
+            if idsets:
+                out[t] = int(len(np.unique(np.concatenate(idsets))))
+        return out
+
+    def combined_score(
+        self, terms: list[str], weights: dict[str, float],
+        gdfs: dict[str, int], avgdl_c: float, k: int,
+    ) -> list[tuple[int, float]]:
+        """combined_fields top-k over THIS slice (see
+        :func:`_combined_fields_scores`); the driver re-cuts disjoint
+        local top-ks exactly."""
+        m = _combined_fields_scores(
+            terms, weights, self._get, self.fields, self._field_docstats,
+            gdfs, avgdl_c, self.stats[self.fields[0]].n_docs,
+            self.tombstones,
+        )
+        if m is None:
+            return []
+        all_ids, total, keep = m
+        return rank_topk(all_ids[keep], total[keep], k)
+
     def get_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
         """Corpus-global per-field df from the ``_termdf`` summaries
         (every doc-sharded server holds every partition's summary)."""
@@ -1303,6 +1405,50 @@ class MultiFieldEngine:
         self.telemetry.record("query.merge", t3 - t2)
         self.telemetry.record("query.total", t3 - t0)
         return res
+
+    def combined_fields(
+        self, query: str, k: int = 10,
+        field_weights: dict[str, float] | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES ``combined_fields`` query (true BM25F): plain analyzed
+        terms scored against ONE synthetic merged field — tf' / dl'
+        are per-field-weighted sums, idf comes from the combined df
+        (docs holding the term in ANY field), avgdl' from the exact
+        per-field total_tokens.  Two scatter-gather phases: (1) each
+        disjoint slice reports its combined dfs, summed here to the
+        corpus-global values; (2) servers score with those globals and
+        the driver re-cuts local top-ks exactly.  Field weights must
+        be >= 1 (the ES constraint); defaults to 1.0 everywhere."""
+        terms = sorted(set(analyze.tokenize(query)))
+        if not terms:
+            return []
+        w = {f: 1.0 for f in self.fields}
+        for f, v in (field_weights or {}).items():
+            if f not in w:
+                raise ValueError(f"unknown field {f!r}")
+            if v < 1.0:
+                raise ValueError("combined_fields weights must be >= 1")
+            w[f] = float(v)
+        parts = ray.get([s.combined_dfs.remote(terms) for s in self.servers])
+        gdfs: dict[str, int] = {}
+        for part in parts:
+            for t, c in part.items():
+                gdfs[t] = gdfs.get(t, 0) + c
+        if not gdfs:
+            return []
+        metas = {f: IndexMeta(field_dir(self._index_dir, f)) for f in self.fields}
+        n = metas[self.fields[0]].n_docs
+        num = 0.0
+        for f in self.fields:  # field order: the float spec
+            num += w[f] * metas[f].total_tokens
+        avgdl_c = num / n
+        scored = ray.get(
+            [
+                s.combined_score.remote(terms, w, gdfs, avgdl_c, k)
+                for s in self.servers
+            ]
+        )
+        return _merge_topk(scored, k)
 
     def metrics(self) -> dict:
         """Per-stage multifield query telemetry (same surface as

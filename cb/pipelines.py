@@ -4837,6 +4837,92 @@ XF_SET: tuple[str, ...] = (
 )
 
 
+CF_SET: tuple[str, ...] = (
+    "hash join",
+    "merge sort window",
+    "customer table",
+    "stream batch spark",
+)
+CF_TITLE_W = 2.0
+
+
+def q_combined_fields(sf_dir: str) -> pa.Table:
+    """ES ``combined_fields`` (true BM25F, term-centric): text+title
+    merged into one synthetic field — tf'/dl' are field-weighted sums
+    (title at weight 2), idf from the combined any-field df summed
+    exactly across disjoint slices, one saturation curve per term."""
+    from . import multifield
+
+    idx = get_multifield_index(sf_dir)
+    engine = multifield.MultiFieldEngine(idx, num_servers=2)
+    try:
+        results = [
+            engine.combined_fields(q, k=K, field_weights={"title": CF_TITLE_W})
+            for q in CF_SET
+        ]
+    finally:
+        engine.shutdown()
+    return _topk_table(results, with_scores=True)
+
+
+def sql_combined_fields() -> str:
+    """Independent BM25F mirror: per-field tf/len CTEs off the same
+    token arrays (title = first 8 tokens), weighted-sum tf'/dl',
+    any-field distinct df, combined avgdl from exact totals, one
+    sql_score_terms saturation per (term, doc)."""
+    tok = analyze.sql_token_array("text")
+    w2 = f"CAST({CF_TITLE_W!r} AS DOUBLE)"
+    w1 = "CAST(1.0 AS DOUBLE)"
+    contrib = scoring.sql_score_terms(
+        "(SELECT n FROM gl)",
+        f"(SELECT ({w1} * tot1 + {w2} * tot2) / n FROM gl)",
+    )
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in enumerate(CF_SET)
+        for t in sorted(set(analyze.tokenize(q)))
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+fz AS (SELECT doc_id, toks AS t1, list_slice(toks, 1, 8) AS t2 FROM docs),
+un1 AS (SELECT doc_id, unnest(t1) AS w FROM fz),
+un2 AS (SELECT doc_id, unnest(t2) AS w FROM fz),
+tf1 AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM un1 GROUP BY 1, 2),
+tf2 AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM un2 GROUP BY 1, 2),
+lenf AS (SELECT doc_id, len(t1)::BIGINT AS l1, len(t2)::BIGINT AS l2 FROM fz),
+gl AS (SELECT count(*)::BIGINT AS n, sum(l1)::BIGINT AS tot1,
+              sum(l2)::BIGINT AS tot2 FROM lenf),
+cdf AS (SELECT w AS term, count(DISTINCT doc_id)::BIGINT AS df
+        FROM (SELECT doc_id, w FROM un1 UNION SELECT doc_id, w FROM un2)
+        GROUP BY 1),
+tfc AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, coalesce(a.w, b.w) AS w,
+         {w1} * coalesce(a.c, 0) + {w2} * coalesce(b.c, 0) AS tf
+  FROM tf1 a FULL OUTER JOIN tf2 b ON b.doc_id = a.doc_id AND b.w = a.w
+),
+dlc AS (SELECT doc_id, {w1} * l1 + {w2} * l2 AS doc_len FROM lenf),
+q(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tfc t ON t.w = q.term
+  JOIN cdf ON cdf.term = q.term
+  JOIN dlc ON dlc.doc_id = t.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 def q_multifield_crossfields(sf_dir: str) -> pa.Table:
     """ES ``multi_match: cross_fields`` (the third multi_match mode,
     completing the trio): the analyzed fields searched as one
@@ -7730,6 +7816,7 @@ QUERIES = {
     "multifield_querystring": q_multifield_querystring,
     "multifield_dismax": q_multifield_dismax,
     "multifield_crossfields": q_multifield_crossfields,
+    "combined_fields": q_combined_fields,
     "multifield_facets": q_multifield_facets,
     "multifield_page2": q_multifield_page2,
     "multifield_highlight": q_multifield_highlight,
@@ -7882,6 +7969,7 @@ def oracle_sql() -> dict[str, str]:
         "multifield_querystring": sql_multifield_querystring(),
         "multifield_dismax": sql_multifield_dismax(),
         "multifield_crossfields": sql_multifield_crossfields(),
+        "combined_fields": sql_combined_fields(),
         # aggregations share the querystring oracle's match prefix,
         # exactly as the engine shares _match_fields
         "multifield_facets": sql_multifield_facets(),
