@@ -1847,6 +1847,60 @@ GROUP BY 1, 2 ORDER BY query_id, bucket
 """
 
 
+HZF_BOUNDS = (0, 2400)  # extended_bounds for the zero-filled histogram
+
+
+def q_histogram_zerofill(sf_dir: str) -> pa.Table:
+    """ES histogram with min_doc_count=0 + extended_bounds: the bucket
+    axis is the union of data buckets and the aligned bounds range,
+    gaps zero-filled — per query over the FULL match set."""
+    engine = _facet_engine(sf_dir)
+    rows = {"query_id": [], "bucket": [], "cnt": []}
+    try:
+        for qid, q in enumerate(FACET_SET):
+            for b, c in engine.histogram_zerofill(
+                q, "n_chars", HIST_INTERVAL, HZF_BOUNDS
+            ):
+                rows["query_id"].append(qid)
+                rows["bucket"].append(b)
+                rows["cnt"].append(c)
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "bucket": pa.array(rows["bucket"], pa.int64()),
+            "cnt": pa.array(rows["cnt"], pa.int64()),
+        }
+    )
+
+
+def sql_histogram_zerofill() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    lo = (HZF_BOUNDS[0] // HIST_INTERVAL) * HIST_INTERVAL
+    hi = (HZF_BOUNDS[1] // HIST_INTERVAL) * HIST_INTERVAL
+    return f"""{prefix},
+hdata AS (
+  SELECT mm.query_id,
+         (floor(d.n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL})::BIGINT AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM mm JOIN documents d ON d.doc_id = mm.doc_id
+  GROUP BY 1, 2
+),
+qids AS (SELECT unnest([{", ".join(str(i) for i in range(len(FACET_SET)))}]) AS query_id),
+axis AS (
+  SELECT q.query_id, b.bucket
+  FROM qids q, (SELECT unnest(generate_series({lo}, {hi}, {HIST_INTERVAL}))::BIGINT AS bucket) b
+  UNION
+  SELECT query_id, bucket FROM hdata
+)
+SELECT a.query_id::BIGINT AS query_id, a.bucket AS bucket,
+       coalesce(h.cnt, 0)::BIGINT AS cnt
+FROM axis a LEFT JOIN hdata h ON h.query_id = a.query_id AND h.bucket = a.bucket
+ORDER BY query_id, bucket
+"""
+
+
 def q_search_facet_stats(sf_dir: str) -> pa.Table:
     """ES stats aggregation (count/sum/min/max of a numeric docmeta
     column) over each query's full match set; zero-match queries emit
@@ -1875,6 +1929,65 @@ def q_search_facet_stats(sf_dir: str) -> pa.Table:
             "max_n": pa.array(rows["max_n"], pa.int64()),
         }
     )
+
+
+TOM_TOP_N = 5
+
+
+def q_terms_orderby_metric(sf_dir: str) -> pa.Table:
+    """ES terms agg ordered by a metric sub-agg (order: {avg_n_chars:
+    desc}): per query, source buckets over the full match set ranked
+    by exact avg(n_chars) — counts/sums reduce as ints across slices
+    BEFORE the cut, so the metric ordering is exact (not the per-shard
+    approximation ES documents)."""
+    engine = _facet_engine(sf_dir)
+    rows = {"query_id": [], "rank": [], "source": [], "cnt": [], "avg_n": []}
+    try:
+        for qid, q in enumerate(FACET_SET):
+            for rank, (v, c, a) in enumerate(
+                engine.terms_orderby_metric(q, "source", "n_chars", TOM_TOP_N),
+                start=1,
+            ):
+                rows["query_id"].append(qid)
+                rows["rank"].append(rank)
+                rows["source"].append(v)
+                rows["cnt"].append(c)
+                rows["avg_n"].append(a)
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "source": pa.array(rows["source"], pa.string()),
+            "cnt": pa.array(rows["cnt"], pa.int64()),
+            "avg_n": pa.array(
+                np.round(np.array(rows["avg_n"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_terms_orderby_metric() -> str:
+    prefix = _facet_sql_prefix(FACET_SET)
+    return f"""{prefix},
+buckets AS (
+  SELECT mm.query_id, d.source, count(*)::BIGINT AS cnt,
+         sum(d.n_chars)::DOUBLE / count(*)::DOUBLE AS avg_n
+  FROM mm JOIN documents d ON d.doc_id = mm.doc_id
+  GROUP BY 1, 2
+),
+rankedb AS (
+  SELECT query_id, source, cnt, avg_n,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY avg_n DESC, source ASC) AS rank
+  FROM buckets
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, source, cnt,
+       round(avg_n, 6) AS avg_n
+FROM rankedb WHERE rank <= {TOM_TOP_N} ORDER BY query_id, rank
+"""
 
 
 def sql_search_facet_stats() -> str:
@@ -7832,10 +7945,12 @@ QUERIES = {
     "boosting_query": q_boosting_query,
     "search_facets": q_search_facets,
     "search_facet_stats": q_search_facet_stats,
+    "terms_orderby_metric": q_terms_orderby_metric,
     "extended_stats_agg": q_extended_stats_agg,
     "matrix_stats_agg": q_matrix_stats_agg,
     "weighted_avg_agg": q_weighted_avg_agg,
     "search_histogram": q_search_histogram,
+    "histogram_zerofill": q_histogram_zerofill,
     "search_range_agg": q_search_range_agg,
     "percentile_ranks": q_percentile_ranks,
     "synonym_search": q_synonym_search,
@@ -7987,10 +8102,12 @@ def oracle_sql() -> dict[str, str]:
         "boosting_query": sql_boosting_query(),
         "search_facets": sql_search_facets(),
         "search_facet_stats": sql_search_facet_stats(),
+        "terms_orderby_metric": sql_terms_orderby_metric(),
         "extended_stats_agg": sql_extended_stats_agg(),
         "matrix_stats_agg": sql_matrix_stats_agg(),
         "weighted_avg_agg": sql_weighted_avg_agg(),
         "search_histogram": sql_search_histogram(),
+        "histogram_zerofill": sql_histogram_zerofill(),
         "search_range_agg": sql_search_range_agg(),
         "percentile_ranks": sql_percentile_ranks(),
         "synonym_search": sql_synonym_search(),

@@ -1307,6 +1307,61 @@ class ShardServer:
         keep = _live_mask(ids, self.tombstones)
         return list(zip(ids[keep].tolist(), gaps[keep].tolist()))
 
+    def terms_stats(
+        self, parsed: dict, group_col: str, stat_col: str,
+        fetched_terms: list[str] = (), *fetched,
+    ) -> list[tuple]:
+        """ES terms agg with a metric sub-agg, kernel over THIS scope:
+        the query's FULL match set grouped by the ``group_col`` docmeta
+        value — ``(value, count, sum(stat_col))`` per value seen here.
+        Exact integers, so disjoint doc slices ADD at the driver (the
+        order-by-metric cut happens there, over complete sums — never
+        the shard-local approximation ES documents as a pitfall).
+        Vectorized: dictionary-encode + lexsort + add.reduceat; null
+        group keys drop (the GROUP-BY convention shared with
+        join_children)."""
+        from . import docmeta as docmeta_mod, querylang
+
+        for t, p in zip(fetched_terms, fetched):
+            self.cache[t] = p
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        dm = self._docmeta
+        universe, acc, keep = querylang.match(
+            parsed,
+            get_postings=self._local,
+            stats=self.stats,
+            docmeta=dm,
+            decoded_cache=self.decoded,
+            drop_ids=self.tombstones,
+        )
+        if universe is None:
+            return []
+        ids = universe[keep]
+        if len(ids) == 0:
+            return []
+        arr = dm.gather(ids, group_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        x = (
+            dm.gather(ids, stat_col)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        enc = arr.dictionary_encode()
+        codes = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, codes))
+        scodes, sx = codes[order], x[order]
+        starts = np.flatnonzero(np.r_[True, scodes[1:] != scodes[:-1]])
+        sums = np.add.reduceat(sx, starts)
+        counts = np.diff(np.append(starts, len(scodes)))
+        dictionary = enc.dictionary.to_pylist()
+        return [
+            (dictionary[scodes[s]], int(c), int(sm))
+            for s, c, sm in zip(starts, counts, sums)
+            if scodes[s] >= 0
+        ]
+
     def lm_counts(
         self, unigrams: list[str], bigrams: list[tuple[str, str]],
         fetched_terms: list[str] = (), *fetched,
@@ -2905,6 +2960,23 @@ class QueryEngine:
             return _merge_hists(ray.get(fut))
         return ray.get(fut)
 
+    def histogram_zerofill(
+        self, query_string: str, col: str, interval: int,
+        bounds: tuple[int, int],
+    ) -> list[tuple[int, int]]:
+        """ES histogram with ``min_doc_count: 0`` + ``extended_bounds``:
+        the emitted bucket axis is the union of the data's buckets and
+        the aligned ``bounds`` range, gaps (and the extension) filled
+        with zero counts — the shape date_histogram dashboards rely on.
+        The distributed work is the plain histogram (exact additive
+        merge); zero-filling is a driver-side O(buckets) pass over the
+        small bucket map."""
+        h = self.histogram(query_string, {col: interval}).get(col, {})
+        lo = (int(bounds[0]) // interval) * interval
+        hi = (int(bounds[1]) // interval) * interval
+        axis = set(range(lo, hi + interval, interval)) | set(h)
+        return [(b, int(h.get(b, 0))) for b in sorted(axis)]
+
     def _dispatch_range_agg(self, query_string: str, ranges: dict):
         parsed, involved = self._parsed_and_involved(query_string)
         if not involved:
@@ -3281,6 +3353,33 @@ class QueryEngine:
             [s.parent_docs.remote(scores, parent_col, k) for s in servers]
         )
         return _merge_topk(parts, k)
+
+    def terms_orderby_metric(
+        self, query_string: str, group_col: str, stat_col: str,
+        top_n: int = 5,
+    ) -> list[tuple[object, int, float]]:
+        """ES terms aggregation ORDERED BY a metric sub-agg (``order:
+        {avg_x: desc}``): buckets of ``group_col`` over the query's
+        FULL match set, each carrying count and avg(``stat_col``),
+        ranked (avg desc, value asc) and cut to ``top_n``.  Counts and
+        sums reduce as exact integers across the disjoint doc slices
+        BEFORE the cut, so the ordering is exact — not the per-shard
+        top-N merge ES warns about for metric-ordered terms aggs.  The
+        single float per bucket is one division of exact ints (bitwise
+        vs the SQL mirror)."""
+        parsed, involved = self._parsed_and_involved(query_string)
+        if not involved:
+            return []
+        fut = self._route_agg("terms_stats", parsed, involved, group_col, stat_col)
+        parts = ray.get(fut) if isinstance(fut, list) else [ray.get(fut)]
+        merged: dict[object, tuple[int, int]] = {}
+        for part in parts:
+            for v, c, sm in part:
+                oc, os_ = merged.get(v, (0, 0))
+                merged[v] = (oc + c, os_ + sm)
+        rows = [(v, c, sm / c) for v, (c, sm) in merged.items()]
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        return rows[:top_n]
 
     def top_metrics(
         self, query_string: str, group_col: str, sort_col: str,
