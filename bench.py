@@ -192,6 +192,23 @@ def run_bench() -> dict:
     timings["bm25_query_throughput"] = time.perf_counter() - t0
     extras["queries_per_sec"] = len(distinct_queries) / timings["bm25_query_throughput"]
 
+    # msearch (full query strings incl. phrases) vs the sequential
+    # search loop — the batched-dispatch win on the querylang path
+    # (query_many above covers only plain term sets)
+    qs_mixed = [
+        (f'"{q}"' if i % 4 == 0 else q)
+        for i, q in enumerate(distinct_queries[:200])
+    ]
+    t0 = time.perf_counter()
+    for q in qs_mixed:
+        engine.search(q, k=10)
+    seq_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    engine.msearch(qs_mixed, k=10)
+    msearch_sec = time.perf_counter() - t0
+    extras["msearch_queries_per_sec"] = len(qs_mixed) / msearch_sec
+    extras["msearch_speedup_vs_sequential"] = seq_sec / msearch_sec
+
     # phase 4 (extras, untimed in headline): IVF recall@10 vs brute
     # force on the embeddings table — the accuracy/perf tradeoff number
     # the approximate index is accountable to.  Skipped during --scaling
