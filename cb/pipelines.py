@@ -6941,6 +6941,85 @@ FROM w WHERE rn >= 3 ORDER BY event_type, minute
 """
 
 
+SDIFF_LAG = 5
+
+
+def q_serial_diff(sf_dir: str) -> pa.Table:
+    """ES ``serial_diff`` (lag 5) + ``moving_fn`` (window-3 max)
+    pipeline aggs over the same per-type minute date_histogram as
+    q_pipeline_agg: counts reduce distributedly as exact integers, the
+    driver post-pass is O(buckets) vectorized numpy over the small
+    bucket table, rows emit from rank lag+1 so both metrics are
+    defined — all-integer outputs, no float hazard at all."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        minute = pc.floor_temporal(batch["ts"], unit="minute")
+        t = pa.table({"minute": minute, "event_type": batch["event_type"]})
+        return (
+            t.group_by(["minute", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["minute", "event_type", "n"])
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = pre.groupby(["minute", "event_type"]).aggregate(Sum("n", alias_name="n"))
+    t = _collect(agg)
+    et = t["event_type"]
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    enc = et.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    minutes = t["minute"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    ns = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((minutes, codes))
+    sc, sm, sn = codes[order], minutes[order], ns[order]
+    starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]]) if len(sc) else np.empty(0, np.int64)
+    dictionary = enc.dictionary.to_pylist()
+    rows = {"event_type": [], "minute": [], "n": [], "sdiff": [], "mmax3": []}
+    ends = np.append(starts[1:], len(sc))
+    for s, e in zip(starts, ends):
+        n_g = sn[s:e]
+        for i in range(SDIFF_LAG, len(n_g)):
+            rows["event_type"].append(dictionary[sc[s]])
+            rows["minute"].append(int(sm[s + i]))
+            rows["n"].append(int(n_g[i]))
+            rows["sdiff"].append(int(n_g[i] - n_g[i - SDIFF_LAG]))
+            rows["mmax3"].append(int(max(n_g[i], n_g[i - 1], n_g[i - 2])))
+    return pa.table(
+        {
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "minute": pa.array(rows["minute"], pa.int64()).cast(pa.timestamp("us")),
+            "n": pa.array(rows["n"], pa.int64()),
+            "sdiff": pa.array(rows["sdiff"], pa.int64()),
+            "mmax3": pa.array(rows["mmax3"], pa.int64()),
+        }
+    )
+
+
+def sql_serial_diff() -> str:
+    return f"""
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, minute, n,
+         (n - lag(n, {SDIFF_LAG}) OVER (PARTITION BY event_type ORDER BY minute))::BIGINT AS sdiff,
+         greatest(n, lag(n) OVER (PARTITION BY event_type ORDER BY minute),
+                  lag(n, 2) OVER (PARTITION BY event_type ORDER BY minute))::BIGINT AS mmax3,
+         row_number() OVER (PARTITION BY event_type ORDER BY minute) AS rn
+  FROM b
+)
+SELECT event_type, minute, n, sdiff, mmax3
+FROM w WHERE rn >= {SDIFF_LAG + 1} ORDER BY event_type, minute
+"""
+
+
 BUCKET_SCRIPT_MIN_RATIO = 0.25  # bucket_selector bound on the script value
 
 
@@ -7988,6 +8067,7 @@ QUERIES = {
     "filters_agg": q_filters_agg,
     "explain_scores": q_explain_scores,
     "pipeline_agg": q_pipeline_agg,
+    "serial_diff": q_serial_diff,
     "bucket_script_agg": q_bucket_script_agg,
     "adjacency_matrix": q_adjacency_matrix,
     "search_top_hits": q_search_top_hits,
@@ -8145,6 +8225,7 @@ def oracle_sql() -> dict[str, str]:
         "filters_agg": sql_filters_agg(),
         "explain_scores": sql_explain_scores(),
         "pipeline_agg": sql_pipeline_agg(),
+        "serial_diff": sql_serial_diff(),
         "bucket_script_agg": sql_bucket_script_agg(),
         "adjacency_matrix": sql_adjacency_matrix(),
         "search_top_hits": sql_search_top_hits(),
