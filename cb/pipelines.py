@@ -7707,6 +7707,49 @@ FROM ranked WHERE rank <= {SUGGEST_K} ORDER BY prefix_id, rank
 """
 
 
+def q_suggest_context(sf_dir: str) -> pa.Table:
+    """ES completion suggester with category contexts: per (prefix,
+    lang), top-k completions ranked by the context-LOCAL df — derived
+    in one prefix-filtered distributed pass (the exchange carries only
+    completion candidates, never the vocabulary)."""
+    from . import suggest
+
+    t = suggest.context_prefix_suggest(
+        docs_path(sf_dir), list(SUGGEST_PREFIXES), k=SUGGEST_K
+    )
+    t = t.sort_by([("prefix_id", "ascending"), ("ctx", "ascending"), ("rank", "ascending")])
+    return pa.table(
+        {
+            "prefix_id": t["prefix_id"].cast(pa.int64()),
+            "ctx": t["ctx"].cast(pa.string()),
+            "rank": t["rank"].cast(pa.int64()),
+            "term": t["term"].cast(pa.string()),
+            "df": t["df"].cast(pa.int64()),
+        }
+    )
+
+
+def sql_suggest_context() -> str:
+    tok = analyze.sql_token_array("text")
+    vals = ", ".join(f"({i}, '{p}')" for i, p in enumerate(SUGGEST_PREFIXES))
+    return f"""
+WITH docs AS (SELECT doc_id, lang, {tok} AS toks FROM documents),
+t AS (SELECT DISTINCT doc_id, lang, unnest(toks) AS term FROM docs),
+cdf AS (SELECT lang AS ctx, term, count(*)::BIGINT AS df FROM t GROUP BY 1, 2),
+p(prefix_id, prefix) AS (VALUES {vals}),
+cand AS (SELECT p.prefix_id, c.ctx, c.term, c.df
+         FROM p JOIN cdf c ON starts_with(c.term, p.prefix)),
+ranked AS (
+  SELECT prefix_id, ctx, term, df,
+         row_number() OVER (PARTITION BY prefix_id, ctx
+                            ORDER BY df DESC, term) AS rank
+  FROM cand
+)
+SELECT prefix_id::BIGINT AS prefix_id, ctx, rank::BIGINT AS rank, term, df
+FROM ranked WHERE rank <= {SUGGEST_K} ORDER BY prefix_id, ctx, rank
+"""
+
+
 def q_suggest_fuzzy(sf_dir: str) -> pa.Table:
     """Did-you-mean (ES term suggester): top-k vocabulary terms within
     Damerau-Levenshtein distance <= 2 per misspelled input, ranked
@@ -8118,6 +8161,7 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "doclen_quantiles": q_doclen_quantiles,
     "suggest_prefix": q_suggest_prefix,
+    "suggest_context": q_suggest_context,
     "suggest_fuzzy": q_suggest_fuzzy,
     "cardinality_by_lang": q_cardinality_by_lang,
     "cardinality_hll": q_cardinality_hll,
@@ -8298,6 +8342,7 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_per_lang": sql_top_docs_per_lang(),
         "doclen_quantiles": sql_doclen_quantiles(),
         "suggest_prefix": sql_suggest_prefix(),
+        "suggest_context": sql_suggest_context(),
         "suggest_fuzzy": sql_suggest_fuzzy(),
         "cardinality_by_lang": sql_cardinality_by_lang(),
         "cardinality_hll": sql_cardinality_hll(),

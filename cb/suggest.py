@@ -177,3 +177,107 @@ def fuzzy_suggest(
     from .collect import collect_table
 
     return collect_table(out)
+
+
+def context_prefix_suggest(
+    docs_file: str,
+    prefixes: list[str],
+    k: int = 5,
+    context_col: str = "lang",
+    text_col: str = "text",
+) -> pa.Table:
+    """ES completion suggester WITH CONTEXTS (category contexts): per
+    (prefix, context value), the top-k completions ranked by the
+    context-LOCAL document frequency (df DESC, term ASC) — "suggest
+    for this user's language", the context-filtered variant of
+    :func:`prefix_suggest`.
+
+    Context-local df doesn't exist in the _termdf summaries (they are
+    corpus-global), so it is derived in ONE distributed pass over the
+    corpus: per batch, tokens are prefix-filtered FIRST (the exchange
+    carries only completion candidates, never the vocabulary), then
+    per-doc-distinct (term, context) partials reduce by integer sum.
+    The final per-(prefix, context) top-k is the same two-phase
+    pattern as prefix_suggest.  Returns (prefix_id, ctx, rank, term,
+    df)."""
+    from . import analyze
+
+    ds = ray.data.read_parquet(docs_file, columns=[context_col, text_col])
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ctx": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+            }
+        )
+        b = b.combine_chunks()  # chunked take/parent-indices hazards
+        toks = analyze.token_array(b[text_col])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return empty
+        mask = None
+        for p in prefixes:
+            m = pc.starts_with(flat, pattern=p)
+            mask = m if mask is None else pc.or_(mask, m)
+        parents = pc.list_parent_indices(toks)
+        ctx = pc.take(b[context_col].cast(pa.string()), parents)
+        t = pa.table({"did": parents, "ctx": ctx, "term": flat}).filter(mask)
+        if t.num_rows == 0:
+            return empty
+        # per-doc distinct, then per-(ctx, term) doc counts — rows are
+        # whole docs, so per-batch partial dfs SUM exactly
+        g = t.group_by(["did", "ctx", "term"]).aggregate([([], "count_all")])
+        out = (
+            g.select(["ctx", "term"])
+            .group_by(["ctx", "term"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["ctx", "term", "df"])
+        )
+        return out.set_column(2, "df", out["df"].cast(pa.int64()))
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = pre.groupby(["ctx", "term"]).aggregate(Sum("df", alias_name="df"))
+
+    def attach_prefix(b: pa.Table) -> pa.Table:
+        outs = []
+        for pid, pref in enumerate(prefixes):
+            m = b.filter(pc.starts_with(b["term"], pattern=pref))
+            if m.num_rows:
+                outs.append(
+                    m.append_column(
+                        "prefix_id", pa.array([pid] * m.num_rows, pa.int64())
+                    )
+                )
+        if not outs:
+            return pa.table(
+                {
+                    "ctx": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "prefix_id": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    cands = agg.map_batches(attach_prefix, batch_format="pyarrow")
+
+    def batch_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["df", "term"], ascending=[False, True], kind="mergesort")
+            .groupby(["prefix_id", "ctx"], sort=False)
+            .head(k)
+        )
+
+    fin = _finalize_topk(
+        k, ["df", "term"], [False, True],
+        ["prefix_id", "ctx", "rank", "term", "df"],
+    )
+    partials = cands.map_batches(batch_topk, batch_format="pandas")
+    out = partials.groupby(["prefix_id", "ctx"]).map_groups(fin, batch_format="pandas")
+    from .collect import collect_table
+
+    return collect_table(out)
