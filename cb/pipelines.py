@@ -1806,6 +1806,103 @@ FROM rankedt WHERE rank <= {SIG_TOP_N} ORDER BY query_id, rank
 """
 
 
+SIGBG_SPECS: tuple[tuple[str, str], ...] = (
+    ("join", "en"), ("merge sort", "fr"), ("customer table", "de"),
+)
+
+
+def q_significant_bg(sf_dir: str) -> pa.Table:
+    """ES significant_terms with background_filter: the background is
+    the lang segment, not the corpus — fg = match(query ∧ lang), bg =
+    match(lang), JLH over (fg/m, bg/nb), corpus-df min_df gate on both
+    passes."""
+    engine = _facet_engine(sf_dir)
+    engine.warm(min_df=SIG_MIN_DF)
+    rows = {"query_id": [], "rank": [], "term": [], "fg": [], "bg": [], "score": []}
+    try:
+        for qid, (q, lang) in enumerate(SIGBG_SPECS):
+            res = engine.significant_terms_filtered(
+                q, f"lang:{lang}", top_n=SIG_TOP_N, min_df=SIG_MIN_DF
+            )
+            for rank, (t, c, bgc, s) in enumerate(res, start=1):
+                rows["query_id"].append(qid)
+                rows["rank"].append(rank)
+                rows["term"].append(t)
+                rows["fg"].append(c)
+                rows["bg"].append(bgc)
+                rows["score"].append(s)
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "term": pa.array(rows["term"], pa.string()),
+            "fg": pa.array(rows["fg"], pa.int64()),
+            "bg": pa.array(rows["bg"], pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_significant_bg() -> str:
+    tok = analyze.sql_token_array("text")
+    svals = ", ".join(f"({i}, '{lang}')" for i, (_, lang) in enumerate(SIGBG_SPECS))
+    qvals = ", ".join(
+        f"({i}, '{t}')"
+        for i, (q, _) in enumerate(SIGBG_SPECS)
+        for t in sorted(set(analyze.tokenize(q)))
+    )
+    jlh = (
+        "((f.fg::DOUBLE / m.m::DOUBLE) - (g.bg::DOUBLE / nb.nb::DOUBLE)) * "
+        "((f.fg::DOUBLE / m.m::DOUBLE) / (g.bg::DOUBLE / nb.nb::DOUBLE))"
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, lang, {tok} AS toks FROM documents),
+tfd AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs),
+dfc AS (SELECT term, count(*)::BIGINT AS df FROM tfd GROUP BY 1),
+specs(query_id, lang) AS (VALUES {svals}),
+qterms(query_id, term) AS (VALUES {qvals}),
+fgm AS (
+  SELECT DISTINCT q.query_id, t.doc_id
+  FROM qterms q
+  JOIN tfd t ON t.term = q.term
+  JOIN docs d ON d.doc_id = t.doc_id
+  JOIN specs s ON s.query_id = q.query_id AND s.lang = d.lang
+),
+bgm AS (
+  SELECT s.query_id, d.doc_id FROM specs s JOIN docs d ON d.lang = s.lang
+),
+fgc AS (SELECT f.query_id, t.term, count(*)::BIGINT AS fg
+        FROM fgm f JOIN tfd t ON t.doc_id = f.doc_id GROUP BY 1, 2),
+bgc AS (SELECT b.query_id, t.term, count(*)::BIGINT AS bg
+        FROM bgm b JOIN tfd t ON t.doc_id = b.doc_id GROUP BY 1, 2),
+mt AS (SELECT query_id, count(*)::BIGINT AS m FROM fgm GROUP BY 1),
+nbt AS (SELECT query_id, count(*)::BIGINT AS nb FROM bgm GROUP BY 1),
+scoredt AS (
+  SELECT f.query_id, f.term, f.fg, g.bg, {jlh} AS s
+  FROM fgc f
+  JOIN bgc g ON g.query_id = f.query_id AND g.term = f.term
+  JOIN dfc ON dfc.term = f.term
+  JOIN mt m ON m.query_id = f.query_id
+  JOIN nbt nb ON nb.query_id = f.query_id
+  WHERE dfc.df >= {SIG_MIN_DF}
+),
+rankedt AS (
+  SELECT query_id, term, fg, bg, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, term ASC) AS rank
+  FROM scoredt
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, term, fg, bg,
+       round(s, 6) AS score
+FROM rankedt WHERE rank <= {SIG_TOP_N} ORDER BY query_id, rank
+"""
+
+
 HIST_INTERVAL = 200  # n_chars bucket width
 
 
@@ -8122,6 +8219,7 @@ QUERIES = {
     "multifield_top_hits": q_multifield_top_hits,
     "multifield_function_score": q_multifield_function_score,
     "significant_terms": q_significant_terms,
+    "significant_bg": q_significant_bg,
     "content_sha256": q_content_sha256,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
@@ -8281,6 +8379,7 @@ def oracle_sql() -> dict[str, str]:
         "multifield_top_hits": sql_multifield_top_hits(),
         "multifield_function_score": sql_multifield_function_score(),
         "significant_terms": sql_significant_terms(),
+        "significant_bg": sql_significant_bg(),
         "content_sha256": sql_content_sha256(),
         "dedup_exact": dedup.sql_exact_duplicates(),
         "token_stats": textstats.sql_token_stats(),

@@ -1792,9 +1792,35 @@ class ShardServer:
         ids = self._cached_match(parsed, dm)
         if ids is None:
             return {}, 0
-        matched = np.sort(ids)
+        return self._sig_walk(np.sort(ids), min_df)
+
+    def significant_meta(
+        self, col: str, val, min_df: int = 2
+    ) -> tuple[dict, int]:
+        """Foreground term counts over a PURE docmeta-filter match set
+        (``col == val`` — the filter-only background population of ES
+        significant_terms' background_filter): one vectorized equality
+        over this slice's docmeta, tombstone-masked, then the same
+        owned-vocabulary walk as :meth:`significant`."""
+        import pyarrow.compute as pc
+        from . import docmeta as docmeta_mod
+
+        if self._docmeta is None:
+            self._docmeta = docmeta_mod.DocMeta(self.index_dir, buckets=self.buckets)
+        dm = self._docmeta
+        arr = dm.cols.get(col)
+        if arr is None or len(dm.ids) == 0:
+            return {}, 0
+        mask = pc.equal(arr, val)
+        matched = dm.ids[mask.fill_null(False).to_numpy(zero_copy_only=False)]
+        matched = matched[_live_mask(matched, self.tombstones)]
         if len(matched) == 0:
             return {}, 0
+        return self._sig_walk(matched, min_df)
+
+    def _sig_walk(self, matched: np.ndarray, min_df: int) -> tuple[dict, int]:
+        """Owned-vocabulary intersection counts over a sorted matched-id
+        array (the shared half of significant / significant_meta)."""
         counts: dict[str, int] = {}
         for part in self.parts.values():
             if part.table is None:
@@ -2870,16 +2896,14 @@ class QueryEngine:
             lambda q, kk: self.query(q, k=kk, algo=algo), text, k, after
         )
 
-    def significant_terms(
-        self, query_string: str, top_n: int = 10, min_df: int = 2
-    ) -> list[tuple[str, int, int, float]]:
-        """ES significant_terms: terms overrepresented in the query's
-        match set vs the corpus, scored by JLH
-        ``(fg/m - df/N) * ((fg/m) / (df/N))`` — returns
-        ``[(term, fg, df, score)]`` top_n by (score desc, term asc).
-        Doc mode: per-server slice counts add; term mode: per-server
-        owned-vocab counts union (disjoint terms), every server sees
-        the same match total."""
+    def _sig_counts(
+        self, query_string: str, min_df: int
+    ) -> tuple[dict[str, int], int]:
+        """Per-term counts over the query's FULL match set + the match
+        total — the shared half of significant_terms and its
+        background_filter variant.  Doc mode: per-server slice counts
+        add; term mode: per-server owned-vocab counts union (disjoint
+        terms), every server sees the same match total."""
         from . import querylang
 
         parsed = querylang.parse(query_string)
@@ -2894,7 +2918,7 @@ class QueryEngine:
             | {t for p in parsed.get("excluded_phrases", []) for t in p}
         )
         if not involved:
-            return []
+            return {}, 0
         if self.mode == "doc":
             parts = ray.get(
                 [s.significant.remote(parsed, min_df) for s in self.servers]
@@ -2927,6 +2951,73 @@ class QueryEngine:
             for d, _ in parts:
                 fg.update(d)  # disjoint term ownership
             m = max((mm for _, mm in parts), default=0)
+        return fg, m
+
+    def significant_terms_filtered(
+        self, query_string: str, background_filter: str,
+        top_n: int = 10, min_df: int = 2,
+    ) -> list[tuple[str, int, int, float]]:
+        """ES significant_terms with ``background_filter``: the
+        background population is the filter's match set, not the whole
+        corpus — "what's special about these docs vs their SEGMENT".
+        Foreground = match(query ∧ filter) (the agg runs in the
+        filtered search context, so fg ⊆ bg by construction and JLH is
+        well-defined); both sides ride the same vocab-walk kernel, so
+        returns ``[(term, fg, bg, score)]`` with JLH over (fg/m,
+        bg/nb), top_n by (score desc, term asc); the corpus-df
+        ``min_df`` gate applies to both passes."""
+        from . import querylang
+
+        filt = querylang.parse(background_filter).get("filters") or {}
+        if len(filt) != 1:
+            raise ValueError(
+                f"background_filter wants one col:value filter, got {background_filter!r}"
+            )
+        (col, val), = filt.items()
+        fg, m = self._sig_counts(f"{query_string} {background_filter}", min_df)
+        if not m:
+            return []
+        # pure-filter background: docmeta equality match (no scored
+        # terms to ride querylang.match).  Doc mode: disjoint slices
+        # add; term mode: docmeta is whole-corpus on every server, so
+        # counts union over disjoint owned vocab and nb is the max.
+        parts = ray.get(
+            [s.significant_meta.remote(col, val, min_df) for s in self.servers]
+        )
+        bg: dict[str, int] = {}
+        if self.mode == "doc":
+            for d, _ in parts:
+                for t, c in d.items():
+                    bg[t] = bg.get(t, 0) + c
+            nb = sum(mm for _, mm in parts)
+        else:
+            for d, _ in parts:
+                bg.update(d)
+            nb = max((mm for _, mm in parts), default=0)
+        if not nb:
+            return []
+        out = []
+        for t, c in fg.items():
+            bgc = bg.get(t, 0)
+            if not bgc:
+                continue
+            fgp = c / m
+            bgp = bgc / nb
+            out.append((t, c, bgc, (fgp - bgp) * (fgp / bgp)))
+        out.sort(key=lambda r: (-r[3], r[0]))
+        return out[:top_n]
+
+    def significant_terms(
+        self, query_string: str, top_n: int = 10, min_df: int = 2
+    ) -> list[tuple[str, int, int, float]]:
+        """ES significant_terms: terms overrepresented in the query's
+        match set vs the corpus, scored by JLH
+        ``(fg/m - df/N) * ((fg/m) / (df/N))`` — returns
+        ``[(term, fg, df, score)]`` top_n by (score desc, term asc).
+        Doc mode: per-server slice counts add; term mode: per-server
+        owned-vocab counts union (disjoint terms), every server sees
+        the same match total."""
+        fg, m = self._sig_counts(query_string, min_df)
         if not m:
             return []
         dfs = self.term_dfs(sorted(fg))

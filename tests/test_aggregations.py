@@ -378,3 +378,23 @@ def test_regexp_query_whole_terms_re2(built):
             assert engine.regexp_query("as", k=10) == [], mode
         finally:
             engine.shutdown()
+
+
+def test_significant_bg_modes(built):
+    """significant_terms_filtered: doc/term topology parity + the
+    fg-subset-of-bg invariant."""
+    from cb.shard import QueryEngine
+
+    res = {}
+    for mode, ns in (("doc", 2), ("term", 2)):
+        eng = QueryEngine(built, num_servers=ns, mode=mode)
+        try:
+            res[mode] = eng.significant_terms_filtered(
+                "join", "lang:en", top_n=5, min_df=1
+            )
+        finally:
+            eng.shutdown()
+    assert res["doc"] == res["term"]
+    assert res["doc"], "expected suggestions"
+    for t, fg, bg, s in res["doc"]:
+        assert 1 <= fg <= bg
