@@ -4208,6 +4208,97 @@ def q_collapse_topk(sf_dir: str) -> pa.Table:
     )
 
 
+CI_GROUPS = 3  # collapsed groups per query
+CI_INNER = 3   # inner_hits per group
+
+
+def q_collapse_inner(sf_dir: str) -> pa.Table:
+    """ES field collapse WITH inner_hits: the top CI_GROUPS lang groups
+    per query (ranked by their champion hit), each expanded to its
+    exact top CI_INNER matching docs — one top_hits fan-out serves
+    both the group ranking and the inner lists, never a re-query."""
+    engine = _facet_engine(sf_dir)
+    rows = {
+        "query_id": [], "group_rank": [], "lang": [],
+        "inner_rank": [], "doc_id": [], "score": [],
+    }
+    try:
+        for qid, q in enumerate(QUERY_SET):
+            th = engine.top_hits(q, "lang", CI_INNER)
+            groups = sorted(
+                ((g, hits) for g, hits in th.items() if hits),
+                key=lambda gh: (-gh[1][0][1], gh[1][0][0]),
+            )[:CI_GROUPS]
+            for grank, (g, hits) in enumerate(groups, start=1):
+                for irank, (d, s) in enumerate(hits, start=1):
+                    rows["query_id"].append(qid)
+                    rows["group_rank"].append(grank)
+                    rows["lang"].append(str(g))
+                    rows["inner_rank"].append(irank)
+                    rows["doc_id"].append(d)
+                    rows["score"].append(s)
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "group_rank": pa.array(rows["group_rank"], pa.int64()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "inner_rank": pa.array(rows["inner_rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_collapse_inner() -> str:
+    """Mirror: per-(query, lang) inner ranking, group ranking by the
+    champion row, both cut."""
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_query_terms_values()}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+inn AS (
+  SELECT s.query_id, d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id, d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS inner_rank
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+grp AS (
+  SELECT query_id, lang,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS group_rank
+  FROM inn WHERE inner_rank = 1
+)
+SELECT i.query_id::BIGINT AS query_id, grp.group_rank::BIGINT AS group_rank,
+       i.lang AS lang, i.inner_rank::BIGINT AS inner_rank, i.doc_id,
+       round(i.score, 6) AS score
+FROM inn i
+JOIN grp ON grp.query_id = i.query_id AND grp.lang = i.lang
+WHERE i.inner_rank <= {CI_INNER} AND grp.group_rank <= {CI_GROUPS}
+ORDER BY query_id, group_rank, inner_rank
+"""
+
+
 def sql_collapse_topk() -> str:
     """Mirror: the bm25 scored CTE, rank-1-per-lang window, then the
     global re-rank of the champions."""
@@ -8174,6 +8265,7 @@ QUERIES = {
     "percentile_ranks": q_percentile_ranks,
     "synonym_search": q_synonym_search,
     "collapse_topk": q_collapse_topk,
+    "collapse_inner_hits": q_collapse_inner,
     "multifield_synonyms": q_multifield_synonyms,
     "composite_agg": q_composite_agg,
     "rare_terms_agg": q_rare_terms_agg,
@@ -8334,6 +8426,7 @@ def oracle_sql() -> dict[str, str]:
         "percentile_ranks": sql_percentile_ranks(),
         "synonym_search": sql_synonym_search(),
         "collapse_topk": sql_collapse_topk(),
+        "collapse_inner_hits": sql_collapse_inner(),
         "multifield_synonyms": sql_multifield_synonyms(),
         "composite_agg": sql_composite_agg(),
         "rare_terms_agg": sql_rare_terms_agg(),
