@@ -928,6 +928,45 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
+ALIAS_LANG = "en"
+
+
+def q_alias_search(sf_dir: str) -> pa.Table:
+    """ES filtered index alias: a `docs-en` alias carrying a lang
+    filter is registered as index state (`_aliases.json`) and the
+    whole query set runs THROUGH it — the filter applies as filter
+    context (membership only), a zero-cost virtual view over the same
+    index."""
+    from . import docmeta as docmeta_mod
+
+    meta = get_index(sf_dir)
+    docmeta_mod.ensure_docmeta(
+        meta.index_dir, docs_path(sf_dir), ["lang", "source", "n_chars"]
+    )
+    shard.put_alias(meta.index_dir, "docs-en", {"lang": ALIAS_LANG})
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = [engine.search_alias("docs-en", q, k=K) for q in QUERY_SET]
+    finally:
+        engine.shutdown()
+    return _topk_table(results, with_scores=True)
+
+
+def sql_alias_search() -> str:
+    """Mirror: the bm25 scored CTE restricted to the alias's lang
+    filter before ranking (filter context: scores untouched)."""
+    base = sql_bm25(with_scores=True)
+    return base.replace(
+        "ranked AS (\n  SELECT query_id, doc_id, score,",
+        f"""filtered AS (
+  SELECT s.* FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.lang = '{ALIAS_LANG}'
+),
+ranked AS (
+  SELECT query_id, doc_id, score,""",
+    ).replace("  FROM scored\n)", "  FROM filtered\n)")
+
+
 FILTER_LANGS: tuple[str, ...] = ("en", "fr", "de", "es", "zh")
 
 
@@ -8233,6 +8272,7 @@ QUERIES = {
     "reindex_topk": q_reindex_topk,
     "highlight_snippets": q_highlight_snippets,
     "bm25_filtered": q_bm25_filtered,
+    "alias_search": q_alias_search,
     "bm25_multifield": q_bm25_multifield,
     "multifield_wand": q_multifield_wand,
     "federated_multifield": q_federated_multifield,
@@ -8389,6 +8429,7 @@ def oracle_sql() -> dict[str, str]:
         "reindex_topk": sql_bm25(with_scores=True),
         "highlight_snippets": sql_highlight_snippets(),
         "bm25_filtered": sql_bm25_filtered(),
+        "alias_search": sql_alias_search(),
         "bm25_multifield": sql_bm25_multifield(),
         # block-max WAND is bitwise == TAAT, so the same oracle
         # value-checks the WAND scorer

@@ -237,6 +237,39 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     return len(merged)
 
 
+def put_alias(index_dir: str, name: str, filters: dict | None = None) -> None:
+    """ES index alias (optionally FILTERED): alias metadata is index
+    state (`_aliases.json`, atomic rewrite — the `_aliases` API), and
+    every query through the alias applies its filter as ES filter
+    context (membership only, scores untouched).  Idempotent upsert."""
+    from . import manifest
+
+    path = os.path.join(index_dir, "_aliases.json")
+    cur = manifest.read(path) or {}
+    cur[name] = {"filters": dict(filters or {})}
+    manifest.write_atomic(path, cur)
+
+
+def delete_alias(index_dir: str, name: str) -> bool:
+    """Remove an alias; returns whether it existed."""
+    from . import manifest
+
+    path = os.path.join(index_dir, "_aliases.json")
+    cur = manifest.read(path) or {}
+    existed = name in cur
+    if existed:
+        del cur[name]
+        manifest.write_atomic(path, cur)
+    return existed
+
+
+def get_aliases(index_dir: str) -> dict:
+    """Alias name -> {filters} for an index dir."""
+    from . import manifest
+
+    return manifest.read(os.path.join(index_dir, "_aliases.json")) or {}
+
+
 def load_tombstones(index_dir: str) -> np.ndarray:
     from . import manifest
 
@@ -2144,6 +2177,8 @@ class QueryEngine:
         fed: str | None = None,
     ):
         self.meta = IndexMeta(index_dir)
+        self.index_dir = index_dir
+        self._aliases: dict | None = None  # lazy `_aliases.json` load
         self._fed = fed  # federation dir: servers score with fed-global stats
         # N for driver-side idf/JLH must match the df scale term_dfs
         # returns (fed-global when fed= is set)
@@ -2317,6 +2352,28 @@ class QueryEngine:
                 ray.get([s.metrics.remote() for s in self.servers])
             ),
         }
+
+    def search_alias(self, alias: str, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Query THROUGH an ES index alias: the alias's filter (if any)
+        applies as filter context on top of the plain term query —
+        membership changes, scores don't — so a filtered alias is a
+        zero-copy virtual view over the same index (aliases load once
+        per engine; call refresh_aliases after a put/delete)."""
+        if self._aliases is None:
+            self.refresh_aliases()
+        spec = self._aliases.get(alias)
+        if spec is None:
+            raise KeyError(f"unknown alias {alias!r}")
+        filters = spec.get("filters") or {}
+        if not filters:
+            return self.query(text, k=k)
+        return self.filtered_query(text, filters, k=k)
+
+    def refresh_aliases(self) -> dict:
+        """Re-read `_aliases.json` (the alias API mutates index state
+        out-of-band)."""
+        self._aliases = get_aliases(self.index_dir)
+        return self._aliases
 
     def filtered_query(self, text: str, filters: dict, k: int = 10) -> list[tuple[int, float]]:
         """Filtered BM25 via the pool (scatter-gather in doc mode,

@@ -398,3 +398,30 @@ def test_significant_bg_modes(built):
     assert res["doc"], "expected suggestions"
     for t, fg, bg, s in res["doc"]:
         assert 1 <= fg <= bg
+
+
+def test_alias_api(built):
+    """put/get/delete alias; filtered alias == filtered_query; bare
+    alias == plain query; unknown alias raises."""
+    import pytest as _pytest
+
+    from cb.shard import QueryEngine, delete_alias, get_aliases, put_alias
+
+    put_alias(built, "en-only", {"lang": "en"})
+    put_alias(built, "everything")
+    assert set(get_aliases(built)) == {"en-only", "everything"}
+    eng = QueryEngine(built, num_servers=2)
+    try:
+        assert eng.search_alias("en-only", "hash join", k=5) == \
+            eng.filtered_query("hash join", {"lang": "en"}, k=5)
+        assert eng.search_alias("everything", "hash join", k=5) == \
+            eng.query("hash join", k=5)
+        with _pytest.raises(KeyError):
+            eng.search_alias("nope", "hash", k=5)
+        assert delete_alias(built, "everything")
+        assert not delete_alias(built, "everything")
+        eng.refresh_aliases()
+        with _pytest.raises(KeyError):
+            eng.search_alias("everything", "hash", k=5)
+    finally:
+        eng.shutdown()
