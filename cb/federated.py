@@ -987,6 +987,35 @@ class FederatedEngine:
             return []
         return _merge_topk(ray.get(futs), k)
 
+    def msearch(
+        self, query_strings: list[str], k: int = 10, **sel
+    ) -> list[list[tuple[int, float]]]:
+        """ES ``_msearch`` across the federation: EVERY query's refs
+        across EVERY selected sub-index are in flight before any result
+        is awaited — one ray.get drains query_count x member_count x
+        servers refs, so the wall clock is max over all cells, not the
+        sequential sum.  Bitwise identical to a search() loop (same
+        kernels, same per-query merge)."""
+        names = list(self._select(**sel))
+        per_q: list[list] = []
+        flat: list = []
+        for q in query_strings:
+            refs = []
+            for n in names:
+                f = self.engines[n]._dispatch_search(q, k)
+                if f is None:
+                    continue
+                refs.extend(f if isinstance(f, list) else [f])
+            per_q.append(refs)
+            flat.extend(refs)
+        got = ray.get(flat)
+        out: list[list[tuple[int, float]]] = []
+        pos = 0
+        for refs in per_q:
+            out.append(_merge_topk(got[pos:pos + len(refs)], k) if refs else [])
+            pos += len(refs)
+        return out
+
     def facets(
         self, query_string: str, facet_cols=(), stats_cols=(), **sel
     ) -> tuple[dict, dict]:

@@ -331,6 +331,24 @@ def q_federated_querystring(sf_dir: str) -> pa.Table:
     return _topk_table(results, with_scores=True)
 
 
+def q_federated_msearch(sf_dir: str) -> pa.Table:
+    """ES ``_msearch`` across the per-day federation: every query's
+    refs across every day member are in flight before any await (one
+    drain over query x member x server refs) — bitwise identical to
+    the sequential federated search loop, so it shares the monolithic
+    querystring oracle."""
+    from . import federated
+
+    fed_dir = get_federation(sf_dir)
+    federated.ensure_fed_docmeta(fed_dir, ["lang", "source", "n_chars"])
+    eng = federated.FederatedEngine(fed_dir, num_servers=2)
+    try:
+        results = eng.msearch(list(SEARCH_SET), k=K)
+    finally:
+        eng.shutdown()
+    return _topk_table(results, with_scores=True)
+
+
 def q_bm25_page2(sf_dir: str) -> pa.Table:
     """ES search_after pagination: ranks K+1..2K of every query,
     continued from page 1's (score, doc_id) cursor — exact because the
@@ -8266,6 +8284,7 @@ QUERIES = {
     "federated_bm25": q_federated_bm25,
     "federated_boosted": q_federated_boosted,
     "federated_querystring": q_federated_querystring,
+    "federated_msearch": q_federated_msearch,
     "more_like_this": q_more_like_this,
     "bm25_page2": q_bm25_page2,
     "scroll_pages": q_scroll_pages,
@@ -8421,6 +8440,7 @@ def oracle_sql() -> dict[str, str]:
         "federated_bm25": sql_bm25(with_scores=True),
         "federated_boosted": sql_federated_boosted(),
         "federated_querystring": sql_search_querystring(),
+        "federated_msearch": sql_search_querystring(),
         "more_like_this": sql_more_like_this(),
         "bm25_page2": sql_bm25_page2(),
         "scroll_pages": sql_scroll_pages(),

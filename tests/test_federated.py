@@ -1103,3 +1103,21 @@ def test_fed_expire_cli(tmp_path):
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["dropped"] == ["cb-20260105"]
     assert out["kept"] == ["cb-20260106", "cb-20260107"]
+
+
+def test_fed_msearch_matches_sequential(fed_built):
+    """Federated msearch == the sequential search loop, bitwise, with
+    empty, no-match, and day-selected slots aligned."""
+    src, mono, fed_dir, meta = fed_built
+    eng = federated.FederatedEngine(fed_dir, num_servers=2)
+    try:
+        queries = ["merge join", '"hash index" w3', "zzznope", "", "w1 -w2"]
+        want = [eng.search(q, k=5) for q in queries]
+        got = eng.msearch(queries, k=5)
+        assert got == want
+        assert want[0] and got[2] == [] and got[3] == []
+        d0 = list(eng.engines)[:1]
+        want_sel = [eng.search(q, k=5, names=d0) for q in queries]
+        assert eng.msearch(queries, k=5, names=d0) == want_sel
+    finally:
+        eng.shutdown()
