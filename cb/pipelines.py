@@ -6690,6 +6690,122 @@ HYBRID_W = 30   # per-ranking candidate window
 HYBRID_RRF_K = 60  # the standard RRF dampener
 
 
+RERANK_WINDOW = 50
+RERANK_WCOS = 5.0  # script_score weight on (cosine + 1)
+
+
+def q_semantic_rerank(sf_dir: str) -> pa.Table:
+    """ES script_score semantic rerank (the `cosineSimilarity(...) + 1`
+    pattern over a first-pass window): BM25 top-RERANK_WINDOW, then
+    `bm25 + RERANK_WCOS * (cos(doc_vec, query_vec) + 1)` re-ranks the
+    window (query vector = the embeddings row sharing the query's
+    fixture id).  Only the window's vectors are gathered — a
+    row-group-pruned 50-row read, never an embeddings scan; rank-only
+    output (the ANN-entry convention for float-ordered contracts)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    meta = get_index(sf_dir)
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    rows = {"query_id": [], "rank": [], "doc_id": []}
+    try:
+        for qid, q in enumerate(QUERY_SET[:4]):
+            window = engine.query(q, k=RERANK_WINDOW)
+            if not window:
+                continue
+            emb = pq.read_table(
+                path,
+                filters=[("vec_id", "in", sorted({d for d, _ in window} | {qid}))],
+            )
+            vid = emb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            have = set(vid.tolist())
+            # docs without a vector drop from the rerank (the ES
+            # knn-style "field required" contract; SQL inner join)
+            window = [(d, s) for d, s in window if d in have]
+            if not window:
+                continue
+            wids = [d for d, _ in window]
+            qpos = int(np.flatnonzero(vid == qid)[0])
+            qv = mat[qpos]
+            qn = norms[qpos]
+            order = np.argsort(vid)
+            pos = order[np.searchsorted(vid[order], np.array(wids, dtype=np.int64))]
+            cos = (mat[pos] @ qv) / (norms[pos] * qn)
+            combined = np.array([s for _, s in window]) + RERANK_WCOS * (cos + 1.0)
+            rerank = sorted(
+                zip(wids, combined), key=lambda ds_: (-ds_[1], ds_[0])
+            )[:K]
+            for rank, (d, _) in enumerate(rerank, start=1):
+                rows["query_id"].append(qid)
+                rows["rank"].append(rank)
+                rows["doc_id"].append(d)
+    finally:
+        engine.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        }
+    )
+
+
+def sql_semantic_rerank() -> str:
+    """Mirror: the bm25 scored CTE cut to the window, cosine via
+    list_cosine_similarity against the fixture query vector, combined
+    re-rank — rank-only columns, same convention as sql_ann_topk."""
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in enumerate(QUERY_SET[:4])
+        for t in sorted(set(analyze.tokenize(q)))
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+),
+rer AS (
+  SELECT w.query_id, w.doc_id,
+         w.score + CAST({RERANK_WCOS!r} AS DOUBLE) *
+           (list_cosine_similarity(e.embedding, qe.embedding) + CAST(1.0 AS DOUBLE))
+           AS combined
+  FROM win w
+  JOIN embeddings e ON e.vec_id = w.doc_id
+  JOIN embeddings qe ON qe.vec_id = w.query_id
+  WHERE w.rank <= {RERANK_WINDOW}
+),
+fin AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY combined DESC, doc_id ASC) AS rank
+  FROM rer
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id
+FROM fin WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 def q_hybrid_rrf(sf_dir: str) -> pa.Table:
     """Hybrid retrieval: per query doc, BM25 top-W (first 8 tokens of
     its text, distinct-term scoring) and cosine top-W over the
@@ -8308,6 +8424,7 @@ QUERIES = {
     "percolate": q_percolate,
     "term_vectors": q_term_vectors,
     "hybrid_rrf": q_hybrid_rrf,
+    "semantic_rerank": q_semantic_rerank,
     "phrase_slop_search": q_phrase_slop_search,
     "search_querystring": q_search_querystring,
     "msearch": q_msearch,
@@ -8471,6 +8588,7 @@ def oracle_sql() -> dict[str, str]:
         "percolate": sql_percolate(),
         "term_vectors": sql_term_vectors(),
         "hybrid_rrf": sql_hybrid_rrf(),
+        "semantic_rerank": sql_semantic_rerank(),
         "phrase_slop_search": sql_phrase_slop_search(),
         "search_querystring": sql_search_querystring(),
         "msearch": sql_search_querystring(),
