@@ -4582,6 +4582,30 @@ def q_distance_feature(sf_dir: str) -> pa.Table:
     )
 
 
+FVF_FACTOR = 0.1
+
+
+def q_function_score_fvf(sf_dir: str) -> pa.Table:
+    """ES function_score field_value_factor (combine: multiply,
+    modifier: log1p): ``score * (factor * ln(1 + n_chars))`` over the
+    FULL match set — the classic popularity/field-boost multiplier."""
+    return _q_function_score(
+        sf_dir,
+        {
+            "kind": "field_value_factor",
+            "col": "n_chars",
+            "factor": FVF_FACTOR,
+            "modifier": "log1p",
+        },
+    )
+
+
+def sql_function_score_fvf() -> str:
+    return _sql_function_score(
+        f"s.score * (CAST({FVF_FACTOR!r} AS DOUBLE) * ln(1 + d.n_chars))"
+    )
+
+
 def sql_distance_feature() -> str:
     return _sql_function_score(
         f"s.score + CAST({DFEAT_W} AS DOUBLE) * "
@@ -8482,6 +8506,7 @@ QUERIES = {
     "rescore_topk": q_rescore_topk,
     "function_score_sat": q_function_score_sat,
     "function_score_decay": q_function_score_decay,
+    "function_score_fvf": q_function_score_fvf,
     "quantiles_sketch": q_quantiles_sketch,
     "multifield_range_agg": q_multifield_range_agg,
     "multifield_top_hits": q_multifield_top_hits,
@@ -8646,6 +8671,7 @@ def oracle_sql() -> dict[str, str]:
         "rescore_topk": sql_rescore_topk(),
         "function_score_sat": sql_function_score_sat(),
         "function_score_decay": sql_function_score_decay(),
+        "function_score_fvf": sql_function_score_fvf(),
         "quantiles_sketch": sql_quantiles_sketch(),
         "multifield_range_agg": sql_multifield_range_agg(),
         "multifield_top_hits": sql_multifield_top_hits(),

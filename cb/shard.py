@@ -619,6 +619,22 @@ def _combine_function_score(sc: np.ndarray, x: np.ndarray, spec: dict) -> np.nda
         origin, pivot = int(spec["origin"]), int(spec["pivot"])
         dist = np.abs(x - origin)
         return sc + w * (float(pivot) / (dist + pivot).astype(np.float64))
+    if spec["kind"] == "field_value_factor":
+        # ES field_value_factor (combine: multiply): score * (factor *
+        # modifier(field)).  log1p is computed as ln(1 + x) — NOT
+        # numpy's log1p — so the DuckDB mirror ``ln(1 + x)`` is the
+        # identical float expression; sqrt is correctly rounded in
+        # both engines.
+        f = float(spec["factor"])
+        mod = spec.get("modifier", "none")
+        v = x.astype(np.float64)
+        if mod == "log1p":
+            v = np.log(1.0 + v)
+        elif mod == "sqrt":
+            v = np.sqrt(v)
+        elif mod != "none":
+            raise ValueError(f"unknown field_value_factor modifier {mod!r}")
+        return sc * (f * v)
     if spec["kind"] == "random":
         # ES random_score (seeded): deterministic per-doc hash blended
         # into the score — here ``x`` IS the doc-id array (no docmeta
