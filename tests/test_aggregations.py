@@ -425,3 +425,49 @@ def test_alias_api(built):
             eng.search_alias("everything", "hash", k=5)
     finally:
         eng.shutdown()
+
+
+def test_terms_orderby_metric_modes_and_exactness(built):
+    """Metric-ordered terms agg: doc/term topology parity and the
+    brute-force exact ordering (sums reduce BEFORE the cut)."""
+    from cb import analyze
+    from cb.shard import QueryEngine
+
+    toks = {i: set(analyze.tokenize(t)) for i, t, *_ in DOCS}
+    meta = {i: (lang, src, n) for i, _, lang, src, n in DOCS}
+    matched = [i for i in toks if "join" in toks[i]]
+    agg = {}
+    for i in matched:
+        lang, src, n = meta[i]
+        c, sm = agg.get(src, (0, 0))
+        agg[src] = (c + 1, sm + n)
+    want = sorted(
+        ((v, c, sm / c) for v, (c, sm) in agg.items()),
+        key=lambda r: (-r[2], r[0]),
+    )[:5]
+    for mode, ns in (("doc", 2), ("term", 2)):
+        eng = QueryEngine(built, num_servers=ns, mode=mode)
+        try:
+            got = eng.terms_orderby_metric("join", "source", "n_chars", 5)
+        finally:
+            eng.shutdown()
+        assert got == want, mode
+
+
+def test_histogram_zerofill_axis(built):
+    """Zero-filled histogram: extended bounds emit zero buckets, data
+    buckets outside bounds still appear, counts match the plain
+    histogram."""
+    from cb.shard import QueryEngine
+
+    eng = QueryEngine(built, num_servers=2)
+    try:
+        plain = eng.histogram("join", {"n_chars": 100}).get("n_chars", {})
+        got = eng.histogram_zerofill("join", "n_chars", 100, (0, 1000))
+    finally:
+        eng.shutdown()
+    gm = dict(got)
+    assert set(gm) == set(range(0, 1100, 100)) | set(plain)
+    for b, c in plain.items():
+        assert gm[b] == c
+    assert sum(1 for _, c in got if c == 0) >= 1
