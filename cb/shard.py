@@ -1356,6 +1356,19 @@ class ShardServer:
         keep = _live_mask(ids, self.tombstones)
         return list(zip(ids[keep].tolist(), gaps[keep].tolist()))
 
+    def reload_tombstones(self) -> int:
+        """Re-read `_tombstones.json` (the ES `_refresh` visibility
+        point for deletes): a running server pins the tombstone set it
+        loaded — point-in-time semantics — until told to refresh.
+        Clears the match-result cache (cached match sets embed the old
+        mask).  Returns the live tombstone count."""
+        self.tombstones = load_tombstones(self.index_dir)
+        if getattr(self, "_match_cache", None):
+            self._match_cache.clear()
+        if getattr(self, "results", None):
+            self.results.clear()  # scored-result LRU embeds the old mask
+        return int(len(self.tombstones))
+
     def terms_stats(
         self, parsed: dict, group_col: str, stat_col: str,
         fetched_terms: list[str] = (), *fetched,
@@ -2384,6 +2397,17 @@ class QueryEngine:
         if not filters:
             return self.query(text, k=k)
         return self.filtered_query(text, filters, k=k)
+
+    def refresh(self) -> int:
+        """ES ``_refresh`` for deletes: running servers pin the
+        tombstone set they loaded (point-in-time semantics — a live
+        engine is an implicit PIT over delete_docs/delete_by_query
+        written after it started), and this makes later deletes
+        visible: every server re-reads `_tombstones.json` and drops
+        its match cache.  Returns the tombstone count."""
+        counts = ray.get([s.reload_tombstones.remote() for s in self.servers])
+        self._results.clear()  # merged-result LRU embeds the old mask
+        return int(max(counts, default=0))
 
     def refresh_aliases(self) -> dict:
         """Re-read `_aliases.json` (the alias API mutates index state

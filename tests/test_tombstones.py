@@ -214,3 +214,39 @@ def test_decode_partition_flat_roundtrip(tmp_path):
         assert re_tbl.equals(tbl), f"partition {p} round-trip mismatch"
         checked += tbl.num_rows
     assert checked > 30
+
+
+def test_pit_semantics_and_refresh(tmp_path):
+    """A live engine is an implicit point-in-time over deletes: docs
+    tombstoned AFTER the servers start stay visible until _refresh;
+    refresh() makes the delete visible without a restart."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cb.build import build_index
+    from cb.shard import QueryEngine, delete_docs
+
+    rows = [
+        {"doc_id": i, "text": t}
+        for i, t in [
+            (1, "hash join table"), (2, "hash join path"),
+            (3, "merge sort"), (4, "join hash again"),
+        ]
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=2)
+    eng = QueryEngine(idx, num_servers=2)
+    try:
+        before = eng.query("hash join", k=10)
+        assert 2 in [d for d, _ in before]
+        delete_docs(idx, [2])
+        # PIT: the running engine still serves doc 2
+        assert eng.query("hash join", k=10) == before
+        assert eng.refresh() == 1
+        after = eng.query("hash join", k=10)
+        assert 2 not in [d for d, _ in after]
+        assert after == [(d, s) for d, s in before if d != 2]
+    finally:
+        eng.shutdown()
