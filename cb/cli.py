@@ -170,6 +170,33 @@ def cmd_alias(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    """Did-you-mean suggesters: term (per-token candidates) or phrase
+    (whole-phrase Stupid-Backoff LM ranking)."""
+    ray = _init_ray()
+    from .shard import QueryEngine
+
+    engine = QueryEngine(args.index, num_servers=args.servers)
+    try:
+        if args.kind == "term":
+            rows = engine.suggest_term(args.text, k=args.k)
+            out = [
+                {"pos": p, "token": t, "rank": r, "suggestion": s,
+                 "dist": d, "df": df}
+                for p, t, r, s, d, df in rows
+            ]
+        else:
+            rows = engine.suggest_phrase(args.text, k=args.k)
+            out = [
+                {"rank": r, "phrase": ph, "score": sc} for r, ph, sc in rows
+            ]
+        print(json.dumps(out))
+    finally:
+        engine.shutdown()
+    ray.shutdown()
+    return 0
+
+
 def cmd_termvectors(args) -> int:
     _init_ray()
     from .shard import QueryEngine
@@ -219,8 +246,13 @@ def cmd_query(args) -> int:
     else:
         with open(args.queries) as f:
             queries = [line.strip() for line in f if line.strip()]
-    if getattr(args, "qstring", False):
-        results = [engine.search(q, k=args.k) for q in queries]
+    if getattr(args, "alias", None):
+        results = [engine.search_alias(args.alias, q, k=args.k) for q in queries]
+    elif getattr(args, "qstring", False):
+        if getattr(args, "msearch", False):
+            results = engine.msearch(queries, k=args.k)
+        else:
+            results = [engine.search(q, k=args.k) for q in queries]
     elif getattr(args, "filtered", False):
         filters = {}
         for spec in args.filter or []:
@@ -524,6 +556,17 @@ def main(argv=None) -> int:
     al.add_argument("--index", default=None, help="target index dir (set)")
     al.set_defaults(fn=cmd_alias)
 
+    sg = sub.add_parser(
+        "suggest",
+        help="did-you-mean: term or phrase (Stupid-Backoff LM) suggester",
+    )
+    sg.add_argument("kind", choices=["term", "phrase"])
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--text", required=True)
+    sg.add_argument("-k", type=int, default=5)
+    sg.add_argument("--servers", type=int, default=2)
+    sg.set_defaults(fn=cmd_suggest)
+
     tv = sub.add_parser(
         "termvectors",
         help="per-doc term/tf/positions from the positional index (ES _termvectors)",
@@ -561,6 +604,13 @@ def main(argv=None) -> int:
         if name == "filtered-query":
             q.add_argument("--filter", action="append", metavar="COL=VALUE",
                            help="not_analyzed equality filter (repeatable)")
+        if name == "search":
+            q.add_argument("--msearch", action="store_true",
+                           help="batched dispatch: all queries' refs in "
+                                "flight before one drain (_msearch)")
+            q.add_argument("--alias", default=None,
+                           help="query through a filtered search alias "
+                                "(_aliases.json)")
         q.set_defaults(
             fn=cmd_query,
             phrase=(name == "phrase"),
