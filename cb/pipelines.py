@@ -21,7 +21,7 @@ import pyarrow.parquet as pq
 import ray.data
 from ray.data.aggregate import Sum
 
-from . import analyze, ann, build, curation, dedup, filters, lm, scoring, shard, textstats
+from . import analyze, ann, build, curation, dedup, filters, geo, lm, scoring, shard, textstats
 
 K = 10
 
@@ -8412,6 +8412,102 @@ ORDER BY lang, pct
 
 
 # --------------------------------------------------------------------------
+# Geo queries / aggregations (cb/geo.py) — the ES geo_bounding_box /
+# geo_distance query and geotile_grid / geo_distance-ring agg surface.
+# Coordinates are derived deterministically from doc_id (the fixture has
+# no geo columns; geo.coord_exprs is the SQL spelling of the SAME
+# integer-exact derivation).  Parameters are chosen so every membership
+# edge has >= 1.19 km clearance at sf0.001/0.01/0.1 (tests/test_geo.py
+# guards >= 0.09 km), 10^10 above the observed engine ulp noise.
+# --------------------------------------------------------------------------
+
+GEO_LAT0, GEO_LON0 = 12.34, 56.78
+GEO_RADIUS_KM = 5000.0
+GEO_RING_EDGES = (3000.0, 5000.0, 8000.0, 12000.0)
+GEO_ZOOM = 6
+GEO_MIN_COUNT = 2
+GEO_BOX = {"top": 45.0, "left": -30.0, "bottom": -10.0, "right": 60.0}
+
+
+def _geo_docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id"])
+
+
+def q_geo_bbox(sf_dir: str) -> pa.Table:
+    return _collect(geo.bounding_box(_geo_docs(sf_dir), "doc_id", **GEO_BOX))
+
+
+def sql_geo_bbox() -> str:
+    lat, lon = geo.coord_exprs("doc_id")
+    return f"""
+SELECT doc_id, {lat} AS lat, {lon} AS lon
+FROM documents
+WHERE ({lat}) <= {GEO_BOX["top"]!r} AND ({lat}) >= {GEO_BOX["bottom"]!r}
+  AND ({lon}) >= {GEO_BOX["left"]!r} AND ({lon}) <= {GEO_BOX["right"]!r}
+ORDER BY doc_id
+"""
+
+
+def q_geo_distance(sf_dir: str) -> pa.Table:
+    out = geo.distance_within(
+        _geo_docs(sf_dir), "doc_id", lat0=GEO_LAT0, lon0=GEO_LON0,
+        radius_km=GEO_RADIUS_KM,
+    )
+    return _collect(out.select_columns(["doc_id", "dist_km"]))
+
+
+def sql_geo_distance() -> str:
+    lat, lon = geo.coord_exprs("doc_id")
+    d = geo.sql_haversine(lat, lon, GEO_LAT0, GEO_LON0)
+    return f"""
+SELECT doc_id, round(d, 6) AS dist_km
+FROM (SELECT doc_id, {d} AS d FROM documents)
+WHERE d < {GEO_RADIUS_KM!r}
+ORDER BY doc_id
+"""
+
+
+def q_geo_distance_rings(sf_dir: str) -> pa.Table:
+    out = geo.distance_rings(
+        _geo_docs(sf_dir), "doc_id", lat0=GEO_LAT0, lon0=GEO_LON0,
+        edges=GEO_RING_EDGES,
+    )
+    return _collect(out)
+
+
+def sql_geo_distance_rings() -> str:
+    lat, lon = geo.coord_exprs("doc_id")
+    d = geo.sql_haversine(lat, lon, GEO_LAT0, GEO_LON0)
+    ring = " + ".join(
+        f"(CASE WHEN d >= {e!r} THEN 1 ELSE 0 END)" for e in GEO_RING_EDGES
+    )
+    return f"""
+SELECT ring, count(*) AS n_docs
+FROM (SELECT CAST({ring} AS BIGINT) AS ring
+      FROM (SELECT {d} AS d FROM documents))
+GROUP BY ring ORDER BY ring
+"""
+
+
+def q_geotile_grid(sf_dir: str) -> pa.Table:
+    out = geo.geotile_grid(
+        _geo_docs(sf_dir), "doc_id", zoom=GEO_ZOOM, min_count=GEO_MIN_COUNT
+    )
+    return _collect(out)
+
+
+def sql_geotile_grid() -> str:
+    lat, lon = geo.coord_exprs("doc_id")
+    xt, yt = geo.sql_geotile(lat, lon, GEO_ZOOM)
+    return f"""
+SELECT xt AS xtile, yt AS ytile, count(*) AS n_docs
+FROM (SELECT {xt} AS xt, {yt} AS yt FROM documents)
+GROUP BY xt, yt HAVING count(*) >= {GEO_MIN_COUNT}
+ORDER BY xtile, ytile
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8568,6 +8664,10 @@ QUERIES = {
     "orders_by_segment": q_orders_by_segment,
     "orders_lineitem_join": q_orders_lineitem_join,
     "pricing_summary": q_pricing_summary,
+    "geo_bbox": q_geo_bbox,
+    "geo_distance": q_geo_distance,
+    "geo_distance_rings": q_geo_distance_rings,
+    "geotile_grid": q_geotile_grid,
 }
 
 
@@ -8751,6 +8851,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_segment": sql_orders_by_segment(),
         "orders_lineitem_join": sql_orders_lineitem_join(),
         "pricing_summary": sql_pricing_summary(),
+        "geo_bbox": sql_geo_bbox(),
+        "geo_distance": sql_geo_distance(),
+        "geo_distance_rings": sql_geo_distance_rings(),
+        "geotile_grid": sql_geotile_grid(),
         # ann_ivf_topk / media_ann_topk: approximate / stub-decode ->
         # rows-only checks (ann_ivf_exact below proves the IVF machinery
         # exact under full probing).
