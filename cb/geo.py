@@ -48,7 +48,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-import ray
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
 
 EARTH_RADIUS_KM = 6371.0
 
@@ -247,3 +248,250 @@ def geotile_grid(
     if min_count > 1:
         merged = merged.filter(expr=f"n_docs >= {min_count}")
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Pure-arithmetic geo kernels (no trig): polygon membership, geohash,
+# bounds, centroid.  These are +,-,*,/ and floor over identical inputs,
+# every op IEEE-correctly-rounded on BOTH engines, so Ray and SQL agree
+# BITWISE with no edge-clearance requirement (unlike haversine, whose
+# vectorized trig carries ulp noise).
+
+
+def derive_centideg(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """The INTEGER centidegree coordinates behind :func:`derive_coords`
+    (lat*100, lon*100 as exact int64) — lets centroid sums stay in
+    exact integer arithmetic until one final division."""
+    k = np.asarray(keys, dtype=np.int64)
+    clat = (k * LAT_MUL) % LAT_MOD - LAT_OFF
+    clon = (k * LON_MUL) % LON_MOD - LON_OFF
+    return clat, clon
+
+
+def centideg_exprs(key: str) -> tuple[str, str]:
+    clat = f"(({key} * {LAT_MUL}) % {LAT_MOD} - {LAT_OFF})"
+    clon = f"(({key} * {LON_MUL}) % {LON_MOD} - {LON_OFF})"
+    return clat, clon
+
+
+def point_in_polygon(
+    lat: np.ndarray, lon: np.ndarray, polygon: tuple[tuple[float, float], ...]
+) -> np.ndarray:
+    """Even-odd (ray-casting) membership for an arbitrary simple
+    polygon of (lat, lon) vertices — the ES ``geo_polygon`` query.
+    Vectorized over points, one pass per edge (edges are few); the
+    crossing test is the canonical
+    ``(y1 > y) != (y2 > y) and x < (x2-x1)*(y-y1)/(y2-y1) + x1``
+    with y=lat, x=lon, mirrored term for term by
+    :func:`sql_point_in_polygon`."""
+    y, x = lat, lon
+    inside = np.zeros(len(y), dtype=bool)
+    n = len(polygon)
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        cond = (y1 > y) != (y2 > y)
+        # guard the division: where cond is False the value is unused
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+        inside ^= cond & (x < xint)
+    return inside
+
+
+def sql_point_in_polygon(
+    lat: str, lon: str, polygon: tuple[tuple[float, float], ...]
+) -> str:
+    """SQL mirror of :func:`point_in_polygon`: crossing parity as a sum
+    of CASE terms, SAME crossing expression tree per edge."""
+    terms = []
+    n = len(polygon)
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        xint = (
+            f"({x2!r} - {x1!r}) * (({lat}) - {y1!r})"
+            f" / ({y2!r} - {y1!r}) + {x1!r}"
+        )
+        cross = (
+            f"(({y1!r} > ({lat})) != ({y2!r} > ({lat})))"
+            f" AND (({lon}) < {xint})"
+        )
+        terms.append(f"(CASE WHEN {cross} THEN 1 ELSE 0 END)")
+    return f"(({' + '.join(terms)}) % 2 = 1)"
+
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cells(
+    lat: np.ndarray, lon: np.ndarray, precision: int
+) -> np.ndarray:
+    """Base-32 geohash of each point at ``precision`` characters (the
+    ES ``geohash_grid`` bucket key).  Even ``precision`` only (each
+    coordinate then contributes exactly ``5*precision/2`` bits, keeping
+    the SQL mirror a flat bit-interleave).  Verified against the
+    canonical test vectors (u4pr, dqcj) in tests/test_geo.py."""
+    if precision % 2 or precision <= 0:
+        raise ValueError("precision must be a positive even number")
+    nb = 5 * precision // 2
+    lonb = np.clip(
+        np.floor((lon + 180.0) / 360.0 * float(1 << nb)).astype(np.int64),
+        0,
+        (1 << nb) - 1,
+    )
+    latb = np.clip(
+        np.floor((lat + 90.0) / 180.0 * float(1 << nb)).astype(np.int64),
+        0,
+        (1 << nb) - 1,
+    )
+    ih = np.zeros_like(lonb)
+    for i in range(nb):
+        ih |= ((lonb >> i) & 1) << (2 * i + 1)
+        ih |= ((latb >> i) & 1) << (2 * i)
+    lut = np.array(list(GEOHASH32))
+    out = lut[(ih >> (5 * (precision - 1))) & 31]
+    for c in range(1, precision):
+        out = np.char.add(out, lut[(ih >> (5 * (precision - 1 - c))) & 31])
+    return out
+
+
+def sql_geohash_parts(lat: str, lon: str, precision: int) -> dict[str, str]:
+    """SQL mirror of :func:`geohash_cells` as LAYERED select-list
+    expressions (the caller nests them in FROM clauses): ``lonb`` /
+    ``latb`` reference the source columns, ``ih`` references columns
+    named lonb/latb (the explicit bit interleave — integer ``>>``/``&``,
+    exact), ``chars`` references a column named ih (base-32 via substr
+    on the shared alphabet)."""
+    if precision % 2 or precision <= 0:
+        raise ValueError("precision must be a positive even number")
+    nb = 5 * precision // 2
+    top = (1 << nb) - 1
+    lonb = (
+        f"least(greatest(floor((({lon}) + 180.0) / 360.0 * "
+        f"{float(1 << nb)!r})::BIGINT, 0), {top})"
+    )
+    latb = (
+        f"least(greatest(floor((({lat}) + 90.0) / 180.0 * "
+        f"{float(1 << nb)!r})::BIGINT, 0), {top})"
+    )
+    terms = []
+    for i in range(nb):
+        terms.append(f"(((lonb >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((latb >> {i}) & 1) << {2 * i})")
+    ih = " | ".join(terms)
+    chars = " || ".join(
+        f"substr('{GEOHASH32}', (((ih >> {5 * (precision - 1 - c)}) & 31) + 1)::INT, 1)"
+        for c in range(precision)
+    )
+    return {"lonb": lonb, "latb": latb, "ih": ih, "chars": chars}
+
+
+def polygon_query(
+    ds: ray.data.Dataset,
+    key_col: str,
+    *,
+    polygon: tuple[tuple[float, float], ...],
+) -> ray.data.Dataset:
+    """ES ``geo_polygon`` query (filter context): one vectorized
+    ray-cast pass per batch."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        b = with_coords(batch, key_col)
+        mask = point_in_polygon(b["lat"].to_numpy(), b["lon"].to_numpy(), polygon)
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def geohash_grid(
+    ds: ray.data.Dataset, key_col: str, *, precision: int, min_count: int = 1
+) -> ray.data.Dataset:
+    """ES ``geohash_grid`` aggregation: per-batch (geohash, count)
+    partials (cell-domain-sized), native groupby-sum merge, min_doc_count
+    prune."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = with_coords(batch, key_col)
+        gh = geohash_cells(b["lat"].to_numpy(), b["lon"].to_numpy(), precision)
+        t = pa.table({"geohash": pa.array(gh.tolist(), pa.string())})
+        t = t.group_by("geohash").aggregate([([], "count_all")])
+        return t.rename_columns(["geohash", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = parts.groupby("geohash").sum("n").rename_columns({"sum(n)": "n_docs"})
+    if min_count > 1:
+        merged = merged.filter(expr=f"n_docs >= {min_count}")
+    return merged
+
+
+def bounds_by(
+    ds: ray.data.Dataset, key_col: str, group_col: str
+) -> ray.data.Dataset:
+    """ES ``geo_bounds`` aggregation under a terms agg: per group the
+    (top, bottom, left, right) envelope.  min/max partials are exact
+    doubles — order-free, bitwise on both engines."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = with_coords(batch, key_col)
+        t = pa.table(
+            {"g": b[group_col], "lat": b["lat"], "lon": b["lon"]}
+        )
+        agg = t.group_by("g").aggregate(
+            [("lat", "max"), ("lat", "min"), ("lon", "min"), ("lon", "max")]
+        )
+        return agg.rename_columns(["g", "top", "bottom", "left", "right"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = parts.groupby("g").aggregate(
+        Max("top", alias_name="top"),
+        Min("bottom", alias_name="bottom"),
+        Min("left", alias_name="left"),
+        Max("right", alias_name="right"),
+    )
+    return merged.rename_columns({"g": group_col})
+
+
+def centroid_by_tile(
+    ds: ray.data.Dataset, key_col: str, *, zoom: int
+) -> ray.data.Dataset:
+    """ES ``geo_centroid`` under a ``geotile_grid``: per tile the mean
+    point.  Sums stay EXACT int64 centidegrees (derive_centideg) until
+    one final division ``sum / (100.0 * n)`` — exact integer inputs,
+    one correctly-rounded divide, bitwise on both engines."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        lat, lon = derive_coords(keys)
+        clat, clon = derive_centideg(keys)
+        xt, yt = geotile(lat, lon, zoom)
+        t = pa.table(
+            {"xtile": xt, "ytile": yt, "clat": clat, "clon": clon,
+             "one": np.ones(len(xt), np.int64)}
+        )
+        agg = t.group_by(["xtile", "ytile"]).aggregate(
+            [("clat", "sum"), ("clon", "sum"), ("one", "sum")]
+        )
+        return agg.rename_columns(["xtile", "ytile", "clat", "clon", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = parts.groupby(["xtile", "ytile"]).aggregate(
+        Sum("clat", alias_name="clat"),
+        Sum("clon", alias_name="clon"),
+        Sum("n", alias_name="n_docs"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_docs"].to_numpy()
+        clat = batch["clat"].to_numpy() / (100.0 * n)
+        clon = batch["clon"].to_numpy() / (100.0 * n)
+        return pa.table(
+            {
+                "xtile": batch["xtile"],
+                "ytile": batch["ytile"],
+                "centroid_lat": pa.array(clat, pa.float64()),
+                "centroid_lon": pa.array(clon, pa.float64()),
+                "n_docs": batch["n_docs"],
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -8507,6 +8507,90 @@ ORDER BY xtile, ytile
 """
 
 
+# polygon / geohash / bounds / centroid: pure +,-,*,/ and floor — every
+# op IEEE-correctly-rounded on both engines, so parity is bitwise with
+# no clearance requirement (tests/test_geo.py proves it empirically).
+GEO_POLYGON = (
+    (40.0, -50.0),
+    (60.0, 10.0),
+    (10.0, 40.0),
+    (-30.0, 10.0),
+    (-20.0, -60.0),
+)
+GEOHASH_PRECISION = 2
+GEOHASH_MIN_COUNT = 3
+GEO_CENTROID_ZOOM = 4
+
+
+def q_geo_polygon(sf_dir: str) -> pa.Table:
+    out = geo.polygon_query(_geo_docs(sf_dir), "doc_id", polygon=GEO_POLYGON)
+    return _collect(out)
+
+
+def sql_geo_polygon() -> str:
+    lat, lon = geo.coord_exprs("doc_id")
+    cond = geo.sql_point_in_polygon(lat, lon, GEO_POLYGON)
+    return f"""
+SELECT doc_id, {lat} AS lat, {lon} AS lon
+FROM documents WHERE {cond} ORDER BY doc_id
+"""
+
+
+def q_geohash_grid(sf_dir: str) -> pa.Table:
+    out = geo.geohash_grid(
+        _geo_docs(sf_dir), "doc_id",
+        precision=GEOHASH_PRECISION, min_count=GEOHASH_MIN_COUNT,
+    )
+    return _collect(out)
+
+
+def sql_geohash_grid() -> str:
+    lat, lon = geo.coord_exprs("doc_id")
+    p = geo.sql_geohash_parts(lat, lon, GEOHASH_PRECISION)
+    return f"""
+SELECT {p["chars"]} AS geohash, count(*) AS n_docs
+FROM (SELECT ({p["ih"]}) AS ih FROM
+      (SELECT ({p["lonb"]}) AS lonb, ({p["latb"]}) AS latb FROM documents))
+GROUP BY 1 HAVING count(*) >= {GEOHASH_MIN_COUNT}
+ORDER BY geohash
+"""
+
+
+def q_geo_bounds(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "lang"])
+    return _collect(geo.bounds_by(ds, "doc_id", "lang"))
+
+
+def sql_geo_bounds() -> str:
+    lat, lon = geo.coord_exprs("doc_id")
+    return f"""
+SELECT lang, max(lat) AS top, min(lat) AS bottom,
+       min(lon) AS "left", max(lon) AS "right"
+FROM (SELECT lang, {lat} AS lat, {lon} AS lon FROM documents)
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_geo_centroid(sf_dir: str) -> pa.Table:
+    out = geo.centroid_by_tile(_geo_docs(sf_dir), "doc_id", zoom=GEO_CENTROID_ZOOM)
+    return _collect(out)
+
+
+def sql_geo_centroid() -> str:
+    lat, lon = geo.coord_exprs("doc_id")
+    clat, clon = geo.centideg_exprs("doc_id")
+    xt, yt = geo.sql_geotile(lat, lon, GEO_CENTROID_ZOOM)
+    return f"""
+SELECT xt AS xtile, yt AS ytile,
+       sum(clat) / (100.0 * count(*)) AS centroid_lat,
+       sum(clon) / (100.0 * count(*)) AS centroid_lon,
+       count(*) AS n_docs
+FROM (SELECT {xt} AS xt, {yt} AS yt, {clat} AS clat, {clon} AS clon
+      FROM documents)
+GROUP BY xt, yt ORDER BY xtile, ytile
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8668,6 +8752,10 @@ QUERIES = {
     "geo_distance": q_geo_distance,
     "geo_distance_rings": q_geo_distance_rings,
     "geotile_grid": q_geotile_grid,
+    "geo_polygon": q_geo_polygon,
+    "geohash_grid": q_geohash_grid,
+    "geo_bounds": q_geo_bounds,
+    "geo_centroid": q_geo_centroid,
 }
 
 
@@ -8855,6 +8943,10 @@ def oracle_sql() -> dict[str, str]:
         "geo_distance": sql_geo_distance(),
         "geo_distance_rings": sql_geo_distance_rings(),
         "geotile_grid": sql_geotile_grid(),
+        "geo_polygon": sql_geo_polygon(),
+        "geohash_grid": sql_geohash_grid(),
+        "geo_bounds": sql_geo_bounds(),
+        "geo_centroid": sql_geo_centroid(),
         # ann_ivf_topk / media_ann_topk: approximate / stub-decode ->
         # rows-only checks (ann_ivf_exact below proves the IVF machinery
         # exact under full probing).

@@ -118,6 +118,72 @@ def test_geotile_grid_min_count_prunes():
     assert got == want
 
 
+def test_geohash_known_vectors():
+    # canonical geohash test points (precision-4 prefixes of the
+    # published full hashes u4pruydqqvj / dqcjqcp...)
+    gh = geo.geohash_cells(
+        np.array([57.64911, 38.897]), np.array([10.40744, -77.036]), 4
+    )
+    assert gh.tolist() == ["u4pr", "dqcj"]
+    with pytest.raises(ValueError):
+        geo.geohash_cells(np.array([0.0]), np.array([0.0]), 3)
+
+
+def test_point_in_polygon_square():
+    # unit square (0,0)-(10,10): inside, outside, and a clearly-inside
+    # point near the boundary
+    poly = ((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0))
+    lat = np.array([5.0, 15.0, 9.99, -0.01])
+    lon = np.array([5.0, 5.0, 9.99, 5.0])
+    assert geo.point_in_polygon(lat, lon, poly).tolist() == [
+        True,
+        False,
+        True,
+        False,
+    ]
+
+
+def test_polygon_concave():
+    # concave shape: a 0..8 x 0..10 block whose top edge dips to
+    # (lat=5, lon=4) — a point in the notch is OUTSIDE, points in the
+    # solid body on either side are INSIDE
+    poly = ((0.0, 0.0), (10.0, 0.0), (5.0, 4.0), (10.0, 8.0), (0.0, 8.0))
+    lat = np.array([9.0, 5.0, 2.0])
+    lon = np.array([4.0, 7.0, 4.0])
+    got = geo.point_in_polygon(lat, lon, poly)
+    assert got.tolist() == [False, True, True]
+
+
+def test_centroid_exact_division():
+    # centroid sums stay integer-exact; one division matches the direct
+    # mean bit for bit
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(range(300), pa.int64())}))
+    out = geo.centroid_by_tile(ds, "doc_id", zoom=pipelines.GEO_CENTROID_ZOOM).take_all()
+    keys = np.arange(300)
+    lat, lon = geo.derive_coords(keys)
+    clat, clon = geo.derive_centideg(keys)
+    xt, yt = geo.geotile(lat, lon, pipelines.GEO_CENTROID_ZOOM)
+    assert sum(r["n_docs"] for r in out) == 300
+    for r in out:
+        m = (xt == r["xtile"]) & (yt == r["ytile"])
+        assert r["n_docs"] == int(m.sum())
+        assert r["centroid_lat"] == clat[m].sum() / (100.0 * m.sum())
+        assert r["centroid_lon"] == clon[m].sum() / (100.0 * m.sum())
+
+
+def test_bounds_envelope_contains_group():
+    ds = ray.data.read_parquet(
+        os.path.join(SF_DIRS[0], "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    out = geo.bounds_by(ds, "doc_id", "lang").take_all()
+    keys = _doc_keys(SF_DIRS[0])
+    lat, lon = geo.derive_coords(keys)
+    assert len(out) > 0
+    for r in out:
+        assert r["bottom"] <= r["top"] and r["left"] <= r["right"]
+        assert r["top"] <= lat.max() and r["bottom"] >= lat.min()
+
+
 def test_antimeridian_and_pole_clamp():
     lat = np.array([0.0, 84.99, -84.99])
     lon = np.array([180.0, -180.0, 179.99])
