@@ -8412,6 +8412,193 @@ ORDER BY lang, pct
 
 
 # --------------------------------------------------------------------------
+# bucket_selector / bucket_sort pipeline aggs + cumulative_cardinality
+# + median_absolute_deviation — the remaining ES agg families, all with
+# EXACT semantics (integer bucket counts / exact-arithmetic medians),
+# two-phase throughout: corpus-sized work in vectorized map_batches
+# partials, driver post-pass O(buckets) only.
+# --------------------------------------------------------------------------
+
+BSEL_MIN_N = 8  # bucket_selector: keep minute buckets with >= 8 events
+BSORT_K = 20  # bucket_sort: top-20 buckets
+
+
+def _minute_type_counts(sf_dir: str) -> pa.Table:
+    """(event_type, minute, n) bucket table — integer counts reduce
+    exactly in any fold order; the table is bucket-domain-sized."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        minute = pc.floor_temporal(batch["ts"], unit="minute")
+        t = pa.table({"minute": minute, "event_type": batch["event_type"]})
+        return (
+            t.group_by(["minute", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["minute", "event_type", "n"])
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(
+        pre.groupby(["minute", "event_type"]).aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def q_bucket_sel_sort(sf_dir: str) -> pa.Table:
+    """ES ``bucket_selector`` (keep buckets with n >= BSEL_MIN_N) then
+    ``bucket_sort`` (n desc, ties by type/minute, top BSORT_K) over the
+    per-type minute date_histogram.  All keys integer/utf8 — the
+    selector predicate and the sort are deterministic and exact."""
+    t = _minute_type_counts(sf_dir)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    t = t.filter(pa.array(n >= BSEL_MIN_N))
+    n = t["n"].to_numpy(zero_copy_only=False)
+    et = np.array(t["event_type"].to_pylist())
+    minutes = (
+        t["minute"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+    )
+    order = np.lexsort((minutes, et, -n))[:BSORT_K]
+    return pa.table(
+        {
+            "event_type": pa.array(et[order].tolist(), pa.string()),
+            "minute": pa.array(minutes[order], pa.int64()).cast(pa.timestamp("us")),
+            "n": pa.array(n[order], pa.int64()),
+        }
+    )
+
+
+def sql_bucket_sel_sort() -> str:
+    return f"""
+SELECT event_type, minute, n FROM (
+  SELECT event_type, date_trunc('minute', ts) AS minute, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+) WHERE n >= {BSEL_MIN_N}
+ORDER BY n DESC, event_type, minute
+LIMIT {BSORT_K}
+"""
+
+
+def q_cumulative_cardinality(sf_dir: str) -> pa.Table:
+    """ES ``cumulative_cardinality`` over the minute date_histogram:
+    distinct event_types seen up to (and including) each minute.
+    Derived from the SAME exact (event_type, minute, n) bucket table as
+    the other minute pipeline aggs — first minute per type (EXACT, not
+    a sketch) via a groupby over the tiny bucket table, then one
+    searchsorted merge over two sorted bucket-domain arrays."""
+    t = _minute_type_counts(sf_dir)
+    et = np.array(t["event_type"].to_pylist())
+    minutes_all = (
+        t["minute"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+    )
+    # first minute per type
+    order = np.lexsort((minutes_all, et))
+    se, sm = et[order], minutes_all[order]
+    starts = np.flatnonzero(np.r_[True, se[1:] != se[:-1]])
+    fm = np.sort(sm[starts])
+    minutes = np.unique(minutes_all)
+    cum = np.searchsorted(fm, minutes, side="right").astype(np.int64)
+    return pa.table(
+        {
+            "minute": pa.array(minutes, pa.int64()).cast(pa.timestamp("us")),
+            "cum_types": pa.array(cum, pa.int64()),
+        }
+    )
+
+
+def sql_cumulative_cardinality() -> str:
+    return """
+WITH f AS (
+  SELECT event_type, min(date_trunc('minute', ts)) AS fm FROM events GROUP BY 1
+),
+m AS (SELECT DISTINCT date_trunc('minute', ts) AS minute FROM events)
+SELECT m.minute,
+       (SELECT count(*) FROM f WHERE f.fm <= m.minute)::BIGINT AS cum_types
+FROM m ORDER BY m.minute
+"""
+
+
+def _hist_median(vals: np.ndarray, counts: np.ndarray) -> float:
+    """Exact interpolated median from a sorted (value, count) histogram
+    — DuckDB's semantics: odd n -> middle order stat, even n -> mean of
+    the two middle stats.  Values here are ints or exact multiples of
+    0.5, so (a + b) / 2.0 is exact double arithmetic on both engines."""
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+    lo = float(vals[np.searchsorted(cum, (n - 1) // 2 + 1)])
+    hi = float(vals[np.searchsorted(cum, n // 2 + 1)])
+    return (lo + hi) / 2.0
+
+
+def q_mad_doclen(sf_dir: str) -> pa.Table:
+    """ES ``median_absolute_deviation`` of doc length per lang —
+    computed EXACTLY (ES uses TDigest; the value domain here is small,
+    so the two-phase histogram gives the true MAD): per-batch
+    (lang, n_chars, count) partials, groupby-sum, then an O(distinct
+    values) driver pass.  Every emitted float is exact arithmetic over
+    integers / half-integers, bitwise equal to the DuckDB mirror."""
+    ds = ray.data.read_parquet(
+        docs_path(sf_dir), columns=["lang", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["lang", "n_chars"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "n_chars", "n"])
+        )
+
+    hist = _collect(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    langs = hist["lang"].to_pylist()
+    vals = hist["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnts = hist["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    out = {"lang": [], "median_len": [], "mad": []}
+    for lang in sorted(set(langs)):
+        m = np.array([l == lang for l in langs])
+        v, c = vals[m], cnts[m]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        med = _hist_median(v, c)
+        dev = np.abs(v - med)
+        dorder = np.argsort(dev, kind="mergesort")
+        dv, dc = dev[dorder], c[dorder]
+        # merge equal deviations (two values can share one deviation)
+        uniq, inv = np.unique(dv, return_inverse=True)
+        dcm = np.zeros(len(uniq), np.int64)
+        np.add.at(dcm, inv, dc)
+        mad = _hist_median(uniq, dcm)
+        out["lang"].append(lang)
+        out["median_len"].append(med)
+        out["mad"].append(mad)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "median_len": pa.array(out["median_len"], pa.float64()),
+            "mad": pa.array(out["mad"], pa.float64()),
+        }
+    )
+
+
+def sql_mad_doclen() -> str:
+    return """
+WITH m AS (SELECT lang, median(n_chars) AS med FROM documents GROUP BY 1)
+SELECT d.lang, m.med AS median_len,
+       median(abs(d.n_chars - m.med)) AS mad
+FROM documents d JOIN m ON d.lang = m.lang
+GROUP BY d.lang, m.med
+ORDER BY d.lang
+"""
+
+
+# --------------------------------------------------------------------------
 # Geo queries / aggregations (cb/geo.py) — the ES geo_bounding_box /
 # geo_distance query and geotile_grid / geo_distance-ring agg surface.
 # Coordinates are derived deterministically from doc_id (the fixture has
@@ -8756,6 +8943,9 @@ QUERIES = {
     "geohash_grid": q_geohash_grid,
     "geo_bounds": q_geo_bounds,
     "geo_centroid": q_geo_centroid,
+    "bucket_sel_sort": q_bucket_sel_sort,
+    "cumulative_cardinality": q_cumulative_cardinality,
+    "mad_doclen": q_mad_doclen,
 }
 
 
@@ -8947,6 +9137,9 @@ def oracle_sql() -> dict[str, str]:
         "geohash_grid": sql_geohash_grid(),
         "geo_bounds": sql_geo_bounds(),
         "geo_centroid": sql_geo_centroid(),
+        "bucket_sel_sort": sql_bucket_sel_sort(),
+        "cumulative_cardinality": sql_cumulative_cardinality(),
+        "mad_doclen": sql_mad_doclen(),
         # ann_ivf_topk / media_ann_topk: approximate / stub-decode ->
         # rows-only checks (ann_ivf_exact below proves the IVF machinery
         # exact under full probing).
