@@ -495,3 +495,62 @@ def centroid_by_tile(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def nearest_topk(
+    ds: ray.data.Dataset,
+    key_col: str,
+    *,
+    lat0: float,
+    lon0: float,
+    k: int,
+    where: tuple[str, str] | None = None,
+) -> pa.Table:
+    """ES ``sort: [{"_geo_distance": ...}]`` — the k nearest docs to an
+    origin (optionally under a term filter), ordered by
+    ``(round(dist, 6), doc key)``.  The ANN brute-force pattern: each
+    batch emits only its local top-k candidate rows (bounded partials),
+    the driver re-cuts the exact global top-k over <= k x batches
+    candidates — nothing corpus-sized leaves a task.  Ordering uses the
+    ROUNDED distance (the bitwise-stable grid), key ascending on ties,
+    so the result is deterministic and SQL-mirrorable."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if where is not None:
+            col, val = where
+            import pyarrow.compute as _pc
+
+            batch = batch.filter(_pc.equal(batch[col], val))
+        if batch.num_rows == 0:
+            return pa.table(
+                {key_col: pa.array([], pa.int64()),
+                 "dist_km": pa.array([], pa.float64())}
+            )
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        lat, lon = derive_coords(keys)
+        d6 = np.round(haversine_km(lat, lon, lat0, lon0), 6)
+        if len(d6) > k:
+            idx = np.argpartition(d6, k)[:k]
+        else:
+            idx = np.arange(len(d6))
+        return pa.table(
+            {key_col: pa.array(keys[idx], pa.int64()),
+             "dist_km": pa.array(d6[idx], pa.float64())}
+        )
+
+    cand = ds.map_batches(partial, batch_format="pyarrow")
+    # candidate set is <= k per input block: a driver-side exact re-cut
+    blocks = [b for b in cand.iter_batches(batch_format="pyarrow")]
+    t = pa.concat_tables(blocks) if blocks else pa.table(
+        {key_col: pa.array([], pa.int64()), "dist_km": pa.array([], pa.float64())}
+    )
+    keys = t[key_col].to_numpy(zero_copy_only=False)
+    d6 = t["dist_km"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((keys, d6))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            key_col: pa.array(keys[order], pa.int64()),
+            "dist_km": pa.array(d6[order], pa.float64()),
+        }
+    )

@@ -8598,6 +8598,81 @@ ORDER BY d.lang
 """
 
 
+GEO_SORT_K = 15
+GEO_SORT_LANG = "en"
+
+
+def q_geo_sort_topk(sf_dir: str) -> pa.Table:
+    """ES sort-by-``_geo_distance``: the GEO_SORT_K nearest docs to the
+    origin among lang='en' docs — per-batch bounded top-k partials,
+    exact driver re-cut (the ANN brute-force pattern)."""
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["doc_id", "lang"])
+    return geo.nearest_topk(
+        ds, "doc_id", lat0=GEO_LAT0, lon0=GEO_LON0, k=GEO_SORT_K,
+        where=("lang", GEO_SORT_LANG),
+    )
+
+
+def sql_geo_sort_topk() -> str:
+    lat, lon = geo.coord_exprs("doc_id")
+    d = geo.sql_haversine(lat, lon, GEO_LAT0, GEO_LON0)
+    return f"""
+SELECT rank, doc_id, dist_km FROM (
+  SELECT row_number() OVER (ORDER BY round({d}, 6), doc_id) AS rank,
+         doc_id, round({d}, 6) AS dist_km
+  FROM documents WHERE lang = '{GEO_SORT_LANG}')
+WHERE rank <= {GEO_SORT_K} ORDER BY rank
+"""
+
+
+def q_analyze_api(sf_dir: str) -> pa.Table:
+    """The ES ``_analyze`` endpoint over the reference query set:
+    (query, position, token) for every analyzed token, straight off the
+    engine's Arrow tokenizer — the same kernel the index build and the
+    query parsers share, so this entry value-checks the analysis chain
+    as an API against the DuckDB SQL analyzer mirror."""
+    src = pa.table({"query": pa.array(QUERY_SET, pa.string())})
+    ds = ray.data.from_arrow(src)
+
+    def f(batch: pa.Table) -> pa.Table:
+        toks = analyze.token_array(batch["query"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        qidx = np.repeat(np.arange(len(lens)), lens)
+        pos = (
+            np.concatenate([np.arange(n) for n in lens])
+            if len(lens)
+            else np.empty(0, np.int64)
+        )
+        q = batch["query"]
+        if isinstance(q, pa.ChunkedArray):
+            q = q.combine_chunks()
+        return pa.table(
+            {
+                "query": q.take(pa.array(qidx, pa.int64())),
+                "position": pa.array(pos, pa.int64()),
+                "token": pc.list_flatten(toks),
+            }
+        )
+
+    return _collect(ds.map_batches(f, batch_format="pyarrow"))
+
+
+def sql_analyze_api() -> str:
+    vals = ", ".join(f"('{q}')" for q in QUERY_SET)
+    toks = analyze.sql_token_array("query")
+    return f"""
+WITH v(query) AS (VALUES {vals}),
+t AS (SELECT query, {toks} AS toks FROM v)
+SELECT query, unnest(generate_series(1, len(toks))) - 1 AS position,
+       unnest(toks) AS token
+FROM t ORDER BY query, position
+"""
+
+
 # --------------------------------------------------------------------------
 # Geo queries / aggregations (cb/geo.py) — the ES geo_bounding_box /
 # geo_distance query and geotile_grid / geo_distance-ring agg surface.
@@ -8946,6 +9021,8 @@ QUERIES = {
     "bucket_sel_sort": q_bucket_sel_sort,
     "cumulative_cardinality": q_cumulative_cardinality,
     "mad_doclen": q_mad_doclen,
+    "geo_sort_topk": q_geo_sort_topk,
+    "analyze_api": q_analyze_api,
 }
 
 
@@ -9140,6 +9217,8 @@ def oracle_sql() -> dict[str, str]:
         "bucket_sel_sort": sql_bucket_sel_sort(),
         "cumulative_cardinality": sql_cumulative_cardinality(),
         "mad_doclen": sql_mad_doclen(),
+        "geo_sort_topk": sql_geo_sort_topk(),
+        "analyze_api": sql_analyze_api(),
         # ann_ivf_topk / media_ann_topk: approximate / stub-decode ->
         # rows-only checks (ann_ivf_exact below proves the IVF machinery
         # exact under full probing).
