@@ -398,6 +398,30 @@ class DocMeta:
             return np.zeros(len(doc_ids), dtype=bool)
         pos = np.clip(np.searchsorted(self.ids, doc_ids), 0, len(self.ids) - 1)
         ok = self.ids[pos] == doc_ids
+        filters = dict(filters)
+        geo_f = filters.pop("_geo_distance", None)
+        if geo_f is not None:
+            # ES geo_distance in filter context: membership only, never
+            # scores.  Coordinates come from docmeta columns when the
+            # mapping names them (source=(lat_col, lon_col)), else from
+            # the deterministic doc_id derivation the fixture uses
+            # (source="derived", the default) — either way one
+            # vectorized haversine over the candidate universe.
+            from . import geo as geo_mod
+
+            src = geo_f.get("source", "derived")
+            if src == "derived":
+                lat, lon = geo_mod.derive_coords(doc_ids)
+            else:
+                lat_col, lon_col = src
+                lat = self.cols[lat_col].take(pa.array(pos)).to_numpy(
+                    zero_copy_only=False
+                )
+                lon = self.cols[lon_col].take(pa.array(pos)).to_numpy(
+                    zero_copy_only=False
+                )
+            d = geo_mod.haversine_km(lat, lon, geo_f["lat"], geo_f["lon"])
+            ok &= d < geo_f["radius_km"]
         for c, want in filters.items():
             col = self.cols[c]
             vals = col.take(pa.array(pos))

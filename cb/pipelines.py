@@ -8598,6 +8598,98 @@ ORDER BY d.lang
 """
 
 
+def q_bm25_geo_filtered(sf_dir: str) -> pa.Table:
+    """BM25 with an ES ``geo_distance`` FILTER context (bool must +
+    geo filter): scores stay global, membership shrinks to docs within
+    a per-query radius of the origin — the geo mask rides the engine's
+    docmeta filter path (`cb/docmeta.py::DocMeta.mask`), one vectorized
+    haversine over each server's candidate universe.  Radii cycle over
+    GEO_RING_EDGES (every edge >= 1.19 km clear of the data)."""
+    from . import docmeta as docmeta_mod
+
+    meta = get_index(sf_dir)
+    docmeta_mod.ensure_docmeta(
+        meta.index_dir, docs_path(sf_dir), ["lang", "source", "n_chars"]
+    )
+    engine = shard.QueryEngine(meta.index_dir, num_servers=2)
+    try:
+        results = [
+            engine.filtered_query(
+                q,
+                {
+                    "_geo_distance": {
+                        "lat": GEO_LAT0,
+                        "lon": GEO_LON0,
+                        "radius_km": GEO_RING_EDGES[qid % len(GEO_RING_EDGES)],
+                    }
+                },
+                k=K,
+            )
+            for qid, q in enumerate(QUERY_SET)
+        ]
+    finally:
+        engine.shutdown()
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, res in enumerate(results):
+        for rank, (doc_id, score) in enumerate(res, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "score": pa.array(
+                np.round(np.array(rows["score"], dtype=np.float64), 6),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def sql_bm25_geo_filtered() -> str:
+    tok = analyze.sql_token_array("text")
+    contrib = scoring.sql_score_terms("(SELECT n_docs FROM g)", "(SELECT avgdl FROM g)")
+    lat_e, lon_e = geo.coord_exprs("d.doc_id")
+    dist = geo.sql_haversine(lat_e, lon_e, GEO_LAT0, GEO_LON0)
+    flt_rows = ", ".join(
+        f"({qid}, {GEO_RING_EDGES[qid % len(GEO_RING_EDGES)]!r})"
+        for qid in range(len(QUERY_SET))
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+stats AS (SELECT doc_id, len(toks)::BIGINT AS doc_len FROM docs),
+g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM stats),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_query_terms_values()}),
+flt(query_id, radius_km) AS (VALUES {flt_rows}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib} ORDER BY q.term) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN stats ON stats.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rank
+  FROM scored s
+  JOIN documents d ON d.doc_id = s.doc_id
+  JOIN flt f ON f.query_id = s.query_id AND ({dist}) < f.radius_km
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+"""
+
+
 GEO_SORT_K = 15
 GEO_SORT_LANG = "en"
 
@@ -9023,6 +9115,7 @@ QUERIES = {
     "mad_doclen": q_mad_doclen,
     "geo_sort_topk": q_geo_sort_topk,
     "analyze_api": q_analyze_api,
+    "bm25_geo_filtered": q_bm25_geo_filtered,
 }
 
 
@@ -9219,6 +9312,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_doclen": sql_mad_doclen(),
         "geo_sort_topk": sql_geo_sort_topk(),
         "analyze_api": sql_analyze_api(),
+        "bm25_geo_filtered": sql_bm25_geo_filtered(),
         # ann_ivf_topk / media_ann_topk: approximate / stub-decode ->
         # rows-only checks (ann_ivf_exact below proves the IVF machinery
         # exact under full probing).

@@ -214,3 +214,58 @@ def test_docmeta_orphan_buckets_removed_and_not_loaded(tmp_path):
     )
     meta2 = dm.DocMeta(idx)
     assert not meta2.mask(np.array([hi + 1]), {"lang": "fr"}).any()
+
+
+def test_geo_distance_filter_derived(built):
+    # _geo_distance filter context: membership from the doc_id-derived
+    # coordinates, conjoinable with column filters, scores untouched
+    from cb import geo
+
+    idx, rows = built
+    meta = dm.DocMeta(idx)
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    lat, lon = geo.derive_coords(ids)
+    d = geo.haversine_km(lat, lon, 12.34, 56.78)
+    spec = {"lat": 12.34, "lon": 56.78, "radius_km": float(np.median(d))}
+    got = meta.mask(ids, {"_geo_distance": spec})
+    assert np.array_equal(got, d < spec["radius_km"])
+    both = meta.mask(ids, {"_geo_distance": spec, "lang": "en"})
+    want = (d < spec["radius_km"]) & np.array([r["lang"] == "en" for r in rows])
+    assert np.array_equal(both, want)
+    # engine path: filtered results are a subset with unchanged scores
+    s = LocalSearcher(idx)
+    unfiltered = dict(s.query("join merge", k=10, algo="taat"))
+    res = s.filtered_query("join merge", {"_geo_distance": spec}, k=10)
+    for doc, sc in res:
+        assert sc == unfiltered[doc]
+        assert d[ids.tolist().index(doc)] < spec["radius_km"]
+
+
+def test_geo_distance_filter_from_columns(tmp_path):
+    # source=(lat_col, lon_col): coordinates come from docmeta columns,
+    # the real-deployment path (no derivation)
+    from cb import geo
+
+    rows = [
+        {"doc_id": 10 + i, "text": "join merge window", "lat": la, "lon": lo}
+        for i, (la, lo) in enumerate(
+            [(0.0, 0.0), (10.0, 10.0), (45.0, 90.0), (-60.0, 120.0)]
+        )
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=2)
+    dm.ensure_docmeta(idx, src, ["lat", "lon"])
+    meta = dm.DocMeta(idx)
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    got = meta.mask(
+        ids,
+        {"_geo_distance": {"lat": 0.0, "lon": 0.0, "radius_km": 3000.0,
+                           "source": ("lat", "lon")}},
+    )
+    lat = np.array([r["lat"] for r in rows])
+    lon = np.array([r["lon"] for r in rows])
+    d = geo.haversine_km(lat, lon, 0.0, 0.0)
+    assert np.array_equal(got, d < 3000.0)
+    assert got[0] and got[1] and not got[2] and not got[3]
