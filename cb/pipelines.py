@@ -8690,6 +8690,29 @@ FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
+def q_snapshot_restore_topk(sf_dir: str) -> pa.Table:
+    """ES ``_snapshot`` + restore, value-checked end to end: snapshot
+    the built index (hardlink manifest), restore into a FRESH dir,
+    serve the reference query set from the restored index — the result
+    must equal the direct build's rankings exactly, so it shares the
+    BM25 scores oracle (the reindex_topk contract pattern)."""
+    from . import snapshot as snap_mod
+    from . import storage
+
+    meta = get_index(sf_dir)
+    snap = storage.scratch_dir("snapshot", meta.index_dir)
+    dest = storage.scratch_dir("snapshot_restore", meta.index_dir)
+    create = snap_mod.create_snapshot(meta.index_dir, snap)
+    restored = snap_mod.restore_snapshot(snap, dest)
+    assert restored["n_files"] == create["n_files"]
+    engine = shard.QueryEngine(dest, num_servers=2)
+    try:
+        results = engine.query_many(list(QUERY_SET), k=K)
+    finally:
+        engine.shutdown()
+    return _topk_table(results, with_scores=True)
+
+
 GEO_SORT_K = 15
 GEO_SORT_LANG = "en"
 
@@ -9116,6 +9139,7 @@ QUERIES = {
     "geo_sort_topk": q_geo_sort_topk,
     "analyze_api": q_analyze_api,
     "bm25_geo_filtered": q_bm25_geo_filtered,
+    "snapshot_restore_topk": q_snapshot_restore_topk,
 }
 
 
@@ -9313,6 +9337,9 @@ def oracle_sql() -> dict[str, str]:
         "geo_sort_topk": sql_geo_sort_topk(),
         "analyze_api": sql_analyze_api(),
         "bm25_geo_filtered": sql_bm25_geo_filtered(),
+        # restored-snapshot serving must reproduce the direct build's
+        # rankings exactly -> the same BM25 mirror (reindex pattern)
+        "snapshot_restore_topk": sql_bm25(with_scores=True),
         # ann_ivf_topk / media_ann_topk: approximate / stub-decode ->
         # rows-only checks (ann_ivf_exact below proves the IVF machinery
         # exact under full probing).

@@ -1,162 +1,96 @@
-"""Snapshot / restore for built indexes — the ES ``_snapshot`` repo
-analog, content-addressed so repeated snapshots are incremental.
+"""Index snapshot / restore — the ES ``_snapshot`` API surface over the
+on-disk index layout (parts/, docstats/, docmeta/, _global.json,
+aliases, tombstones).
 
-Layout of a snapshot repository (any shared filesystem dir — on a real
-cluster put it under the CB_SHARED_DIR contract or object storage):
+A snapshot is a directory holding a verbatim copy of every regular file
+under the index dir plus a ``_snapshot.json`` manifest (relative path,
+size, count).  Files are HARDLINKED when source and snapshot share a
+filesystem (O(metadata), zero bytes moved — ES's incremental-segment
+trick, valid here because every writer in this repo publishes via
+atomic tmp+rename and never mutates a published file in place: a later
+delete/update/compaction swaps directory entries, leaving snapshot
+inodes untouched), falling back to a byte copy across filesystems.
+Restore re-links/copies into a fresh dir and verifies each file's size
+against the manifest before declaring the index servable.
 
-    repo/
-      blobs/<md5>            one copy of each distinct file CONTENT
-      snaps/<name>.json      manifest: relative path -> (md5, size)
+Reference analog: ConveyorBelt's durable-state story is Azure Blob
+(DiagnosticsSource checkpoint/cursor rows survive worker restarts);
+snapshotting the index directory is the equivalent operator-facing
+backup/restore primitive for the search half this repo builds from
+scratch.
 
-``create`` walks the index dir, uploads only blobs the repo doesn't
-already hold (ES's segment reuse: an unchanged bucket file is never
-copied twice across snapshots), and writes the manifest ATOMICALLY
-(tmp + rename) so a crashed snapshot is invisible.  ``restore``
-verifies every blob's md5 BEFORE placing it (a corrupt repo fails the
-restore, never produces a silently-wrong index) and writes into a tmp
-dir renamed into place, so a half-restore is also invisible.
-
-Scale: blobs are streamed in fixed-size chunks (no whole-file reads);
-the manifest is O(index files), tiny.  Restores are resumable by
-re-running (idempotent).  Reference analog: ConveyorBelt delegates
-durability to ES snapshots; this is that feature for the from-scratch
-index.
+Scale: snapshot/restore cost is O(files) metadata on shared storage
+(the cb.storage contract), independent of corpus bytes on one
+filesystem; across filesystems it streams file by file and is trivially
+parallelizable per part/bucket file (each file is independent).
 """
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import shutil
 
-_CHUNK = 1 << 22  # 4 MiB
+MANIFEST = "_snapshot.json"
 
 
-def _md5_file(path: str) -> str:
-    h = hashlib.md5()
-    with open(path, "rb") as f:
-        while True:
-            b = f.read(_CHUNK)
-            if not b:
-                break
-            h.update(b)
-    return h.hexdigest()
+def _link_or_copy(src: str, dst: str) -> None:
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    try:
+        if os.path.exists(dst):
+            os.remove(dst)
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
 
 
-def _walk(index_dir: str):
-    for root, _dirs, files in os.walk(index_dir):
-        for f in sorted(files):
-            full = os.path.join(root, f)
-            yield os.path.relpath(full, index_dir), full
-
-
-def create(index_dir: str, repo: str, name: str) -> dict:
-    """Snapshot ``index_dir`` into ``repo`` as ``name``.  Returns the
-    manifest.  Incremental: blobs already present are not re-copied."""
-    blobs = os.path.join(repo, "blobs")
-    snaps = os.path.join(repo, "snaps")
-    os.makedirs(blobs, exist_ok=True)
-    os.makedirs(snaps, exist_ok=True)
-    manifest: dict = {"name": name, "files": {}}
-    new_blobs = 0
-    for rel, full in _walk(index_dir):
-        digest = _md5_file(full)
-        size = os.path.getsize(full)
-        dst = os.path.join(blobs, digest)
-        if not os.path.exists(dst):
-            tmp = dst + ".tmp"
-            shutil.copyfile(full, tmp)
-            os.replace(tmp, dst)
-            new_blobs += 1
-        manifest["files"][rel] = {"md5": digest, "size": size}
-    manifest["new_blobs"] = new_blobs
-    mpath = os.path.join(snaps, f"{name}.json")
-    tmp = mpath + ".tmp"
+def create_snapshot(index_dir: str, snap_dir: str) -> dict:
+    """Snapshot every regular file under ``index_dir`` into
+    ``snap_dir``; returns the manifest (also written to
+    ``snap_dir/_snapshot.json``, LAST — a manifest's presence marks the
+    snapshot complete, so a crashed snapshot is never mistaken for a
+    good one)."""
+    files = []
+    for root, _dirs, names in os.walk(index_dir):
+        for name in sorted(names):
+            src = os.path.join(root, name)
+            rel = os.path.relpath(src, index_dir)
+            files.append({"path": rel, "size": os.path.getsize(src)})
+            _link_or_copy(src, os.path.join(snap_dir, rel))
+    manifest = {"files": sorted(files, key=lambda f: f["path"]),
+                "n_files": len(files)}
+    tmp = os.path.join(snap_dir, MANIFEST + ".tmp")
     with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, mpath)
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(snap_dir, MANIFEST))
     return manifest
 
 
-def list_snapshots(repo: str) -> list[str]:
-    snaps = os.path.join(repo, "snaps")
-    if not os.path.isdir(snaps):
-        return []
-    return sorted(
-        f[: -len(".json")] for f in os.listdir(snaps) if f.endswith(".json")
-    )
-
-
-def restore(repo: str, name: str, target_dir: str) -> int:
-    """Restore snapshot ``name`` into ``target_dir`` (must not exist).
-    Every blob is checksum-verified BEFORE placement; returns the file
-    count.  The restore lands atomically (tmp dir + rename)."""
-    mpath = os.path.join(repo, "snaps", f"{name}.json")
-    if not os.path.exists(mpath):
-        raise FileNotFoundError(
-            f"snapshot {name!r} not in repo {repo!r} (has {list_snapshots(repo)})"
-        )
-    if os.path.exists(target_dir):
-        raise FileExistsError(f"restore target {target_dir!r} already exists")
-    with open(mpath) as f:
+def restore_snapshot(snap_dir: str, dest_dir: str) -> dict:
+    """Restore a snapshot into ``dest_dir`` (link-or-copy per file),
+    verifying each restored file's size against the manifest.  Raises
+    if the manifest is missing (incomplete snapshot) or any size
+    mismatches."""
+    mp = os.path.join(snap_dir, MANIFEST)
+    if not os.path.exists(mp):
+        raise FileNotFoundError(f"no snapshot manifest at {mp}")
+    with open(mp) as f:
         manifest = json.load(f)
-    tmp_dir = target_dir + ".restoring"
-    if os.path.exists(tmp_dir):
-        shutil.rmtree(tmp_dir)
-    os.makedirs(tmp_dir)
-    try:
-        for rel, info in manifest["files"].items():
-            blob = os.path.join(repo, "blobs", info["md5"])
-            got = _md5_file(blob)
-            if got != info["md5"]:
-                raise ValueError(
-                    f"blob {info['md5']} is corrupt (hashes to {got}); "
-                    f"refusing to restore {rel!r}"
-                )
-            dst = os.path.join(tmp_dir, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.copyfile(blob, dst)
-        os.replace(tmp_dir, target_dir)
-    finally:
-        if os.path.exists(tmp_dir):
-            shutil.rmtree(tmp_dir)
-    return len(manifest["files"])
-
-
-# ---------------------------------------------------------------- aliases
-
-def set_alias(root: str, alias: str, index_dir: str) -> None:
-    """ES index-alias analog: point ``alias`` at ``index_dir``
-    atomically (readers see the old or the new target, never neither —
-    the swap a reindex-then-flip deployment needs)."""
-    os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, "aliases.json")
-    current = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            current = json.load(f)
-    current[alias] = index_dir
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(current, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)
-
-
-def resolve_alias(root: str, alias: str) -> str:
-    path = os.path.join(root, "aliases.json")
-    if not os.path.exists(path):
-        raise FileNotFoundError(f"no aliases.json under {root!r}")
-    with open(path) as f:
-        current = json.load(f)
-    if alias not in current:
-        raise KeyError(f"alias {alias!r} unknown (has {sorted(current)})")
-    return current[alias]
-
-
-def list_aliases(root: str) -> dict:
-    path = os.path.join(root, "aliases.json")
-    if not os.path.exists(path):
-        return {}
-    with open(path) as f:
-        return json.load(f)
+    # a restore target must hold EXACTLY the snapshot's files: stale
+    # leftovers from an earlier restore (e.g. docstats buckets of an
+    # older layout) would be concatenated by loaders that list their
+    # directory — wipe first
+    if os.path.isdir(dest_dir):
+        shutil.rmtree(dest_dir)
+    os.makedirs(dest_dir, exist_ok=True)
+    for entry in manifest["files"]:
+        src = os.path.join(snap_dir, entry["path"])
+        dst = os.path.join(dest_dir, entry["path"])
+        _link_or_copy(src, dst)
+        got = os.path.getsize(dst)
+        if got != entry["size"]:
+            raise IOError(
+                f"restore size mismatch for {entry['path']}: "
+                f"{got} != {entry['size']}"
+            )
+    return manifest

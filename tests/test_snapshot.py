@@ -1,102 +1,112 @@
-"""Snapshot/restore (content-addressed repo) + atomic aliases."""
+"""Snapshot / restore (cb/snapshot.py): manifest completeness, crash
+safety (manifest written last), stale-restore wipe, and hardlink
+isolation from post-snapshot mutations."""
 
 import json
 import os
-import subprocess
-import sys
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from cb import corpus as cm
-from cb import snapshot as snap
+from cb import snapshot
 from cb.build import build_index
 from cb.shard import LocalSearcher
 
 
 @pytest.fixture(scope="module")
 def built(tmp_path_factory):
-    tbl = cm.generate_corpus(120, seed=21)
-    d = tmp_path_factory.mktemp("snapcorpus")
-    pq.write_table(tbl, str(d / "c.parquet"))
-    idx = str(tmp_path_factory.mktemp("snapidx"))
-    build_index(str(d / "c.parquet"), idx, num_parts=2, range_bits=2)
-    return idx
+    d = tmp_path_factory.mktemp("snap")
+    rows = [
+        {"doc_id": 10 + i * 3, "text": t}
+        for i, t in enumerate(
+            [
+                "alpha join merge window",
+                "join table scan alpha",
+                "merge join window table",
+                "quantum zebra dance",
+                "join window merge scan table",
+            ]
+        )
+    ]
+    src = str(d / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(d / "idx")
+    build_index(src, idx, text_col="text", id_col="doc_id", num_parts=2)
+    return str(d), idx
 
 
-def _all_bytes(d):
-    out = {}
-    for root, _dirs, files in os.walk(d):
-        for f in files:
-            full = os.path.join(root, f)
-            with open(full, "rb") as fh:
-                out[os.path.relpath(full, d)] = fh.read()
-    return out
+def test_snapshot_restore_identical_results(built):
+    d, idx = built
+    snap = os.path.join(d, "snap1")
+    dest = os.path.join(d, "restore1")
+    m1 = snapshot.create_snapshot(idx, snap)
+    m2 = snapshot.restore_snapshot(snap, dest)
+    assert m1 == m2 and m1["n_files"] > 0
+    want = LocalSearcher(idx).query("join merge", k=10, algo="taat")
+    got = LocalSearcher(dest).query("join merge", k=10, algo="taat")
+    assert got == want  # scores bitwise: same bytes served
 
 
-def test_snapshot_restore_byte_identical(built, tmp_path):
-    repo = str(tmp_path / "repo")
-    m = snap.create(built, repo, "s1")
-    assert m["new_blobs"] > 0
-    target = str(tmp_path / "restored")
-    n = snap.restore(repo, "s1", target)
-    assert n == len(m["files"])
-    assert _all_bytes(target) == _all_bytes(built)
-    # restored index answers queries identically
-    a = LocalSearcher(built).query("join table", k=5)
-    b = LocalSearcher(target).query("join table", k=5)
-    assert a == b
-
-
-def test_snapshot_incremental_and_corruption(built, tmp_path):
-    repo = str(tmp_path / "repo")
-    snap.create(built, repo, "s1")
-    m2 = snap.create(built, repo, "s2")  # unchanged index: zero new blobs
-    assert m2["new_blobs"] == 0
-    assert snap.list_snapshots(repo) == ["s1", "s2"]
-    # corrupt one blob: restore must refuse, and leave no target behind
-    blobs = os.listdir(os.path.join(repo, "blobs"))
-    victim = os.path.join(repo, "blobs", blobs[0])
-    with open(victim, "ab") as f:
-        f.write(b"x")
-    target = str(tmp_path / "restored")
-    with pytest.raises(ValueError, match="corrupt"):
-        snap.restore(repo, "s2", target)
-    assert not os.path.exists(target)
+def test_restore_requires_manifest(built, tmp_path):
+    d, idx = built
+    half = str(tmp_path / "half")
+    # simulate a crashed snapshot: files copied but no manifest
+    m = snapshot.create_snapshot(idx, half)
+    os.remove(os.path.join(half, snapshot.MANIFEST))
     with pytest.raises(FileNotFoundError):
-        snap.restore(repo, "nope", str(tmp_path / "t2"))
+        snapshot.restore_snapshot(half, str(tmp_path / "r"))
+    assert m["n_files"] > 0
 
 
-def test_alias_atomic_swap(built, tmp_path):
-    root = str(tmp_path / "ali")
-    snap.set_alias(root, "prod", built)
-    assert snap.resolve_alias(root, "prod") == built
-    snap.set_alias(root, "prod", built + "_v2")
-    assert snap.resolve_alias(root, "prod") == built + "_v2"
-    assert snap.list_aliases(root) == {"prod": built + "_v2"}
-    with pytest.raises(KeyError):
-        snap.resolve_alias(root, "staging")
+def test_restore_wipes_stale_files(built, tmp_path):
+    d, idx = built
+    snap = str(tmp_path / "snap")
+    dest = str(tmp_path / "dest")
+    snapshot.create_snapshot(idx, snap)
+    os.makedirs(os.path.join(dest, "docstats"), exist_ok=True)
+    stale = os.path.join(dest, "docstats", "bucket=999.parquet")
+    with open(stale, "w") as f:
+        f.write("stale")
+    snapshot.restore_snapshot(snap, dest)
+    assert not os.path.exists(stale)
 
 
-def test_snapshot_cli_roundtrip(built, tmp_path):
-    repo = str(tmp_path / "repo")
-    env = dict(os.environ)
-    r = subprocess.run(
-        [sys.executable, "-m", "cb.cli", "snapshot", "create",
-         "--repo", repo, "--name", "s1", "--index", built],
-        capture_output=True, text=True, env=env, cwd="/root/repo",
-    )
-    assert r.returncode == 0, r.stderr
-    assert json.loads(r.stdout)["files"] > 0
-    r = subprocess.run(
-        [sys.executable, "-m", "cb.cli", "alias", "set",
-         "--root", str(tmp_path / "ali"), "--name", "prod", "--index", built],
-        capture_output=True, text=True, env=env, cwd="/root/repo",
-    )
-    assert r.returncode == 0, r.stderr
-    r = subprocess.run(
-        [sys.executable, "-m", "cb.cli", "alias", "resolve",
-         "--root", str(tmp_path / "ali"), "--name", "prod"],
-        capture_output=True, text=True, env=env, cwd="/root/repo",
-    )
-    assert json.loads(r.stdout)["index"] == built
+def test_restore_detects_size_mismatch(built, tmp_path):
+    d, idx = built
+    snap = str(tmp_path / "snap")
+    snapshot.create_snapshot(idx, snap)
+    mp = os.path.join(snap, snapshot.MANIFEST)
+    with open(mp) as f:
+        m = json.load(f)
+    m["files"][0]["size"] += 1
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(IOError):
+        snapshot.restore_snapshot(snap, str(tmp_path / "r"))
+
+
+def test_snapshot_isolated_from_later_writes(built, tmp_path):
+    # the repo's writers publish via tmp+rename; a hardlinked snapshot
+    # must keep serving the OLD bytes after the live index republishes
+    d, idx = built
+    snap = str(tmp_path / "snap")
+    dest = str(tmp_path / "dest")
+    snapshot.create_snapshot(idx, snap)
+    gpath = os.path.join(idx, "_global.json")
+    with open(gpath) as f:
+        orig = f.read()
+    tmp = gpath + ".tmp"
+    mutated = json.loads(orig)
+    mutated["n_docs"] = 999999
+    with open(tmp, "w") as f:
+        json.dump(mutated, f)
+    os.replace(tmp, gpath)
+    try:
+        snapshot.restore_snapshot(snap, dest)
+        with open(os.path.join(dest, "_global.json")) as f:
+            assert json.load(f)["n_docs"] != 999999
+    finally:
+        with open(tmp, "w") as f:
+            f.write(orig)
+        os.replace(tmp, gpath)
