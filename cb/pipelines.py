@@ -8713,6 +8713,53 @@ def q_snapshot_restore_topk(sf_dir: str) -> pa.Table:
     return _topk_table(results, with_scores=True)
 
 
+ROLLOVER_GENS = 4  # max_docs = ceil(N / 4): 3 sealed generations + a tail
+ROLLOVER_CHUNKS = 7  # ingestion chunks (mid-chunk rolls exercised)
+
+
+def q_rollover_layout(sf_dir: str) -> pa.Table:
+    """ES ``_rollover`` lifecycle (cb/rollover.py) driven end to end:
+    docs ingested through the write alias in ROLLOVER_CHUNKS ordered
+    chunks, the managed condition (max_docs = ceil(N/4)) sealing
+    generations as they fill.  Placement is a pure function of
+    ingestion rank (r // max_docs), so the resulting layout — name,
+    per-generation doc count, sealed flag — value-checks against a
+    row_number window.  (In production chunks arrive in stream order;
+    the sort here just reconstructs that order from the fixture.)"""
+    import math
+
+    from . import rollover, storage
+
+    t = pq.read_table(docs_path(sf_dir), columns=["doc_id"])
+    ids = np.sort(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+    n = len(ids)
+    maxd = math.ceil(n / ROLLOVER_GENS)
+    root = storage.scratch_dir("rollover", f"{sf_dir}:{maxd}:{n}")
+    rollover.init(root, "docs", maxd)
+    chunk = math.ceil(n / ROLLOVER_CHUNKS)
+    for i in range(0, n, chunk):
+        part = pa.table({"doc_id": pa.array(ids[i : i + chunk], pa.int64())})
+        rollover.ingest_chunk(root, f"chunk-{i:08d}", part)
+    return rollover.layout(root)
+
+
+def sql_rollover_layout() -> str:
+    return f"""
+WITH p AS (
+  SELECT CAST(ceil(count(*) / {ROLLOVER_GENS}.0) AS BIGINT) AS maxd
+  FROM documents
+),
+r AS (
+  SELECT (row_number() OVER (ORDER BY doc_id) - 1) AS rk FROM documents
+),
+g AS (SELECT rk // (SELECT maxd FROM p) AS gen FROM r)
+SELECT 'docs-' || lpad(CAST(gen + 1 AS VARCHAR), 6, '0') AS "index",
+       count(*)::BIGINT AS n_docs,
+       count(*) >= (SELECT maxd FROM p) AS sealed
+FROM g GROUP BY gen ORDER BY gen
+"""
+
+
 GEO_SORT_K = 15
 GEO_SORT_LANG = "en"
 
@@ -9140,6 +9187,7 @@ QUERIES = {
     "analyze_api": q_analyze_api,
     "bm25_geo_filtered": q_bm25_geo_filtered,
     "snapshot_restore_topk": q_snapshot_restore_topk,
+    "rollover_layout": q_rollover_layout,
 }
 
 
@@ -9340,6 +9388,7 @@ def oracle_sql() -> dict[str, str]:
         # restored-snapshot serving must reproduce the direct build's
         # rankings exactly -> the same BM25 mirror (reindex pattern)
         "snapshot_restore_topk": sql_bm25(with_scores=True),
+        "rollover_layout": sql_rollover_layout(),
         # ann_ivf_topk / media_ann_topk: approximate / stub-decode ->
         # rows-only checks (ann_ivf_exact below proves the IVF machinery
         # exact under full probing).
