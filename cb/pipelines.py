@@ -8713,6 +8713,27 @@ def q_snapshot_restore_topk(sf_dir: str) -> pa.Table:
     return _topk_table(results, with_scores=True)
 
 
+def q_scripted_metric(sf_dir: str) -> pa.Table:
+    """ES ``scripted_metric`` agg (cb/scripted.py): the registered
+    ``block_usage`` script — per-source 512-byte-block storage
+    accounting, a custom metric no builtin covers — run through the
+    engine's map/reduce contract by its config-string name."""
+    from . import scripted
+
+    ds = ray.data.read_parquet(docs_path(sf_dir), columns=["source", "n_chars"])
+    return scripted.scripted_metric(ds, "block_usage")
+
+
+def sql_scripted_metric() -> str:
+    return """
+SELECT source,
+       sum((n_chars + 511) // 512)::BIGINT AS total_blocks,
+       max((n_chars + 511) // 512)::BIGINT AS max_blocks,
+       sum((n_chars + 511) // 512) / count(*) AS avg_blocks
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 ROLLOVER_GENS = 4  # max_docs = ceil(N / 4): 3 sealed generations + a tail
 ROLLOVER_CHUNKS = 7  # ingestion chunks (mid-chunk rolls exercised)
 
@@ -9188,6 +9209,7 @@ QUERIES = {
     "bm25_geo_filtered": q_bm25_geo_filtered,
     "snapshot_restore_topk": q_snapshot_restore_topk,
     "rollover_layout": q_rollover_layout,
+    "scripted_metric": q_scripted_metric,
 }
 
 
@@ -9389,6 +9411,7 @@ def oracle_sql() -> dict[str, str]:
         # rankings exactly -> the same BM25 mirror (reindex pattern)
         "snapshot_restore_topk": sql_bm25(with_scores=True),
         "rollover_layout": sql_rollover_layout(),
+        "scripted_metric": sql_scripted_metric(),
         # ann_ivf_topk / media_ann_topk: approximate / stub-decode ->
         # rows-only checks (ann_ivf_exact below proves the IVF machinery
         # exact under full probing).

@@ -17,6 +17,7 @@ _REGISTRIES: dict[str, dict[str, object]] = {
     "source": {},
     "dedup": {},
     "decoder": {},
+    "metric_script": {},
 }
 
 
