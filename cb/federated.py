@@ -164,6 +164,23 @@ def fed_meta_path(fed_dir: str) -> str:
     return os.path.join(fed_dir, "fed.json")
 
 
+def load_fed_meta(fed_dir: str) -> dict:
+    """Read fed.json, REBASING every member ``dir`` onto the fed_dir
+    actually being opened.  Members live structurally at
+    ``fed_dir/index=<key>`` (see _build_one), but the published dirs
+    are whatever path the builder saw — so a federation that was
+    snapshot-restored or moved would otherwise silently serve the OLD
+    location's files (or crash).  Rebase-on-read makes fed.json
+    location-independent without changing the published format."""
+    with open(fed_meta_path(fed_dir)) as f:
+        fg = json.load(f)
+    for e in fg.get("indexes", ()):
+        d = e.get("dir")
+        if d:
+            e["dir"] = os.path.join(fed_dir, os.path.basename(os.path.normpath(d)))
+    return fg
+
+
 def staging_dir(fed_dir: str, name: str) -> str:
     """The per-key slice of the routing pass — each sub-index's corpus
     of record (kept: it carries any metadata columns staged alongside
@@ -189,8 +206,7 @@ def ensure_fed_docmeta(fed_dir: str, cols: list[str]) -> None:
     no cross-index duplication, metadata shards with the docs."""
     from . import docmeta as docmeta_mod
 
-    with open(fed_meta_path(fed_dir)) as f:
-        fg = json.load(f)
+    fg = load_fed_meta(fed_dir)
     if not fg.get("id_col"):
         raise ValueError(
             "fed docmeta needs an explicit id_col (build_federation "
@@ -535,8 +551,7 @@ def refresh_federation(source: "ray.data.Dataset | str", fed_dir: str) -> dict:
     changed keys.  Running engines keep serving the OLD federation;
     construct a new :class:`FederatedEngine` to pick up the refresh
     (same contract as delete_docs/compaction)."""
-    with open(fed_meta_path(fed_dir)) as f:
-        fg = json.load(f)
+    fg = load_fed_meta(fed_dir)
     cfg = _cfg_from(fg)
     before = _staging_lineage(fed_dir)
     _stage(source, fed_dir, cfg)
@@ -584,8 +599,7 @@ def expire_members(fed_dir: str, before_day: str) -> dict:
         raise ValueError(
             f"before_day must be YYYYMMDD, got {before_day!r}"
         )
-    with open(fed_meta_path(fed_dir)) as f:
-        fg = json.load(f)
+    fg = load_fed_meta(fed_dir)
     if not fg.get("ts_col"):
         raise ValueError(
             "expire_members needs day-routed members (ts_col federations)"
@@ -668,8 +682,7 @@ def ingest_new_shards(
     if os.path.exists(_ingest_state_path(fed_dir)):
         with open(_ingest_state_path(fed_dir)) as f:
             state = json.load(f)
-    with open(fed_meta_path(fed_dir)) as f:
-        fg = json.load(f)
+    fg = load_fed_meta(fed_dir)
     cfg = _cfg_from(fg)
     seen = set(state["ingested"])
     new = sorted(
@@ -751,8 +764,7 @@ def delete_docs_federated(fed_dir: str, doc_ids) -> dict[str, int]:
     intersects the id list with its own docstats and tombstones only
     matches.  Query paths mask tombstones at ranking time;
     :func:`compact_federation` physically drops them."""
-    with open(fed_meta_path(fed_dir)) as f:
-        fg = json.load(f)
+    fg = load_fed_meta(fed_dir)
     ids = list(doc_ids)
     fields = fg.get("fields")
     if fields:
@@ -780,8 +792,7 @@ def compact_federation(fed_dir: str) -> dict:
     pass), then republish feddf + fed.json — N/avgdl/df all shrink to
     the survivor corpus, so post-compaction federated scores are
     bitwise a fresh federation over the survivors."""
-    with open(fed_meta_path(fed_dir)) as f:
-        fg = json.load(f)
+    fg = load_fed_meta(fed_dir)
     cfg = _cfg_from(fg)
     entries = []
     fields = fg.get("fields")
@@ -839,8 +850,7 @@ class FederatedEngine:
     time-bounded query can match (GetIndexNames read path)."""
 
     def __init__(self, fed_dir: str, num_servers: int = 2, mode: str = "doc"):
-        with open(fed_meta_path(fed_dir)) as f:
-            self.meta = json.load(f)
+        self.meta = load_fed_meta(fed_dir)
         if self.meta.get("fields"):
             raise ValueError(
                 "this federation is MULTIFIELD; use FederatedMultiFieldEngine"
@@ -1346,8 +1356,7 @@ class FederatedMultiFieldEngine:
     closure of the single-field FederatedEngine contract."""
 
     def __init__(self, fed_dir: str):
-        with open(fed_meta_path(fed_dir)) as f:
-            self.meta = json.load(f)
+        self.meta = load_fed_meta(fed_dir)
         if not self.meta.get("fields"):
             raise ValueError(
                 "this federation is single-field; use FederatedEngine"

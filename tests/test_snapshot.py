@@ -110,3 +110,52 @@ def test_snapshot_isolated_from_later_writes(built, tmp_path):
         with open(tmp, "w") as f:
             f.write(orig)
         os.replace(tmp, gpath)
+
+
+def test_federation_snapshot_restore_relocates(tmp_path):
+    # fed.json publishes the builder's absolute member dirs; a restored
+    # (or moved) federation must serve from ITS OWN location —
+    # load_fed_meta rebases member dirs on read
+    import numpy as np
+    from cb import federated
+
+    base_us = 1_767_571_200_000_000
+    rows = []
+    for i in range(30):
+        rows.append(
+            {
+                "doc_id": 1 + i * 5,
+                "text": ["merge join table", "hash index scan", "join window"][i % 3],
+                "ts": base_us + (i % 2) * 86_400_000_000,
+            }
+        )
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(
+        t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.timestamp("us"))
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+    fed_dir = str(tmp_path / "fed")
+    federated.build_federation(
+        src, fed_dir, text_col="text", id_col="doc_id", ts_col="ts",
+        prefix="cb-", columns=["doc_id", "text"], num_parts=2,
+    )
+    eng = federated.FederatedEngine(fed_dir, num_servers=1)
+    try:
+        want = eng.query("join", k=10)
+    finally:
+        eng.shutdown()
+    snap = str(tmp_path / "snap")
+    dest = str(tmp_path / "restored_fed")
+    snapshot.create_snapshot(fed_dir, snap)
+    snapshot.restore_snapshot(snap, dest)
+    # the ORIGINAL federation is gone: any un-rebased dir would fail
+    import shutil
+
+    shutil.rmtree(fed_dir)
+    eng2 = federated.FederatedEngine(dest, num_servers=1)
+    try:
+        got = eng2.query("join", k=10)
+    finally:
+        eng2.shutdown()
+    assert got == want
